@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.types.DecimalType
+
+import scala.collection.concurrent.TrieMap
+
+/** Memoized per-sfDir parquet loaders plus the decimal-cast helpers every
+  * query uses for oracle hash-match parity (SURVEY.md §0 discipline).
+  *
+  * At 100 TB each of these would be a partitioned table; reading through a
+  * single `spark.read.parquet` keeps partition discovery, predicate
+  * pushdown and column pruning in Catalyst's hands. Memoizing the
+  * DataFrame objects keeps the ~72 bench queries from re-resolving schema
+  * footers on every call (SURVEY.md §6: per-query fixed overhead dominates
+  * the bench).
+  */
+object Tables {
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  private val cache = TrieMap.empty[(Int, String, String), DataFrame]
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    cache.getOrElseUpdate(
+      (System.identityHashCode(spark), sfDir, name),
+      spark.read.parquet(s"$sfDir/$name.parquet"))
+
+  def region(spark: SparkSession, d: String): DataFrame = table(spark, d, "region")
+  def nation(spark: SparkSession, d: String): DataFrame = table(spark, d, "nation")
+  def customer(spark: SparkSession, d: String): DataFrame = table(spark, d, "customer")
+  def supplier(spark: SparkSession, d: String): DataFrame = table(spark, d, "supplier")
+  def part(spark: SparkSession, d: String): DataFrame = table(spark, d, "part")
+  def orders(spark: SparkSession, d: String): DataFrame = table(spark, d, "orders")
+  def lineitem(spark: SparkSession, d: String): DataFrame = table(spark, d, "lineitem")
+  /** `events.ts` is INT64 TIMESTAMP(NANOS) in parquet; Spark reads it as
+    * LongType (nanosAsLong, set in Verify/Bench builders). The data is
+    * microsecond-aligned (verified: epoch_ns % 1000 == 0 everywhere), so
+    * converting to a microsecond TIMESTAMP_NTZ is lossless and matches
+    * DuckDB's `CAST(ts AS TIMESTAMP)` bit for bit. */
+  def events(spark: SparkSession, d: String): DataFrame =
+    cache.getOrElseUpdate(
+      (System.identityHashCode(spark), d, "events@ts"), {
+        val raw = table(spark, d, "events")
+        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          raw.withColumn("ts",
+            org.apache.spark.sql.functions.timestamp_micros(
+              org.apache.spark.sql.functions.expr("ts div 1000"))
+              .cast(org.apache.spark.sql.types.TimestampNTZType))
+        else raw
+      })
+  def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
+  def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")
+
+  /** Register every table as a temp view so shared fixture SQL
+    * (FIXTURES.md §2, referenced by bare table name on both engines) runs
+    * identically through `spark.sql`. Idempotent per (session, sfDir).
+    */
+  private val viewDir = TrieMap.empty[Int, String]
+  def registerViews(spark: SparkSession, sfDir: String): Unit = {
+    val k = System.identityHashCode(spark)
+    if (!viewDir.get(k).contains(sfDir)) {
+      names.foreach {
+        case "events" => events(spark, sfDir).createOrReplaceTempView("events")
+        case n        => table(spark, sfDir, n).createOrReplaceTempView(n)
+      }
+      viewDir.put(k, sfDir)
+    }
+  }
+
+  /** DOUBLE → DECIMAL(18,4) before any aggregation: decimal addition is
+    * exact and order-independent, so Spark partition order vs DuckDB scan
+    * order cannot change the hash (SURVEY.md §0). */
+  def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
+  /** Final-result money/ratio type, mirrored as DECIMAL(18,6) in oracle SQL. */
+  def dec6(c: Column): Column = c.cast(DecimalType(18, 6))
+}

@@ -1,0 +1,117 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** §2.1 scans/sources + §2.2 projection/filter/predicates.
+  *
+  * All plain declarative DataFrame ops: Catalyst pushes the filters and
+  * projections into the parquet scan (asserted by PlanShapeSpec), which is
+  * exactly the property that matters at 100 TB — scan only the columns and
+  * row groups the query needs.
+  */
+object Scans {
+
+  val scanParquet: Q = (s, d) =>
+    Tables.lineitem(s, d).orderBy("l_orderkey", "l_linenumber")
+
+  val scanProjectionPushdown: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Write nation to CSV and read it back with an explicit schema —
+    * schema-on-text ingest, the Spark analog of the reference's VCF/BED
+    * text imports (varda/tasks.py :: import_variation [U]). */
+  val sourceCsvRoundtrip: Q = (s, d) => {
+    val tmp = s"/root/repo/target/tmp/csv_roundtrip_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    Tables.nation(s, d).write.mode("overwrite").option("header", "true").csv(tmp)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType)))
+    s.read.schema(schema).option("header", "true").csv(tmp)
+      .orderBy("n_nationkey")
+  }
+
+  val sourceJsonLines: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k_val"))
+      .orderBy("event_id")
+
+  val projectRenameCast: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select(
+        col("l_orderkey").as("okey"),
+        col("l_linenumber").as("line_no"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 4)).as("net_price"),
+        col("l_quantity").cast(LongType).as("qty_int"))
+      .orderBy("okey", "line_no")
+
+  val filterConjunct: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter((col("l_returnflag") === "R" && col("l_quantity").between(10, 20))
+        || (col("l_linestatus") === "F" && col("l_quantity") > 45))
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val filterInLike: Q = (s, d) =>
+    Tables.part(s, d)
+      .filter(col("p_type").like("%ECO%") || col("p_size").isin(1, 5, 9))
+      .select("p_partkey", "p_name", "p_type", "p_size")
+      .orderBy("p_partkey")
+
+  val filterNull3vl: Q = (s, d) =>
+    Tables.customer(s, d)
+      .select(
+        col("c_custkey"),
+        nullif(col("c_mktsegment"), lit("BUILDING")).as("seg"),
+        nullif(col("c_mktsegment"), lit("BUILDING")).isNull.as("is_building"),
+        (nullif(col("c_mktsegment"), lit("BUILDING")) <=>
+          nullif(col("c_mktsegment"), lit("AUTOMOBILE"))).as("nsafe_eq"))
+      .orderBy("c_custkey")
+
+  val queries: Map[String, Q] = Map(
+    "scan_parquet" -> scanParquet,
+    "scan_projection_pushdown" -> scanProjectionPushdown,
+    "source_csv_roundtrip" -> sourceCsvRoundtrip,
+    "source_json_lines" -> sourceJsonLines,
+    "project_rename_cast" -> projectRenameCast,
+    "filter_conjunct" -> filterConjunct,
+    "filter_in_like" -> filterInLike,
+    "filter_null_3vl" -> filterNull3vl)
+
+  val oracle: Map[String, String] = Map(
+    "scan_parquet" ->
+      "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "scan_projection_pushdown" ->
+      "SELECT l_orderkey, l_linenumber FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "source_csv_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "source_json_lines" ->
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val FROM events ORDER BY event_id",
+    "project_rename_cast" ->
+      """SELECT l_orderkey AS okey, l_linenumber AS line_no,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS net_price,
+         CAST(l_quantity AS BIGINT) AS qty_int
+         FROM lineitem ORDER BY okey, line_no""",
+    "filter_conjunct" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus, l_quantity
+         FROM lineitem
+         WHERE (l_returnflag = 'R' AND l_quantity BETWEEN 10 AND 20)
+            OR (l_linestatus = 'F' AND l_quantity > 45)
+         ORDER BY l_orderkey, l_linenumber""",
+    "filter_in_like" ->
+      """SELECT p_partkey, p_name, p_type, p_size FROM part
+         WHERE p_type LIKE '%ECO%' OR p_size IN (1, 5, 9)
+         ORDER BY p_partkey""",
+    "filter_null_3vl" ->
+      """SELECT c_custkey,
+         NULLIF(c_mktsegment, 'BUILDING') AS seg,
+         NULLIF(c_mktsegment, 'BUILDING') IS NULL AS is_building,
+         NULLIF(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM NULLIF(c_mktsegment, 'AUTOMOBILE') AS nsafe_eq
+         FROM customer ORDER BY c_custkey""")
+}
