@@ -10,7 +10,11 @@ object SparkEntry {
 
   private def groups: Seq[(Map[String, Q], Map[String, String])] = Seq(
     (ops.Scans.queries, ops.Scans.oracle),
-    (ops.Aggs.queries, ops.Aggs.oracle))
+    (ops.Joins.queries, ops.Joins.oracle),
+    (ops.Aggs.queries, ops.Aggs.oracle),
+    (ops.Windows.queries, ops.Windows.oracle),
+    (ops.SortsSets.queries, ops.SortsSets.oracle),
+    (ops.ScalarFns.queries, ops.ScalarFns.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -26,8 +26,90 @@ object Aggs {
           .cast(DecimalType(18, 6)).as("avg_qty"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  val aggCountDistinct: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
+
+  val aggMultiDistinct: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(to_date(col("ts"))).as("n_days"))
+      .orderBy("event_type")
+
+  /** HyperLogLog++ distinct estimate — the 100 TB form of
+    * agg_count_distinct (constant memory per group vs a full distinct
+    * shuffle). Approx ⇒ no oracle; tolerance-tested in AggsSpec. */
+  val aggApproxHll: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .orderBy("event_type")
+
+  private def coalesced(rf: String, ls: String) = Seq(
+    coalesce(col(rf), lit("@ALL")).as("rf"),
+    coalesce(col(ls), lit("@ALL")).as("ls"))
+
+  val aggGroupingSets: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(dec4(col("l_quantity"))).cast(DecimalType(18, 4)).as("sum_qty"))
+      .select(coalesced("l_returnflag", "l_linestatus")
+        ++ Seq(col("n_rows"), col("sum_qty")): _*)
+      .orderBy("rf", "ls")
+
+  /** ROLLUP over a join result. The Dataset rollup API trips Spark's
+    * ambiguous-self-join detector on join inputs (SPARK attribute-lineage
+    * quirk), so this one goes through the SQL entry path (SURVEY.md §3
+    * lifecycle 2) with the exact oracle text — same Catalyst plan either
+    * way: join → Expand → hash agg. */
+  val aggRollup: Q = (s, d) => {
+    Tables.registerViews(s, d)
+    s.sql(oracle("agg_rollup"))
+  }
+
+  val aggCube: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(dec4(col("l_quantity"))).cast(DecimalType(18, 4)).as("sum_qty"))
+      .select(coalesced("l_returnflag", "l_linestatus")
+        ++ Seq(col("n_rows"), col("sum_qty")): _*)
+      .orderBy("rf", "ls")
+
+  val aggHaving: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") > 12)
+      .orderBy("o_custkey")
+
+  val aggCollectSorted: Q = (s, d) => {
+    val n = Tables.nation(s, d); val sup = Tables.supplier(s, d)
+    n.join(sup, sup("s_nationkey") === n("n_nationkey"))
+      .groupBy("n_nationkey")
+      .agg(array_join(array_sort(collect_list(col("s_name"))), "|")
+        .as("supplier_names"))
+      .orderBy("n_nationkey")
+  }
+
   val queries: Map[String, Q] = Map(
-    "agg_groupby_sums" -> aggGroupbySums)
+    "agg_groupby_sums" -> aggGroupbySums,
+    "agg_count_distinct" -> aggCountDistinct,
+    "agg_multi_distinct" -> aggMultiDistinct,
+    "agg_approx_hll" -> aggApproxHll,
+    "agg_grouping_sets" -> aggGroupingSets,
+    "agg_rollup" -> aggRollup,
+    "agg_cube" -> aggCube,
+    "agg_having" -> aggHaving,
+    "agg_collect_sorted" -> aggCollectSorted)
 
   val oracle: Map[String, String] = Map(
     "agg_groupby_sums" ->
@@ -38,5 +120,45 @@ object Aggs {
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) / count(*) AS DECIMAL(18,6)) AS avg_qty
          FROM lineitem
          GROUP BY l_returnflag, l_linestatus
-         ORDER BY l_returnflag, l_linestatus""")
+         ORDER BY l_returnflag, l_linestatus""",
+    "agg_count_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "agg_multi_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+                count(DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS n_days
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "agg_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, '@ALL') AS rf,
+                COALESCE(l_linestatus, '@ALL') AS ls,
+                count(*) AS n_rows,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+         ORDER BY rf, ls""",
+    "agg_rollup" ->
+      """SELECT COALESCE(r_name, '@ALL') AS region_name,
+                COALESCE(n_name, '@ALL') AS nation_name,
+                count(*) AS n_customers
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP (r_name, n_name)
+         ORDER BY region_name, nation_name""",
+    "agg_cube" ->
+      """SELECT COALESCE(l_returnflag, '@ALL') AS rf,
+                COALESCE(l_linestatus, '@ALL') AS ls,
+                count(*) AS n_rows,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty
+         FROM lineitem
+         GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY rf, ls""",
+    "agg_having" ->
+      """SELECT o_custkey, count(*) AS n_orders FROM orders
+         GROUP BY o_custkey HAVING count(*) > 12
+         ORDER BY o_custkey""",
+    "agg_collect_sorted" ->
+      """SELECT n_nationkey, string_agg(s_name, '|' ORDER BY s_name) AS supplier_names
+         FROM nation JOIN supplier ON s_nationkey = n_nationkey
+         GROUP BY n_nationkey ORDER BY n_nationkey""")
 }

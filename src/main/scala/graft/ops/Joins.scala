@@ -1,0 +1,185 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import graft.Tables.dec4
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** §2.3 joins.
+  *
+  * Scale notes: equi-joins shuffle both sides on the key unless one side is
+  * broadcast — `join_broadcast` pins the broadcast plan for dimension
+  * tables (the right call at 100 TB: ship the 10-row dim, not the fact
+  * table), `join_sort_merge` pins SMJ (the right call for large-large).
+  * The as-of join is the union+running-window formulation: one shuffle on
+  * the key, no per-row point lookups, which is how a temporal join stays
+  * linear at cluster scale.
+  */
+object Joins {
+
+  val joinInnerEqui: Q = (s, d) => {
+    val o = Tables.orders(s, d); val c = Tables.customer(s, d)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .select(o("o_orderkey"), o("o_custkey"), c("c_name"), o("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  val joinBroadcast: Q = (s, d) => {
+    val li = Tables.lineitem(s, d); val sup = Tables.supplier(s, d)
+    li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+      .select(li("l_orderkey"), li("l_linenumber"), sup("s_name"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val joinSortMerge: Q = (s, d) => {
+    val o = Tables.orders(s, d); val c = Tables.customer(s, d)
+    o.join(c.hint("merge"), o("o_custkey") === c("c_custkey"))
+      .select(o("o_orderkey"), c("c_name"), c("c_nationkey"))
+      .orderBy("o_orderkey")
+  }
+
+  val joinLeftOuter: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val big = Tables.orders(s, d).filter(col("o_totalprice") > 450000)
+    c.join(big, c("c_custkey") === big("o_custkey"), "left")
+      .groupBy(c("c_custkey"), c("c_name"))
+      .agg(count(big("o_orderkey")).as("n_big_orders"))
+      .orderBy("c_custkey")
+  }
+
+  val joinFullOuter: Q = (s, d) => {
+    val a = Tables.orders(s, d).filter(col("o_custkey") % 2 === 0)
+      .select(col("o_custkey").as("k_orders")).distinct()
+    val b = Tables.customer(s, d).filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey").as("k_customer"))
+    a.join(b, a("k_orders") === b("k_customer"), "full")
+      .orderBy(coalesce(col("k_orders"), col("k_customer")))
+  }
+
+  val joinLeftSemi: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val big = Tables.orders(s, d).filter(col("o_totalprice") > 450000)
+    c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name").orderBy("c_custkey")
+  }
+
+  val joinLeftAnti: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val big = Tables.orders(s, d).filter(col("o_totalprice") > 450000)
+    c.join(big, c("c_custkey") === big("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name").orderBy("c_custkey")
+  }
+
+  val joinTheta: Q = (s, d) => {
+    val sup = Tables.supplier(s, d); val c = Tables.customer(s, d)
+    sup.join(c, sup("s_nationkey") === c("c_nationkey")
+        && sup("s_acctbal") > c("c_acctbal"))
+      .select(sup("s_suppkey"), c("c_custkey"))
+      .orderBy("s_suppkey", "c_custkey")
+  }
+
+  /** As-of join without a native Spark operator: tag both streams, union,
+    * and take the running `last` event id over (key, time) order. One
+    * shuffle, no quadratic work — the standard scalable formulation.
+    * DuckDB oracle uses its native ASOF LEFT JOIN (`<=` bound). Events are
+    * pre-deduped to one row per (user, ts) with max event_id so the
+    * at-or-before tie is deterministic on both engines. */
+  val joinAsof: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .groupBy("user_id", "ts").agg(max("event_id").as("event_id"))
+    val ord = Tables.orders(s, d).select(
+      col("o_orderkey"),
+      (col("o_custkey") % 97).as("uk"),
+      expr("timestamp_ntz '2024-01-01 00:00:00' + make_dt_interval(0, 0, cast(o_orderkey % 43200 as int), 0)").as("asof_ts"))
+    val evU = ev.select(col("user_id").as("k"), col("ts").as("t"),
+      lit(0).as("is_order"), col("event_id"),
+      lit(null).cast(LongType).as("o_orderkey"))
+    val ordU = ord.select(col("uk").as("k"), col("asof_ts").as("t"),
+      lit(1).as("is_order"), lit(null).cast(LongType).as("event_id"),
+      col("o_orderkey"))
+    val w = Window.partitionBy("k")
+      .orderBy(col("t"), col("is_order"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    evU.unionByName(ordU)
+      .withColumn("matched_event_id", last(col("event_id"), ignoreNulls = true).over(w))
+      .filter(col("is_order") === 1)
+      .select(col("o_orderkey"), col("matched_event_id"))
+      .orderBy("o_orderkey")
+  }
+
+  val joinCross: Q = (s, d) => {
+    val r = Tables.region(s, d); val n = Tables.nation(s, d)
+    r.crossJoin(n)
+      .select(r("r_regionkey"), n("n_nationkey"), r("r_name"), n("n_name"))
+      .orderBy("r_regionkey", "n_nationkey")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "join_inner_equi" -> joinInnerEqui,
+    "join_broadcast" -> joinBroadcast,
+    "join_sort_merge" -> joinSortMerge,
+    "join_left_outer" -> joinLeftOuter,
+    "join_full_outer" -> joinFullOuter,
+    "join_left_semi" -> joinLeftSemi,
+    "join_left_anti" -> joinLeftAnti,
+    "join_theta" -> joinTheta,
+    "join_asof" -> joinAsof,
+    "join_cross" -> joinCross)
+
+  val oracle: Map[String, String] = Map(
+    "join_inner_equi" ->
+      """SELECT o_orderkey, o_custkey, c_name, o_totalprice
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_orderkey""",
+    "join_broadcast" ->
+      """SELECT l_orderkey, l_linenumber, s_name
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         ORDER BY l_orderkey, l_linenumber""",
+    "join_sort_merge" ->
+      """SELECT o_orderkey, c_name, c_nationkey
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_orderkey""",
+    "join_left_outer" ->
+      """SELECT c_custkey, c_name, count(o_orderkey) AS n_big_orders
+         FROM customer LEFT JOIN orders
+           ON c_custkey = o_custkey AND o_totalprice > 450000
+         GROUP BY c_custkey, c_name ORDER BY c_custkey""",
+    "join_full_outer" ->
+      """SELECT a.k_orders, b.k_customer FROM
+         (SELECT DISTINCT o_custkey AS k_orders FROM orders WHERE o_custkey % 2 = 0) a
+         FULL JOIN (SELECT c_custkey AS k_customer FROM customer WHERE c_custkey % 3 = 0) b
+           ON a.k_orders = b.k_customer
+         ORDER BY COALESCE(a.k_orders, b.k_customer)""",
+    "join_left_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+         ORDER BY c_custkey""",
+    "join_left_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+         ORDER BY c_custkey""",
+    "join_theta" ->
+      """SELECT s_suppkey, c_custkey
+         FROM supplier JOIN customer
+           ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+         ORDER BY s_suppkey, c_custkey""",
+    "join_asof" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                            max(event_id) AS event_id
+                     FROM events GROUP BY 1, 2),
+            ord AS (SELECT o_orderkey, o_custkey % 97 AS uk,
+                           TIMESTAMP '2024-01-01 00:00:00'
+                             + (o_orderkey % 43200) * INTERVAL 1 MINUTE AS asof_ts
+                    FROM orders)
+         SELECT o.o_orderkey, e.event_id AS matched_event_id
+         FROM ord o ASOF LEFT JOIN ev e
+           ON o.uk = e.user_id AND e.ts <= o.asof_ts
+         ORDER BY o.o_orderkey""",
+    "join_cross" ->
+      """SELECT r_regionkey, n_nationkey, r_name, n_name
+         FROM region CROSS JOIN nation
+         ORDER BY r_regionkey, n_nationkey""")
+}

@@ -1,0 +1,139 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import graft.Tables.dec4
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** §2.5 window functions.
+  *
+  * Every window here partitions by a real key (customer / user), so work
+  * distributes across executors; only `win_ntile_pct` is a global window
+  * (analytic over all customers), which at 100 TB would need a
+  * range-partitioned two-pass rank — acceptable for a declared analytic op
+  * over a dimension-sized table. All value columns go through DECIMAL
+  * before any frame aggregation (SURVEY.md §0 discipline).
+  */
+object Windows {
+
+  val winRankDenseRow: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(dec4(col("o_totalprice")).desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        row_number().over(w).as("rn"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val winLagLead: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val v = dec4(col("value"))
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        (v - lag(v, 1).over(w)).cast(DecimalType(18, 4)).as("delta_prev"),
+        (lead(v, 1).over(w) - v).cast(DecimalType(18, 4)).as("delta_next"))
+      .orderBy("event_id")
+  }
+
+  val winRunningSum: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        sum(dec4(col("o_totalprice"))).over(w)
+          .cast(DecimalType(18, 4)).as("running_total"))
+      .orderBy("o_orderkey")
+  }
+
+  val winRangeFrame: Q = (s, d) => {
+    val day = datediff(col("o_orderdate"), to_date(lit("1990-01-01")))
+    val w = Window.partitionBy("o_custkey").orderBy(col("day"))
+      .rangeBetween(-7, Window.currentRow)
+    Tables.orders(s, d)
+      .withColumn("day", day.cast(LongType))
+      .select(col("o_orderkey"), col("day"),
+        sum(dec4(col("o_totalprice"))).over(w)
+          .cast(DecimalType(18, 4)).as("sum_7d"))
+      .orderBy("o_orderkey")
+  }
+
+  val winNtilePct: Q = (s, d) => {
+    val w = Window.orderBy(dec4(col("c_acctbal")), col("c_custkey"))
+    Tables.customer(s, d)
+      .select(col("c_custkey"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).cast(DecimalType(18, 6)).as("pct_rank"),
+        cume_dist().over(w).cast(DecimalType(18, 6)).as("cume"))
+      .orderBy("c_custkey")
+  }
+
+  val winFirstLast: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(s, d)
+      .select(col("event_id"),
+        first(col("event_type")).over(w).as("first_type"),
+        last(col("event_type")).over(w).as("last_type"))
+      .orderBy("event_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "win_rank_dense_row" -> winRankDenseRow,
+    "win_lag_lead" -> winLagLead,
+    "win_running_sum" -> winRunningSum,
+    "win_range_frame" -> winRangeFrame,
+    "win_ntile_pct" -> winNtilePct,
+    "win_first_last" -> winFirstLast)
+
+  val oracle: Map[String, String] = Map(
+    "win_rank_dense_row" ->
+      """SELECT o_custkey, o_orderkey,
+           rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+           row_number() OVER w AS rn
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey
+           ORDER BY CAST(o_totalprice AS DECIMAL(18,4)) DESC, o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
+    "win_lag_lead" ->
+      """SELECT event_id, user_id,
+           CAST(CAST(value AS DECIMAL(18,4)) - lag(CAST(value AS DECIMAL(18,4))) OVER w AS DECIMAL(18,4)) AS delta_prev,
+           CAST(lead(CAST(value AS DECIMAL(18,4))) OVER w - CAST(value AS DECIMAL(18,4)) AS DECIMAL(18,4)) AS delta_next
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+         ORDER BY event_id""",
+    "win_running_sum" ->
+      """SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DECIMAL(18,4)) AS running_total
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY o_orderkey""",
+    "win_range_frame" ->
+      """SELECT o_orderkey, day,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DECIMAL(18,4)) AS sum_7d
+         FROM (SELECT *, datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS day
+               FROM orders) t
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+           RANGE BETWEEN 7 PRECEDING AND CURRENT ROW)
+         ORDER BY o_orderkey""",
+    "win_ntile_pct" ->
+      """SELECT c_custkey,
+           ntile(4) OVER w AS quartile,
+           CAST(percent_rank() OVER w AS DECIMAL(18,6)) AS pct_rank,
+           CAST(cume_dist() OVER w AS DECIMAL(18,6)) AS cume
+         FROM customer
+         WINDOW w AS (ORDER BY CAST(c_acctbal AS DECIMAL(18,4)), c_custkey)
+         ORDER BY c_custkey""",
+    "win_first_last" ->
+      """SELECT event_id,
+           first_value(event_type) OVER w AS first_type,
+           last_value(event_type) OVER w AS last_type
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY event_id""")
+}
