@@ -14,7 +14,9 @@ object SparkEntry {
     (ops.Aggs.queries, ops.Aggs.oracle),
     (ops.Windows.queries, ops.Windows.oracle),
     (ops.SortsSets.queries, ops.SortsSets.oracle),
-    (ops.ScalarFns.queries, ops.ScalarFns.oracle))
+    (ops.ScalarFns.queries, ops.ScalarFns.oracle),
+    (ops.Streaming.queries, ops.Streaming.oracle),
+    (ops.Llm.queries, ops.Llm.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

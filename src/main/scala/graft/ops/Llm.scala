@@ -1,0 +1,244 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, HashingTF, MinHashLSH, Normalizer}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** §2.10 LLM-training-data pipeline operators over `documents` /
+  * `embeddings`.
+  *
+  * Scale design: near-dup candidates come from an inverted index over
+  * 3-word shingles (selective: measured ~2.8M join rows at sf0.1 vs ~10^9
+  * for single-token joins on this corpus) — the same shingle→band→bucket
+  * shape MinHashLSH uses, so the exact and approximate paths share cost
+  * structure. Cosine top-k is brute-force per query against the corpus
+  * (embarrassingly parallel, broadcast the queries at scale); the
+  * LSH-bucketed variant is the 100 TB path.
+  */
+object Llm {
+
+  /** Exact dedup: keep the smallest doc_id per identical text — the
+    * direct analog of the reference's checksum-based duplicate skip
+    * (varda/models.py :: DataSource.checksum [U]). */
+  val dedupExact: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy("text")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+      .orderBy("keep_id")
+
+  /** doc_id → distinct 3-word shingles, exploded. */
+  private def shingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(CASE WHEN size(ws) < 3 THEN array()
+           ELSE transform(sequence(0, size(ws) - 3),
+                          i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])) END)"""))
+        .as("shingle"))
+
+  /** Exact near-dup pairs with shingle-set Jaccard >= 0.5. The threshold
+    * compare is pure integer arithmetic (3*|∩| >= |A|+|B| ⟺ J >= 0.5) so
+    * both engines agree bit-for-bit. */
+  val dedupNearJaccard: Q = (s, d) => {
+    val sh = shingles(Tables.documents(s, d))
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("s"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter_cnt"))
+    pairs
+      .join(sz.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sz.as("s2"), col("d2") === col("s2.doc_id"))
+      .filter(col("inter_cnt") * 3 >= col("s1.s") + col("s2.s"))
+      .select(col("d1"), col("d2"), col("inter_cnt"),
+        (col("s1.s") + col("s2.s") - col("inter_cnt")).as("union_cnt"))
+      .orderBy("d1", "d2")
+  }
+
+  /** Approximate near-dup via MLlib MinHashLSH over hashed shingle sets —
+    * the version that scales: candidate pairs come from LSH band buckets,
+    * never a full self-join. No oracle (approx); LlmSpec asserts recall
+    * >= 0.9 against dedup_near_jaccard. */
+  val dedupNearMinhash: Q = (s, d) => {
+    val sh = shingles(Tables.documents(s, d))
+      .groupBy("doc_id").agg(collect_list("shingle").as("sh"))
+    val tf = new HashingTF().setInputCol("sh").setOutputCol("features")
+      .setNumFeatures(1 << 18)
+    val feats = tf.transform(sh).filter(expr("size(sh) > 0"))
+    val mh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(8).setSeed(42)
+    val model = mh.fit(feats)
+    model.approxSimilarityJoin(feats, feats, 0.5, "jaccard_dist")
+      .select(col("datasetA.doc_id").as("d1"), col("datasetB.doc_id").as("d2"))
+      .filter(col("d1") < col("d2"))
+      .orderBy("d1", "d2")
+  }
+
+  private val dotExpr =
+    "aggregate(zip_with(%s, %s, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)"
+
+  /** Exact top-5 cosine neighbors for each query vector (label = 0).
+    * Scores are rounded to DECIMAL(18,6) before ranking with a vec_id
+    * tiebreak, and only ids are output (float last-ulp differences between
+    * engines cannot flip the hash — SURVEY.md §2.10 caution). */
+  val simTopkCosine: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val withNorm = e.select(col("vec_id"), col("embedding"), col("label"),
+      sqrt(expr(dotExpr.format("embedding", "embedding"))).as("nrm"))
+    val q = withNorm.filter(col("label") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val cand = withNorm
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"), col("nrm").as("nn"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_d").desc, col("nid"))
+    q.join(cand, col("qid") =!= col("nid"))
+      .withColumn("cos_d",
+        (expr(dotExpr.format("qe", "ne")) / (col("qn") * col("nn")))
+          .cast(DecimalType(18, 6)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("qid", "rank", "nid")
+      .orderBy("qid", "rank")
+  }
+
+  /** Approximate nearest neighbors via bucketed random projection LSH on
+    * L2-normalized vectors (unit-sphere euclidean ≡ cosine ordering).
+    * No oracle; LlmSpec asserts recall vs sim_topk_cosine. */
+  val simAnnLsh: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val toVec = udf((a: Seq[Float]) =>
+      org.apache.spark.ml.linalg.Vectors.dense(a.map(_.toDouble).toArray))
+    val vecs = e.select(col("vec_id"), col("label"), toVec(col("embedding")).as("raw"))
+    val norm = new Normalizer().setInputCol("raw").setOutputCol("features").setP(2.0)
+    val feats = norm.transform(vecs)
+    val lsh = new BucketedRandomProjectionLSH().setInputCol("features")
+      .setOutputCol("hashes").setBucketLength(0.5).setNumHashTables(6).setSeed(42)
+    val model = lsh.fit(feats)
+    val q = feats.filter(col("label") === 0)
+      .select(col("vec_id").as("qid"), col("features").as("qf"))
+    val joined = model.approxSimilarityJoin(
+        q.withColumnRenamed("qf", "features"), feats, 1.2, "dist")
+      .select(col("datasetA.qid").as("qid"), col("datasetB.vec_id").as("nid"),
+        col("dist"))
+      .filter(col("qid") =!= col("nid"))
+    val w = Window.partitionBy("qid").orderBy(col("dist"), col("nid"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("qid", "rank", "nid")
+      .orderBy("qid", "rank")
+  }
+
+  /** Language-bucketed term frequency: top-10 terms per lang with
+    * deterministic (count desc, term asc) tiebreak. */
+  val textTokensTf: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+    val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("term"))
+    toks.groupBy("lang", "term").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select("lang", "rn", "term", "cnt")
+      .orderBy("lang", "rn")
+  }
+
+  /** TF-IDF with idf quantized to an integer (round(ln(N/df)*1e6)) so the
+    * ranking is integer arithmetic on both engines — a float ulp in ln()
+    * cannot reorder the top term. Top term per doc, (score desc, term). */
+  val textTfidf: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = toks.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tf.join(df, "term").crossJoin(n)
+      .withColumn("score", col("tf") *
+        round(log(col("n_docs").cast(DoubleType) / col("df")) * 1000000)
+          .cast(LongType))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("term").as("top_term"), col("score"))
+      .orderBy("doc_id")
+  }
+
+  /** Multimodal row: text + vector + label side by side — the pattern for
+    * carrying opaque typed media columns through relational ops. */
+  val multimodalJoin: Q = (s, d) => {
+    val docs = Tables.documents(s, d); val emb = Tables.embeddings(s, d)
+    docs.join(emb, docs("doc_id") === emb("vec_id"))
+      .select(docs("doc_id"), docs("lang"), docs("n_chars"),
+        emb("embedding"), emb("label"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "dedup_exact" -> dedupExact,
+    "dedup_near_jaccard" -> dedupNearJaccard,
+    "dedup_near_minhash" -> dedupNearMinhash,
+    "sim_topk_cosine" -> simTopkCosine,
+    "sim_ann_lsh" -> simAnnLsh,
+    "text_tokens_tf" -> textTokensTf,
+    "text_tfidf" -> textTfidf,
+    "multimodal_join" -> multimodalJoin)
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM documents GROUP BY text ORDER BY keep_id""",
+    "dedup_near_jaccard" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            sh AS (SELECT DISTINCT doc_id,
+                     unnest(list_transform(range(1, len(ws) - 1),
+                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+                   FROM w),
+            sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
+            pr AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter_cnt
+                   FROM sh a JOIN sh b
+                     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT d1, d2, inter_cnt, s1.s + s2.s - inter_cnt AS union_cnt
+         FROM pr JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+         WHERE inter_cnt * 3 >= s1.s + s2.s
+         ORDER BY d1, d2""",
+    "sim_topk_cosine" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE label = 0),
+            scored AS (SELECT q.qid, e.vec_id AS nid,
+                         CAST(list_cosine_similarity(q.qe, e.embedding) AS DECIMAL(18,6)) AS cos_d
+                       FROM q JOIN embeddings e ON e.vec_id != q.qid),
+            ranked AS (SELECT qid, nid,
+                         row_number() OVER (PARTITION BY qid
+                           ORDER BY cos_d DESC, nid) AS rank
+                       FROM scored)
+         SELECT qid, rank, nid FROM ranked WHERE rank <= 5
+         ORDER BY qid, rank""",
+    "text_tokens_tf" ->
+      """WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents),
+            cnts AS (SELECT lang, term, count(*) AS cnt FROM toks GROUP BY 1, 2),
+            ranked AS (SELECT lang, term, cnt,
+                         row_number() OVER (PARTITION BY lang
+                           ORDER BY cnt DESC, term) AS rn
+                       FROM cnts)
+         SELECT lang, rn, term, cnt FROM ranked WHERE rn <= 10
+         ORDER BY lang, rn""",
+    "text_tfidf" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+            df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (SELECT tf.doc_id, tf.term,
+                         tf.tf * CAST(round(ln(CAST(n.n_docs AS DOUBLE) / df.df) * 1000000) AS BIGINT) AS score
+                       FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+            ranked AS (SELECT doc_id, term, score,
+                         row_number() OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, term) AS rn
+                       FROM scored)
+         SELECT doc_id, term AS top_term, score FROM ranked WHERE rn = 1
+         ORDER BY doc_id""",
+    "multimodal_join" ->
+      """SELECT d.doc_id, d.lang, d.n_chars, e.embedding, e.label
+         FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+         ORDER BY d.doc_id""")
+}

@@ -1,0 +1,157 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import graft.Tables.dec4
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** §2.9 streaming operators.
+  *
+  * Each key has a batch-equivalent DataFrame form (what Verify/the oracle
+  * check) and the same *transform* is reusable on a `readStream` input —
+  * StreamingSpec drives them through MemoryStream and asserts parity.
+  * This mirrors how the reference's Celery import tasks become a
+  * continuously-running incremental query (SURVEY.md §3): state lives in
+  * the streaming state store, keyed by (window, type) or user — both
+  * partition cleanly across executors at scale.
+  */
+object Streaming {
+
+  /** Shared transform: per (event_type, 1-hour tumbling window) counts and
+    * exact DECIMAL value sums. Works on batch and streaming inputs. */
+  def tumblingAgg(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec4(col("value"))).cast(DecimalType(18, 4)).as("val_sum"))
+      .select(col("window.start").as("ws"), col("event_type"),
+        col("n_events"), col("val_sum"))
+
+  val streamTumbling: Q = (s, d) =>
+    tumblingAgg(Tables.events(s, d)).orderBy("ws", "event_type")
+
+  /** 1-hour windows sliding every 30 minutes: each event lands in 2
+    * windows (Spark expands via its window generator; the oracle unions
+    * the two shifted 30-minute buckets). */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n_events"))
+
+  val streamSliding: Q = (s, d) =>
+    slidingAgg(Tables.events(s, d)).orderBy("ws", "event_type")
+
+  /** Batch sessionization: gap-and-island with a 30-minute gap. A new
+    * session starts when the microsecond delta to the previous event is
+    * >= gap — exactly Spark's `session_window` end-exclusive semantics
+    * (StreamingSpec pins the boundary against session_window itself).
+    * Output matches the oracle's identical SQL formulation. */
+  val streamSession: Q = (s, d) => {
+    val gapUs = 30L * 60 * 1000000
+    val tu = expr("unix_micros(cast(ts as timestamp))")
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("tu", tu)
+      .withColumn("news",
+        when(lag(col("tu"), 1).over(w).isNull
+          || col("tu") - lag(col("tu"), 1).over(w) >= gapUs, 1).otherwise(0))
+      .withColumn("sid", sum(col("news")).over(run))
+      .groupBy("user_id", "sid")
+      .agg(min(col("ts")).as("session_start"),
+        count(lit(1)).as("n_events"),
+        (max(col("tu")) - min(col("tu"))).as("dur_us"))
+      .select("user_id", "session_start", "n_events", "dur_us")
+      .orderBy("user_id", "session_start")
+  }
+
+  /** Exact-once dedup by event_id over a duplicated input (self-union) —
+    * the Spark analog of the reference's checksum-based duplicate-skip
+    * (varda/models.py :: DataSource.checksum [U]). The streaming form is
+    * `withWatermark + dropDuplicates` (StreamingSpec). */
+  val streamDedup: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    e.unionAll(e).dropDuplicates("event_id").orderBy("event_id")
+  }
+
+  /** Batch emulation of watermark semantics: replay in arrival (event_id)
+    * order, track the running max event time, drop rows later than 10
+    * minutes behind it, then count per tumbling hour. Engine-specific ⇒
+    * no oracle; the true streaming path (withWatermark drop behavior) is
+    * asserted in StreamingSpec via MemoryStream. The global arrival-order
+    * window is test-scale only — a real deployment gets this from the
+    * watermark tracker, not a sort. */
+  val streamLateWatermark: Q = (s, d) => {
+    val lateUs = 10L * 60 * 1000000
+    val w = Window.orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("tu", expr("unix_micros(cast(ts as timestamp))"))
+      .withColumn("max_tu", max(col("tu")).over(w))
+      .filter(col("tu") >= col("max_tu") - lateUs)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_kept"))
+      .select(col("window.start").as("ws"), col("n_kept"))
+      .orderBy("ws")
+  }
+
+  /** Per-user running state, final snapshot: event count + latest
+    * event_type. Batch form = groupBy + max_by; streaming form =
+    * flatMapGroupsWithState (StreamingSpec asserts the same snapshot). */
+  val streamStatefulRunning: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        max_by(col("event_type"), struct(col("ts"), col("event_id"))).as("last_type"))
+      .orderBy("user_id")
+
+  val queries: Map[String, Q] = Map(
+    "stream_tumbling" -> streamTumbling,
+    "stream_sliding" -> streamSliding,
+    "stream_session" -> streamSession,
+    "stream_dedup" -> streamDedup,
+    "stream_late_watermark" -> streamLateWatermark,
+    "stream_stateful_running" -> streamStatefulRunning)
+
+  val oracle: Map[String, String] = Map(
+    "stream_tumbling" ->
+      """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS ws,
+                event_type, count(*) AS n_events,
+                CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS val_sum
+         FROM events GROUP BY 1, 2 ORDER BY ws, event_type""",
+    "stream_sliding" ->
+      """SELECT ws, event_type, count(*) AS n_events FROM (
+           SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) AS ws,
+                  event_type FROM events
+           UNION ALL
+           SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+                    - INTERVAL '30 minutes' AS ws,
+                  event_type FROM events) t
+         GROUP BY ws, event_type ORDER BY ws, event_type""",
+    "stream_session" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+                           epoch_us(CAST(ts AS TIMESTAMP)) AS tu FROM events),
+            f AS (SELECT *, CASE WHEN lag(tu) OVER w IS NULL
+                                   OR tu - lag(tu) OVER w >= 1800000000
+                                 THEN 1 ELSE 0 END AS news
+                  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            g AS (SELECT *, SUM(news) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f)
+         SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+                max(tu) - min(tu) AS dur_us
+         FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""",
+    "stream_dedup" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+         FROM events ORDER BY event_id""",
+    "stream_stateful_running" ->
+      """SELECT c.user_id, c.n_events, l.event_type AS last_type
+         FROM (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id) c
+         JOIN (SELECT user_id, event_type FROM (
+                 SELECT user_id, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                     ORDER BY ts DESC, event_id DESC) AS rn
+                 FROM events) t WHERE rn = 1) l
+           ON c.user_id = l.user_id
+         ORDER BY c.user_id""")
+}
