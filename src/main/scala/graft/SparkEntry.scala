@@ -16,7 +16,8 @@ object SparkEntry {
     (ops.SortsSets.queries, ops.SortsSets.oracle),
     (ops.ScalarFns.queries, ops.ScalarFns.oracle),
     (ops.Streaming.queries, ops.Streaming.oracle),
-    (ops.Llm.queries, ops.Llm.oracle))
+    (ops.Llm.queries, ops.Llm.oracle),
+    (varda.VardaOps.queries, varda.VardaOps.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,297 @@
+package graft.varda
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** §2.11 varda-domain composite operators plus the [D] rows of
+  * §2.1/2.3/2.4 (VCF/BED ingest, interval join, frequency ratio).
+  *
+  * The fixtures come from the normative SQL in [[VardaSql]] run through
+  * `spark.sql` over the registered table views, so Spark and the DuckDB
+  * oracle compute byte-identical inputs (FIXTURES.md §2).
+  *
+  * Scale design: every point-in-interval join here is an *equi*-join on a
+  * derived bucket/bin column with a residual range filter — never a
+  * quadratic theta join. That is the reference's own UCSC-binning trick
+  * (varda/region_binning.py [U]) re-expressed as Spark shuffles: both
+  * sides hash-partition on (chromosome, bin), so the join scales linearly
+  * with data and executors.
+  */
+object VardaOps {
+  import VardaSql._
+
+  private def fixture(s: SparkSession, d: String, sql: String): DataFrame = {
+    Tables.registerViews(s, d)
+    s.sql(sql)
+  }
+  def obs(s: SparkSession, d: String): DataFrame = fixture(s, d, observations)
+  def cov(s: SparkSession, d: String): DataFrame = fixture(s, d, coverage)
+  def alleles(s: SparkSession, d: String): DataFrame = fixture(s, d, VardaSql.alleles)
+
+  /** Generic power-of-two bucketed containment join. Interval length is
+    * bounded by 1100 < 2^11, so an interval overlaps at most two 2^11
+    * buckets; the join becomes equi on (chromosome, bucket) + residual
+    * BETWEEN. */
+  private def bucketedContainment(points: DataFrame, regions: DataFrame): DataFrame = {
+    val pB = points.withColumn("bkt", shiftright(col("position"), 11))
+    val rB = regions.withColumn("bkt", explode(array_distinct(array(
+      shiftright(col("begin_pos"), 11), shiftright(col("end_pos"), 11)))))
+    pB.join(rB, Seq("chromosome", "bkt"))
+      .filter(col("position") >= col("begin_pos") && col("position") <= col("end_pos"))
+      .drop("bkt")
+  }
+
+  /** UCSC-binned containment join: regions carry assign_bin(begin, end);
+    * a point probes its 5 ancestor bins (one per level). Equal by
+    * construction to the naive range join — the oracle checks exactly
+    * that. */
+  private def binnedContainment(points: DataFrame, regions: DataFrame): DataFrame = {
+    val rB = regions.withColumn("bin",
+      expr(assignBin("begin_pos", "end_pos", shrSpark)).cast(LongType))
+    val cands = pointBins("position", shrSpark).map(b => expr(b).cast(LongType))
+    val pB = points.withColumn("bin", explode(array(cands: _*)))
+    pB.join(rB, Seq("chromosome", "bin"))
+      .filter(col("position") >= col("begin_pos") && col("position") <= col("end_pos"))
+      .drop("bin")
+  }
+
+  /** Shared frequency computation; ppm = floor(numer * 1e6 / denom) keeps
+    * the output integer-exact on both engines. */
+  private def frequency(obsDf: DataFrame, covDf: DataFrame, withZyg: Boolean): DataFrame = {
+    val baseAgg = sum(col("support")).cast(LongType).as("numer")
+    val zygAggs = if (withZyg) Seq(
+      sum(when(col("zygosity") === "heterozygous", col("support")).otherwise(0))
+        .cast(LongType).as("numer_het"),
+      sum(when(col("zygosity") === "homozygous", col("support")).otherwise(0))
+        .cast(LongType).as("numer_hom"))
+    else Nil
+    val numer = obsDf.groupBy("chromosome", "position", "reference", "observed")
+      .agg(baseAgg, zygAggs: _*)
+    val pts = obsDf.select("chromosome", "position").distinct()
+    val denom = binnedContainment(pts, covDf)
+      .groupBy("chromosome", "position")
+      .agg(sum(col("pool_size") * 2).cast(LongType).as("denom"))
+    def ppm(n: String, out: String) =
+      expr(s"cast(($n * 1000000) div nullif(denom, 0) as bigint)").as(out)
+    val outCols = Seq(col("chromosome"), col("position"), col("reference"),
+      col("observed"), col("numer"), col("denom"), ppm("numer", "freq_ppm")) ++
+      (if (withZyg) Seq(ppm("numer_het", "freq_het_ppm"), ppm("numer_hom", "freq_hom_ppm"))
+       else Nil)
+    numer.join(denom, Seq("chromosome", "position"), "left")
+      .select(outCols: _*)
+  }
+
+  // ---- §2.1 [D] text-format ingest -------------------------------------
+
+  /** VCF-shaped text ingest: serialize observations to `;`-delimited
+    * lines, then parse back to typed columns (lossless round trip —
+    * varda/tasks.py :: import_variation [U]). */
+  val sourceVcf: Q = (s, d) => {
+    val lines = obs(s, d).select(concat_ws(";",
+      col("obs_id"), col("chromosome"), col("position"),
+      col("reference"), col("observed"), col("support")).as("line"))
+    lines.select(split(col("line"), ";").as("f"))
+      .select(
+        element_at(col("f"), 1).cast(LongType).as("obs_id"),
+        element_at(col("f"), 2).as("chromosome"),
+        element_at(col("f"), 3).cast(LongType).as("position"),
+        element_at(col("f"), 4).as("reference"),
+        element_at(col("f"), 5).as("observed"),
+        element_at(col("f"), 6).cast(IntegerType).as("support"))
+      .orderBy("obs_id")
+  }
+
+  /** BED-shaped interval ingest (varda/tasks.py :: import_coverage [U]). */
+  val sourceBed: Q = (s, d) => {
+    val lines = cov(s, d).select(concat_ws(";",
+      col("region_id"), col("chromosome"), col("begin_pos"),
+      col("end_pos"), col("sample_id"), col("pool_size")).as("line"))
+    lines.select(split(col("line"), ";").as("f"))
+      .select(
+        element_at(col("f"), 1).cast(LongType).as("region_id"),
+        element_at(col("f"), 2).as("chromosome"),
+        element_at(col("f"), 3).cast(LongType).as("begin_pos"),
+        element_at(col("f"), 4).cast(LongType).as("end_pos"),
+        element_at(col("f"), 5).cast(LongType).as("sample_id"),
+        element_at(col("f"), 6).cast(IntegerType).as("pool_size"))
+      .orderBy("region_id")
+  }
+
+  // ---- §2.3 / §2.4 [D] -------------------------------------------------
+
+  /** Point-in-interval join (the varda coverage lookup shape), bucketed
+    * to an equi-join; oracle is the naive range join. */
+  val joinRangeInterval: Q = (s, d) =>
+    bucketedContainment(
+      obs(s, d).select("obs_id", "chromosome", "position"), cov(s, d))
+      .select("obs_id", "region_id")
+      .orderBy("obs_id", "region_id")
+
+  /** Frequency as a plain grouped-sums ratio (no zygosity split). */
+  val aggFreqRatio: Q = (s, d) =>
+    frequency(obs(s, d), cov(s, d), withZyg = false)
+      .orderBy("chromosome", "position", "reference", "observed")
+
+  // ---- §2.11 composites ------------------------------------------------
+
+  /** Allele normalization: trim common prefix (advancing position) then
+    * common suffix, keeping >= 1 char (varda/utils.py ::
+    * normalize_variant [U]). Pure Column arithmetic via the shared CASE
+    * chains — no UDF, fully codegen'd. */
+  val vardaNormalizeVariant: Q = (s, d) =>
+    alleles(s, d)
+      .withColumn("p", expr(
+        s"least(${lcpCase("ref", "alt", Normalize.MaxLen)}, length(ref) - 1, length(alt) - 1)"))
+      .withColumn("pos_n", col("position") + col("p"))
+      .withColumn("ref1", expr("substr(ref, p + 1)"))
+      .withColumn("alt1", expr("substr(alt, p + 1)"))
+      .withColumn("s", expr(
+        s"least(${lcsCase("ref1", "alt1", Normalize.MaxLen)}, length(ref1) - 1, length(alt1) - 1)"))
+      .select(col("var_id"), col("pos_n"),
+        expr("substr(ref1, 1, length(ref1) - s)").as("ref_n"),
+        expr("substr(alt1, 1, length(alt1) - s)").as("alt_n"))
+      .orderBy("var_id")
+
+  /** UCSC bin assignment for every coverage region — integer shifts only
+    * (varda/region_binning.py :: assign_bin [U]). */
+  val vardaRegionBins: Q = (s, d) =>
+    cov(s, d)
+      .withColumn("bin", expr(assignBin("begin_pos", "end_pos", shrSpark)).cast(LongType))
+      .select("region_id", "bin")
+      .orderBy("region_id")
+
+  /** Bin-accelerated coverage join, aggregated per observation; must
+    * equal the naive range join (the oracle computes exactly that). */
+  val vardaCoverageJoin: Q = (s, d) =>
+    binnedContainment(
+      obs(s, d).select("obs_id", "chromosome", "position"), cov(s, d))
+      .groupBy("obs_id")
+      .agg(count(lit(1)).as("n_regions"),
+        sum(col("pool_size")).cast(LongType).as("total_pool"))
+      .orderBy("obs_id")
+
+  /** End-to-end frequency with het/hom split (varda/tasks.py [U]). */
+  val vardaFrequency: Q = (s, d) =>
+    frequency(obs(s, d), cov(s, d), withZyg = true)
+      .orderBy("chromosome", "position", "reference", "observed")
+
+  /** Sample tags for the expression language; mirrored literally in the
+    * oracle's IN-list (the evaluated set over samples 0..19). */
+  private val sampleTags = Map(
+    "even" -> (col("sample_id") % 2 === 0),
+    "third" -> (col("sample_id") % 3 === 0),
+    "fifth" -> (col("sample_id") % 5 === 0))
+  val sampleExprInput = "(even OR third) AND NOT fifth"
+  /** Evaluated over sample ids 0..19: (even ∪ third) \ fifth. */
+  val sampleExprSet: Seq[Int] = Seq(2, 3, 4, 6, 8, 9, 12, 14, 16, 18)
+
+  /** Frequency restricted to a sample set chosen by the boolean
+    * expression language (varda/expressions.py [U]). */
+  val vardaSampleExpr: Q = (s, d) => {
+    val pred = ExprLang.parse(sampleExprInput, sampleTags)
+    frequency(obs(s, d).filter(pred), cov(s, d).filter(pred), withZyg = false)
+      .orderBy("chromosome", "position", "reference", "observed")
+  }
+
+  /** Annotation write-back: left-join input variants (some deliberately
+    * unknown via a +1 position shift) against the frequency table,
+    * null -> 0 (varda/tasks.py :: write_annotation [U]). */
+  val vardaAnnotate: Q = (s, d) => {
+    val input = obs(s, d).filter(col("obs_id") % 2 === 0)
+      .select(col("chromosome"),
+        (col("position") + when(col("obs_id") % 4 === 0, 1).otherwise(0)).as("position"),
+        col("reference"), col("observed"))
+      .distinct()
+    val freq = frequency(obs(s, d), cov(s, d), withZyg = false)
+      .select("chromosome", "position", "reference", "observed", "freq_ppm")
+    input.join(freq, Seq("chromosome", "position", "reference", "observed"), "left")
+      .select(col("chromosome"), col("position"), col("reference"), col("observed"),
+        coalesce(col("freq_ppm"), lit(0L)).as("freq_ppm"))
+      .orderBy("chromosome", "position", "reference", "observed")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "source_vcf" -> sourceVcf,
+    "source_bed" -> sourceBed,
+    "join_range_interval" -> joinRangeInterval,
+    "agg_freq_ratio" -> aggFreqRatio,
+    "varda_normalize_variant" -> vardaNormalizeVariant,
+    "varda_region_bins" -> vardaRegionBins,
+    "varda_coverage_join" -> vardaCoverageJoin,
+    "varda_frequency" -> vardaFrequency,
+    "varda_sample_expr" -> vardaSampleExpr,
+    "varda_annotate" -> vardaAnnotate)
+
+  private val sampleWhere =
+    s"sample_id IN (${sampleExprSet.mkString(", ")})"
+
+  val oracle: Map[String, String] = Map(
+    "source_vcf" ->
+      s"""WITH obs AS ($observations)
+          SELECT obs_id, chromosome, position, reference, observed, support
+          FROM obs ORDER BY obs_id""",
+    "source_bed" ->
+      s"""WITH cov AS ($coverage)
+          SELECT region_id, chromosome, begin_pos, end_pos, sample_id, pool_size
+          FROM cov ORDER BY region_id""",
+    "join_range_interval" ->
+      s"""WITH obs AS ($observations), cov AS ($coverage)
+          SELECT o.obs_id, c.region_id
+          FROM obs o JOIN cov c ON o.chromosome = c.chromosome
+            AND o.position BETWEEN c.begin_pos AND c.end_pos
+          ORDER BY o.obs_id, c.region_id""",
+    "agg_freq_ratio" ->
+      s"""${frequencySql(withZyg = false, None, idivDuck)}
+          ORDER BY n.chromosome, n.position, n.reference, n.observed""",
+    "varda_normalize_variant" -> normalizeSql(VardaSql.alleles, Normalize.MaxLen),
+    "varda_region_bins" ->
+      s"""WITH cov AS ($coverage)
+          SELECT region_id,
+            CAST(${assignBin("begin_pos", "end_pos", shrDuck)} AS BIGINT) AS bin
+          FROM cov ORDER BY region_id""",
+    "varda_coverage_join" ->
+      s"""WITH obs AS ($observations), cov AS ($coverage)
+          SELECT o.obs_id, count(*) AS n_regions,
+            CAST(SUM(c.pool_size) AS BIGINT) AS total_pool
+          FROM obs o JOIN cov c ON o.chromosome = c.chromosome
+            AND o.position BETWEEN c.begin_pos AND c.end_pos
+          GROUP BY o.obs_id ORDER BY o.obs_id""",
+    "varda_frequency" ->
+      s"""${frequencySql(withZyg = true, None, idivDuck)}
+          ORDER BY n.chromosome, n.position, n.reference, n.observed""",
+    "varda_sample_expr" ->
+      s"""${frequencySql(withZyg = false, Some(sampleWhere), idivDuck)}
+          ORDER BY n.chromosome, n.position, n.reference, n.observed""",
+    "varda_annotate" ->
+      s"""WITH freq AS (${frequencySql(withZyg = false, None, idivDuck)}),
+          input AS (SELECT DISTINCT chromosome,
+                      position + CASE WHEN obs_id % 4 = 0 THEN 1 ELSE 0 END AS position,
+                      reference, observed
+                    FROM ($observations) oo WHERE obs_id % 2 = 0)
+          SELECT i.chromosome, i.position, i.reference, i.observed,
+            COALESCE(f.freq_ppm, 0) AS freq_ppm
+          FROM input i LEFT JOIN freq f
+            ON i.chromosome = f.chromosome AND i.position = f.position
+            AND i.reference = f.reference AND i.observed = f.observed
+          ORDER BY i.chromosome, i.position, i.reference, i.observed""")
+}
+
+/** Plain-Scala reference implementation of the variant normalization —
+  * the spec the Column version and ScalaCheck properties test against. */
+object Normalize {
+  /** Max allele length the unrolled CASE chains support. */
+  val MaxLen = 6
+
+  def lcp(a: String, b: String): Int =
+    a.zip(b).takeWhile { case (x, y) => x == y }.length
+
+  /** (position delta, normalized ref, normalized alt). */
+  def normalize(pos: Long, ref: String, alt: String): (Long, String, String) = {
+    val p = math.min(lcp(ref, alt), math.min(ref.length, alt.length) - 1)
+    val (r1, a1) = (ref.substring(p), alt.substring(p))
+    val s = math.min(lcp(r1.reverse, a1.reverse), math.min(r1.length, a1.length) - 1)
+    (pos + p, r1.substring(0, r1.length - s), a1.substring(0, a1.length - s))
+  }
+}

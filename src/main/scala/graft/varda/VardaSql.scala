@@ -1,0 +1,160 @@
+package graft.varda
+
+/** Canonical SQL fragments for the varda-domain [D] fixtures
+  * (FIXTURES.md §2 — normative: the same text runs through `spark.sql`
+  * and in the DuckDB oracle, so both engines compute identical fixtures).
+  * Only dialect-neutral constructs are used (1-based substr, %, CASE,
+  * CAST ... AS STRING); the one true divergence — bit shifts — goes
+  * through [[shr]].
+  */
+object VardaSql {
+
+  /** observations — VCF-import output shape, derived from events
+    * (FIXTURES.md §2.1; varda/tasks.py :: import_variation [U]). */
+  val observations: String =
+    """SELECT
+         event_id                                        AS obs_id,
+         CAST(1 + user_id % 22 AS STRING)                AS chromosome,
+         CAST(1000 + (event_id * 37) % 100000 AS BIGINT) AS position,
+         substr('ACGT', CAST(event_id % 4 AS INT) + 1, 1)       AS reference,
+         substr('ACGT', CAST((event_id + 1) % 4 AS INT) + 1, 1) AS observed,
+         user_id % 20                                    AS sample_id,
+         CAST(1 + event_id % 2 AS INT)                   AS support,
+         CASE WHEN event_id % 3 = 0 THEN 'homozygous'
+              ELSE 'heterozygous' END                    AS zygosity
+       FROM events"""
+
+  /** coverage — BED-import output shape, derived from orders
+    * (FIXTURES.md §2.2; varda/tasks.py :: import_coverage [U]).
+    * Intervals are [begin_pos, end_pos] inclusive, length 500-1100. */
+  val coverage: String =
+    """SELECT
+         o_orderkey                                       AS region_id,
+         CAST(1 + o_custkey % 22 AS STRING)               AS chromosome,
+         CAST((o_orderkey * 53) % 100000 AS BIGINT)       AS begin_pos,
+         CAST((o_orderkey * 53) % 100000
+              + 500 + (o_orderkey % 7) * 100 AS BIGINT)   AS end_pos,
+         o_custkey % 20                                   AS sample_id,
+         CAST(1 + o_orderkey % 3 AS INT)                  AS pool_size
+       FROM orders"""
+
+  /** alleles — un-normalized (ref, alt) pairs from part
+    * (FIXTURES.md §2.5; <= 4 chars by construction). */
+  val alleles: String =
+    """SELECT
+         p_partkey AS var_id,
+         CAST(100 + p_partkey % 5000 AS BIGINT) AS position,
+         CASE CAST(p_partkey % 4 AS INT)
+           WHEN 0 THEN 'AT'  WHEN 1 THEN 'AAT' WHEN 2 THEN 'GCC' ELSE 'T' END AS ref,
+         CASE CAST(p_partkey % 3 AS INT)
+           WHEN 0 THEN 'A'   WHEN 1 THEN 'AATT' ELSE 'GC' END                 AS alt
+       FROM part"""
+
+  /** Engine-specific right shift: Spark lacks `>>` in all dialects we pin,
+    * DuckDB lacks `shiftright`. */
+  def shrSpark(x: String, n: Int) = s"shiftright($x, $n)"
+  def shrDuck(x: String, n: Int) = s"($x >> $n)"
+
+  /** UCSC hierarchical binning (varda/region_binning.py :: assign_bin
+    * [U]): smallest level (128kb..512Mb) whose bin contains [b, e]; bin id
+    * = level offset + (b >> shift). Pure integer arithmetic — no UDF. */
+  def assignBin(b: String, e: String, shr: (String, Int) => String): String = {
+    val levels = Seq((585, 17), (73, 20), (9, 23), (1, 26))
+    val whens = levels.map { case (off, sh) =>
+      s"WHEN ${shr(b, sh)} = ${shr(e, sh)} THEN $off + ${shr(b, sh)}"
+    }.mkString(" ")
+    s"(CASE $whens ELSE 0 + ${shr(b, 29)} END)"
+  }
+
+  /** The 5 candidate bins that can contain a point (one per level). */
+  def pointBins(p: String, shr: (String, Int) => String): Seq[String] =
+    Seq((585, 17), (73, 20), (9, 23), (1, 26), (0, 29)).map {
+      case (off, sh) => s"($off + ${shr(p, sh)})"
+    }
+
+  /** Longest-common-prefix length of two string columns, as a CASE chain
+    * unrolled to [[Normalize.MaxLen]] chars (fixture alleles are <= 4).
+    * `ci` = chars 1..i all present and equal; first failing i ends the
+    * chain at i-1. */
+  def lcpCase(a: String, b: String, maxLen: Int): String = {
+    val whens = (1 to maxLen).map { i =>
+      val c = s"length($a) >= $i AND length($b) >= $i AND substr($a, $i, 1) = substr($b, $i, 1)"
+      s"WHEN NOT ($c) THEN ${i - 1}"
+    }.mkString(" ")
+    s"(CASE $whens ELSE $maxLen END)"
+  }
+
+  /** Longest-common-suffix length, same construction from the right end. */
+  def lcsCase(a: String, b: String, maxLen: Int): String = {
+    val whens = (1 to maxLen).map { i =>
+      val c = s"length($a) >= $i AND length($b) >= $i AND substr(right($a, $i), 1, 1) = substr(right($b, $i), 1, 1)"
+      s"WHEN NOT ($c) THEN ${i - 1}"
+    }.mkString(" ")
+    s"(CASE $whens ELSE $maxLen END)"
+  }
+
+  /** Engine-specific integer (floor) division — operands here are always
+    * non-negative so floor == truncate on both engines. */
+  def idivSpark(a: String, b: String) = s"(($a) div ($b))"
+  def idivDuck(a: String, b: String) = s"(($a) // ($b))"
+
+  /** The varda frequency computation (FIXTURES.md §2.3;
+    * varda/tasks.py frequency calc [U]) as oracle SQL: per-variant
+    * SUM(support) over observations, divided by SUM(2 * pool_size) over
+    * the coverage regions containing the position. Frequencies are
+    * reported in integer parts-per-million (floor) so both engines agree
+    * bit-for-bit — no decimal-division rounding-mode dependence.
+    * `sampleFilter` restricts both inputs (varda_sample_expr). */
+  def frequencySql(withZyg: Boolean, sampleFilter: Option[String],
+      idiv: (String, String) => String): String = {
+    val filt = sampleFilter.map(f => s" WHERE $f").getOrElse("")
+    val zygCols = if (withZyg)
+      """,
+         CAST(SUM(CASE WHEN zygosity = 'heterozygous' THEN support ELSE 0 END) AS BIGINT) AS numer_het,
+         CAST(SUM(CASE WHEN zygosity = 'homozygous' THEN support ELSE 0 END) AS BIGINT) AS numer_hom"""
+    else ""
+    val zygOut = if (withZyg)
+      s""",
+          CAST(${idiv("n.numer_het * 1000000", "NULLIF(d.denom, 0)")} AS BIGINT) AS freq_het_ppm,
+          CAST(${idiv("n.numer_hom * 1000000", "NULLIF(d.denom, 0)")} AS BIGINT) AS freq_hom_ppm"""
+    else ""
+    s"""WITH obs_f AS (SELECT * FROM ($observations) oo$filt),
+        cov_f AS (SELECT * FROM ($coverage) cc$filt),
+        numer AS (SELECT chromosome, position, reference, observed,
+                    CAST(SUM(support) AS BIGINT) AS numer$zygCols
+                  FROM obs_f GROUP BY chromosome, position, reference, observed),
+        denom AS (SELECT p.chromosome, p.position,
+                    CAST(SUM(2 * c.pool_size) AS BIGINT) AS denom
+                  FROM (SELECT DISTINCT chromosome, position FROM obs_f) p
+                  JOIN cov_f c ON p.chromosome = c.chromosome
+                    AND p.position BETWEEN c.begin_pos AND c.end_pos
+                  GROUP BY p.chromosome, p.position)
+        SELECT n.chromosome, n.position, n.reference, n.observed,
+          n.numer, d.denom,
+          CAST(${idiv("n.numer * 1000000", "NULLIF(d.denom, 0)")} AS BIGINT) AS freq_ppm$zygOut
+        FROM numer n LEFT JOIN denom d
+          ON n.chromosome = d.chromosome AND n.position = d.position"""
+  }
+
+  /** Variant normalization over a relation with (var_id, position, ref,
+    * alt): trim the common prefix (advancing position), then the common
+    * suffix, never below one remaining char on either allele
+    * (varda/utils.py :: normalize_variant [U]; FIXTURES.md §2.5). */
+  def normalizeSql(allelesRel: String, maxLen: Int): String =
+    s"""WITH alleles AS ($allelesRel),
+        n1 AS (SELECT var_id, position, ref, alt,
+                 least(${lcpCase("ref", "alt", maxLen)},
+                       length(ref) - 1, length(alt) - 1) AS p
+               FROM alleles),
+        n2 AS (SELECT var_id, position + p AS pos_n,
+                 substr(ref, p + 1) AS ref1, substr(alt, p + 1) AS alt1
+               FROM n1),
+        n3 AS (SELECT var_id, pos_n, ref1, alt1,
+                 least(${lcsCase("ref1", "alt1", maxLen)},
+                       length(ref1) - 1, length(alt1) - 1) AS s
+               FROM n2)
+        SELECT var_id, pos_n,
+               substr(ref1, 1, length(ref1) - s) AS ref_n,
+               substr(alt1, 1, length(alt1) - s) AS alt_n
+        FROM n3 ORDER BY var_id"""
+}
