@@ -44,19 +44,23 @@ object Streaming {
 
   /** Batch sessionization: gap-and-island with a 30-minute gap. A new
     * session starts when the microsecond delta to the previous event is
-    * >= gap — exactly Spark's `session_window` end-exclusive semantics
-    * (StreamingSpec pins the boundary against session_window itself).
+    * strictly greater than the gap — Spark's `session_window` merges
+    * touching windows, i.e. an exact-gap delta still extends the session
+    * (StreamingSpec pins this boundary against session_window itself).
     * Output matches the oracle's identical SQL formulation. */
-  val streamSession: Q = (s, d) => {
+  val streamSession: Q = (s, d) => sessionAgg(Tables.events(s, d))
+
+  /** Shared gap-and-island sessionization (30-minute gap). */
+  def sessionAgg(events: DataFrame): DataFrame = {
     val gapUs = 30L * 60 * 1000000
     val tu = expr("unix_micros(cast(ts as timestamp))")
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(s, d)
+    events
       .withColumn("tu", tu)
       .withColumn("news",
         when(lag(col("tu"), 1).over(w).isNull
-          || col("tu") - lag(col("tu"), 1).over(w) >= gapUs, 1).otherwise(0))
+          || col("tu") - lag(col("tu"), 1).over(w) > gapUs, 1).otherwise(0))
       .withColumn("sid", sum(col("news")).over(run))
       .groupBy("user_id", "sid")
       .agg(min(col("ts")).as("session_start"),
@@ -106,6 +110,41 @@ object Streaming {
         max_by(col("event_type"), struct(col("ts"), col("event_id"))).as("last_type"))
       .orderBy("user_id")
 
+  /** Typed event row for the stateful streaming path (tests feed these
+    * through MemoryStream). */
+  case class EvRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String)
+  /** Mutable-per-key state for the running snapshot. */
+  case class UserAgg(n_events: Long, last_ts: Long, last_id: Long,
+      last_type: String)
+
+  /** The streaming form of stream_stateful_running: per-user running
+    * count + latest event_type maintained in the state store via
+    * flatMapGroupsWithState (update mode). Emits the refreshed state per
+    * key per micro-batch; the final emission per key equals the batch
+    * max_by snapshot (asserted in StreamingSpec). */
+  def runningStateStream(ds: org.apache.spark.sql.Dataset[EvRow])
+      : org.apache.spark.sql.Dataset[(Long, Long, String)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserAgg, (Long, Long, String)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[EvRow], state: GroupState[UserAgg]) =>
+          var st = state.getOption.getOrElse(UserAgg(0, Long.MinValue, Long.MinValue, ""))
+          evs.foreach { e =>
+            val t = e.ts.getTime
+            val newer = t > st.last_ts || (t == st.last_ts && e.event_id > st.last_id)
+            st = UserAgg(st.n_events + 1,
+              if (newer) t else st.last_ts,
+              if (newer) e.event_id else st.last_id,
+              if (newer) e.event_type else st.last_type)
+          }
+          state.update(st)
+          Iterator((uid, st.n_events, st.last_type))
+      }
+  }
+
   val queries: Map[String, Q] = Map(
     "stream_tumbling" -> streamTumbling,
     "stream_sliding" -> streamSliding,
@@ -133,7 +172,7 @@ object Streaming {
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
                            epoch_us(CAST(ts AS TIMESTAMP)) AS tu FROM events),
             f AS (SELECT *, CASE WHEN lag(tu) OVER w IS NULL
-                                   OR tu - lag(tu) OVER w >= 1800000000
+                                   OR tu - lag(tu) OVER w > 1800000000
                                  THEN 1 ELSE 0 END AS news
                   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
             g AS (SELECT *, SUM(news) OVER (PARTITION BY user_id ORDER BY ts, event_id

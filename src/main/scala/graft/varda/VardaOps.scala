@@ -34,7 +34,7 @@ object VardaOps {
     * bounded by 1100 < 2^11, so an interval overlaps at most two 2^11
     * buckets; the join becomes equi on (chromosome, bucket) + residual
     * BETWEEN. */
-  private def bucketedContainment(points: DataFrame, regions: DataFrame): DataFrame = {
+  private[graft] def bucketedContainment(points: DataFrame, regions: DataFrame): DataFrame = {
     val pB = points.withColumn("bkt", shiftright(col("position"), 11))
     val rB = regions.withColumn("bkt", explode(array_distinct(array(
       shiftright(col("begin_pos"), 11), shiftright(col("end_pos"), 11)))))
@@ -47,7 +47,7 @@ object VardaOps {
     * a point probes its 5 ancestor bins (one per level). Equal by
     * construction to the naive range join — the oracle checks exactly
     * that. */
-  private def binnedContainment(points: DataFrame, regions: DataFrame): DataFrame = {
+  private[graft] def binnedContainment(points: DataFrame, regions: DataFrame): DataFrame = {
     val rB = regions.withColumn("bin",
       expr(assignBin("begin_pos", "end_pos", shrSpark)).cast(LongType))
     val cands = pointBins("position", shrSpark).map(b => expr(b).cast(LongType))
@@ -141,18 +141,7 @@ object VardaOps {
     * normalize_variant [U]). Pure Column arithmetic via the shared CASE
     * chains — no UDF, fully codegen'd. */
   val vardaNormalizeVariant: Q = (s, d) =>
-    alleles(s, d)
-      .withColumn("p", expr(
-        s"least(${lcpCase("ref", "alt", Normalize.MaxLen)}, length(ref) - 1, length(alt) - 1)"))
-      .withColumn("pos_n", col("position") + col("p"))
-      .withColumn("ref1", expr("substr(ref, p + 1)"))
-      .withColumn("alt1", expr("substr(alt, p + 1)"))
-      .withColumn("s", expr(
-        s"least(${lcsCase("ref1", "alt1", Normalize.MaxLen)}, length(ref1) - 1, length(alt1) - 1)"))
-      .select(col("var_id"), col("pos_n"),
-        expr("substr(ref1, 1, length(ref1) - s)").as("ref_n"),
-        expr("substr(alt1, 1, length(alt1) - s)").as("alt_n"))
-      .orderBy("var_id")
+    Normalize.normalizeDf(alleles(s, d)).orderBy("var_id")
 
   /** UCSC bin assignment for every coverage region — integer shifts only
     * (varda/region_binning.py :: assign_bin [U]). */
@@ -281,8 +270,25 @@ object VardaOps {
 /** Plain-Scala reference implementation of the variant normalization —
   * the spec the Column version and ScalaCheck properties test against. */
 object Normalize {
+  import VardaSql.{lcpCase, lcsCase}
+
   /** Max allele length the unrolled CASE chains support. */
   val MaxLen = 6
+
+  /** Column-expression normalization over (var_id, position, ref, alt):
+    * the engine implementation vardaNormalizeVariant and the property
+    * tests share. */
+  def normalizeDf(df: DataFrame): DataFrame =
+    df.withColumn("p", expr(
+        s"least(${lcpCase("ref", "alt", MaxLen)}, length(ref) - 1, length(alt) - 1)"))
+      .withColumn("pos_n", col("position") + col("p"))
+      .withColumn("ref1", expr("substr(ref, p + 1)"))
+      .withColumn("alt1", expr("substr(alt, p + 1)"))
+      .withColumn("s", expr(
+        s"least(${lcsCase("ref1", "alt1", MaxLen)}, length(ref1) - 1, length(alt1) - 1)"))
+      .select(col("var_id"), col("pos_n"),
+        expr("substr(ref1, 1, length(ref1) - s)").as("ref_n"),
+        expr("substr(alt1, 1, length(alt1) - s)").as("alt_n"))
 
   def lcp(a: String, b: String): Int =
     a.zip(b).takeWhile { case (x, y) => x == y }.length

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Tolerance tests for the 4 no-oracle keys (SURVEY.md §5.2): approximate
+  * operators are checked against their exact counterparts. */
+class ApproxSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("agg_approx_hll within 5% of exact distinct counts") {
+    val approx = ops.Aggs.aggApproxHll(spark, sf001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = ops.Aggs.aggCountDistinct(spark, sf001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    for ((k, e) <- exact) {
+      val a = approx(k).toDouble
+      assert(math.abs(a - e) / e <= 0.05, s"$k: approx $a vs exact $e")
+    }
+  }
+
+  test("dedup_near_minhash recall >= 0.9 vs exact jaccard pairs") {
+    val exact = ops.Llm.dedupNearJaccard(spark, sf001)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "no exact near-dup pairs at sf0.01 — fixture changed?")
+    val approx = ops.Llm.dedupNearMinhash(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    info(s"minhash recall = $recall over ${exact.size} true pairs")
+    assert(recall >= 0.9, s"recall $recall < 0.9")
+  }
+
+  test("sim_ann_lsh recall vs exact cosine top-5") {
+    val exact = ops.Llm.simTopkCosine(spark, sf001)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = ops.Llm.simAnnLsh(spark, sf001)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    info(s"ann-lsh recall = $recall over ${exact.size} exact neighbor pairs")
+    assert(recall >= 0.5, s"recall $recall < 0.5")
+  }
+
+  test("stream_late_watermark drops exactly the late rows") {
+    val out = ops.Streaming.streamLateWatermark(spark, sf001)
+      .agg(sum("n_kept")).collect()(0).getLong(0)
+    val total = Tables.events(spark, sf001).count()
+    assert(out <= total)
+    assert(out > 0)
+    info(s"kept $out of $total events after watermark emulation")
+  }
+}

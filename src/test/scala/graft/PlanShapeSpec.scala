@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions (SURVEY.md §5.4): the plans that matter at
+  * scale are actually the plans we get — broadcast vs sort-merge pinned,
+  * projection and filters pushed into the parquet scan, top-k as
+  * TakeOrdered rather than a full sort. */
+class PlanShapeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+
+  test("join_broadcast plans a BroadcastHashJoin") {
+    assert(plan("join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("join_sort_merge plans a SortMergeJoin") {
+    assert(plan("join_sort_merge").contains("SortMergeJoin"))
+  }
+
+  test("scan_projection_pushdown prunes the read schema to 2 columns") {
+    val p = plan("scan_projection_pushdown")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int>"),
+      s"schema not pruned:\n$p")
+    assert(!p.contains("l_quantity"))
+  }
+
+  test("filter_conjunct pushes predicates into the parquet scan") {
+    val p = plan("filter_conjunct")
+    assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
+      s"no pushed filters:\n$p")
+  }
+
+  test("topk_global plans TakeOrderedAndProject (no full sort+shuffle)") {
+    assert(plan("topk_global").contains("TakeOrderedAndProject"))
+  }
+
+  test("varda containment joins are equi-joins, not nested-loop") {
+    for (k <- Seq("varda_coverage_join", "join_range_interval")) {
+      val p = plan(k)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$k fell back to a quadratic join:\n$p")
+    }
+  }
+
+  test("whole-stage codegen covers the hot aggregation path") {
+    // AQE only shows codegen in the final plan, so execute first.
+    val df = SparkEntry.queries("agg_groupby_sums")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // codegen'd stages carry the `*(n)` marker in simpleString output
+    assert("\\*\\(\\d+\\) HashAggregate".r.findFirstIn(p).isDefined,
+      s"hash aggregate not codegen'd:\n$p")
+  }
+}

@@ -1,0 +1,145 @@
+package graft
+
+import graft.varda.{ExprLang, Normalize, VardaOps, VardaSql}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/** Seeded randomized property tests (SURVEY.md §5.3) for the varda
+  * primitives: normalization, UCSC binning, containment-join equivalence,
+  * and the sample expression language. */
+class PropertySpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val rnd = new Random(42)
+
+  // ---- reference UCSC binning (plain Scala) ----------------------------
+  private def assignBinRef(b: Long, e: Long): Long =
+    Seq((585L, 17), (73L, 20), (9L, 23), (1L, 26))
+      .collectFirst { case (off, sh) if (b >> sh) == (e >> sh) => off + (b >> sh) }
+      .getOrElse(b >> 29)
+  private def pointBinsRef(p: Long): Seq[Long] =
+    Seq(585L + (p >> 17), 73L + (p >> 20), 9L + (p >> 23), 1L + (p >> 26), p >> 29)
+
+  test("binning: a region's bin is always among its points' candidate bins") {
+    for (_ <- 1 to 20000) {
+      val b = rnd.nextLong((1L << 29) - 1)
+      val e = math.min(b + rnd.nextLong(1L << rnd.nextInt(29)), (1L << 29) - 1)
+      val p = b + (if (e > b) rnd.nextLong(e - b + 1) else 0L)
+      val bin = assignBinRef(b, e)
+      assert(pointBinsRef(p).contains(bin),
+        s"bin $bin of [$b,$e] not in candidates of point $p")
+    }
+  }
+
+  test("binning: containment implies bin ancestry levels are consistent") {
+    for (_ <- 1 to 20000) {
+      val b = rnd.nextLong((1L << 29) - 1)
+      val e = math.min(b + rnd.nextLong(1L << rnd.nextInt(29)), (1L << 29) - 1)
+      val bin = assignBinRef(b, e)
+      // smallest level wins: if the 128kb bins agree, level-0 is assigned
+      if ((b >> 17) == (e >> 17)) assert(bin == 585 + (b >> 17))
+      else assert(bin < 585)
+    }
+  }
+
+  test("binning SQL expression matches the Scala reference") {
+    import spark.implicits._
+    val rows = (1 to 500).map { i =>
+      val b = rnd.nextLong((1L << 29) - 1)
+      val e = math.min(b + rnd.nextLong(1L << rnd.nextInt(29)), (1L << 29) - 1)
+      (i.toLong, b, e)
+    }
+    val got = rows.toDF("region_id", "begin_pos", "end_pos")
+      .withColumn("bin",
+        expr(VardaSql.assignBin("begin_pos", "end_pos", VardaSql.shrSpark)).cast(LongType))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    rows.foreach { case (id, b, e) =>
+      assert(got(id) == assignBinRef(b, e), s"[$b,$e]")
+    }
+  }
+
+  // ---- normalization ---------------------------------------------------
+  private def randAllele(): String =
+    (1 to (1 + rnd.nextInt(Normalize.MaxLen - 2)))
+      .map(_ => "ACGT"(rnd.nextInt(4))).mkString
+
+  test("normalize: idempotent, bounded shift, never empty, difference preserved") {
+    for (_ <- 1 to 20000) {
+      val (ref, alt, pos) = (randAllele(), randAllele(), 100L + rnd.nextInt(100000))
+      val (p1, r1, a1) = Normalize.normalize(pos, ref, alt)
+      assert(r1.nonEmpty && a1.nonEmpty, s"($ref,$alt) normalized to empty")
+      assert(p1 >= pos && p1 <= pos + math.min(ref.length, alt.length) - 1)
+      assert((ref == alt) == (r1 == a1), s"difference not preserved for ($ref,$alt)")
+      val (p2, r2, a2) = Normalize.normalize(p1, r1, a1)
+      assert((p2, r2, a2) == (p1, r1, a1), s"not idempotent for ($ref,$alt)")
+    }
+  }
+
+  test("normalize Column pipeline matches the Scala reference") {
+    import spark.implicits._
+    val rows = (1 to 500).map(i =>
+      (i.toLong, 100L + rnd.nextInt(100000), randAllele(), randAllele()))
+    val got = Normalize.normalizeDf(rows.toDF("var_id", "position", "ref", "alt"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getString(3)))).toMap
+    rows.foreach { case (id, pos, ref, alt) =>
+      assert(got(id) == Normalize.normalize(pos, ref, alt), s"($pos,$ref,$alt)")
+    }
+  }
+
+  // ---- containment joins ≡ naive range join ----------------------------
+  test("binned and bucketed containment joins equal the naive range join") {
+    import spark.implicits._
+    val regions = (1 to 300).map { i =>
+      val b = rnd.nextLong(100000)
+      (i.toLong, (1 + rnd.nextInt(3)).toString, b, b + rnd.nextInt(1100), 1)
+    }.toDF("region_id", "chromosome", "begin_pos", "end_pos", "pool_size")
+    val points = (1 to 300).map { i =>
+      (i.toLong, (1 + rnd.nextInt(3)).toString, rnd.nextLong(101100))
+    }.toDF("obs_id", "chromosome", "position")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("obs_id", "region_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = pairs(points.join(regions,
+      points("chromosome") === regions("chromosome")
+        && points("position") >= regions("begin_pos")
+        && points("position") <= regions("end_pos")))
+    assert(naive.nonEmpty)
+    assert(pairs(VardaOps.binnedContainment(points, regions)) == naive)
+    assert(pairs(VardaOps.bucketedContainment(points, regions)) == naive)
+  }
+
+  // ---- expression language --------------------------------------------
+  test("sample expression language evaluates like direct set algebra") {
+    import spark.implicits._
+    val ids = (0L to 19L).toDF("sample_id")
+    val tags = Map(
+      "even" -> (col("sample_id") % 2 === 0),
+      "third" -> (col("sample_id") % 3 === 0),
+      "fifth" -> (col("sample_id") % 5 === 0))
+    def eval(s: String): Set[Long] =
+      ids.filter(ExprLang.parse(s, tags)).collect().map(_.getLong(0)).toSet
+    val even = (0L to 19L).filter(_ % 2 == 0).toSet
+    val third = (0L to 19L).filter(_ % 3 == 0).toSet
+    val fifth = (0L to 19L).filter(_ % 5 == 0).toSet
+    assert(eval("even") == even)
+    assert(eval("even AND third") == (even intersect third))
+    assert(eval("even OR third") == (even union third))
+    assert(eval("NOT even") == ((0L to 19L).toSet diff even))
+    assert(eval("(even OR third) AND NOT fifth") == ((even union third) diff fifth))
+    assert(eval("even AND NOT (third OR fifth)") ==
+      (even diff (third union fifth)))
+    assert(eval(VardaOps.sampleExprInput) == VardaOps.sampleExprSet.map(_.toLong).toSet)
+  }
+
+  test("expression language rejects malformed input") {
+    val tags = Map("a" -> lit(true))
+    intercept[ExprLang.ParseError](ExprLang.parse("a AND", tags))
+    intercept[ExprLang.ParseError](ExprLang.parse("(a", tags))
+    intercept[ExprLang.ParseError](ExprLang.parse("a b", tags))
+    intercept[ExprLang.ParseError](ExprLang.parse("unknown", tags))
+    intercept[ExprLang.ParseError](ExprLang.parse(")", tags))
+  }
+}

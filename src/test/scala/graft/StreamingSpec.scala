@@ -1,0 +1,137 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.ops.Streaming
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured Streaming forms of §2.9 driven through MemoryStream, and
+  * batch/stream parity (SURVEY.md §5.2). */
+class StreamingSpec extends AnyFunSuite {
+  import Streaming.EvRow
+  import TestSpark._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def ev(id: Long, t: String, uid: Long = 1, typ: String = "click"): EvRow =
+    EvRow(id, ts(t), uid, typ)
+
+  test("tumbling agg: streaming result equals batch result") {
+    import spark.implicits._
+    val rows = Seq(
+      ev(1, "2024-01-01 10:05:00"), ev(2, "2024-01-01 10:55:00"),
+      ev(3, "2024-01-01 11:05:00", uid = 2, typ = "view"),
+      ev(4, "2024-01-01 12:00:00"))
+    val withVal = (df: org.apache.spark.sql.DataFrame) =>
+      df.withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    val ms = MemoryStream[EvRow](spark)
+    ms.addData(rows.take(2))
+    ms.addData(rows.drop(2))
+    val q = Streaming.tumblingAgg(withVal(ms.toDF()))
+      .writeStream.outputMode("complete").format("memory").queryName("tumb").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("tumb").orderBy("ws", "event_type").collect().toSeq
+    val batch = Streaming.tumblingAgg(withVal(rows.toDF()))
+      .orderBy("ws", "event_type").collect().toSeq
+    assert(streamed.map(_.toString) == batch.map(_.toString))
+  }
+
+  test("streaming dropDuplicates with watermark dedups the replayed batch") {
+    import spark.implicits._
+    val rows = Seq(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:10:00"))
+    val ms = MemoryStream[EvRow](spark)
+    ms.addData(rows)
+    ms.addData(rows) // exact replay — every id is a duplicate
+    val q = ms.toDF().withWatermark("ts", "10 minutes")
+      .dropDuplicates("event_id")
+      .writeStream.outputMode("append").format("memory").queryName("dedup").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("dedup").count() == 2)
+  }
+
+  test("watermark drops late rows from closed windows") {
+    import spark.implicits._
+    val ms = MemoryStream[EvRow](spark)
+    val agg = ms.toDF().withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("n"))
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("late").start()
+    try {
+      ms.addData(ev(1, "2024-01-01 10:05:00"))
+      q.processAllAvailable()
+      // advance watermark past 11:00 + 10min so the 10:00 window closes
+      ms.addData(ev(2, "2024-01-01 11:30:00"))
+      q.processAllAvailable()
+      // this row is 85 minutes behind the watermark (11:20) — must be dropped
+      ms.addData(ev(3, "2024-01-01 10:20:00"))
+      q.processAllAvailable()
+      // close the 11:00 window too
+      ms.addData(ev(4, "2024-01-01 13:00:00"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("late").collect()
+      .map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+    assert(out("2024-01-01 10:00:00.0") == 1, s"late row leaked into closed window: $out")
+  }
+
+  test("session_window matches gap-and-island sessionization incl. exact-gap boundary") {
+    import spark.implicits._
+    // user 1: 10:00, 10:29:59 (same session), 11:00:00 (delta 30:01 > gap
+    // → new session)
+    // user 2: 10:00, 10:30:00 exactly — Spark merges touching session
+    // windows, so an exact 30-minute delta still EXTENDS the session.
+    val rows = Seq(
+      ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:29:59"),
+      ev(3, "2024-01-01 11:00:00"),
+      ev(4, "2024-01-01 10:00:00", uid = 2), ev(5, "2024-01-01 10:30:00", uid = 2))
+    val df = rows.toDF()
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    val viaSessionWindow = df
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2))).toSeq
+    val viaGapIsland = Streaming.sessionAgg(df)
+      .select("user_id", "session_start", "n_events")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2))).toSeq
+    assert(viaSessionWindow == viaGapIsland)
+    assert(viaSessionWindow.count(_._1 == 2L) == 1,
+      "exact 30-minute delta must extend the session (touching windows merge)")
+  }
+
+  test("flatMapGroupsWithState final snapshot equals batch stateful result") {
+    import spark.implicits._
+    val rows = Seq(
+      ev(1, "2024-01-01 10:00:00", uid = 1, typ = "signup"),
+      ev(2, "2024-01-01 10:30:00", uid = 1, typ = "click"),
+      ev(3, "2024-01-01 09:00:00", uid = 2, typ = "view"),
+      ev(4, "2024-01-01 10:30:00", uid = 1, typ = "purchase"),
+      ev(5, "2024-01-01 11:00:00", uid = 2, typ = "error"))
+    val ms = MemoryStream[EvRow](spark)
+    ms.addData(rows.take(3))
+    ms.addData(rows.drop(3))
+    val q = Streaming.runningStateStream(ms.toDS())
+      .toDF("user_id", "n_events", "last_type")
+      .writeStream.outputMode("update").format("memory").queryName("state").start()
+    try q.processAllAvailable() finally q.stop()
+    // last emission per user wins
+    val streamed = spark.table("state").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getString(2))))
+      .groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).maxBy(_._1) }
+    val batch = Streaming.streamStatefulRunning(spark, sf0001) // schema check only
+    assert(batch.columns.toSeq == Seq("user_id", "n_events", "last_type"))
+    val expected = rows.toDF()
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        max_by(col("event_type"), struct(col("ts"), col("event_id"))).as("lt"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(streamed == expected,
+      s"stream state $streamed != batch $expected")
+  }
+}
