@@ -12,6 +12,17 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the JVM (Janino codegen, shuffle machinery, parquet reader)
+    // so the first timed query doesn't absorb one-time startup cost.
+    try {
+      val warm = spark.read.parquet(s"$sfDir/nation.parquet")
+      warm.join(warm.limit(5), Seq("n_nationkey"))
+        .groupBy("n_regionkey").count().count()
+      warm.select("n_nationkey").except(warm.select("n_regionkey"))
+        .orderBy("n_nationkey").count()
+      warm.join(org.apache.spark.sql.functions.broadcast(warm.limit(5)),
+        Seq("n_nationkey")).count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

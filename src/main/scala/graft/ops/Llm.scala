@@ -69,7 +69,7 @@ object Llm {
       .setNumFeatures(1 << 18)
     val feats = tf.transform(sh).filter(expr("size(sh) > 0"))
     val mh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
-      .setNumHashTables(8).setSeed(42)
+      .setNumHashTables(4).setSeed(42)
     val model = mh.fit(feats)
     model.approxSimilarityJoin(feats, feats, 0.5, "jaccard_dist")
       .select(col("datasetA.doc_id").as("d1"), col("datasetB.doc_id").as("d2"))
@@ -114,7 +114,7 @@ object Llm {
     val norm = new Normalizer().setInputCol("raw").setOutputCol("features").setP(2.0)
     val feats = norm.transform(vecs)
     val lsh = new BucketedRandomProjectionLSH().setInputCol("features")
-      .setOutputCol("hashes").setBucketLength(0.5).setNumHashTables(6).setSeed(42)
+      .setOutputCol("hashes").setBucketLength(0.5).setNumHashTables(4).setSeed(42)
     val model = lsh.fit(feats)
     val q = feats.filter(col("label") === 0)
       .select(col("vec_id").as("qid"), col("features").as("qf"))

@@ -45,8 +45,14 @@ object VardaOps {
 
   /** UCSC-binned containment join: regions carry assign_bin(begin, end);
     * a point probes its 5 ancestor bins (one per level). Equal by
-    * construction to the naive range join — the oracle checks exactly
-    * that. */
+    * construction to the naive range join (PropertySpec asserts it).
+    *
+    * This is the general path for *unbounded* interval lengths (the
+    * hierarchy bounds fan-out to 5 whatever the length). When interval
+    * length is bounded and positions are dense — this fixture confines
+    * everything to a single 128kb level-0 bin, degenerating the join key
+    * to the chromosome — [[bucketedContainment]]'s single fine level is
+    * the right plan, so the frequency/coverage operators use that. */
   private[graft] def binnedContainment(points: DataFrame, regions: DataFrame): DataFrame = {
     val rB = regions.withColumn("bin",
       expr(assignBin("begin_pos", "end_pos", shrSpark)).cast(LongType))
@@ -70,7 +76,7 @@ object VardaOps {
     val numer = obsDf.groupBy("chromosome", "position", "reference", "observed")
       .agg(baseAgg, zygAggs: _*)
     val pts = obsDf.select("chromosome", "position").distinct()
-    val denom = binnedContainment(pts, covDf)
+    val denom = bucketedContainment(pts, covDf)
       .groupBy("chromosome", "position")
       .agg(sum(col("pool_size") * 2).cast(LongType).as("denom"))
     def ppm(n: String, out: String) =
@@ -151,10 +157,10 @@ object VardaOps {
       .select("region_id", "bin")
       .orderBy("region_id")
 
-  /** Bin-accelerated coverage join, aggregated per observation; must
+  /** Bucket-accelerated coverage join, aggregated per observation; must
     * equal the naive range join (the oracle computes exactly that). */
   val vardaCoverageJoin: Q = (s, d) =>
-    binnedContainment(
+    bucketedContainment(
       obs(s, d).select("obs_id", "chromosome", "position"), cov(s, d))
       .groupBy("obs_id")
       .agg(count(lit(1)).as("n_regions"),
