@@ -29,7 +29,7 @@ object Joins {
     val li = Tables.lineitem(s, d); val sup = Tables.supplier(s, d)
     li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
       .select(li("l_orderkey"), li("l_linenumber"), sup("s_name"))
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "s_name")
   }
 
   val joinSortMerge: Q = (s, d) => {
@@ -135,7 +135,7 @@ object Joins {
     "join_broadcast" ->
       """SELECT l_orderkey, l_linenumber, s_name
          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-         ORDER BY l_orderkey, l_linenumber""",
+         ORDER BY l_orderkey, l_linenumber, s_name""",
     "join_sort_merge" ->
       """SELECT o_orderkey, c_name, c_nationkey
          FROM orders JOIN customer ON o_custkey = c_custkey

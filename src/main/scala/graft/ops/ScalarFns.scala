@@ -38,8 +38,12 @@ object ScalarFns {
         weekday(col("o_orderdate")).cast(LongType).as("dow_mon0"))
       .orderBy("o_orderkey")
 
+  // dup (l_orderkey, l_linenumber) rows exist — sort on the base columns
+  // that determine every derived output, then project (order-preserving).
   val fnMath: Q = (s, d) =>
     Tables.lineitem(s, d)
+      .orderBy("l_orderkey", "l_linenumber", "l_extendedprice",
+        "l_discount", "l_quantity")
       .select(col("l_orderkey"), col("l_linenumber"),
         round(dec4(col("l_extendedprice")), 1)
           .cast(DecimalType(18, 1)).as("price_round1"),
@@ -51,7 +55,6 @@ object ScalarFns {
         pow(col("l_quantity").cast(LongType), 2).cast(LongType).as("qty_sq"),
         sqrt(col("l_quantity")).as("qty_sqrt"),
         log(col("l_extendedprice")).cast(DecimalType(18, 6)).as("price_ln"))
-      .orderBy("l_orderkey", "l_linenumber")
 
   val fnConditional: Q = (s, d) =>
     Tables.customer(s, d)
@@ -135,7 +138,8 @@ object ScalarFns {
            CAST(power(CAST(l_quantity AS BIGINT), 2) AS BIGINT) AS qty_sq,
            sqrt(l_quantity) AS qty_sqrt,
            CAST(ln(l_extendedprice) AS DECIMAL(18,6)) AS price_ln
-         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+         FROM lineitem
+         ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_discount, l_quantity""",
     "fn_conditional" ->
       """SELECT c_custkey,
            CASE WHEN c_acctbal < 0 THEN 'neg'

@@ -13,8 +13,16 @@ import org.apache.spark.sql.types._
   */
 object Scans {
 
+  // (l_orderkey, l_linenumber) is NOT unique in the generated lineitem, so
+  // row-level outputs sort on enough columns to totally order the result
+  // (hash-match discipline, SURVEY.md §0).
+  private val lineitemAllCols = Seq("l_orderkey", "l_linenumber", "l_partkey",
+    "l_suppkey", "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    "l_returnflag", "l_linestatus", "l_shipdate")
+
   val scanParquet: Q = (s, d) =>
-    Tables.lineitem(s, d).orderBy("l_orderkey", "l_linenumber")
+    Tables.lineitem(s, d)
+      .orderBy(lineitemAllCols.head, lineitemAllCols.tail: _*)
 
   val scanProjectionPushdown: Q = (s, d) =>
     Tables.lineitem(s, d)
@@ -49,14 +57,14 @@ object Scans {
         (col("l_extendedprice") * (lit(1) - col("l_discount")))
           .cast(DecimalType(18, 4)).as("net_price"),
         col("l_quantity").cast(LongType).as("qty_int"))
-      .orderBy("okey", "line_no")
+      .orderBy("okey", "line_no", "net_price", "qty_int")
 
   val filterConjunct: Q = (s, d) =>
     Tables.lineitem(s, d)
       .filter((col("l_returnflag") === "R" && col("l_quantity").between(10, 20))
         || (col("l_linestatus") === "F" && col("l_quantity") > 45))
       .select("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "l_quantity")
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "l_quantity")
 
   val filterInLike: Q = (s, d) =>
     Tables.part(s, d)
@@ -86,7 +94,9 @@ object Scans {
 
   val oracle: Map[String, String] = Map(
     "scan_parquet" ->
-      "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber",
+      """SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey,
+         l_suppkey, l_quantity, l_extendedprice, l_discount, l_tax,
+         l_returnflag, l_linestatus, l_shipdate""",
     "scan_projection_pushdown" ->
       "SELECT l_orderkey, l_linenumber FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "source_csv_roundtrip" ->
@@ -97,13 +107,13 @@ object Scans {
       """SELECT l_orderkey AS okey, l_linenumber AS line_no,
          CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS net_price,
          CAST(l_quantity AS BIGINT) AS qty_int
-         FROM lineitem ORDER BY okey, line_no""",
+         FROM lineitem ORDER BY okey, line_no, net_price, qty_int""",
     "filter_conjunct" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus, l_quantity
          FROM lineitem
          WHERE (l_returnflag = 'R' AND l_quantity BETWEEN 10 AND 20)
             OR (l_linestatus = 'F' AND l_quantity > 45)
-         ORDER BY l_orderkey, l_linenumber""",
+         ORDER BY l_orderkey, l_linenumber, l_returnflag, l_linestatus, l_quantity""",
     "filter_in_like" ->
       """SELECT p_partkey, p_name, p_type, p_size FROM part
          WHERE p_type LIKE '%ECO%' OR p_size IN (1, 5, 9)
