@@ -1,0 +1,88 @@
+package graft
+
+import graft.plans.RewriteIntervalJoin
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/** The opt-in Catalyst rewrite: a naive point-in-interval join becomes the
+  * UCSC-binned equi-join, result-identical and no longer quadratic per key
+  * group. */
+class RewriteIntervalJoinSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val rnd = new Random(7)
+
+  private def naiveJoin(points: DataFrame, regions: DataFrame): DataFrame =
+    points.join(regions,
+      points("chromosome") === regions("chromosome")
+        && points("position") >= regions("begin_pos")
+        && points("position") <= regions("end_pos"))
+      .select(points("obs_id"), regions("region_id"))
+
+  private def data() = {
+    import spark.implicits._
+    val regions = (1 to 400).map { i =>
+      val b = rnd.nextLong(1L << 28)
+      (i.toLong, (1 + rnd.nextInt(4)).toString, b, b + rnd.nextLong(1L << 20))
+    }.toDF("region_id", "chromosome", "begin_pos", "end_pos")
+    val points = (1 to 400).map { i =>
+      (i.toLong, (1 + rnd.nextInt(4)).toString, rnd.nextLong(1L << 28))
+    }.toDF("obs_id", "chromosome", "position")
+    (points, regions)
+  }
+
+  private def withRule[T](f: => T): T = {
+    spark.experimental.extraOptimizations = Seq(RewriteIntervalJoin)
+    spark.conf.set("spark.graft.rewriteIntervalJoin", "true")
+    try f finally {
+      spark.conf.unset("spark.graft.rewriteIntervalJoin")
+      spark.experimental.extraOptimizations = Nil
+    }
+  }
+
+  test("rewrites the naive interval join into a binned equi-join") {
+    val (points, regions) = data()
+    val joined = naiveJoin(points, regions)
+    val before = joined.queryExecution.optimizedPlan.toString
+    assert(!before.contains("__graft_bin"))
+    withRule {
+      val after = naiveJoin(points, regions).queryExecution.optimizedPlan.toString
+      assert(after.contains("__graft_bin_p") && after.contains("__graft_bin_i"),
+        s"rule did not fire:\n$after")
+      assert(after.contains("explode"), s"no candidate-bin explode:\n$after")
+    }
+  }
+
+  test("rewritten join returns exactly the naive result") {
+    val (points, regions) = data()
+    val expected = naiveJoin(points, regions).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = withRule {
+      naiveJoin(points, regions).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(expected.nonEmpty)
+    assert(got == expected,
+      s"missing=${expected.diff(got).take(5)} extra=${got.diff(expected).take(5)}")
+  }
+
+  test("rule is inert when the conf flag is off or shape doesn't match") {
+    val (points, regions) = data()
+    spark.experimental.extraOptimizations = Seq(RewriteIntervalJoin)
+    try {
+      val off = naiveJoin(points, regions).queryExecution.optimizedPlan.toString
+      assert(!off.contains("__graft_bin"))
+      spark.conf.set("spark.graft.rewriteIntervalJoin", "true")
+      // plain equi-join: no range pair → untouched
+      val equi = points.join(regions, Seq("chromosome"))
+        .queryExecution.optimizedPlan.toString
+      assert(!equi.contains("__graft_bin"))
+    } finally {
+      spark.conf.unset("spark.graft.rewriteIntervalJoin")
+      spark.experimental.extraOptimizations = Nil
+    }
+  }
+}
