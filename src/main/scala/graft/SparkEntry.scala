@@ -17,6 +17,7 @@ object SparkEntry {
     (ops.ScalarFns.queries, ops.ScalarFns.oracle),
     (ops.Streaming.queries, ops.Streaming.oracle),
     (ops.Llm.queries, ops.Llm.oracle),
+    (ops.Analysis.queries, ops.Analysis.oracle),
     (varda.VardaOps.queries, varda.VardaOps.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

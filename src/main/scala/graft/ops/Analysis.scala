@@ -1,0 +1,176 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Training-data text analysis + the remaining dedup family members
+  * (north-star components beyond the SURVEY §2 base inventory): language
+  * ID by n-gram profile overlap, quality scoring, regex token counting,
+  * rolling-hash fingerprinting, SimHash near-dup, embedding-cosine
+  * near-dup. All ratio outputs are integer ppm (floor division) and all
+  * hashes are explicit integer arithmetic, so both engines agree exactly.
+  */
+object Analysis {
+
+  /** Language ID, n-gram-profile style: build a top-20 term profile per
+    * language from the corpus, score each doc by distinct-token overlap
+    * with every profile, predict the argmax (score desc, lang asc). */
+  val textLangid: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("term"))
+    val profW = Window.partitionBy("lang").orderBy(col("cnt").desc, col("term"))
+    val prof = toks.groupBy("lang", "term").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(profW)).filter(col("rn") <= 20)
+      .select(col("lang").as("prof_lang"), col("term"))
+    val dt = toks.select("doc_id", "term").distinct()
+    val predW = Window.partitionBy("doc_id").orderBy(col("score").desc, col("prof_lang"))
+    dt.join(prof, "term")
+      .groupBy("doc_id", "prof_lang").agg(count(lit(1)).as("score"))
+      .withColumn("rn", row_number().over(predW)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("prof_lang").as("pred_lang"), col("score"))
+      .orderBy("doc_id")
+  }
+
+  private val stopList = "('the','a','of','and','to','in','is','it')"
+
+  /** Per-document quality signals as integer ppm ratios. */
+  val textQuality: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"),
+        expr("cast(size(ws) as bigint)").as("n_tokens"),
+        expr("cast((1000000 * aggregate(ws, 0L, (a, t) -> a + length(t))) div size(ws) as bigint)")
+          .as("avg_len_ppm"),
+        expr(s"cast((1000000 * size(filter(ws, t -> t IN $stopList))) div size(ws) as bigint)")
+          .as("stopword_ppm"),
+        expr("cast((1000000 * size(array_distinct(ws))) div size(ws) as bigint)")
+          .as("distinct_ppm"))
+      .orderBy("doc_id")
+
+  /** Token counting: whitespace split vs regex word/number tokens vs a
+    * BPE-ish bounded-chunk regex. */
+  val textTokenCount: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)))
+          .cast(LongType).as("re_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]{1,4}|[0-9]"), lit(0)))
+          .cast(LongType).as("bpe_tokens"))
+      .orderBy("doc_id")
+
+  /** Order-sensitive document fingerprint: position-weighted rolling hash
+    * over tokens, mod 2^31-1. */
+  val textFingerprint: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"),
+        expr("""aggregate(
+                  zip_with(ws, sequence(1, size(ws)),
+                    (t, i) -> (length(t)*31 + ascii(substr(t,1,1))*7
+                               + ascii(substr(t,length(t),1))) * i),
+                  0L, (a, x) -> a + x) % 2147483647""").as("fp"))
+      .orderBy("doc_id")
+
+  /** Shared SimHash fragments (dialect-parametrized like VardaSql). */
+  private def simhashBits(shr: (String, Int) => String): String =
+    (0 until 16).map { b =>
+      s"(CASE WHEN 2 * SUM(${shr("v", b)} & 1) >= COUNT(*) THEN 1 ELSE 0 END) * ${1 << b}"
+    }.mkString(" + ")
+  private val tokenValue =
+    "(length(t)*2654435761 + ascii(substr(t,1,1))*16777619 + ascii(substr(t,length(t),1))*31) % 2147483647"
+
+  /** SimHash near-dup: 16-bit simhash over distinct 3-word shingles;
+    * pairs with identical simhash are duplicate candidates. */
+  val dedupSimhash: Q = (s, d) => {
+    val sh = Llm.shingles(Tables.documents(s, d))
+      .select(col("doc_id"), col("shingle").as("t"))
+      .withColumn("v", expr(tokenValue))
+    val simh = sh.groupBy("doc_id")
+      .agg(expr(simhashBits((x, n) => s"shiftright($x, $n)")).as("simhash"))
+    simh.as("a").join(simh.as("b"),
+        col("a.simhash") === col("b.simhash") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.simhash").as("simhash"))
+      .orderBy("d1", "d2")
+  }
+
+  /** Embedding-cosine near-dup: vector pairs with cosine >= 0.5 after
+    * DECIMAL(18,6) rounding (integer-safe compare on both engines). */
+  val dedupNearEmbedding: Q = (s, d) =>
+    Llm.allPairsCosine(s, Tables.embeddings(s, d))
+      .select(col("id1").as("d1"), col("id2").as("d2"),
+        col("cos").cast(DecimalType(18, 6)).as("cos_d"))
+      .filter(col("cos_d") >= lit(BigDecimal("0.500000")).cast(DecimalType(18, 6)))
+      .select("d1", "d2")
+      .orderBy("d1", "d2")
+
+  val queries: Map[String, Q] = Map(
+    "text_langid" -> textLangid,
+    "text_quality" -> textQuality,
+    "text_token_count" -> textTokenCount,
+    "text_fingerprint" -> textFingerprint,
+    "dedup_simhash" -> dedupSimhash,
+    "dedup_near_embedding" -> dedupNearEmbedding)
+
+  private val shingleSqlDuck =
+    """SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(ws) - 1),
+           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS t
+       FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) w"""
+
+  val oracle: Map[String, String] = Map(
+    "text_langid" ->
+      """WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM documents),
+            cnts AS (SELECT lang, term, count(*) AS cnt FROM toks GROUP BY 1, 2),
+            prof AS (SELECT lang AS prof_lang, term FROM (
+                       SELECT lang, term,
+                         row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, term) AS rn
+                       FROM cnts) t WHERE rn <= 20),
+            dt AS (SELECT DISTINCT doc_id, term FROM toks),
+            scores AS (SELECT dt.doc_id, prof.prof_lang, count(*) AS score
+                       FROM dt JOIN prof ON dt.term = prof.term GROUP BY 1, 2),
+            pred AS (SELECT doc_id, prof_lang, score,
+                       row_number() OVER (PARTITION BY doc_id
+                         ORDER BY score DESC, prof_lang) AS rn
+                     FROM scores)
+         SELECT doc_id, prof_lang AS pred_lang, score FROM pred WHERE rn = 1
+         ORDER BY doc_id""",
+    "text_quality" ->
+      s"""SELECT doc_id,
+            CAST(len(ws) AS BIGINT) AS n_tokens,
+            CAST((1000000 * list_sum(list_transform(ws, t -> length(t)))) // len(ws) AS BIGINT) AS avg_len_ppm,
+            CAST((1000000 * len(list_filter(ws, t -> t IN $stopList))) // len(ws) AS BIGINT) AS stopword_ppm,
+            CAST((1000000 * len(list_distinct(ws))) // len(ws) AS BIGINT) AS distinct_ppm
+          FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t
+          ORDER BY doc_id""",
+    "text_token_count" ->
+      """SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS re_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]{1,4}|[0-9]')) AS BIGINT) AS bpe_tokens
+         FROM documents ORDER BY doc_id""",
+    "text_fingerprint" ->
+      """SELECT doc_id,
+           list_sum(list_transform(range(1, len(ws) + 1),
+             i -> (length(ws[i])*31 + ascii(substr(ws[i],1,1))*7
+                   + ascii(substr(ws[i],length(ws[i]),1))) * i)) % 2147483647 AS fp
+         FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t
+         ORDER BY doc_id""",
+    "dedup_simhash" ->
+      s"""WITH sh AS ($shingleSqlDuck),
+            v AS (SELECT doc_id, $tokenValue AS v FROM sh),
+            simh AS (SELECT doc_id, ${simhashBits((x, n) => s"($x >> $n)")} AS simhash
+                     FROM v GROUP BY doc_id)
+          SELECT a.doc_id AS d1, b.doc_id AS d2, a.simhash AS simhash
+          FROM simh a JOIN simh b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+          ORDER BY d1, d2""",
+    "dedup_near_embedding" ->
+      """SELECT a.vec_id AS d1, b.vec_id AS d2
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE CAST(list_cosine_similarity(a.embedding, b.embedding) AS DECIMAL(18,6))
+               >= CAST(0.5 AS DECIMAL(18,6))
+         ORDER BY d1, d2""")
+}
