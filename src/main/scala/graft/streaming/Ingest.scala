@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** The reference's import lifecycle (varda/tasks.py :: import_variation /
+  * import_coverage [U] — Celery workers folding uploaded files into the
+  * database) as a continuously-running incremental query: a file-source
+  * stream of delimited VCF/BED-shaped lines is parsed, normalized and
+  * appended to partitioned parquet, with exactly-once progress tracked by
+  * the checkpoint instead of Celery task state (SURVEY.md §3).
+  *
+  * At scale this is the whole ingestion tier: file listing, schema
+  * enforcement, per-micro-batch append, and failure recovery are Spark's;
+  * adding executors adds ingest throughput.
+  */
+object Ingest {
+
+  /** Parse `;`-delimited observation lines (obs_id;chromosome;position;
+    * reference;observed;support — FIXTURES.md §2.4 shape). */
+  def parseObservationLines(lines: DataFrame): DataFrame =
+    lines.select(split(col("value"), ";").as("f"))
+      .select(
+        element_at(col("f"), 1).cast(LongType).as("obs_id"),
+        element_at(col("f"), 2).as("chromosome"),
+        element_at(col("f"), 3).cast(LongType).as("position"),
+        element_at(col("f"), 4).as("reference"),
+        element_at(col("f"), 5).as("observed"),
+        element_at(col("f"), 6).cast(IntegerType).as("support"))
+
+  /** Start the continuous import: watch `srcDir` for new line files,
+    * parse, and append to `destDir` parquet partitioned by chromosome
+    * (the natural pruning key for the frequency queries downstream). */
+  def startObservationIngest(spark: SparkSession, srcDir: String,
+      destDir: String, checkpointDir: String): StreamingQuery =
+    parseObservationLines(spark.readStream.text(srcDir))
+      .writeStream
+      .format("parquet")
+      .option("path", destDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("chromosome")
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Read the ingested store with the written schema (partition-column
+    * type inference would otherwise retype chromosome "1" as an int). */
+  def readIngested(spark: SparkSession, destDir: String): DataFrame =
+    spark.read
+      .option("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+      .schema(StructType(Seq(
+        StructField("obs_id", LongType), StructField("position", LongType),
+        StructField("reference", StringType), StructField("observed", StringType),
+        StructField("support", IntegerType), StructField("chromosome", StringType))))
+      .parquet(destDir)
+}
