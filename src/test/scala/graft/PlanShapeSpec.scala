@@ -45,6 +45,12 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("aggregation does map-side partial aggregation before the shuffle") {
+    val p = plan("agg_groupby_sums")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"no partial aggregate below the exchange:\n$p")
+  }
+
   test("whole-stage codegen covers the hot aggregation path") {
     // AQE only shows codegen in the final plan, so execute first.
     val df = SparkEntry.queries("agg_groupby_sums")(spark, sf0001)
