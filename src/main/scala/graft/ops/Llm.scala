@@ -182,6 +182,49 @@ object Llm {
       .orderBy("qid", "rank")
   }
 
+  /** IVF (inverted-file) approximate nearest neighbors — the other
+    * classic ANN scale path next to LSH: a k-means coarse quantizer
+    * partitions the corpus into cells; each query probes only its nprobe
+    * nearest cells and brute-forces inside them. At 100 TB the cell id is
+    * the partition key, so a probe touches a few partitions instead of
+    * the corpus. No oracle (approx); ApproxSpec asserts recall vs
+    * sim_topk_cosine. */
+  val simAnnIvf: Q = (s, d) => {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.{Vector => MlVector, Vectors}
+    val nCells = 16
+    val nProbe = 4
+    val e = Tables.embeddings(s, d)
+    val toVec = udf((a: Seq[Float]) =>
+      Vectors.dense(a.map(_.toDouble).toArray))
+    val feats = e.select(col("vec_id"), col("label"), col("embedding"),
+      toVec(col("embedding")).as("features"))
+    val model = new KMeans().setK(nCells).setSeed(42).setMaxIter(10)
+      .setFeaturesCol("features").setPredictionCol("cell").fit(feats)
+    val assigned = model.transform(feats)
+      .select(col("vec_id"), col("label"), col("embedding"), col("cell"))
+    val centers = model.clusterCenters
+    val probeCells = udf((v: MlVector) =>
+      centers.zipWithIndex
+        .map { case (c, i) => (Vectors.sqdist(c, v), i) }
+        .sorted.take(nProbe).map(_._2))
+    val q = assigned.filter(col("label") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        explode(probeCells(toVec(col("embedding")))).as("cell"))
+    val cand = assigned.select(col("vec_id").as("nid"),
+      col("embedding").as("ne"), col("cell"))
+    val cosd = dotU(col("qe"), col("ne")) /
+      (sqrt(dotU(col("qe"), col("qe"))) * sqrt(dotU(col("ne"), col("ne"))))
+    val w = Window.partitionBy("qid").orderBy(col("cos_d").desc, col("nid"))
+    q.join(cand, Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cos_d", cosd.cast(DecimalType(18, 6)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("qid", "rank", "nid")
+      .orderBy("qid", "rank")
+  }
+
   /** Language-bucketed term frequency: top-10 terms per lang with
     * deterministic (count desc, term asc) tiebreak. */
   val textTokensTf: Q = (s, d) => {
@@ -232,6 +275,7 @@ object Llm {
     "dedup_near_minhash" -> dedupNearMinhash,
     "sim_topk_cosine" -> simTopkCosine,
     "sim_ann_lsh" -> simAnnLsh,
+    "sim_ann_ivf" -> simAnnIvf,
     "text_tokens_tf" -> textTokensTf,
     "text_tfidf" -> textTfidf,
     "multimodal_join" -> multimodalJoin)

@@ -15,9 +15,9 @@ class AllQueriesSpec extends AnyFunSuite {
     assert(o.subsetOf(q), s"oracle keys without query: ${o.diff(q)}")
     val noOracle = q.diff(o)
     assert(noOracle == Set("agg_approx_hll", "stream_late_watermark",
-      "dedup_near_minhash", "sim_ann_lsh"),
+      "dedup_near_minhash", "sim_ann_lsh", "sim_ann_ivf"),
       s"unexpected no-oracle keys: $noOracle")
-    assert(q.size == 78, s"expected 78 declared keys, got ${q.size}")
+    assert(q.size == 79, s"expected 79 declared keys, got ${q.size}")
   }
 
   test("entry returns rows") {

@@ -41,6 +41,16 @@ class ApproxSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall $recall < 0.5")
   }
 
+  test("sim_ann_ivf recall vs exact cosine top-5") {
+    val exact = ops.Llm.simTopkCosine(spark, sf001)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = ops.Llm.simAnnIvf(spark, sf001)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    info(s"ann-ivf recall = $recall over ${exact.size} exact neighbor pairs")
+    assert(recall >= 0.5, s"recall $recall < 0.5")
+  }
+
   test("stream_late_watermark drops exactly the late rows") {
     val out = ops.Streaming.streamLateWatermark(spark, sf001)
       .agg(sum("n_kept")).collect()(0).getLong(0)
