@@ -199,7 +199,7 @@ object Llm {
       Vectors.dense(a.map(_.toDouble).toArray))
     val feats = e.select(col("vec_id"), col("label"), col("embedding"),
       toVec(col("embedding")).as("features"))
-    val model = new KMeans().setK(nCells).setSeed(42).setMaxIter(5)
+    val model = new KMeans().setK(nCells).setSeed(42).setMaxIter(3)
       .setFeaturesCol("features").setPredictionCol("cell").fit(feats)
     val assigned = model.transform(feats)
       .select(col("vec_id"), col("label"), col("embedding"), col("cell"))
