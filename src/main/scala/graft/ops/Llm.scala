@@ -225,8 +225,9 @@ object Llm {
         explode(probeCells(toVec(col("embedding")))).as("cell"))
     val cand = assigned.select(col("vec_id").as("nid"),
       col("embedding").as("ne"), col("cell"))
-    val cosd = dotU(col("qe"), col("ne")) /
-      (sqrt(dotU(col("qe"), col("qe"))) * sqrt(dotU(col("ne"), col("ne"))))
+    graft.functions.GraftFunctions.registerAll(s)
+    val cosd = expr("float_dot(qe, ne)") /
+      (sqrt(expr("float_dot(qe, qe)")) * sqrt(expr("float_dot(ne, ne)")))
     val w = Window.partitionBy("qid").orderBy(col("cos_d").desc, col("nid"))
     q.join(cand, Seq("cell"))
       .filter(col("qid") =!= col("nid"))
