@@ -39,6 +39,9 @@ object ExprLang {
 
     private def factor(): Column = next() match {
       case t if t.equalsIgnoreCase("NOT") => !factor()
+      // `*` = all public active samples in the reference's language
+      // (varda/expressions.py [U]) — here: no restriction.
+      case "*" => org.apache.spark.sql.functions.lit(true)
       case "(" =>
         val e = expr()
         next() match {

@@ -277,6 +277,22 @@ object VardaOps {
   * the spec the Column version and ScalaCheck properties test against. */
 object Normalize {
   import VardaSql.{lcpCase, lcsCase}
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{lower, regexp_replace, when}
+
+  /** Chromosome-name normalization (varda/utils.py ::
+    * normalize_chromosome [U]): strip a case-insensitive `chr` prefix,
+    * map mitochondrial `M` to `MT`. */
+  def normalizeChromosome(c: Column): Column = {
+    val stripped = regexp_replace(c, "^(?i)chr", "")
+    when(lower(stripped) === "m", "MT").otherwise(stripped)
+  }
+
+  /** Plain-Scala reference for the property tests. */
+  def normalizeChromosomeRef(s: String): String = {
+    val stripped = if (s.toLowerCase.startsWith("chr")) s.substring(3) else s
+    if (stripped.equalsIgnoreCase("m")) "MT" else stripped
+  }
 
   /** Max allele length the unrolled CASE chains support. */
   val MaxLen = 6
