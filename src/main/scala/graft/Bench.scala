@@ -16,7 +16,7 @@ object Bench {
     // so the first timed query doesn't absorb one-time startup cost.
     try {
       val warm = spark.read.parquet(s"$sfDir/nation.parquet")
-      warm.join(warm.limit(5), Seq("n_nationkey"))
+      warm.join(warm.limit(5).select("n_nationkey"), Seq("n_nationkey"))
         .groupBy("n_regionkey").count().count()
       warm.select("n_nationkey").except(warm.select("n_regionkey"))
         .orderBy("n_nationkey").count()
@@ -37,7 +37,10 @@ object Bench {
       // the fact tables (results discarded; nothing is cached).
       SparkEntry.queries.get("agg_groupby_sums").foreach(_(spark, sfDir).count())
       SparkEntry.queries.get("stream_tumbling").foreach(_(spark, sfDir).count())
-    } catch { case _: Throwable => () }
+      SparkEntry.queries.get("agg_approx_hll").foreach(_(spark, sfDir).count())
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup aborted: $e")
+    }
     // deterministic execution order → per-query timings comparable across
     // rounds (Map iteration order is hash-dependent)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
