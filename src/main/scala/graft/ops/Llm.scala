@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{Q, Tables}
-import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, HashingTF, MinHashLSH, Normalizer}
+import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, Normalizer}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -70,22 +70,45 @@ object Llm {
       .orderBy("d1", "d2")
   }
 
-  /** Approximate near-dup via MLlib MinHashLSH over hashed shingle sets —
-    * the version that scales: candidate pairs come from LSH band buckets,
-    * never a full self-join. No oracle (approx); LlmSpec asserts recall
-    * >= 0.9 against dedup_near_jaccard. */
+  /** Approximate near-dup via the canonical shingle → minhash → band →
+    * bucket-join pipeline, built from deterministic Murmur3 hashes: 16
+    * minhash signatures per doc, banded 4x4; docs colliding in any band
+    * bucket become candidates, then candidates are verified with the
+    * exact shingle-set Jaccard (array_intersect on the collected sets).
+    * Candidate generation is a bucket equi-join — never a full self-join
+    * — which is what makes this the 100 TB dedup. No oracle (banding is
+    * probabilistic); ApproxSpec asserts recall >= 0.9 vs
+    * dedup_near_jaccard. */
   val dedupNearMinhash: Q = (s, d) => {
+    val numHashes = 16
+    val rowsPerBand = 4
     val sh = shingles(Tables.documents(s, d))
-      .groupBy("doc_id").agg(collect_list("shingle").as("sh"))
-    val tf = new HashingTF().setInputCol("sh").setOutputCol("features")
-      .setNumFeatures(1 << 18)
-    val feats = tf.transform(sh).filter(expr("size(sh) > 0"))
-    val mh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
-      .setNumHashTables(4).setSeed(42)
-    val model = mh.fit(feats)
-    model.approxSimilarityJoin(feats, feats, 0.5, "jaccard_dist")
-      .select(col("datasetA.doc_id").as("d1"), col("datasetB.doc_id").as("d2"))
-      .filter(col("d1") < col("d2"))
+    // 16 minhash signatures: min over the doc's shingles of hash(shingle, i)
+    val sigCols = (0 until numHashes).map(i =>
+      min(hash(col("shingle"), lit(i))).as(s"sig_$i"))
+    val sigs = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    // band j = hash of signatures 4j..4j+3; explode to (band_id, bucket)
+    val bandCols = (0 until numHashes / rowsPerBand).map { j =>
+      val group = (0 until rowsPerBand).map(r => col(s"sig_${j * rowsPerBand + r}"))
+      struct(lit(j).as("band_id"), hash(group: _*).as("bucket"))
+    }
+    val buckets = sigs.select(col("doc_id"),
+      explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("b.band_id"), col("b.bucket"))
+    val cands = buckets.as("a").join(buckets.as("b"),
+        col("a.band_id") === col("b.band_id")
+          && col("a.bucket") === col("b.bucket")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    // verify candidates against the exact shingle sets
+    val sets = sh.groupBy("doc_id").agg(collect_set("shingle").as("set"))
+    cands
+      .join(sets.select(col("doc_id").as("d1"), col("set").as("set1")), "d1")
+      .join(sets.select(col("doc_id").as("d2"), col("set").as("set2")), "d2")
+      .withColumn("i", size(array_intersect(col("set1"), col("set2"))))
+      .filter(col("i") * 3 >= size(col("set1")) + size(col("set2")))
+      .select("d1", "d2")
       .orderBy("d1", "d2")
   }
 
