@@ -74,4 +74,19 @@ object Tables {
   def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
   /** Final-result money/ratio type, mirrored as DECIMAL(18,6) in oracle SQL. */
   def dec6(c: Column): Column = c.cast(DecimalType(18, 6))
+
+  /** Representation-stable final output (round-2 fix). The driver reads
+    * Spark parquet via pandas (DECIMAL → Python `Decimal` objects) but the
+    * DuckDB oracle via `.df()` (DECIMAL → float64), so a DECIMAL column in
+    * a declared output schema can never hash-match even when the values
+    * are identical. A decimal's digits ARE an integer: emit
+    * `value × 10^scale` as BIGINT — exact, order-independent, and rendered
+    * identically by every reader. Mirror in oracle SQL as
+    * `CAST(CAST(x AS DECIMAL(38,s)) * 10^s AS BIGINT)`. Keep all internal
+    * arithmetic DECIMAL; only the final select goes through this. */
+  def scaledLong(dec: Column, scale: Int): Column = {
+    val pow = math.pow(10, scale).toLong
+    (dec.cast(DecimalType(38, scale)) * org.apache.spark.sql.functions.lit(pow))
+      .cast(org.apache.spark.sql.types.LongType)
+  }
 }

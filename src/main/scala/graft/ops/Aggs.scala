@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{Q, Tables}
-import graft.Tables.{dec4, dec6}
+import graft.Tables.{dec4, dec6, scaledLong}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -20,10 +20,12 @@ object Aggs {
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         count(lit(1)).as("n_rows"),
-        sum(dec4(col("l_quantity"))).cast(DecimalType(18, 4)).as("sum_qty"),
-        sum(dec4(col("l_extendedprice"))).cast(DecimalType(18, 4)).as("sum_price"),
-        (sum(dec4(col("l_quantity"))) / count(lit(1)))
-          .cast(DecimalType(18, 6)).as("avg_qty"))
+        scaledLong(sum(dec4(col("l_quantity"))).cast(DecimalType(18, 4)), 4)
+          .as("sum_qty_e4"),
+        scaledLong(sum(dec4(col("l_extendedprice"))).cast(DecimalType(18, 4)), 4)
+          .as("sum_price_e4"),
+        scaledLong((sum(dec4(col("l_quantity"))) / count(lit(1)))
+          .cast(DecimalType(18, 6)), 6).as("avg_qty_e6"))
       .orderBy("l_returnflag", "l_linestatus")
 
   val aggCountDistinct: Q = (s, d) =>
@@ -60,9 +62,10 @@ object Aggs {
           Seq(col("l_returnflag")), Seq()),
         col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n_rows"),
-        sum(dec4(col("l_quantity"))).cast(DecimalType(18, 4)).as("sum_qty"))
+        scaledLong(sum(dec4(col("l_quantity"))).cast(DecimalType(18, 4)), 4)
+          .as("sum_qty_e4"))
       .select(coalesced("l_returnflag", "l_linestatus")
-        ++ Seq(col("n_rows"), col("sum_qty")): _*)
+        ++ Seq(col("n_rows"), col("sum_qty_e4")): _*)
       .orderBy("rf", "ls")
 
   /** ROLLUP over a join result. The Dataset rollup API trips Spark's
@@ -79,9 +82,10 @@ object Aggs {
     Tables.lineitem(s, d)
       .cube("l_returnflag", "l_linestatus")
       .agg(count(lit(1)).as("n_rows"),
-        sum(dec4(col("l_quantity"))).cast(DecimalType(18, 4)).as("sum_qty"))
+        scaledLong(sum(dec4(col("l_quantity"))).cast(DecimalType(18, 4)), 4)
+          .as("sum_qty_e4"))
       .select(coalesced("l_returnflag", "l_linestatus")
-        ++ Seq(col("n_rows"), col("sum_qty")): _*)
+        ++ Seq(col("n_rows"), col("sum_qty_e4")): _*)
       .orderBy("rf", "ls")
 
   val aggHaving: Q = (s, d) =>
@@ -115,9 +119,9 @@ object Aggs {
     "agg_groupby_sums" ->
       """SELECT l_returnflag, l_linestatus,
          count(*) AS n_rows,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) / count(*) AS DECIMAL(18,6)) AS avg_qty
+         CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DECIMAL(38,4)) * 10000 AS BIGINT) AS sum_qty_e4,
+         CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DECIMAL(38,4)) * 10000 AS BIGINT) AS sum_price_e4,
+         CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) / count(*) AS DECIMAL(18,6)) AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS avg_qty_e6
          FROM lineitem
          GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
@@ -132,7 +136,7 @@ object Aggs {
       """SELECT COALESCE(l_returnflag, '@ALL') AS rf,
                 COALESCE(l_linestatus, '@ALL') AS ls,
                 count(*) AS n_rows,
-                CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty
+                CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DECIMAL(38,4)) * 10000 AS BIGINT) AS sum_qty_e4
          FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
          ORDER BY rf, ls""",
@@ -149,7 +153,7 @@ object Aggs {
       """SELECT COALESCE(l_returnflag, '@ALL') AS rf,
                 COALESCE(l_linestatus, '@ALL') AS ls,
                 count(*) AS n_rows,
-                CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty
+                CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DECIMAL(38,4)) * 10000 AS BIGINT) AS sum_qty_e4
          FROM lineitem
          GROUP BY CUBE (l_returnflag, l_linestatus)
          ORDER BY rf, ls""",

@@ -154,9 +154,9 @@ object Analysis {
          FROM documents ORDER BY doc_id""",
     "text_fingerprint" ->
       """SELECT doc_id,
-           list_sum(list_transform(range(1, len(ws) + 1),
+           CAST(list_sum(list_transform(range(1, len(ws) + 1),
              i -> (length(ws[i])*31 + ascii(substr(ws[i],1,1))*7
-                   + ascii(substr(ws[i],length(ws[i]),1))) * i)) % 2147483647 AS fp
+                   + ascii(substr(ws[i],length(ws[i]),1))) * i)) % 2147483647 AS BIGINT) AS fp
          FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t
          ORDER BY doc_id""",
     "dedup_simhash" ->

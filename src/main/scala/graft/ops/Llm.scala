@@ -296,12 +296,37 @@ object Llm {
   }
 
   /** Multimodal row: text + vector + label side by side — the pattern for
-    * carrying opaque typed media columns through relational ops. */
-  val multimodalJoin: Q = (s, d) => {
+    * carrying opaque typed media columns through relational ops. This is
+    * the library API; the declared query below digests the vector because
+    * the driver's pandas comparator cannot sort/hash a raw array column
+    * (round-1 lesson). */
+  def multimodalJoinRaw(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d); val emb = Tables.embeddings(s, d)
     docs.join(emb, docs("doc_id") === emb("vec_id"))
       .select(docs("doc_id"), docs("lang"), docs("n_chars"),
         emb("embedding"), emb("label"))
+      .orderBy("doc_id")
+  }
+
+  /** Declared multimodal_join: same join, but the vector is represented by
+    * scalar columns — its dimension and a position-weighted integer digest
+    * `Σ floor(x_i · 2^20) · i`. Every step is exact binary arithmetic
+    * (float→double widen, exponent-only scale by a power of two, floor),
+    * so both engines agree bit-for-bit — unlike any decimal/round path,
+    * where Spark rounds the float's shortest decimal repr while DuckDB
+    * expands the exact binary value (verified divergent at 6 dp). Pure
+    * integer output ⇒ hash-stable across the driver's pandas/duckdb
+    * readers; content changes still flip the digest. */
+  val multimodalJoin: Q = (s, d) => {
+    val docs = Tables.documents(s, d); val emb = Tables.embeddings(s, d)
+    docs.join(emb, docs("doc_id") === emb("vec_id"))
+      .select(docs("doc_id"), docs("lang"), docs("n_chars"),
+        size(emb("embedding")).cast(LongType).as("emb_dim"),
+        expr("""aggregate(
+                  zip_with(embedding, sequence(1, size(embedding)),
+                    (x, i) -> cast(floor(cast(x as double) * 1048576d) as bigint) * i),
+                  0L, (a, y) -> a + y)""").as("emb_fp"),
+        emb("label"))
       .orderBy("doc_id")
   }
 
@@ -370,7 +395,11 @@ object Llm {
          SELECT doc_id, term AS top_term, score FROM ranked WHERE rn = 1
          ORDER BY doc_id""",
     "multimodal_join" ->
-      """SELECT d.doc_id, d.lang, d.n_chars, e.embedding, e.label
+      """SELECT d.doc_id, d.lang, d.n_chars,
+           CAST(len(e.embedding) AS BIGINT) AS emb_dim,
+           CAST(list_sum(list_transform(range(1, len(e.embedding) + 1),
+             i -> CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1048576) AS BIGINT) * i)) AS BIGINT) AS emb_fp,
+           e.label
          FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
          ORDER BY d.doc_id""")
 }

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{Q, Tables}
-import graft.Tables.dec4
+import graft.Tables.{dec4, scaledLong}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -45,16 +45,17 @@ object ScalarFns {
       .orderBy("l_orderkey", "l_linenumber", "l_extendedprice",
         "l_discount", "l_quantity")
       .select(col("l_orderkey"), col("l_linenumber"),
-        round(dec4(col("l_extendedprice")), 1)
-          .cast(DecimalType(18, 1)).as("price_round1"),
+        scaledLong(round(dec4(col("l_extendedprice")), 1)
+          .cast(DecimalType(18, 1)), 1).as("price_round1_e1"),
         floor(col("l_extendedprice")).cast(LongType).as("price_floor"),
         ceil(col("l_extendedprice")).cast(LongType).as("price_ceil"),
-        abs(dec4(col("l_discount")) - lit(BigDecimal("0.05")).cast(DecimalType(18, 4)))
-          .cast(DecimalType(18, 4)).as("disc_dev"),
+        scaledLong(abs(dec4(col("l_discount")) - lit(BigDecimal("0.05")).cast(DecimalType(18, 4)))
+          .cast(DecimalType(18, 4)), 4).as("disc_dev_e4"),
         (col("l_orderkey") % 7).as("key_mod7"),
         pow(col("l_quantity").cast(LongType), 2).cast(LongType).as("qty_sq"),
         sqrt(col("l_quantity")).as("qty_sqrt"),
-        log(col("l_extendedprice")).cast(DecimalType(18, 6)).as("price_ln"))
+        scaledLong(log(col("l_extendedprice")).cast(DecimalType(18, 6)), 6)
+          .as("price_ln_e6"))
 
   val fnConditional: Q = (s, d) =>
     Tables.customer(s, d)
@@ -130,14 +131,14 @@ object ScalarFns {
          FROM orders ORDER BY o_orderkey""",
     "fn_math" ->
       """SELECT l_orderkey, l_linenumber,
-           CAST(round(CAST(l_extendedprice AS DECIMAL(18,4)), 1) AS DECIMAL(18,1)) AS price_round1,
+           CAST(CAST(CAST(round(CAST(l_extendedprice AS DECIMAL(18,4)), 1) AS DECIMAL(18,1)) AS DECIMAL(38,1)) * 10 AS BIGINT) AS price_round1_e1,
            CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
            CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
-           CAST(abs(CAST(l_discount AS DECIMAL(18,4)) - CAST(0.05 AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS disc_dev,
+           CAST(CAST(CAST(abs(CAST(l_discount AS DECIMAL(18,4)) - CAST(0.05 AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DECIMAL(38,4)) * 10000 AS BIGINT) AS disc_dev_e4,
            l_orderkey % 7 AS key_mod7,
            CAST(power(CAST(l_quantity AS BIGINT), 2) AS BIGINT) AS qty_sq,
            sqrt(l_quantity) AS qty_sqrt,
-           CAST(ln(l_extendedprice) AS DECIMAL(18,6)) AS price_ln
+           CAST(CAST(CAST(ln(l_extendedprice) AS DECIMAL(18,6)) AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS price_ln_e6
          FROM lineitem
          ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_discount, l_quantity""",
     "fn_conditional" ->

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Q, Tables}
+import graft.Tables.scaledLong
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -54,10 +55,10 @@ object Scans {
       .select(
         col("l_orderkey").as("okey"),
         col("l_linenumber").as("line_no"),
-        (col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast(DecimalType(18, 4)).as("net_price"),
+        scaledLong((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 4)), 4).as("net_price_e4"),
         col("l_quantity").cast(LongType).as("qty_int"))
-      .orderBy("okey", "line_no", "net_price", "qty_int")
+      .orderBy("okey", "line_no", "net_price_e4", "qty_int")
 
   val filterConjunct: Q = (s, d) =>
     Tables.lineitem(s, d)
@@ -105,9 +106,9 @@ object Scans {
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val FROM events ORDER BY event_id",
     "project_rename_cast" ->
       """SELECT l_orderkey AS okey, l_linenumber AS line_no,
-         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS net_price,
+         CAST(CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS DECIMAL(38,4)) * 10000 AS BIGINT) AS net_price_e4,
          CAST(l_quantity AS BIGINT) AS qty_int
-         FROM lineitem ORDER BY okey, line_no, net_price, qty_int""",
+         FROM lineitem ORDER BY okey, line_no, net_price_e4, qty_int""",
     "filter_conjunct" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus, l_quantity
          FROM lineitem

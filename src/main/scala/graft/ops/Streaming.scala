@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{Q, Tables}
-import graft.Tables.dec4
+import graft.Tables.{dec4, scaledLong}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -24,9 +24,10 @@ object Streaming {
   def tumblingAgg(events: DataFrame): DataFrame =
     events.groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(dec4(col("value"))).cast(DecimalType(18, 4)).as("val_sum"))
+        scaledLong(sum(dec4(col("value"))).cast(DecimalType(18, 4)), 4)
+          .as("val_sum_e4"))
       .select(col("window.start").as("ws"), col("event_type"),
-        col("n_events"), col("val_sum"))
+        col("n_events"), col("val_sum_e4"))
 
   val streamTumbling: Q = (s, d) =>
     tumblingAgg(Tables.events(s, d)).orderBy("ws", "event_type")
@@ -157,7 +158,7 @@ object Streaming {
     "stream_tumbling" ->
       """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS ws,
                 event_type, count(*) AS n_events,
-                CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS val_sum
+                CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DECIMAL(38,4)) * 10000 AS BIGINT) AS val_sum_e4
          FROM events GROUP BY 1, 2 ORDER BY ws, event_type""",
     "stream_sliding" ->
       """SELECT ws, event_type, count(*) AS n_events FROM (

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{Q, Tables}
-import graft.Tables.dec4
+import graft.Tables.{dec4, scaledLong}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -33,8 +33,10 @@ object Windows {
     val v = dec4(col("value"))
     Tables.events(s, d)
       .select(col("event_id"), col("user_id"),
-        (v - lag(v, 1).over(w)).cast(DecimalType(18, 4)).as("delta_prev"),
-        (lead(v, 1).over(w) - v).cast(DecimalType(18, 4)).as("delta_next"))
+        scaledLong((v - lag(v, 1).over(w)).cast(DecimalType(18, 4)), 4)
+          .as("delta_prev_e4"),
+        scaledLong((lead(v, 1).over(w) - v).cast(DecimalType(18, 4)), 4)
+          .as("delta_next_e4"))
       .orderBy("event_id")
   }
 
@@ -44,8 +46,8 @@ object Windows {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_custkey"),
-        sum(dec4(col("o_totalprice"))).over(w)
-          .cast(DecimalType(18, 4)).as("running_total"))
+        scaledLong(sum(dec4(col("o_totalprice"))).over(w)
+          .cast(DecimalType(18, 4)), 4).as("running_total_e4"))
       .orderBy("o_orderkey")
   }
 
@@ -56,8 +58,8 @@ object Windows {
     Tables.orders(s, d)
       .withColumn("day", day.cast(LongType))
       .select(col("o_orderkey"), col("day"),
-        sum(dec4(col("o_totalprice"))).over(w)
-          .cast(DecimalType(18, 4)).as("sum_7d"))
+        scaledLong(sum(dec4(col("o_totalprice"))).over(w)
+          .cast(DecimalType(18, 4)), 4).as("sum_7d_e4"))
       .orderBy("o_orderkey")
   }
 
@@ -66,8 +68,10 @@ object Windows {
     Tables.customer(s, d)
       .select(col("c_custkey"),
         ntile(4).over(w).as("quartile"),
-        percent_rank().over(w).cast(DecimalType(18, 6)).as("pct_rank"),
-        cume_dist().over(w).cast(DecimalType(18, 6)).as("cume"))
+        scaledLong(percent_rank().over(w).cast(DecimalType(18, 6)), 6)
+          .as("pct_rank_e6"),
+        scaledLong(cume_dist().over(w).cast(DecimalType(18, 6)), 6)
+          .as("cume_e6"))
       .orderBy("c_custkey")
   }
 
@@ -100,21 +104,21 @@ object Windows {
          ORDER BY o_custkey, o_orderkey""",
     "win_lag_lead" ->
       """SELECT event_id, user_id,
-           CAST(CAST(value AS DECIMAL(18,4)) - lag(CAST(value AS DECIMAL(18,4))) OVER w AS DECIMAL(18,4)) AS delta_prev,
-           CAST(lead(CAST(value AS DECIMAL(18,4))) OVER w - CAST(value AS DECIMAL(18,4)) AS DECIMAL(18,4)) AS delta_next
+           CAST(CAST(CAST(CAST(value AS DECIMAL(18,4)) - lag(CAST(value AS DECIMAL(18,4))) OVER w AS DECIMAL(18,4)) AS DECIMAL(38,4)) * 10000 AS BIGINT) AS delta_prev_e4,
+           CAST(CAST(CAST(lead(CAST(value AS DECIMAL(18,4))) OVER w - CAST(value AS DECIMAL(18,4)) AS DECIMAL(18,4)) AS DECIMAL(38,4)) * 10000 AS BIGINT) AS delta_next_e4
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
          ORDER BY event_id""",
     "win_running_sum" ->
       """SELECT o_orderkey, o_custkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DECIMAL(18,4)) AS running_total
+           CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DECIMAL(18,4)) AS DECIMAL(38,4)) * 10000 AS BIGINT) AS running_total_e4
          FROM orders
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          ORDER BY o_orderkey""",
     "win_range_frame" ->
       """SELECT o_orderkey, day,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DECIMAL(18,4)) AS sum_7d
+           CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DECIMAL(18,4)) AS DECIMAL(38,4)) * 10000 AS BIGINT) AS sum_7d_e4
          FROM (SELECT *, datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS day
                FROM orders) t
          WINDOW w AS (PARTITION BY o_custkey ORDER BY day
@@ -123,8 +127,8 @@ object Windows {
     "win_ntile_pct" ->
       """SELECT c_custkey,
            ntile(4) OVER w AS quartile,
-           CAST(percent_rank() OVER w AS DECIMAL(18,6)) AS pct_rank,
-           CAST(cume_dist() OVER w AS DECIMAL(18,6)) AS cume
+           CAST(CAST(CAST(percent_rank() OVER w AS DECIMAL(18,6)) AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS pct_rank_e6,
+           CAST(CAST(CAST(cume_dist() OVER w AS DECIMAL(18,6)) AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS cume_e6
          FROM customer
          WINDOW w AS (ORDER BY CAST(c_acctbal AS DECIMAL(18,4)), c_custkey)
          ORDER BY c_custkey""",
