@@ -14,18 +14,22 @@ import org.apache.spark.sql.types._
   * 3-word shingles (selective: measured ~2.8M join rows at sf0.1 vs ~10^9
   * for single-token joins on this corpus) — the same shingle→band→bucket
   * shape MinHashLSH uses, so the exact and approximate paths share cost
-  * structure. Cosine top-k is brute-force per query against the corpus
-  * (embarrassingly parallel, broadcast the queries at scale); the
-  * LSH-bucketed variant is the 100 TB path.
+  * structure. Exact cosine runs as a block-tiled grid (pack blocks, join
+  * tile pairs, primitive kernel per tile — no driver collect); the
+  * LSH/IVF-bucketed variants are the sub-quadratic 100 TB paths.
   */
 object Llm {
 
   /** Exact dedup: keep the smallest doc_id per identical text — the
     * direct analog of the reference's checksum-based duplicate skip
-    * (varda/models.py :: DataSource.checksum [U]). */
+    * (varda/models.py :: DataSource.checksum [U]). Groups by
+    * sha2(text, 256) so the shuffle key is 32 bytes instead of whole
+    * documents — at 100 TB the shuffle moves hashes, not the corpus.
+    * Identical result (collision probability ~2^-128 is below any
+    * hardware error rate). */
   val dedupExact: Q = (s, d) =>
     Tables.documents(s, d)
-      .groupBy("text")
+      .groupBy(sha2(col("text"), 256).as("text_sha"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select("keep_id", "n_copies")
       .orderBy("keep_id")
@@ -112,71 +116,89 @@ object Llm {
       .orderBy("d1", "d2")
   }
 
-  /** Sequential left-to-right double accumulation — bit-identical to the
-    * equivalent SQL `aggregate(zip_with(...))` fold (and to DuckDB's
-    * list_cosine_similarity after DECIMAL rounding) but ~10x faster: a
-    * compiled primitive loop instead of an interpreted Catalyst
-    * higher-order function in the pairwise hot path. */
-  private[ops] val dotU = udf((a: Seq[Float], b: Seq[Float]) => {
-    var s = 0.0
-    var i = 0
-    val n = a.length
-    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
-    s
-  })
+  /** Tiles per side for the exact-cosine block grid. Locally this keeps
+    * all 32 cores busy (16×17/2 = 136 self-join tiles); at 100 TB the
+    * block count scales with corpus size so each packed block row stays
+    * around a few hundred MB — the grid shape is what removes the
+    * single-machine ceiling, not the constant. */
+  private val CosineBlocks = 16
 
-  /** Broadcast block kernel for exact pairwise cosine: gather the vector
-    * table once, broadcast primitive arrays, and let each task compute a
-    * block of left ids against the broadcast side with tight double loops
-    * — no per-pair row materialization or array boxing (measured ~20x
-    * over a nested-loop join with per-pair UDF calls). At 100 TB the same
-    * kernel runs over a grid of (left-block x right-block) tiles instead
-    * of one broadcast block; the accumulation order per pair is identical
-    * either way, so results don't change with tiling. Emits
-    * (id1, id2, cos) for the declarative decimal/rank logic downstream. */
-  private def pairwiseCosine(s: org.apache.spark.sql.SparkSession,
-      e: DataFrame, leftIds: Long => Boolean, allPairs: Boolean): DataFrame = {
+  /** Pack vectors into hash-assigned blocks: one row per block carrying
+    * (ids+vectors sorted by id, precomputed L2 norms). Packing is a single
+    * shuffle by block id; each downstream tile task then runs a tight
+    * primitive double loop over two packed arrays. */
+  private def blockify(s: org.apache.spark.sql.SparkSession, e: DataFrame,
+      nBlocks: Int): org.apache.spark.sql.Dataset[
+      (Int, Array[(Long, Array[Float])], Array[Double])] = {
     import s.implicits._
-    val all = e.select("vec_id", "embedding").as[(Long, Array[Float])]
-      .collect().sortBy(_._1)
-    val n = all.length
-    val norms = all.map { case (_, v) =>
-      var acc = 0.0; var i = 0
-      while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
-      math.sqrt(acc)
-    }
-    val bc = s.sparkContext.broadcast((all, norms))
-    s.range(0, n).repartition(s.sparkContext.defaultParallelism)
-      .as[Long].mapPartitions { it =>
-        val (vecs, nrm) = bc.value
-        it.flatMap { li =>
-          val i = li.toInt
-          val (id1, v1) = vecs(i)
-          if (!leftIds(id1) && !allPairs) Iterator.empty
-          else if (allPairs && !leftIds(id1)) Iterator.empty
-          else {
-            val from = if (allPairs) i + 1 else 0
-            (from until n).iterator.filter(j => allPairs || j != i).map { j =>
-              val (id2, v2) = vecs(j)
+    e.select("vec_id", "embedding").as[(Long, Array[Float])]
+      .groupByKey { case (id, _) => (id % nBlocks).toInt }
+      .mapGroups { (b, it) =>
+        val arr = it.toArray.sortBy(_._1)
+        val norms = arr.map { case (_, v) =>
+          var acc = 0.0; var i = 0
+          while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
+          math.sqrt(acc)
+        }
+        (b, arr, norms)
+      }
+  }
+
+  /** Block-tiled exact pairwise cosine (round-2 rewrite): the round-1
+    * kernel collected the whole vector table to the driver and broadcast
+    * it — an immediate driver OOM at 100× data. Here vectors are packed
+    * into blocks (one shuffle), the (left-block × right-block) join
+    * enumerates one tile per task, and each task runs the same tight
+    * double loop over its two packed arrays. No `.collect()`, no corpus
+    * broadcast; the per-pair left-to-right accumulation order is
+    * unchanged, so scores are bit-identical to the round-1 kernel.
+    * For `allPairs` (self-grid) only the upper triangle of tiles runs and
+    * every unordered pair is emitted exactly once as (min id, max id).
+    * Emits (id1, id2, cos) for the decimal/rank logic downstream. */
+  private def pairwiseCosine(s: org.apache.spark.sql.SparkSession,
+      left: DataFrame, right: DataFrame, allPairs: Boolean): DataFrame = {
+    import s.implicits._
+    val bl = blockify(s, left, CosineBlocks).toDF("b1", "arr1", "nrm1")
+    val br = blockify(s, right, CosineBlocks).toDF("b2", "arr2", "nrm2")
+    val tiles = if (allPairs) bl.join(br, col("b1") <= col("b2")) else bl.crossJoin(br)
+    tiles.as[(Int, Array[(Long, Array[Float])], Array[Double],
+              Int, Array[(Long, Array[Float])], Array[Double])]
+      .flatMap { case (b1, a1, n1, b2, a2, n2) =>
+        val out = Array.newBuilder[(Long, Long, Double)]
+        var i = 0
+        while (i < a1.length) {
+          val (id1, v1) = a1(i)
+          var j = 0
+          while (j < a2.length) {
+            val (id2, v2) = a2(j)
+            val emit =
+              if (allPairs) { if (b1 == b2) id1 < id2 else id1 != id2 }
+              else id1 != id2
+            if (emit) {
               var acc = 0.0; var k = 0
               while (k < v1.length) { acc += v1(k).toDouble * v2(k).toDouble; k += 1 }
-              (id1, id2, acc / (nrm(i) * nrm(j)))
+              val cos = acc / (n1(i) * n2(j))
+              if (allPairs && id1 > id2) out += ((id2, id1, cos))
+              else out += ((id1, id2, cos))
             }
+            j += 1
           }
+          i += 1
         }
+        out.result().iterator
       }.toDF("id1", "id2", "cos")
   }
 
   /** Exact top-5 cosine neighbors for each query vector (label = 0).
     * Scores are rounded to DECIMAL(18,6) before ranking with a vec_id
     * tiebreak, and only ids are output (float last-ulp differences between
-    * engines cannot flip the hash — SURVEY.md §2.10 caution). */
+    * engines cannot flip the hash — SURVEY.md §2.10 caution). The query
+    * side stays a DataFrame end to end — no driver-side id-set collect. */
   val simTopkCosine: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
-    val qids = e.filter(col("label") === 0).select("vec_id")
-      .collect().map(_.getLong(0)).toSet
+    val q = e.filter(col("label") === 0)
     val w = Window.partitionBy("qid").orderBy(col("cos_d").desc, col("nid"))
-    pairwiseCosine(s, e, qids.contains, allPairs = false)
+    pairwiseCosine(s, q, e, allPairs = false)
       .select(col("id1").as("qid"), col("id2").as("nid"),
         col("cos").cast(DecimalType(18, 6)).as("cos_d"))
       .withColumn("rank", row_number().over(w))
@@ -188,7 +210,7 @@ object Llm {
   /** All-pairs variant for [[Analysis.dedupNearEmbedding]]. */
   private[ops] def allPairsCosine(s: org.apache.spark.sql.SparkSession,
       e: DataFrame): DataFrame =
-    pairwiseCosine(s, e, _ => true, allPairs = true)
+    pairwiseCosine(s, e, e, allPairs = true)
 
   /** Approximate nearest neighbors via bucketed random projection LSH on
     * L2-normalized vectors (unit-sphere euclidean ≡ cosine ordering).
