@@ -74,26 +74,63 @@ object Analysis {
                   0L, (a, x) -> a + x) % 2147483647""").as("fp"))
       .orderBy("doc_id")
 
-  /** Shared SimHash fragments (dialect-parametrized like VardaSql). */
-  private def simhashBits(shr: (String, Int) => String): String =
+  /** Shared SimHash fragments (dialect-parametrized like VardaSql).
+    * Four independent 31-bit token hashes feed four 16-bit bit-vote
+    * bands — a 64-bit simhash overall (round-2 widening: the round-1
+    * 16-bit key had only 65,536 join buckets, a quadratic per-bucket
+    * blow-up at corpus scale; 4×16-bit bands keep the banded-LSH join
+    * shape while the full key space is 2^64). */
+  private val bandMults = Seq(
+    (2654435761L, 16777619L, 31L),
+    (2246822519L, 3266489917L, 97L),
+    (3266489917L, 668265263L, 193L),
+    (668265263L, 2654435761L, 389L))
+  // Constants are CAST AS BIGINT: ascii()/length() are INT32 in both
+  // engines and an INT32×INT32 product overflows (ANSI Spark throws,
+  // DuckDB errors at runtime).
+  private def tokenValue(k: Int): String = {
+    val (m1, m2, m3) = bandMults(k)
+    s"""(length(t) * CAST($m1 AS BIGINT)
+        + ascii(substr(t,1,1)) * CAST($m2 AS BIGINT)
+        + ascii(substr(t,length(t),1)) * CAST($m3 AS BIGINT)) % 2147483647""".stripMargin
+  }
+  private def simhashBits(vcol: String, shr: (String, Int) => String): String =
     (0 until 16).map { b =>
-      s"(CASE WHEN 2 * SUM(${shr("v", b)} & 1) >= COUNT(*) THEN 1 ELSE 0 END) * ${1 << b}"
+      s"(CASE WHEN 2 * SUM(${shr(vcol, b)} & 1) >= COUNT(*) THEN 1 ELSE 0 END) * ${1 << b}"
     }.mkString(" + ")
-  private val tokenValue =
-    "(length(t)*2654435761 + ascii(substr(t,1,1))*16777619 + ascii(substr(t,length(t),1))*31) % 2147483647"
 
-  /** SimHash near-dup: 16-bit simhash over distinct 3-word shingles;
-    * pairs with identical simhash are duplicate candidates. */
+  /** SimHash near-dup over distinct 3-word shingles: pairs whose 64-bit
+    * simhashes differ in at most 3 bits. Candidates come from a banded
+    * equi-join — any pair within hamming 3 of each other leaves at least
+    * one of the 4 bands untouched (pigeonhole), so the band join plus the
+    * exact hamming verify is semantics-identical to the naive all-pairs
+    * join the oracle runs, while shuffling only band-bucket collisions. */
   val dedupSimhash: Q = (s, d) => {
     val sh = Llm.shingles(Tables.documents(s, d))
       .select(col("doc_id"), col("shingle").as("t"))
-      .withColumn("v", expr(tokenValue))
-    val simh = sh.groupBy("doc_id")
-      .agg(expr(simhashBits((x, n) => s"shiftright($x, $n)")).as("simhash"))
-    simh.as("a").join(simh.as("b"),
-        col("a.simhash") === col("b.simhash") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        col("a.simhash").as("simhash"))
+    val withV = (0 until 4).foldLeft(sh)((df, k) =>
+      df.withColumn(s"v$k", expr(tokenValue(k))))
+    val bandAggs = (0 until 4).map(k =>
+      expr(simhashBits(s"v$k", (x, n) => s"shiftright($x, $n)")).as(s"b$k"))
+    val simh = withV.groupBy("doc_id").agg(bandAggs.head, bandAggs.tail: _*)
+    val bands = simh.select(col("doc_id"), explode(array(
+        (0 until 4).map(k => struct(lit(k).as("band_id"), col(s"b$k").as("bv"))): _*)).as("e"))
+      .select(col("doc_id"), col("e.band_id"), col("e.bv"))
+    val cands = bands.as("a").join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.bv") === col("b.bv")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val left = simh.select(col("doc_id").as("d1") +:
+      (0 until 4).map(k => col(s"b$k").as(s"x$k")): _*)
+    val right = simh.select(col("doc_id").as("d2") +:
+      (0 until 4).map(k => col(s"b$k").as(s"y$k")): _*)
+    val hamming = (0 until 4).map(k =>
+      bit_count(col(s"x$k").bitwiseXOR(col(s"y$k")))).reduce(_ + _)
+    cands.join(left, "d1").join(right, "d2")
+      .withColumn("hamming", hamming.cast(LongType))
+      .filter(col("hamming") <= 3)
+      .select("d1", "d2", "hamming")
       .orderBy("d1", "d2")
   }
 
@@ -159,14 +196,20 @@ object Analysis {
                    + ascii(substr(ws[i],length(ws[i]),1))) * i)) % 2147483647 AS BIGINT) AS fp
          FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t
          ORDER BY doc_id""",
-    "dedup_simhash" ->
+    "dedup_simhash" -> {
+      val vCols = (0 until 4).map(k => s"${tokenValue(k)} AS v$k").mkString(", ")
+      val bCols = (0 until 4)
+        .map(k => s"${simhashBits(s"v$k", (x, n) => s"($x >> $n)")} AS b$k")
+        .mkString(", ")
+      val ham = (0 until 4).map(k => s"bit_count(xor(a.b$k, b.b$k))").mkString(" + ")
       s"""WITH sh AS ($shingleSqlDuck),
-            v AS (SELECT doc_id, $tokenValue AS v FROM sh),
-            simh AS (SELECT doc_id, ${simhashBits((x, n) => s"($x >> $n)")} AS simhash
-                     FROM v GROUP BY doc_id)
-          SELECT a.doc_id AS d1, b.doc_id AS d2, a.simhash AS simhash
-          FROM simh a JOIN simh b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
-          ORDER BY d1, d2""",
+            v AS (SELECT doc_id, $vCols FROM sh),
+            simh AS (SELECT doc_id, $bCols FROM v GROUP BY doc_id)
+          SELECT a.doc_id AS d1, b.doc_id AS d2, CAST($ham AS BIGINT) AS hamming
+          FROM simh a JOIN simh b ON a.doc_id < b.doc_id
+          WHERE $ham <= 3
+          ORDER BY d1, d2"""
+    },
     "dedup_near_embedding" ->
       """SELECT a.vec_id AS d1, b.vec_id AS d2
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
