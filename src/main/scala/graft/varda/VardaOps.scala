@@ -28,6 +28,7 @@ object VardaOps {
   }
   def obs(s: SparkSession, d: String): DataFrame = fixture(s, d, observations)
   def cov(s: SparkSession, d: String): DataFrame = fixture(s, d, coverage)
+  def smp(s: SparkSession, d: String): DataFrame = fixture(s, d, VardaSql.samples)
   def alleles(s: SparkSession, d: String): DataFrame = fixture(s, d, VardaSql.alleles)
 
   /** Generic power-of-two bucketed containment join. Interval length is
@@ -63,9 +64,26 @@ object VardaOps {
       .drop("bin")
   }
 
-  /** Shared frequency computation; ppm = floor(numer * 1e6 / denom) keeps
-    * the output integer-exact on both engines. */
-  private def frequency(obsDf: DataFrame, covDf: DataFrame, withZyg: Boolean): DataFrame = {
+  /** Per-chromosome ploidy as a Column (mirrors [[VardaSql.ploidyOf]]). */
+  private val ploidy =
+    when(col("chromosome").isin("X", "Y", "MT"), 1).otherwise(2)
+
+  /** Shared frequency computation (varda/tasks.py frequency calc [U]):
+    * numerator = Σ support per variant; denominator = Σ over covering
+    * samples of pool_size × ploidy(chromosome), where a sample covers a
+    * position if one of its regions contains it (counted once regardless
+    * of overlapping regions) and a sample WITHOUT a coverage profile
+    * covers everything (SURVEY.md §1 item 3). The coverage-less sample
+    * set is dimension-sized, so its contribution is a broadcast cross
+    * join — no extra shuffle at 100 TB. ppm = floor(numer * 1e6 / denom)
+    * keeps the output integer-exact on both engines. `sampleFilter`
+    * restricts observations, coverage and the sample universe alike
+    * (varda_sample_expr). */
+  private def frequency(s: SparkSession, d: String, withZyg: Boolean,
+      sampleFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    def filtered(df: DataFrame) = sampleFilter.map(df.filter).getOrElse(df)
+    val obsDf = filtered(obs(s, d))
+    val covDf = filtered(cov(s, d))
     val baseAgg = sum(col("support")).cast(LongType).as("numer")
     val zygAggs = if (withZyg) Seq(
       sum(when(col("zygosity") === "heterozygous", col("support")).otherwise(0))
@@ -76,9 +94,15 @@ object VardaOps {
     val numer = obsDf.groupBy("chromosome", "position", "reference", "observed")
       .agg(baseAgg, zygAggs: _*)
     val pts = obsDf.select("chromosome", "position").distinct()
-    val denom = bucketedContainment(pts, covDf)
+    val covSmp = bucketedContainment(pts, covDf)
+      .select("chromosome", "position", "sample_id", "pool_size").distinct()
+    val uncovSmp = pts.crossJoin(broadcast(
+      filtered(smp(s, d)).filter(!col("has_coverage"))
+        .select("sample_id", "pool_size")))
+      .select("chromosome", "position", "sample_id", "pool_size")
+    val denom = covSmp.unionByName(uncovSmp)
       .groupBy("chromosome", "position")
-      .agg(sum(col("pool_size") * 2).cast(LongType).as("denom"))
+      .agg(sum(col("pool_size") * ploidy).cast(LongType).as("denom"))
     def ppm(n: String, out: String) =
       expr(s"cast(($n * 1000000) div nullif(denom, 0) as bigint)").as(out)
     val outCols = Seq(col("chromosome"), col("position"), col("reference"),
@@ -92,21 +116,27 @@ object VardaOps {
   // ---- §2.1 [D] text-format ingest -------------------------------------
 
   /** VCF-shaped text ingest: serialize observations to `;`-delimited
-    * lines, then parse back to typed columns (lossless round trip —
-    * varda/tasks.py :: import_variation [U]). */
+    * lines — every 5th line carrying a comma-separated multi-ALT field —
+    * then parse back to typed columns with one output row per alt allele
+    * (`explode(split(alt, ','))`, the VCF multi-ALT fan-out —
+    * varda/tasks.py :: import_variation [U], round-2 addition). */
   val sourceVcf: Q = (s, d) => {
+    val altField = when(col("obs_id") % 5 === 0,
+      concat(col("observed"), lit(","),
+        expr("substr('ACGT', CAST((obs_id + 2) % 4 AS INT) + 1, 1)")))
+      .otherwise(col("observed"))
     val lines = obs(s, d).select(concat_ws(";",
       col("obs_id"), col("chromosome"), col("position"),
-      col("reference"), col("observed"), col("support")).as("line"))
+      col("reference"), altField, col("support")).as("line"))
     lines.select(split(col("line"), ";").as("f"))
       .select(
         element_at(col("f"), 1).cast(LongType).as("obs_id"),
         element_at(col("f"), 2).as("chromosome"),
         element_at(col("f"), 3).cast(LongType).as("position"),
         element_at(col("f"), 4).as("reference"),
-        element_at(col("f"), 5).as("observed"),
+        explode(split(element_at(col("f"), 5), ",")).as("observed"),
         element_at(col("f"), 6).cast(IntegerType).as("support"))
-      .orderBy("obs_id")
+      .orderBy("obs_id", "observed")
   }
 
   /** BED-shaped interval ingest (varda/tasks.py :: import_coverage [U]). */
@@ -137,7 +167,7 @@ object VardaOps {
 
   /** Frequency as a plain grouped-sums ratio (no zygosity split). */
   val aggFreqRatio: Q = (s, d) =>
-    frequency(obs(s, d), cov(s, d), withZyg = false)
+    frequency(s, d, withZyg = false)
       .orderBy("chromosome", "position", "reference", "observed")
 
   // ---- §2.11 composites ------------------------------------------------
@@ -169,7 +199,7 @@ object VardaOps {
 
   /** End-to-end frequency with het/hom split (varda/tasks.py [U]). */
   val vardaFrequency: Q = (s, d) =>
-    frequency(obs(s, d), cov(s, d), withZyg = true)
+    frequency(s, d, withZyg = true)
       .orderBy("chromosome", "position", "reference", "observed")
 
   /** Sample tags for the expression language; mirrored literally in the
@@ -186,7 +216,7 @@ object VardaOps {
     * expression language (varda/expressions.py [U]). */
   val vardaSampleExpr: Q = (s, d) => {
     val pred = ExprLang.parse(sampleExprInput, sampleTags)
-    frequency(obs(s, d).filter(pred), cov(s, d).filter(pred), withZyg = false)
+    frequency(s, d, withZyg = false, sampleFilter = Some(pred))
       .orderBy("chromosome", "position", "reference", "observed")
   }
 
@@ -199,7 +229,7 @@ object VardaOps {
         (col("position") + when(col("obs_id") % 4 === 0, 1).otherwise(0)).as("position"),
         col("reference"), col("observed"))
       .distinct()
-    val freq = frequency(obs(s, d), cov(s, d), withZyg = false)
+    val freq = frequency(s, d, withZyg = false)
       .select("chromosome", "position", "reference", "observed", "freq_ppm")
     input.join(freq, Seq("chromosome", "position", "reference", "observed"), "left")
       .select(col("chromosome"), col("position"), col("reference"), col("observed"),
@@ -224,9 +254,15 @@ object VardaOps {
 
   val oracle: Map[String, String] = Map(
     "source_vcf" ->
-      s"""WITH obs AS ($observations)
-          SELECT obs_id, chromosome, position, reference, observed, support
-          FROM obs ORDER BY obs_id""",
+      s"""WITH obs AS ($observations),
+          lines AS (SELECT obs_id, chromosome, position, reference,
+                      CASE WHEN obs_id % 5 = 0
+                           THEN observed || ',' || substr('ACGT', CAST((obs_id + 2) % 4 AS INT) + 1, 1)
+                           ELSE observed END AS alt_field,
+                      support FROM obs)
+          SELECT obs_id, chromosome, position, reference,
+                 unnest(string_split(alt_field, ',')) AS observed, support
+          FROM lines ORDER BY obs_id, observed""",
     "source_bed" ->
       s"""WITH cov AS ($coverage)
           SELECT region_id, chromosome, begin_pos, end_pos, sample_id, pool_size

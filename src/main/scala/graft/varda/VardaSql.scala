@@ -9,12 +9,24 @@ package graft.varda
   */
 object VardaSql {
 
+  /** Chromosome name for derivation key k ∈ 0..21: autosomes '1'..'20'
+    * plus 'X' and 'MT', so non-diploid chromosomes exercise the
+    * ploidy-aware denominator (round-2; SURVEY.md §1 item 3). */
+  def chromName(k: String): String =
+    s"(CASE WHEN ($k) = 20 THEN 'X' WHEN ($k) = 21 THEN 'MT' ELSE CAST(1 + ($k) AS STRING) END)"
+
+  /** Per-chromosome ploidy — data, not a constant (varda stores ploidy
+    * with the sample/chromosome; this fixture pins the simplified map:
+    * haploid X/Y/MT, diploid autosomes). */
+  def ploidyOf(chrom: String): String =
+    s"(CASE WHEN $chrom IN ('X', 'Y', 'MT') THEN 1 ELSE 2 END)"
+
   /** observations — VCF-import output shape, derived from events
     * (FIXTURES.md §2.1; varda/tasks.py :: import_variation [U]). */
   val observations: String =
-    """SELECT
+    s"""SELECT
          event_id                                        AS obs_id,
-         CAST(1 + user_id % 22 AS STRING)                AS chromosome,
+         ${chromName("user_id % 22")}                    AS chromosome,
          CAST(1000 + (event_id * 37) % 100000 AS BIGINT) AS position,
          substr('ACGT', CAST(event_id % 4 AS INT) + 1, 1)       AS reference,
          substr('ACGT', CAST((event_id + 1) % 4 AS INT) + 1, 1) AS observed,
@@ -24,19 +36,34 @@ object VardaSql {
               ELSE 'heterozygous' END                    AS zygosity
        FROM events"""
 
+  /** samples — the sample universe with per-sample pool size and whether
+    * a coverage profile was imported. Samples 0, 7 and 14 have NO
+    * coverage profile and therefore count as covering every position
+    * (the reference's core frequency semantic, varda/tasks.py [U];
+    * SURVEY.md §1 item 3). */
+  val samples: String =
+    """SELECT DISTINCT
+         user_id % 20                        AS sample_id,
+         CAST(1 + (user_id % 20) % 3 AS INT) AS pool_size,
+         (user_id % 20) % 7 <> 0             AS has_coverage
+       FROM events"""
+
   /** coverage — BED-import output shape, derived from orders
     * (FIXTURES.md §2.2; varda/tasks.py :: import_coverage [U]).
-    * Intervals are [begin_pos, end_pos] inclusive, length 500-1100. */
+    * Intervals are [begin_pos, end_pos] inclusive, length 500-1100.
+    * Only samples with a coverage profile have rows here; pool_size is
+    * the per-sample value (consistent with `samples`). */
   val coverage: String =
-    """SELECT
+    s"""SELECT
          o_orderkey                                       AS region_id,
-         CAST(1 + o_custkey % 22 AS STRING)               AS chromosome,
+         ${chromName("o_custkey % 22")}                   AS chromosome,
          CAST((o_orderkey * 53) % 100000 AS BIGINT)       AS begin_pos,
          CAST((o_orderkey * 53) % 100000
               + 500 + (o_orderkey % 7) * 100 AS BIGINT)   AS end_pos,
          o_custkey % 20                                   AS sample_id,
-         CAST(1 + o_orderkey % 3 AS INT)                  AS pool_size
-       FROM orders"""
+         CAST(1 + (o_custkey % 20) % 3 AS INT)            AS pool_size
+       FROM orders
+       WHERE (o_custkey % 20) % 7 <> 0"""
 
   /** alleles — un-normalized (ref, alt) pairs from part
     * (FIXTURES.md §2.5; <= 4 chars by construction). */
@@ -100,14 +127,19 @@ object VardaSql {
 
   /** The varda frequency computation (FIXTURES.md §2.3;
     * varda/tasks.py frequency calc [U]) as oracle SQL: per-variant
-    * SUM(support) over observations, divided by SUM(2 * pool_size) over
-    * the coverage regions containing the position. Frequencies are
-    * reported in integer parts-per-million (floor) so both engines agree
-    * bit-for-bit — no decimal-division rounding-mode dependence.
-    * `sampleFilter` restricts both inputs (varda_sample_expr). */
+    * SUM(support) over observations, divided by Σ over covering samples
+    * of pool_size × ploidy(chromosome). A sample covers a position if
+    * one of its coverage regions contains it — counted once however many
+    * regions overlap — and a sample with no coverage profile covers
+    * every position (SURVEY.md §1 item 3). Frequencies are reported in
+    * integer parts-per-million (floor) so both engines agree bit-for-bit
+    * — no decimal-division rounding-mode dependence. `sampleFilter`
+    * restricts observations, coverage AND the sample universe
+    * (varda_sample_expr). */
   def frequencySql(withZyg: Boolean, sampleFilter: Option[String],
       idiv: (String, String) => String): String = {
     val filt = sampleFilter.map(f => s" WHERE $f").getOrElse("")
+    val uncovFilt = sampleFilter.map(f => s" AND $f").getOrElse("")
     val zygCols = if (withZyg)
       """,
          CAST(SUM(CASE WHEN zygosity = 'heterozygous' THEN support ELSE 0 END) AS BIGINT) AS numer_het,
@@ -120,15 +152,22 @@ object VardaSql {
     else ""
     s"""WITH obs_f AS (SELECT * FROM ($observations) oo$filt),
         cov_f AS (SELECT * FROM ($coverage) cc$filt),
+        pts AS (SELECT DISTINCT chromosome, position FROM obs_f),
         numer AS (SELECT chromosome, position, reference, observed,
                     CAST(SUM(support) AS BIGINT) AS numer$zygCols
                   FROM obs_f GROUP BY chromosome, position, reference, observed),
-        denom AS (SELECT p.chromosome, p.position,
-                    CAST(SUM(2 * c.pool_size) AS BIGINT) AS denom
-                  FROM (SELECT DISTINCT chromosome, position FROM obs_f) p
-                  JOIN cov_f c ON p.chromosome = c.chromosome
-                    AND p.position BETWEEN c.begin_pos AND c.end_pos
-                  GROUP BY p.chromosome, p.position)
+        cov_smp AS (SELECT DISTINCT p.chromosome, p.position,
+                      c.sample_id, c.pool_size
+                    FROM pts p JOIN cov_f c ON p.chromosome = c.chromosome
+                      AND p.position BETWEEN c.begin_pos AND c.end_pos),
+        uncov_smp AS (SELECT p.chromosome, p.position, s.sample_id, s.pool_size
+                      FROM pts p CROSS JOIN (
+                        SELECT sample_id, pool_size FROM ($samples) ss
+                        WHERE NOT has_coverage$uncovFilt) s),
+        denom AS (SELECT chromosome, position,
+                    CAST(SUM(pool_size * ${ploidyOf("chromosome")}) AS BIGINT) AS denom
+                  FROM (SELECT * FROM cov_smp UNION ALL SELECT * FROM uncov_smp) u
+                  GROUP BY chromosome, position)
         SELECT n.chromosome, n.position, n.reference, n.observed,
           n.numer, d.denom,
           CAST(${idiv("n.numer * 1000000", "NULLIF(d.denom, 0)")} AS BIGINT) AS freq_ppm$zygOut
