@@ -72,27 +72,35 @@ object RewriteIntervalJoin extends Rule[LogicalPlan] {
       else if (refsOf(e).subsetOf(right.outputSet)) Some(false)
       else None
 
-    // find p >= lo and p <= hi with p on one side, bounds on the other
-    val geq = preds.collectFirst {
-      case GreaterThanOrEqual(p, lo)
+    // Every inequality yields one "p >= lo" reading, but which comparison
+    // is the lower bound is ambiguous from a single predicate: for a
+    // condition written upper-bound-first (a.p <= b.hi AND a.p >= b.lo),
+    // the first predicate reads as p := b.hi >= lo := a.p, and no
+    // matching upper bound exists for that binding. So collect ALL
+    // candidate (p, lo) readings and try each against the remaining
+    // predicates — predicate order can no longer decide whether the
+    // rewrite fires (round-2 fix).
+    val geqCands = preds.zipWithIndex.flatMap {
+      case (GreaterThanOrEqual(p, lo), i)
           if sideOf(p).isDefined && sideOf(lo).isDefined && sideOf(p) != sideOf(lo) =>
-        (p, lo)
-      case LessThanOrEqual(lo, p)
+        Seq((p, lo, i))
+      case (LessThanOrEqual(lo, p), i)
           if sideOf(p).isDefined && sideOf(lo).isDefined && sideOf(p) != sideOf(lo) =>
-        (p, lo)
+        Seq((p, lo, i))
+      case _ => Nil
     }
-    geq.flatMap { case (p, lo) =>
-      val leq = preds.collectFirst {
-        case LessThanOrEqual(p2, hi)
-            if p2.semanticEquals(p) && sideOf(hi) == sideOf(lo) => hi
-        case GreaterThanOrEqual(hi, p2)
-            if p2.semanticEquals(p) && sideOf(hi) == sideOf(lo) => hi
+    geqCands.view.flatMap { case (p, lo, i) =>
+      val leq = preds.zipWithIndex.collectFirst {
+        case (LessThanOrEqual(p2, hi), k)
+            if k != i && p2.semanticEquals(p) && sideOf(hi) == sideOf(lo) => hi
+        case (GreaterThanOrEqual(hi, p2), k)
+            if k != i && p2.semanticEquals(p) && sideOf(hi) == sideOf(lo) => hi
       }
       leq.filter { _ =>
         // only integral point/bounds (the binning arithmetic domain)
         import org.apache.spark.sql.types._
         Seq(ByteType, ShortType, IntegerType, LongType).contains(p.dataType)
-      }.flatMap { hi =>
+      }.map { hi =>
         val pointOnLeft = sideOf(p).get
         val (pointPlan, intervalPlan) = if (pointOnLeft) (left, right) else (right, left)
 
@@ -112,9 +120,9 @@ object RewriteIntervalJoin extends Rule[LogicalPlan] {
           if (pointOnLeft) (gen: LogicalPlan, proj: LogicalPlan)
           else (proj: LogicalPlan, gen: LogicalPlan)
         // restore the original output (drop the helper bin columns)
-        Some(Project(j.output, Join(nl, nr, Inner, Some(newCond), hint)))
+        Project(j.output, Join(nl, nr, Inner, Some(newCond), hint))
       }
-    }
+    }.headOption
   }
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {

@@ -69,6 +69,26 @@ class RewriteIntervalJoinSpec extends AnyFunSuite {
       s"missing=${expected.diff(got).take(5)} extra=${got.diff(expected).take(5)}")
   }
 
+  test("fires regardless of predicate order (upper bound written first)") {
+    val (points, regions) = data()
+    // upper-bound-first: p <= hi AND p >= lo — round-1 binding bug made
+    // the rewrite silently never fire for this orientation. Build the
+    // frame fresh per run: queryExecution is a cached lazy val.
+    def joined() = points.join(regions,
+      points("chromosome") === regions("chromosome")
+        && points("position") <= regions("end_pos")
+        && points("position") >= regions("begin_pos"))
+      .select(points("obs_id"), regions("region_id"))
+    val expected = joined().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    withRule {
+      val fresh = joined()
+      val after = fresh.queryExecution.optimizedPlan.toString
+      assert(after.contains("__graft_bin_p"), s"rule did not fire:\n$after")
+      val got = fresh.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected)
+    }
+  }
+
   test("rule is inert when the conf flag is off or shape doesn't match") {
     val (points, regions) = data()
     spark.experimental.extraOptimizations = Seq(RewriteIntervalJoin)
