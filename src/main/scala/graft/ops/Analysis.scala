@@ -112,25 +112,26 @@ object Analysis {
       df.withColumn(s"v$k", expr(tokenValue(k))))
     val bandAggs = (0 until 4).map(k =>
       expr(simhashBits(s"v$k", (x, n) => s"shiftright($x, $n)")).as(s"b$k"))
+    // One row per doc — persist so the self-join's two sides read the
+    // materialized table instead of re-running the shingle explode + agg
+    // (at 100 TB the signature table is the persisted asset; the corpus
+    // is scanned once).
     val simh = withV.groupBy("doc_id").agg(bandAggs.head, bandAggs.tail: _*)
-    val bands = simh.select(col("doc_id"), explode(array(
-        (0 until 4).map(k => struct(lit(k).as("band_id"), col(s"b$k").as("bv"))): _*)).as("e"))
-      .select(col("doc_id"), col("e.band_id"), col("e.bv"))
-    val cands = bands.as("a").join(bands.as("b"),
-        col("a.band_id") === col("b.band_id") && col("a.bv") === col("b.bv")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
-    val left = simh.select(col("doc_id").as("d1") +:
-      (0 until 4).map(k => col(s"b$k").as(s"x$k")): _*)
-    val right = simh.select(col("doc_id").as("d2") +:
-      (0 until 4).map(k => col(s"b$k").as(s"y$k")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Band rows carry all four bands, so the candidate equi-join already
+    // has both sides' full simhash — no join-back needed.
+    val bands = simh.select(col("doc_id") +: (0 until 4).map(k => col(s"b$k")) :+
+      explode(array((0 until 4).map(k =>
+        struct(lit(k).as("band_id"), col(s"b$k").as("bv"))): _*)).as("e"): _*)
     val hamming = (0 until 4).map(k =>
-      bit_count(col(s"x$k").bitwiseXOR(col(s"y$k")))).reduce(_ + _)
-    cands.join(left, "d1").join(right, "d2")
-      .withColumn("hamming", hamming.cast(LongType))
+      bit_count(col(s"a.b$k").bitwiseXOR(col(s"b.b$k")))).reduce(_ + _)
+    bands.as("a").join(bands.as("b"),
+        col("a.e.band_id") === col("b.e.band_id") && col("a.e.bv") === col("b.e.bv")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        hamming.cast(LongType).as("hamming"))
+      .distinct() // a pair may collide in several bands — count it once
       .filter(col("hamming") <= 3)
-      .select("d1", "d2", "hamming")
       .orderBy("d1", "d2")
   }
 

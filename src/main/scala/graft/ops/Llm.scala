@@ -208,7 +208,7 @@ object Llm {
   }
 
   /** All-pairs variant for [[Analysis.dedupNearEmbedding]]. */
-  private[ops] def allPairsCosine(s: org.apache.spark.sql.SparkSession,
+  private[graft] def allPairsCosine(s: org.apache.spark.sql.SparkSession,
       e: DataFrame): DataFrame =
     pairwiseCosine(s, e, e, allPairs = true)
 

@@ -82,8 +82,14 @@ object VardaOps {
   private def frequency(s: SparkSession, d: String, withZyg: Boolean,
       sampleFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     def filtered(df: DataFrame) = sampleFilter.map(df.filter).getOrElse(df)
-    val obsDf = filtered(obs(s, d))
-    val covDf = filtered(cov(s, d))
+    frequencyFrom(filtered(obs(s, d)), filtered(cov(s, d)),
+      filtered(smp(s, d)), withZyg)
+  }
+
+  /** The frequency computation over explicit inputs — the testable core
+    * (FrequencySemanticsSpec drives it with crafted rows). */
+  private[graft] def frequencyFrom(obsDf: DataFrame, covDf: DataFrame,
+      smpDf: DataFrame, withZyg: Boolean): DataFrame = {
     val baseAgg = sum(col("support")).cast(LongType).as("numer")
     val zygAggs = if (withZyg) Seq(
       sum(when(col("zygosity") === "heterozygous", col("support")).otherwise(0))
@@ -97,7 +103,7 @@ object VardaOps {
     val covSmp = bucketedContainment(pts, covDf)
       .select("chromosome", "position", "sample_id", "pool_size").distinct()
     val uncovSmp = pts.crossJoin(broadcast(
-      filtered(smp(s, d)).filter(!col("has_coverage"))
+      smpDf.filter(!col("has_coverage"))
         .select("sample_id", "pool_size")))
       .select("chromosome", "position", "sample_id", "pool_size")
     val denom = covSmp.unionByName(uncovSmp)
