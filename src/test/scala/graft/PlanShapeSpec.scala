@@ -51,6 +51,29 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no partial aggregate below the exchange:\n$p")
   }
 
+  test("dedup_exact shuffles sha256 keys, not document text") {
+    val p = plan("dedup_exact")
+    assert(p.contains("sha2"), s"no sha2 grouping key:\n$p")
+  }
+
+  test("frequency's only nested-loop join is the tiny coverage-less broadcast") {
+    // the pts × coverage-less-samples cross join is a broadcast of <= 3
+    // rows by construction; anything beyond that single BNLJ would mean a
+    // quadratic fallback crept into the interval or aggregation joins
+    for (k <- Seq("varda_frequency", "agg_freq_ratio", "varda_sample_expr")) {
+      val p = plan(k)
+      assert(p.split("BroadcastNestedLoopJoin").length - 1 <= 1,
+        s"$k has more than the one sanctioned BNLJ:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$k planned a cartesian:\n$p")
+    }
+  }
+
+  test("banded simhash candidates come from an equi-join") {
+    val p = plan("dedup_simhash")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"simhash candidate generation fell back to a quadratic join:\n$p")
+  }
+
   test("whole-stage codegen covers the hot aggregation path") {
     // AQE only shows codegen in the final plan, so execute first.
     val df = SparkEntry.queries("agg_groupby_sums")(spark, sf0001)
