@@ -1,0 +1,58 @@
+package graft
+
+import graft.ops.GlobalRank
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The two-pass distributed global rank equals Spark's single-partition
+  * global window — and never plans one. */
+class GlobalRankSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def customers = Tables.customer(spark, sf0001)
+  private val keys = Seq(col("c_acctbal").cast("decimal(18,4)"), col("c_custkey"))
+
+  test("two-pass global row_number equals the single-partition window") {
+    import org.apache.spark.sql.expressions.Window
+    val expected = customers
+      .select(col("c_custkey"),
+        row_number().over(Window.orderBy(keys: _*)).as("rn"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = GlobalRank.withGlobalRowNumber(customers, keys, "rn", 8)
+      .select("c_custkey", "rn")
+      .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    assert(got.size == expected.size)
+    assert(got == expected)
+  }
+
+  test("percentiles match percent_rank/cume_dist under a total order") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(keys: _*)
+    val expected = customers
+      .select(col("c_custkey"),
+        percent_rank().over(w).as("p"), cume_dist().over(w).as("c"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val got = GlobalRank.withGlobalPercentiles(customers, keys, "rn", "p", "c")
+      .select(col("c_custkey"), col("p"), col("c"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got.size == expected.size)
+    got.foreach { case (k, (p, c)) =>
+      val (ep, ec) = expected(k)
+      assert(math.abs(p - ep) < 1e-12 && math.abs(c - ec) < 1e-12,
+        s"custkey $k: ($p,$c) vs ($ep,$ec)")
+    }
+  }
+
+  test("the distributed path plans no global single-partition window") {
+    val df = GlobalRank.withGlobalRowNumber(customers, keys, "rn", 8)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // a partition-less Window shows as "Window [...], [sort...]" with no
+    // partition spec; ours must always partition by the pid column —
+    // assert the only Window operators mention __gr_pid or __gr_offset
+    val windows = p.split("\n").filter(_.contains("Window "))
+    assert(windows.nonEmpty)
+    windows.filterNot(_.contains("count")) // offsets window is O(partitions)
+      .foreach(w => assert(w.contains("__gr_pid"), s"unpartitioned window:\n$w"))
+  }
+}
