@@ -63,15 +63,34 @@ object Windows {
       .orderBy("o_orderkey")
   }
 
+  /** Global analytics over all customers — via the two-pass distributed
+    * rank ([[GlobalRank]]) instead of Spark's partition-less window
+    * (which would move the whole table to one partition; WindowExec warns
+    * exactly that). Under the total order (acctbal, custkey) the
+    * row_number IS the rank, and ntile / percent_rank / cume_dist derive
+    * arithmetically: first (N mod k) buckets get ceil(N/k) rows,
+    * pct = (rn-1)/(N-1), cume = rn/N — the standard SQL definitions both
+    * engines implement, so the oracle (native DuckDB window functions)
+    * still hash-matches. */
   val winNtilePct: Q = (s, d) => {
-    val w = Window.orderBy(dec4(col("c_acctbal")), col("c_custkey"))
-    Tables.customer(s, d)
-      .select(col("c_custkey"),
-        ntile(4).over(w).as("quartile"),
-        scaledLong(percent_rank().over(w).cast(DecimalType(18, 6)), 6)
-          .as("pct_rank_e6"),
-        scaledLong(cume_dist().over(w).cast(DecimalType(18, 6)), 6)
-          .as("cume_e6"))
+    val keys = Seq(dec4(col("c_acctbal")), col("c_custkey"))
+    val n = Tables.customer(s, d).select(count(lit(1)).as("n"))
+    GlobalRank.withGlobalRowNumber(Tables.customer(s, d), keys, "rn")
+      .crossJoin(broadcast(n))
+      .withColumn("q", expr("n div 4"))
+      .withColumn("r", col("n") % 4)
+      .withColumn("quartile",
+        when(col("rn") <= col("r") * (col("q") + 1),
+          expr("(rn - 1) div (q + 1) + 1"))
+        .otherwise(expr("r + (rn - r * (q + 1) - 1) div q + 1")))
+      .withColumn("pct_rank_e6", scaledLong(
+        ((col("rn") - 1).cast(DoubleType) /
+          greatest(col("n") - 1, lit(1L)).cast(DoubleType))
+          .cast(DecimalType(18, 6)), 6))
+      .withColumn("cume_e6", scaledLong(
+        (col("rn").cast(DoubleType) / col("n").cast(DoubleType))
+          .cast(DecimalType(18, 6)), 6))
+      .select(col("c_custkey"), col("quartile"), col("pct_rank_e6"), col("cume_e6"))
       .orderBy("c_custkey")
   }
 
