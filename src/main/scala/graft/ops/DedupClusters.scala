@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Near-dup cluster resolution — the step after pair generation that an
+  * actual dedup pipeline needs: near-dup PAIRS (from jaccard / minhash /
+  * simhash / embedding candidates) form clusters via transitive closure,
+  * and exactly one document survives per cluster.
+  *
+  * Connected components by iterative min-label propagation: every node
+  * starts labeled with itself; each round takes the min label over its
+  * neighborhood; fixpoint in O(component diameter) rounds (near-dup
+  * clusters are shallow — chains longer than a handful of hops are rare).
+  * Each round is one equi-join + one aggregation, both hash-partitioned
+  * on the node id — the same driver-coordinated-iteration shape MLlib and
+  * GraphX use, with only a scalar convergence count on the driver. */
+object DedupClusters {
+
+  /** pairs(d1, d2) → (id, component), component = min doc id reachable.
+    * Only ids that appear in some pair are returned (singletons are their
+    * own component trivially). */
+  def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .unionByName(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint per iteration truncates plan lineage — without it
+    // the logical plan doubles every round and planning itself OOMs long
+    // before the data does
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "b2"), col("b") === col("b2"))
+        .groupBy(col("a").as("id"))
+        .agg(min(col("component")).as("nmin"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nmin"), col("component")))
+            .as("component"),
+          (col("nmin") < col("component")).as("moved"))
+        .localCheckpoint() // materialize; all downstream reads are free
+      val movedCount = updated.filter(col("moved")).count() // scalar only
+      labels = updated.drop("moved")
+      converged = movedCount == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** docs(idCol, ...) ⟕ components: keep one row per near-dup cluster
+    * (the min id) plus every unpaired document — the materialized
+    * "deduplicated corpus" a training pipeline feeds downstream. */
+  def survivors(docs: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    val comp = components(pairs)
+    docs.join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .filter(col("component").isNull || col("component") === col(idCol))
+      .drop("component")
+  }
+}
