@@ -55,8 +55,11 @@ object Llm {
     * index twice. */
   val dedupNearJaccard: Q = (s, d) => {
     val sh = shingles(Tables.documents(s, d))
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("s"))
-    val postings = sh.join(sz, "doc_id")
+    // set size via a window count over the same doc_id shuffle — one scan
+    // of documents and one fewer shuffle than a groupBy+join-back
+    val withSize = sh.withColumn("s",
+      count(lit(1)).over(Window.partitionBy("doc_id")))
+    val postings = withSize
       .groupBy("shingle")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("s")))).as("docs"))
     postings
