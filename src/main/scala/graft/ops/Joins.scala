@@ -108,6 +108,21 @@ object Joins {
       .orderBy("o_orderkey")
   }
 
+  /** Salted equi-join — the explicit skew escape hatch ([[Skew]]): the
+    * fact side's key is salted 8 ways by a row-derived hash and the dim
+    * side is replicated across the salt shards, so one hot supplier key
+    * spreads over 8 reducers instead of stalling one. Result is
+    * row-identical to the plain join (SkewSpec proves equality); the
+    * declared output is the same rows as `join_broadcast`'s shape. */
+  val joinSkewSalted: Q = (s, d) => {
+    val small = Tables.supplier(s, d)
+      .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+    Skew.saltedJoin(Tables.lineitem(s, d), small, "l_suppkey",
+        salts = 8, saltBy = col("l_orderkey") * lit(31) + col("l_linenumber"))
+      .select("l_orderkey", "l_linenumber", "l_suppkey", "s_name")
+      .orderBy("l_orderkey", "l_linenumber", "l_suppkey", "s_name")
+  }
+
   val joinCross: Q = (s, d) => {
     val r = Tables.region(s, d); val n = Tables.nation(s, d)
     r.crossJoin(n)
@@ -125,6 +140,7 @@ object Joins {
     "join_left_anti" -> joinLeftAnti,
     "join_theta" -> joinTheta,
     "join_asof" -> joinAsof,
+    "join_skew_salted" -> joinSkewSalted,
     "join_cross" -> joinCross)
 
   val oracle: Map[String, String] = Map(
@@ -178,6 +194,10 @@ object Joins {
          FROM ord o ASOF LEFT JOIN ev e
            ON o.uk = e.user_id AND e.ts <= o.asof_ts
          ORDER BY o.o_orderkey""",
+    "join_skew_salted" ->
+      """SELECT l_orderkey, l_linenumber, l_suppkey, s_name
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         ORDER BY l_orderkey, l_linenumber, l_suppkey, s_name""",
     "join_cross" ->
       """SELECT r_regionkey, n_nationkey, r_name, n_name
          FROM region CROSS JOIN nation

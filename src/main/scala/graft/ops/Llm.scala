@@ -355,8 +355,33 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** Near-dup cluster resolution, end to end: exact jaccard pairs →
+    * transitive closure ([[DedupClusters]], iterative min-label
+    * propagation — each round one equi-join + one agg, both partitioned on
+    * the node id) → one survivor per cluster (the min doc_id) plus every
+    * unpaired document. This is the step a real dedup pipeline runs after
+    * ANY pair generator (jaccard / minhash / simhash / embedding); the
+    * oracle computes the same closure with a recursive CTE. */
+  val dedupCluster: Q = (s, d) => {
+    val pairs = dedupNearJaccard(s, d).select(col("d1"), col("d2"))
+    DedupClusters.survivors(Tables.documents(s, d), pairs, "doc_id")
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** Declared form of the multimodal feature-extraction path
+    * ([[Multimodal]]): embeddings → encoded binary payloads with typed
+    * metadata → per-item decode → integer feature digests. Exercises the
+    * whole media plumbing (encode, metadata struct, decode UDF, codegen'd
+    * digest math) with a hash-stable all-integer output. */
+  val multimodalFeatures: Q = (s, d) =>
+    Multimodal.featureDigest(Multimodal.mediaTable(s, d))
+      .orderBy("media_id")
+
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> dedupExact,
+    "dedup_cluster" -> dedupCluster,
+    "multimodal_features" -> multimodalFeatures,
     "dedup_near_jaccard" -> dedupNearJaccard,
     "dedup_near_minhash" -> dedupNearMinhash,
     "sim_topk_cosine" -> simTopkCosine,
@@ -370,6 +395,37 @@ object Llm {
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY text ORDER BY keep_id""",
+    "dedup_cluster" ->
+      """WITH RECURSIVE
+            w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            sh AS (SELECT DISTINCT doc_id,
+                     unnest(list_transform(range(1, len(ws) - 1),
+                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+                   FROM w),
+            sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
+            pr AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS ic
+                   FROM sh a JOIN sh b
+                     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+            pairs AS (SELECT d1, d2 FROM pr
+                      JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+                      WHERE ic * 3 >= s1.s + s2.s),
+            edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                      UNION SELECT d2, d1 FROM pairs),
+            reach AS (SELECT a, b FROM edges
+                      UNION
+                      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (SELECT a FROM reach WHERE b < a)
+         ORDER BY doc_id""",
+    "multimodal_features" ->
+      """SELECT vec_id AS media_id,
+           CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+           CAST(len(embedding) AS BIGINT) AS n_px,
+           CAST(list_sum(list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT))) AS BIGINT) AS px_sum_fp,
+           CAST(floor(CAST(list_max(embedding) AS DOUBLE) * 1048576) AS BIGINT) AS max_fp
+         FROM embeddings ORDER BY media_id""",
     "dedup_near_jaccard" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
             sh AS (SELECT DISTINCT doc_id,

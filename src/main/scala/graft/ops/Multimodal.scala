@@ -67,6 +67,25 @@ object Multimodal {
       .withColumn("max_px", array_max(col("px")))
       .drop("px")
 
+  /** Integer feature digest of each payload — the hash-comparable declared
+    * form of [[extractFeatures]]: pixel count plus `Σ floor(x·2^20)` and
+    * `floor(max·2^20)`. Every step is exact binary arithmetic (f32→f64
+    * widen, power-of-two scale, floor), so DuckDB computes the identical
+    * integers from the source vectors (same discipline as
+    * `multimodal_join`'s digest). Only the decode is a UDF; the digest
+    * math runs as codegen'd higher-order array expressions. */
+  def featureDigest(media: DataFrame): DataFrame =
+    media.withColumn("px", decodeUdf(col("payload")))
+      .select(col("media_id"),
+        col("meta.width").cast(LongType).as("width"),
+        col("meta.height").cast(LongType).as("height"),
+        size(col("px")).cast(LongType).as("n_px"),
+        expr("""aggregate(px, 0L,
+                 (a, x) -> a + cast(floor(cast(x as double) * 1048576d) as bigint))""")
+          .as("px_sum_fp"),
+        expr("cast(floor(cast(array_max(px) as double) * 1048576d) as bigint)")
+          .as("max_fp"))
+
   /** 2x downscale by average-pooling 2x2 blocks; payload re-encoded and
     * metadata updated in lockstep. */
   def resizeHalf(media: DataFrame): DataFrame = {

@@ -50,6 +50,23 @@ object Scans {
         get_json_object(col("props"), "$.k").cast(LongType).as("k_val"))
       .orderBy("event_id")
 
+  /** Hive-style partition pruning: write events partitioned by event_type,
+    * read back filtering one partition value. The filter resolves to a
+    * PartitionFilter at planning time (PlanShapeSpec asserts it), so the
+    * scan never lists, opens, or reads the other partitions' files — at
+    * 100 TB that is the difference between reading one partition and
+    * reading the lake. */
+  val sourcePartitionPrune: Q = (s, d) => {
+    val tmp = s"/root/repo/target/tmp/part_prune_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+    s.read.parquet(tmp)
+      .filter(col("event_type") === "click")
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("event_id")
+  }
+
   val projectRenameCast: Q = (s, d) =>
     Tables.lineitem(s, d)
       .select(
@@ -88,6 +105,7 @@ object Scans {
     "scan_projection_pushdown" -> scanProjectionPushdown,
     "source_csv_roundtrip" -> sourceCsvRoundtrip,
     "source_json_lines" -> sourceJsonLines,
+    "source_partition_prune" -> sourcePartitionPrune,
     "project_rename_cast" -> projectRenameCast,
     "filter_conjunct" -> filterConjunct,
     "filter_in_like" -> filterInLike,
@@ -104,6 +122,9 @@ object Scans {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "source_json_lines" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val FROM events ORDER BY event_id",
+    "source_partition_prune" ->
+      """SELECT event_id, user_id, event_type, value
+         FROM events WHERE event_type = 'click' ORDER BY event_id""",
     "project_rename_cast" ->
       """SELECT l_orderkey AS okey, l_linenumber AS line_no,
          CAST(CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS DECIMAL(38,4)) * 10000 AS BIGINT) AS net_price_e4,

@@ -101,6 +101,39 @@ object Streaming {
       .orderBy("ws")
   }
 
+  /** Shared stream-stream interval-join transform: for every click, the
+    * same user's views within the next 4 hours. Equi-key (user_id) +
+    * time-range residual — the join shape Structured Streaming supports
+    * with watermarks on both sides (state eviction needs the time bound),
+    * and the same plan shape as the varda coverage join: hash-partition on
+    * the key, range-filter inside the partition. */
+  def intervalJoinPairs(clicks: DataFrame, views: DataFrame): DataFrame =
+    clicks.join(views,
+        col("a_user") === col("b_user")
+          && col("b_ts") >= col("a_ts")
+          && col("b_ts") <= col("a_ts") + expr("INTERVAL 4 HOURS"))
+      .select(col("a_id"), col("b_id"))
+
+  /** Left side of the interval join (clicks). */
+  def clickSide(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "click")
+      .select(col("event_id").as("a_id"), col("user_id").as("a_user"),
+        col("ts").as("a_ts"))
+
+  /** Right side of the interval join (views). */
+  def viewSide(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "view")
+      .select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+        col("ts").as("b_ts"))
+
+  /** Batch-equivalent declared form; the streaming path (both sides
+    * watermarked, same join condition) is asserted against this in
+    * StreamingSpec. */
+  val streamStreamJoin: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    intervalJoinPairs(clickSide(e), viewSide(e)).orderBy("a_id", "b_id")
+  }
+
   /** Per-user running state, final snapshot: event count + latest
     * event_type. Batch form = groupBy + max_by; streaming form =
     * flatMapGroupsWithState (StreamingSpec asserts the same snapshot). */
@@ -152,6 +185,7 @@ object Streaming {
     "stream_session" -> streamSession,
     "stream_dedup" -> streamDedup,
     "stream_late_watermark" -> streamLateWatermark,
+    "stream_stream_join" -> streamStreamJoin,
     "stream_stateful_running" -> streamStatefulRunning)
 
   val oracle: Map[String, String] = Map(
@@ -184,6 +218,14 @@ object Streaming {
     "stream_dedup" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
          FROM events ORDER BY event_id""",
+    "stream_stream_join" ->
+      """SELECT a.event_id AS a_id, b.event_id AS b_id
+         FROM events a JOIN events b ON a.user_id = b.user_id
+          AND a.event_type = 'click' AND b.event_type = 'view'
+          AND epoch_us(CAST(b.ts AS TIMESTAMP))
+              BETWEEN epoch_us(CAST(a.ts AS TIMESTAMP))
+                  AND epoch_us(CAST(a.ts AS TIMESTAMP)) + CAST(14400000000 AS BIGINT)
+         ORDER BY a_id, b_id""",
     "stream_stateful_running" ->
       """SELECT c.user_id, c.n_events, l.event_type AS last_type
          FROM (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id) c

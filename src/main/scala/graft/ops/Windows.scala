@@ -94,6 +94,17 @@ object Windows {
       .orderBy("c_custkey")
   }
 
+  /** Global rank of every order by price — declared form of [[GlobalRank]]:
+    * range-repartition on the sort key, rank locally, add broadcast
+    * per-partition offsets. Same result as a partition-less row_number
+    * window without moving the table to one partition — the rank an
+    * operator at fact-table scale has to use. */
+  val winGlobalRank: Q = (s, d) =>
+    GlobalRank.withGlobalRowNumber(Tables.orders(s, d),
+        Seq(dec4(col("o_totalprice")).desc, col("o_orderkey")), "global_rank")
+      .select(col("o_orderkey"), col("global_rank"))
+      .orderBy("o_orderkey")
+
   val winFirstLast: Q = (s, d) => {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -110,6 +121,7 @@ object Windows {
     "win_running_sum" -> winRunningSum,
     "win_range_frame" -> winRangeFrame,
     "win_ntile_pct" -> winNtilePct,
+    "win_global_rank" -> winGlobalRank,
     "win_first_last" -> winFirstLast)
 
   val oracle: Map[String, String] = Map(
@@ -151,6 +163,11 @@ object Windows {
          FROM customer
          WINDOW w AS (ORDER BY CAST(c_acctbal AS DECIMAL(18,4)), c_custkey)
          ORDER BY c_custkey""",
+    "win_global_rank" ->
+      """SELECT o_orderkey,
+           row_number() OVER (ORDER BY CAST(o_totalprice AS DECIMAL(18,4)) DESC,
+                              o_orderkey) AS global_rank
+         FROM orders ORDER BY o_orderkey""",
     "win_first_last" ->
       """SELECT event_id,
            first_value(event_type) OVER w AS first_type,

@@ -17,7 +17,7 @@ class AllQueriesSpec extends AnyFunSuite {
     assert(noOracle == Set("agg_approx_hll", "stream_late_watermark",
       "dedup_near_minhash", "sim_ann_lsh", "sim_ann_ivf"),
       s"unexpected no-oracle keys: $noOracle")
-    assert(q.size == 79, s"expected 79 declared keys, got ${q.size}")
+    assert(q.size == 85, s"expected 85 declared keys, got ${q.size}")
   }
 
   test("entry returns rows") {

@@ -33,6 +33,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no pushed filters:\n$p")
   }
 
+  test("source_partition_prune resolves the filter to a partition filter") {
+    val p = plan("source_partition_prune")
+    assert("PartitionFilters: \\[[^\\]]*event_type".r.findFirstIn(p).isDefined,
+      s"event_type filter did not become a PartitionFilter:\n$p")
+  }
+
+  test("join_skew_salted joins on the salted key (equi-join, dim replicated)") {
+    val p = plan("join_skew_salted")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"salted join fell back to a non-equi plan:\n$p")
+    assert(p.contains("__salt"), s"no salt column in the join plan:\n$p")
+  }
+
   test("topk_global plans TakeOrderedAndProject (no full sort+shuffle)") {
     assert(plan("topk_global").contains("TakeOrderedAndProject"))
   }

@@ -104,6 +104,34 @@ class StreamingSpec extends AnyFunSuite {
       "exact 30-minute delta must extend the session (touching windows merge)")
   }
 
+  test("stream-stream interval join with watermarks equals the batch join") {
+    import spark.implicits._
+    val clicks = Seq(
+      ev(1, "2024-01-01 10:00:00"),
+      ev(2, "2024-01-01 20:00:00"),
+      ev(3, "2024-01-01 10:30:00", uid = 2))
+    val views = Seq(
+      ev(10, "2024-01-01 11:00:00", typ = "view"),  // in 1's window
+      ev(11, "2024-01-01 15:00:00", typ = "view"),  // outside (> 4 h after 1)
+      ev(12, "2024-01-01 10:45:00", uid = 2, typ = "view"), // in 3's window
+      ev(13, "2024-01-01 09:00:00", uid = 2, typ = "view")) // before 3
+    val msA = MemoryStream[EvRow](spark); val msB = MemoryStream[EvRow](spark)
+    msA.addData(clicks); msB.addData(views)
+    val sa = Streaming.clickSide(msA.toDF()).withWatermark("a_ts", "1 hour")
+    val sb = Streaming.viewSide(msB.toDF()).withWatermark("b_ts", "1 hour")
+    val q = Streaming.intervalJoinPairs(sa, sb)
+      .writeStream.outputMode("append").format("memory").queryName("ssj").start()
+    try q.processAllAvailable() finally q.stop()
+    val all = (clicks ++ views).toDF()
+    val batch = Streaming.intervalJoinPairs(
+        Streaming.clickSide(all), Streaming.viewSide(all))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val streamed = spark.table("ssj").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+    assert(batch == Set((1L, 10L), (3L, 12L)))
+  }
+
   test("flatMapGroupsWithState final snapshot equals batch stateful result") {
     import spark.implicits._
     val rows = Seq(
