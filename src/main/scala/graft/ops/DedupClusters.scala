@@ -22,9 +22,20 @@ object DedupClusters {
     * Only ids that appear in some pair are returned (singletons are their
     * own component trivially). */
   def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+    val undirected = pairs.select(col("d1").as("a"), col("d2").as("b"))
       .unionByName(pairs.select(col("d2").as("a"), col("d1").as("b")))
       .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Size the iteration shuffles to the edge set, not the session default:
+    // near-dup edge sets are orders of magnitude smaller than the corpus
+    // (bounded by pair-generator selectivity), and each closure round is
+    // join+agg over edges only — at a few hundred edges, 32-way shuffles
+    // are pure scheduling overhead; at 10^9 edges this picks wide plans.
+    val nEdges = undirected.count() // also materializes the persist
+    val parts = math.max(1, math.min(
+      pairs.sparkSession.sessionState.conf.numShufflePartitions,
+      (nEdges / 2000000L).toInt + 1))
+    val edges = undirected.repartition(parts, col("b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // localCheckpoint per iteration truncates plan lineage — without it
     // the logical plan doubles every round and planning itself OOMs long
