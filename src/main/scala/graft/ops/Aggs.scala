@@ -51,6 +51,36 @@ object Aggs {
       .agg(approx_count_distinct(col("user_id")).as("approx_users"))
       .orderBy("event_type")
 
+  /** KLL/GK-style quantile sketch — the 100 TB percentile: constant
+    * memory per group, mergeable across partitions, vs a full sort for
+    * exact quantiles. Approx ⇒ no oracle; AggsSpec bounds the rank error
+    * against the exact sort-based percentile. */
+  val aggApproxQuantile: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(percentile_approx(col("value"),
+        array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("q"))
+      .select(col("event_type"), col("q")(0).as("p50"),
+        col("q")(1).as("p95"), col("q")(2).as("p99"))
+      .orderBy("event_type")
+
+  /** Pivot to a wide per-user activity profile — one row per user, one
+    * count column per event type. The value list is explicit, so the plan
+    * is a single hash aggregate (no extra distinct-values job) and the
+    * output schema is static — both required at scale. Pivot cells with no
+    * rows are null in Spark and 0 under the oracle's FILTER aggregation;
+    * coalesce unifies them. */
+  val aggPivot: Q = (s, d) => {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .pivot("event_type", types)
+      .count()
+      .select(col("user_id") +:
+        types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+      .orderBy("user_id")
+  }
+
   private def coalesced(rf: String, ls: String) = Seq(
     coalesce(col(rf), lit("@ALL")).as("rf"),
     coalesce(col(ls), lit("@ALL")).as("ls"))
@@ -109,6 +139,8 @@ object Aggs {
     "agg_count_distinct" -> aggCountDistinct,
     "agg_multi_distinct" -> aggMultiDistinct,
     "agg_approx_hll" -> aggApproxHll,
+    "agg_approx_quantile" -> aggApproxQuantile,
+    "agg_pivot" -> aggPivot,
     "agg_grouping_sets" -> aggGroupingSets,
     "agg_rollup" -> aggRollup,
     "agg_cube" -> aggCube,
@@ -132,6 +164,14 @@ object Aggs {
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
                 count(DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS n_days
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "agg_pivot" ->
+      """SELECT user_id,
+                count(*) FILTER (WHERE event_type = 'click') AS n_click,
+                count(*) FILTER (WHERE event_type = 'error') AS n_error,
+                count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+                count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+                count(*) FILTER (WHERE event_type = 'view') AS n_view
+         FROM events GROUP BY user_id ORDER BY user_id""",
     "agg_grouping_sets" ->
       """SELECT COALESCE(l_returnflag, '@ALL') AS rf,
                 COALESCE(l_linestatus, '@ALL') AS ls,

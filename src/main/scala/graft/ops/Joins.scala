@@ -123,6 +123,38 @@ object Joins {
       .orderBy("l_orderkey", "l_linenumber", "l_suppkey", "s_name")
   }
 
+  /** Bucketed co-located join — the 100 TB large-large join layout: both
+    * sides written bucketed+sorted on the join key, so the sort-merge join
+    * at read time needs NO exchange (BucketingSpec and PlanShapeSpec
+    * assert zero Exchange operators). At scale the bucketed write is the
+    * one-time cost that every subsequent join on that key amortizes;
+    * here the write happens inline so the declared query is
+    * self-contained. The merge hint pins SMJ without touching session
+    * conf (a broadcast would also be shuffle-free but misses the point). */
+  val joinBucketColocated: Q = (s, d) => {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+    // the in-memory catalog forgets tables across JVMs but their warehouse
+    // directories survive — clear both so saveAsTable can claim the location
+    def reset(name: String): Unit = {
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      val wh = new org.apache.hadoop.fs.Path(
+        new java.net.URI(s.conf.get("spark.sql.warehouse.dir")))
+      val p = new org.apache.hadoop.fs.Path(wh, name.toLowerCase)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    reset(s"b_orders_$sfx"); reset(s"b_customer_$sfx")
+    Tables.orders(s, d).write.mode("overwrite")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable(s"b_orders_$sfx")
+    Tables.customer(s, d).write.mode("overwrite")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable(s"b_customer_$sfx")
+    val bo = s.table(s"b_orders_$sfx"); val bc = s.table(s"b_customer_$sfx")
+    bo.join(bc.hint("merge"), bo("o_custkey") === bc("c_custkey"))
+      .select(bo("o_orderkey"), bo("o_custkey"), bc("c_name"))
+      .orderBy("o_orderkey")
+  }
+
   val joinCross: Q = (s, d) => {
     val r = Tables.region(s, d); val n = Tables.nation(s, d)
     r.crossJoin(n)
@@ -141,6 +173,7 @@ object Joins {
     "join_theta" -> joinTheta,
     "join_asof" -> joinAsof,
     "join_skew_salted" -> joinSkewSalted,
+    "join_bucket_colocated" -> joinBucketColocated,
     "join_cross" -> joinCross)
 
   val oracle: Map[String, String] = Map(
@@ -198,6 +231,10 @@ object Joins {
       """SELECT l_orderkey, l_linenumber, l_suppkey, s_name
          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          ORDER BY l_orderkey, l_linenumber, l_suppkey, s_name""",
+    "join_bucket_colocated" ->
+      """SELECT o_orderkey, o_custkey, c_name
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_orderkey""",
     "join_cross" ->
       """SELECT r_regionkey, n_nationkey, r_name, n_name
          FROM region CROSS JOIN nation

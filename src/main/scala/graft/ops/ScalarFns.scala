@@ -25,6 +25,18 @@ object ScalarFns {
         regexp_extract(col("p_brand"), "[0-9]+", 0).as("brand_num"))
       .orderBy("p_partkey")
 
+  /** Cryptographic digests — the content-addressing primitive under exact
+    * dedup, cache keys, and data-source checksums (the reference's
+    * duplicate-skip is a SHA1 of the upload, varda/models.py ::
+    * DataSource.checksum [U]). Hex strings render identically on both
+    * engines. */
+  val fnHash: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(col("text")).as("md5_hex"),
+        sha2(col("text"), 256).as("sha_hex"))
+      .orderBy("doc_id")
+
   val fnDate: Q = (s, d) =>
     Tables.orders(s, d)
       .select(col("o_orderkey"),
@@ -100,6 +112,7 @@ object ScalarFns {
 
   val queries: Map[String, Q] = Map(
     "fn_string" -> fnString,
+    "fn_hash" -> fnHash,
     "fn_date" -> fnDate,
     "fn_math" -> fnMath,
     "fn_conditional" -> fnConditional,
@@ -108,6 +121,9 @@ object ScalarFns {
     "fn_json" -> fnJson)
 
   val oracle: Map[String, String] = Map(
+    "fn_hash" ->
+      """SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha_hex
+         FROM documents ORDER BY doc_id""",
     "fn_string" ->
       """SELECT p_partkey,
            upper(p_name) AS up_name,

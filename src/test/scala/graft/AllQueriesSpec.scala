@@ -14,10 +14,11 @@ class AllQueriesSpec extends AnyFunSuite {
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracle keys without query: ${o.diff(q)}")
     val noOracle = q.diff(o)
-    assert(noOracle == Set("agg_approx_hll", "stream_late_watermark",
-      "dedup_near_minhash", "sim_ann_lsh", "sim_ann_ivf"),
+    assert(noOracle == Set("agg_approx_hll", "agg_approx_quantile",
+      "stream_late_watermark", "dedup_near_minhash", "sim_ann_lsh",
+      "sim_ann_ivf"),
       s"unexpected no-oracle keys: $noOracle")
-    assert(q.size == 85, s"expected 85 declared keys, got ${q.size}")
+    assert(q.size == 89, s"expected 89 declared keys, got ${q.size}")
   }
 
   test("entry returns rows") {

@@ -3,10 +3,34 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Tolerance tests for the 4 no-oracle keys (SURVEY.md §5.2): approximate
+/** Tolerance tests for the no-oracle keys (SURVEY.md §5.2): approximate
   * operators are checked against their exact counterparts. */
 class ApproxSpec extends AnyFunSuite {
   import TestSpark._
+
+  test("agg_approx_quantile within rank tolerance of exact percentiles") {
+    val approx = ops.Aggs.aggApproxQuantile(spark, sf001).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    // exact quantiles per group via full sort (the thing the sketch avoids)
+    val exact = Tables.events(spark, sf001)
+      .groupBy("event_type")
+      .agg(expr("percentile(value, array(0.5, 0.95, 0.99))").as("q"))
+      .select(col("event_type"), col("q")(0), col("q")(1), col("q")(2))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(approx.keySet == exact.keySet)
+    // accuracy=10000 bounds rank error at 1/10000; on ~200 rows/group the
+    // sketch is exact up to interpolation — allow 2% of the value range
+    val span = Tables.events(spark, sf001)
+      .agg(max(col("value")) - min(col("value"))).collect()(0).getDouble(0)
+    for ((k, (a50, a95, a99)) <- approx; (e50, e95, e99) = exact(k)) {
+      assert(math.abs(a50 - e50) <= 0.02 * span, s"$k p50: $a50 vs $e50")
+      assert(math.abs(a95 - e95) <= 0.02 * span, s"$k p95: $a95 vs $e95")
+      assert(math.abs(a99 - e99) <= 0.02 * span, s"$k p99: $a99 vs $e99")
+    }
+  }
 
   test("agg_approx_hll within 5% of exact distinct counts") {
     val approx = ops.Aggs.aggApproxHll(spark, sf001).collect()

@@ -46,6 +46,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("__salt"), s"no salt column in the join plan:\n$p")
   }
 
+  test("join_bucket_colocated sort-merge-joins with no exchange between scan and join") {
+    val df = SparkEntry.queries("join_bucket_colocated")(spark, sf0001)
+    df.collect() // force AQE final plan
+    // AQE's plan string appends an "Initial Plan" section; only the final
+    // plan's join subtree matters
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("SortMergeJoin"), s"not an SMJ:\n$p")
+    // the only allowed exchange is the final ORDER BY's range partition —
+    // nothing between the bucketed scans and the join
+    val joinPart = p.substring(p.indexOf("SortMergeJoin"))
+    assert(!joinPart.contains("Exchange"),
+      s"bucketed join still shuffles its inputs:\n$p")
+    assert(p.contains("SelectedBucketsCount"), s"no bucket metadata:\n$p")
+  }
+
   test("topk_global plans TakeOrderedAndProject (no full sort+shuffle)") {
     assert(plan("topk_global").contains("TakeOrderedAndProject"))
   }
