@@ -35,6 +35,32 @@ class DedupClustersSpec extends AnyFunSuite {
     assert(kept == Set(1L, 2L, 3L, 6L, 7L, 8L, 10L))
   }
 
+  test("components equal a reference union-find on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val n = 30 + trial * 10
+      val edges = Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // reference: driver-side union-find with path compression
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // canonical label = min id in the component
+      val expected = parent.keys.map { x =>
+        x -> parent.keys.filter(y => find(y) == find(x)).min
+      }.toMap
+      val got = DedupClusters.components(edges.toDF("d1", "d2"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial (n=$n) mismatch")
+    }
+  }
+
   test("end-to-end: jaccard pairs at sf0.001 resolve to a deduped corpus") {
     val docs = Tables.documents(spark, sf0001)
     val pairs = SparkEntry.queries("dedup_near_jaccard")(spark, sf0001)
