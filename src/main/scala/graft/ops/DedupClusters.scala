@@ -22,8 +22,13 @@ object DedupClusters {
     * Only ids that appear in some pair are returned (singletons are their
     * own component trivially). */
   def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val undirected = pairs.select(col("d1").as("a"), col("d2").as("b"))
-      .unionByName(pairs.select(col("d2").as("a"), col("d1").as("b")))
+    // both directions via one explode, not a self-union: a union would
+    // evaluate the (possibly expensive) pair-generating subtree once per
+    // branch, doubling e.g. the jaccard pipeline feeding dedup_cluster
+    val undirected = pairs.select(explode(array(
+        struct(col("d1").as("a"), col("d2").as("b")),
+        struct(col("d2").as("a"), col("d1").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Size the iteration shuffles to the edge set, not the session default:
