@@ -107,11 +107,13 @@ object Streaming {
     * with watermarks on both sides (state eviction needs the time bound),
     * and the same plan shape as the varda coverage join: hash-partition on
     * the key, range-filter inside the partition. */
-  def intervalJoinPairs(clicks: DataFrame, views: DataFrame): DataFrame =
+  def intervalJoinPairs(clicks: DataFrame, views: DataFrame,
+      joinType: String = "inner"): DataFrame =
     clicks.join(views,
         col("a_user") === col("b_user")
           && col("b_ts") >= col("a_ts")
-          && col("b_ts") <= col("a_ts") + expr("INTERVAL 4 HOURS"))
+          && col("b_ts") <= col("a_ts") + expr("INTERVAL 4 HOURS"),
+        joinType)
       .select(col("a_id"), col("b_id"))
 
   /** Left side of the interval join (clicks). */

@@ -132,6 +132,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch == Set((1L, 10L), (3L, 12L)))
   }
 
+  test("outer stream-stream join emits unmatched clicks after the watermark closes their window") {
+    import spark.implicits._
+    val msA = MemoryStream[EvRow](spark); val msB = MemoryStream[EvRow](spark)
+    val sa = Streaming.clickSide(msA.toDF()).withWatermark("a_ts", "1 hour")
+    val sb = Streaming.viewSide(msB.toDF()).withWatermark("b_ts", "1 hour")
+    val q = Streaming.intervalJoinPairs(sa, sb, "leftOuter")
+      .writeStream.outputMode("append").format("memory").queryName("ssjo").start()
+    try {
+      // user 1's click matches a view; user 2's click never does
+      msA.addData(Seq(ev(1, "2024-01-01 10:00:00"),
+        ev(2, "2024-01-01 10:30:00", uid = 2)))
+      msB.addData(Seq(ev(10, "2024-01-01 11:00:00", typ = "view")))
+      q.processAllAvailable()
+      // push the watermark far past click 2's [10:30, 14:30] match window
+      // so its unmatched outer row can emit
+      msA.addData(Seq(ev(3, "2024-01-02 10:00:00", uid = 3)))
+      msB.addData(Seq(ev(11, "2024-01-02 10:00:00", uid = 3, typ = "view")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ssjo").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (2L, -1L), (3L, 11L)),
+      s"outer join rows: $got")
+  }
+
   test("flatMapGroupsWithState final snapshot equals batch stateful result") {
     import spark.implicits._
     val rows = Seq(
