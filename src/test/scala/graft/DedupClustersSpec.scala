@@ -55,9 +55,14 @@ class DedupClustersSpec extends AnyFunSuite {
       val expected = parent.keys.map { x =>
         x -> parent.keys.filter(y => find(y) == find(x)).min
       }.toMap
-      val got = DedupClusters.components(edges.toDF("d1", "d2"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got == expected, s"trial $trial (n=$n) mismatch")
+      // single-partition path = pure union-find; multi-partition path =
+      // local contraction + min-label propagation rounds
+      for (np <- Seq(0, 3)) {
+        val got = DedupClusters.components(edges.toDF("d1", "d2"),
+            numPartitions = np)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expected, s"trial $trial (n=$n, parts=$np) mismatch")
+      }
     }
   }
 
