@@ -41,4 +41,32 @@ class IngestSpec extends AnyFunSuite {
     assert(row4.length == 1 && row4(0).getAs[String]("chromosome") == "2"
       && row4(0).getAs[Long]("position") == 1700L)
   }
+
+  test("ingested observations feed the frequency computation end-to-end") {
+    import spark.implicits._
+    val base = Files.createTempDirectory(Paths.get("/root/repo/target"), "ingfrq")
+    val (src, dest, ckpt) = (s"$base/src", s"$base/dest", s"$base/ckpt")
+    Files.createDirectories(Paths.get(src))
+    Files.write(Paths.get(s"$src/b1.txt"), String.join("\n",
+      "1;1;1000;A;T;1", "2;1;1000;A;T;2", "3;2;1500;G;A;1").getBytes)
+    Ingest.startObservationIngest(spark, src, dest, ckpt).awaitTermination()
+
+    // the reference's lifecycle: import task (above) → frequency query —
+    // sample 1 covers chr1:1000 (pool 3), sample 2 has no coverage
+    // profile (pool 4, covers everything)
+    val cov = Seq((10L, "1", 900L, 1100L, 1L, 3))
+      .toDF("region_id", "chromosome", "begin_pos", "end_pos",
+        "sample_id", "pool_size")
+    val smp = Seq((1L, 3, true), (2L, 4, false))
+      .toDF("sample_id", "pool_size", "has_coverage")
+    val freq = graft.varda.VardaOps.frequencyFrom(
+        Ingest.readIngested(spark, dest), cov, smp, withZyg = false)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // chr1:1000 A>T — numer 1+2=3; denom 3×2 (covering) + 4×2 (uncovered
+    // sample counts everywhere) = 14
+    assert(freq(("1", 1000L)) == ((3L, 14L, 3L * 1000000 / 14)))
+    // chr2:1500 — only the coverage-less sample contributes: denom 8
+    assert(freq(("2", 1500L)) == ((1L, 8L, 1L * 1000000 / 8)))
+  }
 }
