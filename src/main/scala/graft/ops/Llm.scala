@@ -378,6 +378,17 @@ object Llm {
     Multimodal.featureDigest(Multimodal.mediaTable(s, d))
       .orderBy("media_id")
 
+  /** One-call dedup pipeline — the user-facing composition: documents →
+    * pair generator → transitive-closure cluster resolution → deduplicated
+    * corpus. `pairGen` is any of this file's generators (exact text match
+    * needs no clustering; jaccard / minhash / simhash / embedding pairs
+    * do). Example:
+    * {{{
+    *   Llm.dedupPipeline(docs, d => Llm.dedupNearMinhash(s, dir).select("d1", "d2"))
+    * }}} */
+  def dedupPipeline(docs: DataFrame, pairGen: DataFrame => DataFrame): DataFrame =
+    DedupClusters.survivors(docs, pairGen(docs), "doc_id")
+
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> dedupExact,
     "dedup_cluster" -> dedupCluster,

@@ -66,6 +66,17 @@ class DedupClustersSpec extends AnyFunSuite {
     }
   }
 
+  test("dedupPipeline composes a pair generator with cluster resolution") {
+    val docs = Tables.documents(spark, sf0001)
+    val viaPipeline = Llm.dedupPipeline(docs,
+        _ => SparkEntry.queries("dedup_near_jaccard")(spark, sf0001)
+          .select("d1", "d2"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val declared = SparkEntry.queries("dedup_cluster")(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    assert(viaPipeline == declared)
+  }
+
   test("end-to-end: jaccard pairs at sf0.001 resolve to a deduped corpus") {
     val docs = Tables.documents(spark, sf0001)
     val pairs = SparkEntry.queries("dedup_near_jaccard")(spark, sf0001)
