@@ -102,6 +102,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"simhash candidate generation fell back to a quadratic join:\n$p")
   }
 
+  test("no declared query plans an unsanctioned quadratic join") {
+    // keys whose plans legitimately contain a cartesian/BNLJ: the explicit
+    // cross join, 1-row count broadcasts (tfidf, ntile), the tile-grid
+    // cosine kernels (block-pair enumeration over O(blocks) rows), and the
+    // frequency family's dimension-sized coverage-less broadcast
+    val sanctioned = Set("join_cross", "text_tfidf", "win_ntile_pct",
+      "sim_topk_cosine", "dedup_near_embedding", "varda_frequency",
+      "agg_freq_ratio", "varda_sample_expr", "varda_annotate")
+    for ((k, fn) <- SparkEntry.queries.toSeq.sortBy(_._1) if !sanctioned(k)) {
+      val p = fn(spark, sf0001).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$k plans a quadratic join:\n$p")
+    }
+  }
+
   test("whole-stage codegen covers the hot aggregation path") {
     // AQE only shows codegen in the final plan, so execute first.
     val df = SparkEntry.queries("agg_groupby_sums")(spark, sf0001)
