@@ -132,7 +132,9 @@ object RewriteIntervalJoin extends Rule[LogicalPlan] {
 }
 
 /** Register with `.withExtensions(new GraftExtensions)` or
-  * `spark.sql.extensions=graft.plans.GraftExtensions`. */
+  * `spark.sql.extensions=graft.plans.GraftExtensions` — the conf form is
+  * read from the SparkContext conf at FIRST context creation (i.e. a
+  * spark-submit `--conf`), not from a later session builder's options. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(e: SparkSessionExtensions): Unit =
     e.injectOptimizerRule(_ => RewriteIntervalJoin)

@@ -89,6 +89,43 @@ class RewriteIntervalJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("GraftExtensions injects the rule via the extensions path") {
+    import org.apache.spark.sql.SparkSession
+    // the cluster deployment path exercised in-JVM: `spark.sql.extensions`
+    // is read from the SparkContext conf at FIRST context creation (i.e.
+    // spark-submit --conf), so an in-process test registers the same class
+    // through builder.withExtensions — identical injection surface
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .withExtensions(new graft.plans.GraftExtensions)
+        .config("spark.graft.rewriteIntervalJoin", "true")
+        .getOrCreate()
+      assert(s2.sessionState.optimizer.batches.exists(
+          _.rules.exists(_.ruleName.contains("RewriteIntervalJoin"))),
+        "optimizer does not carry the injected rule")
+      assert(s2 ne spark, "expected a fresh session with the extension")
+      import s2.implicits._
+      val regions = Seq((1L, "1", 100L, 200L))
+        .toDF("region_id", "chromosome", "begin_pos", "end_pos")
+      val points = Seq((1L, "1", 150L), (2L, "1", 500L))
+        .toDF("obs_id", "chromosome", "position")
+      val j = points.join(regions,
+        points("chromosome") === regions("chromosome")
+          && points("position") >= regions("begin_pos")
+          && points("position") <= regions("end_pos"))
+        .select(points("obs_id"), regions("region_id"))
+      assert(j.queryExecution.optimizedPlan.toString.contains("__graft_bin_p"),
+        "extension-registered rule did not fire")
+      assert(j.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        == Set((1L, 1L)))
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("rule is inert when the conf flag is off or shape doesn't match") {
     val (points, regions) = data()
     spark.experimental.extraOptimizations = Seq(RewriteIntervalJoin)
