@@ -31,7 +31,14 @@ import org.apache.spark.sql.functions._
 object GlobalRank {
 
   /** Append `out` = global 1-based rank of each row under `keys` (must be
-    * a total order). Distributed: no global single-partition window. */
+    * a total order). Distributed: no global single-partition window.
+    *
+    * The plan intentionally range-shuffles TWICE: the offsets branch is
+    * column-pruned to the sort keys alone, so its exchange moves a small
+    * fraction of the row bytes — at fact-table scale that beats the
+    * alternative (persisting the fully-shuffled table so one exchange
+    * serves both branches), which would write and re-read every column
+    * through the cache. */
   def withGlobalRowNumber(df: DataFrame, keys: Seq[Column], out: String,
       numPartitions: Int = 0): DataFrame = {
     val parts = if (numPartitions > 0) numPartitions
