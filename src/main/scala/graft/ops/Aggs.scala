@@ -81,6 +81,31 @@ object Aggs {
       .orderBy("user_id")
   }
 
+  /** Single-pass column profiling — the data-quality scan every pipeline
+    * runs before training: per-column non-null count, exact distinct
+    * count, and min/max, for all columns in ONE aggregate over one scan
+    * (a per-column loop would scan the table N times). Bounds use exact
+    * binary arithmetic (`floor(x·10^4)` — IEEE double multiply + floor are
+    * bit-identical on both engines); the wide aggregate row unpivots to
+    * one row per column via `stack`. */
+  val aggProfileStats: Q = (s, d) => {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    def e4(c: String) = expr(s"cast(floor($c * 10000) as bigint)")
+    val aggs = Seq(count(lit(1)).as("n_rows")) ++ cols.flatMap(c => Seq(
+      count(col(c)).as(s"${c}_nn"),
+      countDistinct(col(c)).as(s"${c}_nd"),
+      min(e4(c)).as(s"${c}_min"),
+      max(e4(c)).as(s"${c}_max")))
+    val stackArgs = cols.map(c =>
+      s"'$c', ${c}_nn, ${c}_nd, ${c}_min, ${c}_max").mkString(", ")
+    Tables.lineitem(s, d)
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr("n_rows",
+        s"stack(${cols.size}, $stackArgs) as (col_name, non_null, n_distinct, min_e4, max_e4)")
+      .select("col_name", "n_rows", "non_null", "n_distinct", "min_e4", "max_e4")
+      .orderBy("col_name")
+  }
+
   private def coalesced(rf: String, ls: String) = Seq(
     coalesce(col(rf), lit("@ALL")).as("rf"),
     coalesce(col(ls), lit("@ALL")).as("ls"))
@@ -141,6 +166,7 @@ object Aggs {
     "agg_approx_hll" -> aggApproxHll,
     "agg_approx_quantile" -> aggApproxQuantile,
     "agg_pivot" -> aggPivot,
+    "agg_profile_stats" -> aggProfileStats,
     "agg_grouping_sets" -> aggGroupingSets,
     "agg_rollup" -> aggRollup,
     "agg_cube" -> aggCube,
@@ -164,6 +190,27 @@ object Aggs {
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
                 count(DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS n_days
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "agg_profile_stats" ->
+      """WITH w AS (SELECT count(*) AS n_rows,
+           count(l_quantity) AS c1_nn, count(DISTINCT l_quantity) AS c1_nd,
+           min(CAST(floor(l_quantity * 10000) AS BIGINT)) AS c1_min,
+           max(CAST(floor(l_quantity * 10000) AS BIGINT)) AS c1_max,
+           count(l_extendedprice) AS c2_nn, count(DISTINCT l_extendedprice) AS c2_nd,
+           min(CAST(floor(l_extendedprice * 10000) AS BIGINT)) AS c2_min,
+           max(CAST(floor(l_extendedprice * 10000) AS BIGINT)) AS c2_max,
+           count(l_discount) AS c3_nn, count(DISTINCT l_discount) AS c3_nd,
+           min(CAST(floor(l_discount * 10000) AS BIGINT)) AS c3_min,
+           max(CAST(floor(l_discount * 10000) AS BIGINT)) AS c3_max,
+           count(l_tax) AS c4_nn, count(DISTINCT l_tax) AS c4_nd,
+           min(CAST(floor(l_tax * 10000) AS BIGINT)) AS c4_min,
+           max(CAST(floor(l_tax * 10000) AS BIGINT)) AS c4_max
+         FROM lineitem)
+         SELECT 'l_quantity' AS col_name, n_rows, c1_nn AS non_null,
+                c1_nd AS n_distinct, c1_min AS min_e4, c1_max AS max_e4 FROM w
+         UNION ALL SELECT 'l_extendedprice', n_rows, c2_nn, c2_nd, c2_min, c2_max FROM w
+         UNION ALL SELECT 'l_discount', n_rows, c3_nn, c3_nd, c3_min, c3_max FROM w
+         UNION ALL SELECT 'l_tax', n_rows, c4_nn, c4_nd, c4_min, c4_max FROM w
+         ORDER BY col_name""",
     "agg_pivot" ->
       """SELECT user_id,
                 count(*) FILTER (WHERE event_type = 'click') AS n_click,
