@@ -53,8 +53,19 @@ object Llm {
     * pair-level count+filter finishes it. Two scans of documents total;
     * a shingle-level self-join would take four and shuffle the exploded
     * index twice. */
-  val dedupNearJaccard: Q = (s, d) => {
-    val sh = shingles(Tables.documents(s, d))
+  val dedupNearJaccard: Q = (s, d) =>
+    jaccardPairs(Tables.documents(s, d)).orderBy("d1", "d2")
+
+  /** Jaccard >= 0.5 pairs via the inverted index; `maxDf` drops posting
+    * lists longer than that many documents before pair explosion — the
+    * boilerplate guard every corpus-scale dedup needs (a shingle present
+    * in 10^6 docs would otherwise yield ~10^12 candidate pairs from one
+    * list). Capping loses only pairs whose overlap lives ENTIRELY in
+    * ultra-common shingles (set sizes stay uncapped, so survivors'
+    * scores are exact); with the default no-cap this is the exact pair
+    * set the oracle computes (ApproxSpec pins both properties). */
+  def jaccardPairs(docs: DataFrame, maxDf: Int = Int.MaxValue): DataFrame = {
+    val sh = shingles(docs)
     // set size via a window count over the same doc_id shuffle — one scan
     // of documents and one fewer shuffle than a groupBy+join-back
     val withSize = sh.withColumn("s",
@@ -62,6 +73,7 @@ object Llm {
     val postings = withSize
       .groupBy("shingle")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("s")))).as("docs"))
+      .filter(size(col("docs")) <= maxDf)
     postings
       .select(explode(expr(
         """flatten(transform(docs, (a, i) ->
@@ -74,7 +86,6 @@ object Llm {
       .filter(col("inter_cnt") * 3 >= col("s1") + col("s2"))
       .select(col("d1"), col("d2"), col("inter_cnt"),
         (col("s1") + col("s2") - col("inter_cnt")).as("union_cnt"))
-      .orderBy("d1", "d2")
   }
 
   /** Approximate near-dup via the canonical shingle → minhash → band →

@@ -44,6 +44,18 @@ class ApproxSpec extends AnyFunSuite {
     }
   }
 
+  test("jaccardPairs df-cap: no-cap equals the declared exact set; a cap only removes pairs") {
+    val docs = Tables.documents(spark, sf001)
+    def pairs(maxDf: Int) = ops.Llm.jaccardPairs(docs, maxDf)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = ops.Llm.dedupNearJaccard(spark, sf001)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(Int.MaxValue) == exact)
+    val capped = pairs(3)
+    assert(capped.subsetOf(exact),
+      s"cap invented pairs: ${capped.diff(exact).take(5)}")
+  }
+
   test("dedup_near_minhash recall >= 0.9 vs exact jaccard pairs") {
     val exact = ops.Llm.dedupNearJaccard(spark, sf001)
       .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
