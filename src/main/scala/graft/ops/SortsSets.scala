@@ -44,6 +44,39 @@ object SortsSets {
       .orderBy("o_custkey", "rn")
   }
 
+  /** Content-hash-derived pseudo-random order, identical on every engine
+    * and every run — the portable substitute for rand(seed), whose stream
+    * is engine-specific. */
+  private val docHash =
+    expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)")
+
+  /** Deterministic stratified sampling: the 5 pseudo-randomly-first
+    * documents per language. Eval-set construction at corpus scale —
+    * hash order is stable under reruns, engine changes, and data
+    * repartitioning, unlike rand()-based sampling. */
+  val sampleStratified: Q = (s, d) => {
+    val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("h", docHash)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select("lang", "rn", "doc_id")
+      .orderBy("lang", "rn")
+  }
+
+  /** Deterministic train/val/test split by content hash (80/10/10):
+    * membership is a pure function of the document id, so the split
+    * reproduces anywhere and new documents never reshuffle old ones —
+    * the property leakage-safe dataset splits require. */
+  val sampleSplit: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("bucket", docHash % 10)
+      .select(col("doc_id"),
+        when(col("bucket") < 8, "train")
+          .when(col("bucket") === 8, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+
   val setUnionAll: Q = (s, d) =>
     Tables.orders(s, d).select(col("o_custkey").as("k"))
       .unionAll(Tables.customer(s, d).select(col("c_custkey").as("k")))
@@ -70,6 +103,8 @@ object SortsSets {
     "limit_offset" -> limitOffset,
     "topk_global" -> topkGlobal,
     "topk_per_group" -> topkPerGroup,
+    "sample_stratified" -> sampleStratified,
+    "sample_split" -> sampleSplit,
     "set_union_all" -> setUnionAll,
     "set_union_distinct" -> setUnionDistinct,
     "set_intersect" -> setIntersect,
@@ -94,6 +129,21 @@ object SortsSets {
                ORDER BY CAST(o_totalprice AS DECIMAL(18,4)) DESC, o_orderkey) AS rn
            FROM orders) t
          WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "sample_stratified" ->
+      """SELECT lang, rn, doc_id FROM (
+           SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+           FROM (SELECT lang, doc_id,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+                 FROM documents) t) r
+         WHERE rn <= 5 ORDER BY lang, rn""",
+    "sample_split" ->
+      """SELECT doc_id,
+           CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 AS b
+               FROM documents) t
+         ORDER BY doc_id""",
     "set_union_all" ->
       """SELECT k FROM (
            SELECT o_custkey AS k FROM orders
