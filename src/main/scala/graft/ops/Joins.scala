@@ -155,6 +155,35 @@ object Joins {
       .orderBy("o_orderkey")
   }
 
+  /** Batch MERGE/upsert — incremental maintenance without a table format:
+    * base ⟗ updates on the key, updates win, unmatched updates insert,
+    * everything else is kept; each row tagged with its action. One
+    * key-partitioned full-outer shuffle — the MERGE shape at any scale
+    * (a real deployment wraps the same plan in a transactional table
+    * format's commit). Updates fixture: every 7th order re-priced, plus
+    * one brand-new key. This is the batch analog of the reference folding
+    * re-imports into existing state (varda/tasks.py [U]). */
+  val mergeUpsert: Q = (s, d) => {
+    val e4 = expr("cast(floor(o_totalprice * 10000) as bigint)")
+    val o = Tables.orders(s, d)
+    val base = o.select(col("o_orderkey"), col("o_custkey"), e4.as("price_e4"))
+    val upd = o.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), (e4 + 7).as("price_e4"))
+      .unionByName(o.agg(max("o_orderkey").as("mk"))
+        .select((col("mk") + 1).as("o_orderkey"),
+          lit(1L).as("o_custkey"), lit(999L).as("price_e4")))
+    base.as("b").join(upd.as("u"),
+        col("b.o_orderkey") === col("u.o_orderkey"), "full")
+      .select(
+        coalesce(col("b.o_orderkey"), col("u.o_orderkey")).as("o_orderkey"),
+        coalesce(col("u.o_custkey"), col("b.o_custkey")).as("o_custkey"),
+        coalesce(col("u.price_e4"), col("b.price_e4")).as("price_e4"),
+        when(col("u.o_orderkey").isNull, "kept")
+          .when(col("b.o_orderkey").isNull, "inserted")
+          .otherwise("updated").as("action"))
+      .orderBy("o_orderkey")
+  }
+
   val joinCross: Q = (s, d) => {
     val r = Tables.region(s, d); val n = Tables.nation(s, d)
     r.crossJoin(n)
@@ -174,6 +203,7 @@ object Joins {
     "join_asof" -> joinAsof,
     "join_skew_salted" -> joinSkewSalted,
     "join_bucket_colocated" -> joinBucketColocated,
+    "merge_upsert" -> mergeUpsert,
     "join_cross" -> joinCross)
 
   val oracle: Map[String, String] = Map(
@@ -234,6 +264,23 @@ object Joins {
     "join_bucket_colocated" ->
       """SELECT o_orderkey, o_custkey, c_name
          FROM orders JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_orderkey""",
+    "merge_upsert" ->
+      """WITH upd AS (SELECT o_orderkey, o_custkey,
+                        CAST(floor(o_totalprice * 10000) AS BIGINT) + 7 AS price_e4
+                      FROM orders WHERE o_orderkey % 7 = 0
+                      UNION ALL
+                      SELECT max(o_orderkey) + 1, 1, CAST(999 AS BIGINT) FROM orders),
+            base AS (SELECT o_orderkey, o_custkey,
+                       CAST(floor(o_totalprice * 10000) AS BIGINT) AS price_e4
+                     FROM orders)
+         SELECT COALESCE(b.o_orderkey, u.o_orderkey) AS o_orderkey,
+                COALESCE(u.o_custkey, b.o_custkey) AS o_custkey,
+                COALESCE(u.price_e4, b.price_e4) AS price_e4,
+                CASE WHEN u.o_orderkey IS NULL THEN 'kept'
+                     WHEN b.o_orderkey IS NULL THEN 'inserted'
+                     ELSE 'updated' END AS action
+         FROM base b FULL JOIN upd u ON b.o_orderkey = u.o_orderkey
          ORDER BY o_orderkey""",
     "join_cross" ->
       """SELECT r_regionkey, n_nationkey, r_name, n_name
