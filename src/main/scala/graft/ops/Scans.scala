@@ -100,8 +100,29 @@ object Scans {
           nullif(col("c_mktsegment"), lit("AUTOMOBILE"))).as("nsafe_eq"))
       .orderBy("c_custkey")
 
+  /** Scalar subquery in a filter: orders priced above the global average.
+    * Through the SQL entry path on purpose — Catalyst turns both scalar
+    * subqueries into one-row broadcast joins. The comparison is integer
+    * cross-multiplication (`price_e4 · n > Σ price_e4`), not a division,
+    * so no engine-specific rounding can flip a boundary row. */
+  val subqueryScalar: Q = (s, d) => {
+    Tables.registerViews(s, d)
+    s.sql(oracle("subquery_scalar"))
+  }
+
+  /** Correlated scalar subqueries: orders priced above THEIR customer's
+    * average. Catalyst decorrelates both aggregating subqueries into
+    * grouped joins (RewriteCorrelatedScalarSubquery, SURVEY.md §4) — the
+    * plan is joins + hash aggregates, never a per-row re-scan. */
+  val subqueryCorrelated: Q = (s, d) => {
+    Tables.registerViews(s, d)
+    s.sql(oracle("subquery_correlated"))
+  }
+
   val queries: Map[String, Q] = Map(
     "scan_parquet" -> scanParquet,
+    "subquery_scalar" -> subqueryScalar,
+    "subquery_correlated" -> subqueryCorrelated,
     "scan_projection_pushdown" -> scanProjectionPushdown,
     "source_csv_roundtrip" -> sourceCsvRoundtrip,
     "source_json_lines" -> sourceJsonLines,
@@ -112,6 +133,19 @@ object Scans {
     "filter_null_3vl" -> filterNull3vl)
 
   val oracle: Map[String, String] = Map(
+    "subquery_scalar" ->
+      """SELECT o_orderkey FROM orders
+         WHERE CAST(floor(o_totalprice * 10000) AS BIGINT)
+               * (SELECT count(*) FROM orders)
+               > (SELECT SUM(CAST(floor(o_totalprice * 10000) AS BIGINT)) FROM orders)
+         ORDER BY o_orderkey""",
+    "subquery_correlated" ->
+      """SELECT o.o_orderkey FROM orders o
+         WHERE CAST(floor(o.o_totalprice * 10000) AS BIGINT)
+               * (SELECT count(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+               > (SELECT SUM(CAST(floor(o2.o_totalprice * 10000) AS BIGINT))
+                  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+         ORDER BY o.o_orderkey""",
     "scan_parquet" ->
       """SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey,
          l_suppkey, l_quantity, l_extendedprice, l_discount, l_tax,

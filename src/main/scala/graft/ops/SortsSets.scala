@@ -93,6 +93,24 @@ object SortsSets {
       .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("k")))
       .orderBy("k")
 
+  // bag-semantics inputs with real multiplicities: custkeys of two
+  // overlapping order subsets (a customer appears once per qualifying
+  // order)
+  private def bagA(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.orders(s, d).filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_custkey").as("k"))
+  private def bagB(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.orders(s, d).filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_custkey").as("k"))
+
+  /** INTERSECT ALL: each key kept min(multiplicity in A, in B) times. */
+  val setIntersectAll: Q = (s, d) =>
+    bagA(s, d).intersectAll(bagB(s, d)).orderBy("k")
+
+  /** EXCEPT ALL: multiplicities subtract instead of vanishing. */
+  val setExceptAll: Q = (s, d) =>
+    bagA(s, d).exceptAll(bagB(s, d)).orderBy("k")
+
   val setExcept: Q = (s, d) =>
     Tables.customer(s, d).select(col("c_nationkey").as("k"))
       .except(Tables.supplier(s, d).select(col("s_nationkey").as("k")))
@@ -108,7 +126,9 @@ object SortsSets {
     "set_union_all" -> setUnionAll,
     "set_union_distinct" -> setUnionDistinct,
     "set_intersect" -> setIntersect,
-    "set_except" -> setExcept)
+    "set_except" -> setExcept,
+    "set_intersect_all" -> setIntersectAll,
+    "set_except_all" -> setExceptAll)
 
   val oracle: Map[String, String] = Map(
     "sort_multi_null" ->
@@ -163,5 +183,17 @@ object SortsSets {
       """SELECT k FROM (
            SELECT c_nationkey AS k FROM customer
            EXCEPT SELECT s_nationkey FROM supplier) t
+         ORDER BY k""",
+    "set_intersect_all" ->
+      """SELECT k FROM (
+           SELECT o_custkey AS k FROM orders WHERE o_orderkey % 2 = 0
+           INTERSECT ALL
+           SELECT o_custkey FROM orders WHERE o_orderkey % 3 = 0) t
+         ORDER BY k""",
+    "set_except_all" ->
+      """SELECT k FROM (
+           SELECT o_custkey AS k FROM orders WHERE o_orderkey % 2 = 0
+           EXCEPT ALL
+           SELECT o_custkey FROM orders WHERE o_orderkey % 3 = 0) t
          ORDER BY k""")
 }

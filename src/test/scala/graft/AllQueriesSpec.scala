@@ -18,7 +18,7 @@ class AllQueriesSpec extends AnyFunSuite {
       "stream_late_watermark", "dedup_near_minhash", "sim_ann_lsh",
       "sim_ann_ivf"),
       s"unexpected no-oracle keys: $noOracle")
-    assert(q.size == 93, s"expected 93 declared keys, got ${q.size}")
+    assert(q.size == 97, s"expected 97 declared keys, got ${q.size}")
   }
 
   test("entry returns rows") {
