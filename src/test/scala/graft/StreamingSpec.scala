@@ -77,6 +77,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(out("2024-01-01 10:00:00.0") == 1, s"late row leaked into closed window: $out")
   }
 
+  test("streaming session_window with watermark emits closed sessions") {
+    import spark.implicits._
+    val ms = MemoryStream[EvRow](spark)
+    val agg = ms.toDF().withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("ss"),
+        col("n_events"))
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("sess").start()
+    try {
+      // one two-event session, then a far-future event closes it
+      ms.addData(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:20:00"))
+      q.processAllAvailable()
+      ms.addData(ev(3, "2024-01-01 15:00:00"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("sess").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2))).toSet
+    // the merged [10:00, 10:50) session emitted once the watermark passed
+    assert(out == Set((1L, "2024-01-01 10:00:00.0", 2L)),
+      s"unexpected closed sessions: $out")
+  }
+
   test("session_window matches gap-and-island sessionization incl. exact-gap boundary") {
     import spark.implicits._
     // user 1: 10:00, 10:29:59 (same session), 11:00:00 (delta 30:01 > gap
