@@ -96,6 +96,11 @@ object DedupClusters {
       converged = movedCount == 0
       iter += 1
     }
+    // partially-propagated labels would silently split clusters (multiple
+    // "survivors" per real cluster) — refuse to return a wrong answer
+    if (!converged) throw new IllegalStateException(
+      s"connected components did not converge after $maxIter rounds; " +
+        "raise maxIter (diameter of the contracted graph exceeds it)")
     labels
   }
 

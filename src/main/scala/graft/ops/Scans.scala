@@ -14,6 +14,17 @@ import org.apache.spark.sql.types._
   */
 object Scans {
 
+  /** Scratch directory for queries that write-then-read (CSV roundtrip,
+    * partition prune, VCF file): `spark.graft.scratchDir` if set, else the
+    * JVM temp dir — never a hardcoded checkout path (round-3 ADVICE fix:
+    * the library must work from any deployment location). */
+  private[graft] def scratch(s: org.apache.spark.sql.SparkSession,
+      name: String, d: String): String = {
+    val base = s.conf.getOption("spark.graft.scratchDir")
+      .getOrElse(sys.props("java.io.tmpdir") + "/graft-scratch")
+    s"$base/${name}_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+  }
+
   // (l_orderkey, l_linenumber) is NOT unique in the generated lineitem, so
   // row-level outputs sort on enough columns to totally order the result
   // (hash-match discipline, SURVEY.md §0).
@@ -34,7 +45,7 @@ object Scans {
     * schema-on-text ingest, the Spark analog of the reference's VCF/BED
     * text imports (varda/tasks.py :: import_variation [U]). */
   val sourceCsvRoundtrip: Q = (s, d) => {
-    val tmp = s"/root/repo/target/tmp/csv_roundtrip_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    val tmp = scratch(s, "csv_roundtrip", d)
     Tables.nation(s, d).write.mode("overwrite").option("header", "true").csv(tmp)
     val schema = StructType(Seq(
       StructField("n_nationkey", IntegerType),
@@ -57,7 +68,7 @@ object Scans {
     * 100 TB that is the difference between reading one partition and
     * reading the lake. */
   val sourcePartitionPrune: Q = (s, d) => {
-    val tmp = s"/root/repo/target/tmp/part_prune_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    val tmp = scratch(s, "part_prune", d)
     Tables.events(s, d)
       .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
       .write.mode("overwrite").partitionBy("event_type").parquet(tmp)

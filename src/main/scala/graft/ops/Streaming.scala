@@ -84,16 +84,33 @@ object Streaming {
     * order, track the running max event time, drop rows later than 10
     * minutes behind it, then count per tumbling hour. Engine-specific ⇒
     * no oracle; the true streaming path (withWatermark drop behavior) is
-    * asserted in StreamingSpec via MemoryStream. The global arrival-order
-    * window is test-scale only — a real deployment gets this from the
-    * watermark tracker, not a sort. */
+    * asserted in StreamingSpec via MemoryStream.
+    *
+    * The running max is fully distributed (round-3 fix — the round-2 form
+    * was the one remaining single-partition global window in the declared
+    * set): range-repartition on event_id puts arrival order across
+    * partitions, each partition computes its local running max, and the
+    * max over all EARLIER partitions arrives per partition via an
+    * O(partitions)-row broadcast — the GlobalRank offsets trick applied to
+    * a running aggregate. The only orderBy-without-partition window left
+    * runs over one row per partition, never over the events. */
   val streamLateWatermark: Q = (s, d) => {
     val lateUs = 10L * 60 * 1000000
-    val w = Window.orderBy("event_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(s, d)
+    val parts = s.sessionState.conf.numShufflePartitions
+    val ranged = Tables.events(s, d)
       .withColumn("tu", expr("unix_micros(cast(ts as timestamp))"))
-      .withColumn("max_tu", max(col("tu")).over(w))
+      .repartitionByRange(parts, col("event_id"))
+      .withColumn("__wm_pid", spark_partition_id())
+    val localW = Window.partitionBy("__wm_pid").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ranged.withColumn("__wm_local", max(col("tu")).over(localW))
+    val prefixes = local.groupBy("__wm_pid").agg(max("tu").as("__wm_pmax"))
+      .withColumn("__wm_prefix", max(col("__wm_pmax")).over(
+        Window.orderBy("__wm_pid").rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("__wm_pid"), col("__wm_prefix"))
+    local.join(broadcast(prefixes), "__wm_pid")
+      .withColumn("max_tu", greatest(col("__wm_local"),
+        coalesce(col("__wm_prefix"), col("__wm_local"))))
       .filter(col("tu") >= col("max_tu") - lateUs)
       .groupBy(window(col("ts"), "1 hour"))
       .agg(count(lit(1)).as("n_kept"))

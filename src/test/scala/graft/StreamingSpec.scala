@@ -211,4 +211,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == expected,
       s"stream state $streamed != batch $expected")
   }
+
+  test("distributed late-watermark emulation equals the naive global-window form") {
+    // round-3 rewrite check: the range-partitioned two-pass running max
+    // must reproduce the single-partition global window bit for bit
+    import org.apache.spark.sql.expressions.Window
+    val lateUs = 10L * 60 * 1000000
+    val w = Window.orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = Tables.events(spark, sf0001)
+      .withColumn("tu", expr("unix_micros(cast(ts as timestamp))"))
+      .withColumn("max_tu", max(col("tu")).over(w))
+      .filter(col("tu") >= col("max_tu") - lateUs)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_kept"))
+      .select(col("window.start").as("ws"), col("n_kept"))
+      .orderBy("ws").collect().toSeq
+    val dist = Streaming.streamLateWatermark(spark, sf0001).collect().toSeq
+    assert(dist.map(_.toString) == naive.map(_.toString))
+  }
 }
