@@ -145,13 +145,52 @@ object Analysis {
       .select("d1", "d2")
       .orderBy("d1", "d2")
 
+  /** Bucketed embedding near-dup — the 100 TB default path
+    * ([[dedupNearEmbedding]] stays as the exact all-pairs ground truth):
+    * BRP-LSH over L2-normalized vectors generates candidate pairs from
+    * hash-bucket collisions — an equi-join on bucket keys, sub-quadratic
+    * like the minhash/simhash candidate joins — then every candidate is
+    * verified with the exact cosine at the same DECIMAL(18,6) >= 0.5
+    * threshold. Precision is therefore exactly 1 (the output is a subset
+    * of the exact pair set by construction); only a missed candidate can
+    * differ. For unit vectors ||a-b||² = 2 - 2·cos, so cos >= 0.5 ⟺
+    * dist <= 1; the join radius 1.05 over-fetches slightly and the exact
+    * verify trims. No oracle (candidate generation is probabilistic);
+    * ApproxSpec asserts the output EQUALS the exact pair set at test
+    * scale (recall 1.0, since precision is structural). */
+  val dedupNearEmbeddingLsh: Q = (s, d) => {
+    import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, Normalizer}
+    val e = Tables.embeddings(s, d)
+    val toVec = udf((a: Seq[Float]) =>
+      org.apache.spark.ml.linalg.Vectors.dense(a.map(_.toDouble).toArray))
+    val vecs = e.select(col("vec_id"), col("embedding"),
+      toVec(col("embedding")).as("raw"))
+    val feats = new Normalizer().setInputCol("raw").setOutputCol("features")
+      .setP(2.0).transform(vecs)
+    val lsh = new BucketedRandomProjectionLSH().setInputCol("features")
+      .setOutputCol("hashes").setBucketLength(1.0).setNumHashTables(6).setSeed(7)
+    val cand = lsh.fit(feats).approxSimilarityJoin(feats, feats, 1.05, "dist")
+      .select(col("datasetA.vec_id").as("d1"), col("datasetA.embedding").as("e1"),
+        col("datasetB.vec_id").as("d2"), col("datasetB.embedding").as("e2"))
+      .filter(col("d1") < col("d2"))
+    graft.functions.GraftFunctions.registerAll(s)
+    val cosd = (expr("float_dot(e1, e2)") /
+      (sqrt(expr("float_dot(e1, e1)")) * sqrt(expr("float_dot(e2, e2)"))))
+      .cast(DecimalType(18, 6))
+    cand.withColumn("cos_d", cosd)
+      .filter(col("cos_d") >= lit(BigDecimal("0.500000")).cast(DecimalType(18, 6)))
+      .select("d1", "d2").distinct()
+      .orderBy("d1", "d2")
+  }
+
   val queries: Map[String, Q] = Map(
     "text_langid" -> textLangid,
     "text_quality" -> textQuality,
     "text_token_count" -> textTokenCount,
     "text_fingerprint" -> textFingerprint,
     "dedup_simhash" -> dedupSimhash,
-    "dedup_near_embedding" -> dedupNearEmbedding)
+    "dedup_near_embedding" -> dedupNearEmbedding,
+    "dedup_near_embedding_lsh" -> dedupNearEmbeddingLsh)
 
   private val shingleSqlDuck =
     """SELECT DISTINCT doc_id,

@@ -16,9 +16,9 @@ class AllQueriesSpec extends AnyFunSuite {
     val noOracle = q.diff(o)
     assert(noOracle == Set("agg_approx_hll", "agg_approx_quantile",
       "stream_late_watermark", "dedup_near_minhash", "sim_ann_lsh",
-      "sim_ann_ivf"),
+      "sim_ann_ivf", "dedup_near_embedding_lsh"),
       s"unexpected no-oracle keys: $noOracle")
-    assert(q.size == 97, s"expected 97 declared keys, got ${q.size}")
+    assert(q.size == 98, s"expected 98 declared keys, got ${q.size}")
   }
 
   test("entry returns rows") {
@@ -33,7 +33,8 @@ class AllQueriesSpec extends AnyFunSuite {
       assert(c1 == c2, s"$name row count not stable: $c1 vs $c2")
       // these can legitimately be empty at tiny scale; everything else
       // must produce rows.
-      val mayBeEmpty = Set("join_left_anti", "dedup_near_embedding")
+      val mayBeEmpty = Set("join_left_anti", "dedup_near_embedding",
+        "dedup_near_embedding_lsh")
       if (!mayBeEmpty(name)) assert(c1 > 0, s"$name returned 0 rows")
     }
   }

@@ -87,6 +87,19 @@ class ApproxSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall $recall < 0.5")
   }
 
+  test("dedup_near_embedding_lsh equals the exact all-pairs set (recall 1.0)") {
+    // precision is structural (exact cosine verify on every candidate), so
+    // set equality == recall 1.0: LSH candidate generation missed nothing
+    // at this scale/margin
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(ops.Analysis.dedupNearEmbedding(spark, sf001))
+    val lsh = pairSet(ops.Analysis.dedupNearEmbeddingLsh(spark, sf001))
+    assert(lsh == exact,
+      s"missed=${exact.diff(lsh)} extra=${lsh.diff(exact)}")
+    info(s"lsh pair set equals exact (${exact.size} pairs)")
+  }
+
   test("stream_late_watermark drops exactly the late rows") {
     val out = ops.Streaming.streamLateWatermark(spark, sf001)
       .agg(sum("n_kept")).collect()(0).getLong(0)
