@@ -69,4 +69,43 @@ class IngestSpec extends AnyFunSuite {
     // chr2:1500 — only the coverage-less sample contributes: denom 8
     assert(freq(("2", 1500L)) == ((1L, 8L, 1L * 1000000 / 8)))
   }
+
+  test("incremental folds over streamed imports converge to the one-shot state") {
+    // the reference's continuous lifecycle end-to-end: each import batch
+    // streams in, its partial aggregates fold into the running store via
+    // the merge_upsert shape, and after every batch the store equals a
+    // one-shot aggregate over everything ingested so far
+    val base = Files.createTempDirectory(Paths.get("/root/repo/target"), "ingfold")
+    val (src, dest, ckpt) = (s"$base/src", s"$base/dest", s"$base/ckpt")
+    Files.createDirectories(Paths.get(src))
+    val batches = Seq(
+      Seq("1;1;1000;A;T;1", "2;1;1000;A;T;2", "3;2;1500;G;A;1"),
+      Seq("4;1;1000;A;T;2", "5;2;1500;G;C;1"),
+      Seq("6;2;1500;G;A;3"))
+    var store: Option[org.apache.spark.sql.DataFrame] = None
+    var ingestedSoFar = 0L
+    for ((rows, i) <- batches.zipWithIndex) {
+      Files.write(Paths.get(s"$src/b$i.txt"),
+        String.join("\n", rows: _*).getBytes)
+      Ingest.startObservationIngest(spark, src, dest, ckpt).awaitTermination()
+      val all = Ingest.readIngested(spark, dest)
+      // fold ONLY the newly-arrived rows (checkpointed ingest means the
+      // store never re-reads history)
+      val fresh = all.filter(all("obs_id") > ingestedSoFar)
+      ingestedSoFar += rows.size
+      val empty = fresh.filter(fresh("obs_id") < 0)
+        .groupBy("chromosome", "position", "reference", "observed")
+        .agg(org.apache.spark.sql.functions.sum("support")
+          .cast("long").as("numer"))
+      store = Some(graft.varda.VardaOps.foldNumer(store.getOrElse(empty), fresh))
+      val got = store.get.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3)) -> r.getLong(4))
+        .toMap
+      val oneShot = all.groupBy("chromosome", "position", "reference", "observed")
+        .agg(org.apache.spark.sql.functions.sum("support").as("n")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3)) -> r.getLong(4))
+        .toMap
+      assert(got == oneShot, s"after batch $i: $got != $oneShot")
+    }
+  }
 }

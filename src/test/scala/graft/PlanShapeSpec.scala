@@ -107,9 +107,13 @@ class PlanShapeSpec extends AnyFunSuite {
     // cross join, 1-row count broadcasts (tfidf, ntile), the tile-grid
     // cosine kernels (block-pair enumeration over O(blocks) rows), and the
     // frequency family's dimension-sized coverage-less broadcast
+    // source_vcf_file's one BNLJ is the 1-row #CHROM-header broadcast;
+    // varda_freq_incremental / varda_annotate_multi inherit the frequency
+    // family's dimension-sized coverage-less broadcast
     val sanctioned = Set("join_cross", "text_tfidf", "win_ntile_pct",
       "sim_topk_cosine", "dedup_near_embedding", "varda_frequency",
-      "agg_freq_ratio", "varda_sample_expr", "varda_annotate")
+      "agg_freq_ratio", "varda_sample_expr", "varda_annotate",
+      "source_vcf_file", "varda_freq_incremental", "varda_annotate_multi")
     for ((k, fn) <- SparkEntry.queries.toSeq.sortBy(_._1) if !sanctioned(k)) {
       val p = fn(spark, sf0001).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
