@@ -12,6 +12,13 @@ import org.apache.spark.sql.functions._
   * with a deterministic hash-derived shard, the small side is replicated
   * across all shards, and the join key becomes (key, salt): one hot key's
   * rows spread over `salts` reducers instead of one.
+  *
+  * SkewSpec demonstrates both layers: OptimizeSkewedJoin firing on a
+  * synthetic hot key (a partition is split when its size exceeds
+  * `spark.sql.adaptive.skewJoin.skewedPartitionFactor` × median and
+  * `...skewedPartitionThresholdInBytes`, into chunks of
+  * `spark.sql.adaptive.advisoryPartitionSizeInBytes`), and the salted
+  * join's row-identity with the plain join.
   */
 object Skew {
 
