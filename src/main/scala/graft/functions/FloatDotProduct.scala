@@ -60,7 +60,11 @@ case class FloatDotProduct(left: Expression, right: Expression)
 
 /** Session-level registration of the engine's native SQL functions. */
 object GraftFunctions {
-  def registerAll(spark: SparkSession): Unit =
+  def registerAll(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "float_dot", args => FloatDotProduct(args(0), args(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lsh_band_buckets",
+      args => LshBandBuckets(args(0), args(1), args(2)), "built-in")
+  }
 }

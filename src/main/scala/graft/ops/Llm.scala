@@ -82,23 +82,26 @@ object Llm {
     * the exact pair set the oracle computes. */
   def jaccardPairs(docs: DataFrame, maxDf: Int = Int.MaxValue): DataFrame = {
     val sh = shingles(docs)
-    // set size via a window count over the same doc_id shuffle — one scan
-    // of documents and one fewer shuffle than a groupBy+join-back
-    val withSize = sh.withColumn("s",
-      count(lit(1)).over(Window.partitionBy("doc_id")))
-    val postings = withSize
+    // per-doc set sizes as a map-side-combined aggregate (one row per
+    // doc), joined back at PAIR level where the data is tiny. Round-3
+    // change: the previous window count carried `s` through the whole
+    // exploded index — a full-width extra shuffle of #shingle-token rows;
+    // the size join moves 2×#docs rows instead, a strict win at every
+    // scale (#docs ≪ #tokens) and broadcastable locally by AQE.
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("s"))
+    val postings = sh
       .groupBy("shingle")
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("s")))).as("docs"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
       .filter(size(col("docs")) <= maxDf)
     postings
       .select(explode(expr(
         """flatten(transform(docs, (a, i) ->
              transform(slice(docs, i + 2, size(docs)), b ->
-               struct(a.doc_id as d1, b.doc_id as d2,
-                      a.s as s1, b.s as s2))))""")).as("p"))
-      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"),
-        col("p.s1").as("s1"), col("p.s2").as("s2"))
+               struct(a as d1, b as d2))))""")).as("p"))
+      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .agg(count(lit(1)).as("inter_cnt"))
+      .join(sizes.select(col("doc_id").as("d1"), col("s").as("s1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("s").as("s2")), "d2")
       .filter(col("inter_cnt") * 3 >= col("s1") + col("s2"))
       .select(col("d1"), col("d2"), col("inter_cnt"),
         (col("s1") + col("s2") - col("inter_cnt")).as("union_cnt"))
