@@ -74,10 +74,12 @@ object DedupClusters {
     }.toDF("id", "component")
     // localCheckpoint truncates plan lineage per step — without it the
     // logical plan doubles every round and planning itself OOMs long
-    // before the data does
-    var labels = (if (parts == 1) contracted
-      else contracted.groupBy("id").agg(min("component").as("component")))
-      .localCheckpoint()
+    // before the data does. With a single partition phase 1 is exact and
+    // no iteration runs, so there is no lineage to truncate: skip the
+    // checkpoint's extra materialization pass.
+    var labels = if (parts == 1) contracted
+      else contracted.groupBy("id").agg(min("component").as("component"))
+        .localCheckpoint()
     var iter = 0
     var converged = parts == 1 // single partition ⇒ phase 1 was exact
     while (!converged && iter < maxIter) {
