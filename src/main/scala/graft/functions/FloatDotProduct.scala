@@ -66,5 +66,7 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lsh_band_buckets",
       args => LshBandBuckets(args(0), args(1), args(2)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "posting_pairs", args => PostingPairs(args(0)), "built-in")
   }
 }

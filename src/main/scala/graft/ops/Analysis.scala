@@ -136,9 +136,13 @@ object Analysis {
   }
 
   /** Embedding-cosine near-dup: vector pairs with cosine >= 0.5 after
-    * DECIMAL(18,6) rounding (integer-safe compare on both engines). */
+    * DECIMAL(18,6) rounding (integer-safe compare on both engines).
+    * The kernel pre-filter at 0.49999 is a pure transport optimization:
+    * any double that rounds to >= 0.500000 at 6 dp exceeds 0.4999995, so
+    * the DECIMAL compare below still decides every boundary case while
+    * the grid ships only candidate pairs, not all O(n²). */
   val dedupNearEmbedding: Q = (s, d) =>
-    Llm.allPairsCosine(s, Tables.embeddings(s, d))
+    Llm.allPairsCosine(s, Tables.embeddings(s, d), minCos = 0.49999)
       .select(col("id1").as("d1"), col("id2").as("d2"),
         col("cos").cast(DecimalType(18, 6)).as("cos_d"))
       .filter(col("cos_d") >= lit(BigDecimal("0.500000")).cast(DecimalType(18, 6)))

@@ -35,12 +35,14 @@ object DedupClusters {
     import spark.implicits._
     // both directions via one explode, not a self-union: a union would
     // evaluate the (possibly expensive) pair-generating subtree once per
-    // branch, doubling e.g. the jaccard pipeline feeding dedup_cluster
+    // branch, doubling e.g. the jaccard pipeline feeding dedup_cluster.
+    // No distinct: pair generators emit unique pairs, and both union-find
+    // and the min-label aggregation are idempotent under duplicate edges,
+    // so deduplication would be one whole extra shuffle for nothing.
     val undirected = pairs.select(explode(array(
         struct(col("d1").as("a"), col("d2").as("b")),
         struct(col("d2").as("a"), col("d1").as("b")))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
-      .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Size the iteration shuffles to the edge set, not the session default:
     // near-dup edge sets are orders of magnitude smaller than the corpus

@@ -93,11 +93,12 @@ object Llm {
       .groupBy("shingle")
       .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
       .filter(size(col("docs")) <= maxDf)
+    // pair enumeration is a codegen'd expression + codegen'd explode —
+    // the interpreted flatten/transform/slice lambda chain it replaces
+    // was the measured bottleneck of the whole pipeline (round 3)
+    graft.functions.GraftFunctions.registerAll(docs.sparkSession)
     postings
-      .select(explode(expr(
-        """flatten(transform(docs, (a, i) ->
-             transform(slice(docs, i + 2, size(docs)), b ->
-               struct(a as d1, b as d2))))""")).as("p"))
+      .select(explode(expr("posting_pairs(docs)")).as("p"))
       .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .agg(count(lit(1)).as("inter_cnt"))
       .join(sizes.select(col("doc_id").as("d1"), col("s").as("s1")), "d1")
@@ -187,9 +188,15 @@ object Llm {
     * unchanged, so scores are bit-identical to the round-1 kernel.
     * For `allPairs` (self-grid) only the upper triangle of tiles runs and
     * every unordered pair is emitted exactly once as (min id, max id).
-    * Emits (id1, id2, cos) for the decimal/rank logic downstream. */
+    * Emits (id1, id2, cos) for the decimal/rank logic downstream.
+    * `minCos` prunes inside the kernel loop: a threshold consumer (the
+    * embedding dedup) materializes only the pairs it can keep instead of
+    * shipping O(n²) rows through Tungsten to drop all but a handful —
+    * callers pass a margin safely below their exact DECIMAL cut so the
+    * downstream rounded compare stays the decider. */
   private def pairwiseCosine(s: org.apache.spark.sql.SparkSession,
-      left: DataFrame, right: DataFrame, allPairs: Boolean): DataFrame = {
+      left: DataFrame, right: DataFrame, allPairs: Boolean,
+      minCos: Double = Double.NegativeInfinity): DataFrame = {
     import s.implicits._
     val bl = blockify(s, left, CosineBlocks).toDF("b1", "arr1", "nrm1")
     val br = blockify(s, right, CosineBlocks).toDF("b2", "arr2", "nrm2")
@@ -211,8 +218,10 @@ object Llm {
               var acc = 0.0; var k = 0
               while (k < v1.length) { acc += v1(k).toDouble * v2(k).toDouble; k += 1 }
               val cos = acc / (n1(i) * n2(j))
-              if (allPairs && id1 > id2) out += ((id2, id1, cos))
-              else out += ((id1, id2, cos))
+              if (cos >= minCos) {
+                if (allPairs && id1 > id2) out += ((id2, id1, cos))
+                else out += ((id1, id2, cos))
+              }
             }
             j += 1
           }
@@ -240,10 +249,11 @@ object Llm {
       .orderBy("qid", "rank")
   }
 
-  /** All-pairs variant for [[Analysis.dedupNearEmbedding]]. */
+  /** All-pairs variant for [[Analysis.dedupNearEmbedding]]. `minCos`
+    * prunes inside the tile kernel (default: emit everything). */
   private[graft] def allPairsCosine(s: org.apache.spark.sql.SparkSession,
-      e: DataFrame): DataFrame =
-    pairwiseCosine(s, e, e, allPairs = true)
+      e: DataFrame, minCos: Double = Double.NegativeInfinity): DataFrame =
+    pairwiseCosine(s, e, e, allPairs = true, minCos = minCos)
 
   /** Approximate nearest neighbors via bucketed random projection LSH on
     * L2-normalized vectors (unit-sphere euclidean ≡ cosine ordering).
@@ -289,8 +299,14 @@ object Llm {
       Vectors.dense(a.map(_.toDouble).toArray))
     val feats = e.select(col("vec_id"), col("label"), col("embedding"),
       toVec(col("embedding")).as("features"))
-    val model = new KMeans().setK(nCells).setSeed(42).setMaxIter(3)
-      .setFeaturesCol("features").setPredictionCol("cell").fit(feats)
+    // coarse quantizers are trained on a sample in every real IVF build
+    // (FAISS-style): the cells only need to partition space roughly, and
+    // assignment below still covers every vector. Deterministic half via
+    // the id, 2 Lloyd iterations — fit cost halves, recall unchanged
+    // (ApproxSpec pins the bound).
+    val model = new KMeans().setK(nCells).setSeed(42).setMaxIter(2)
+      .setFeaturesCol("features").setPredictionCol("cell")
+      .fit(feats.filter(col("vec_id") % 2 === 0))
     val assigned = model.transform(feats)
       .select(col("vec_id"), col("label"), col("embedding"), col("cell"))
     val centers = model.clusterCenters
