@@ -82,28 +82,39 @@ object Streaming {
 
   /** Batch emulation of watermark semantics: replay in arrival (event_id)
     * order, track the running max event time, drop rows later than 10
-    * minutes behind it, then count per tumbling hour. Engine-specific ⇒
-    * no oracle; the true streaming path (withWatermark drop behavior) is
+    * minutes behind it, then count per tumbling hour. Oracle-checked as of
+    * round 3 (the semantics are plain running-max SQL; the round-2 form
+    * was only declared no-oracle alongside its global-window plan); the
+    * true streaming path (withWatermark drop behavior) is additionally
     * asserted in StreamingSpec via MemoryStream.
     *
     * The running max is fully distributed (round-3 fix — the round-2 form
     * was the one remaining single-partition global window in the declared
-    * set): range-repartition on event_id puts arrival order across
-    * partitions, each partition computes its local running max, and the
-    * max over all EARLIER partitions arrives per partition via an
-    * O(partitions)-row broadcast — the GlobalRank offsets trick applied to
-    * a running aggregate. The only orderBy-without-partition window left
-    * runs over one row per partition, never over the events. */
+    * set): arrival order splits into chunks derived arithmetically from
+    * the id range (one 1-row broadcast — deterministic, where
+    * repartitionByRange + spark_partition_id is NOT: its sampled
+    * boundaries can differ between the plan's two evaluations of the same
+    * subtree, which mis-assigned prefixes and dropped valid rows when
+    * first tried). Each chunk computes its local running max; the max
+    * over all EARLIER chunks arrives via an O(chunks)-row broadcast — the
+    * GlobalRank offsets trick applied to a running aggregate. The only
+    * orderBy-without-partition window left runs over one row per chunk,
+    * never over the events. */
   val streamLateWatermark: Q = (s, d) => {
     val lateUs = 10L * 60 * 1000000
     val parts = s.sessionState.conf.numShufflePartitions
-    val ranged = Tables.events(s, d)
+    val base = Tables.events(s, d)
       .withColumn("tu", expr("unix_micros(cast(ts as timestamp))"))
-      .repartitionByRange(parts, col("event_id"))
-      .withColumn("__wm_pid", spark_partition_id())
+    val bounds = base.agg(min("event_id").as("__wm_lo"),
+      max("event_id").as("__wm_hi"))
+    val chunked = base.crossJoin(broadcast(bounds))
+      .withColumn("__wm_pid",
+        (((col("event_id") - col("__wm_lo")) * parts)
+          / (col("__wm_hi") - col("__wm_lo") + 1)).cast(IntegerType))
+      .drop("__wm_lo", "__wm_hi")
     val localW = Window.partitionBy("__wm_pid").orderBy("event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = ranged.withColumn("__wm_local", max(col("tu")).over(localW))
+    val local = chunked.withColumn("__wm_local", max(col("tu")).over(localW))
     val prefixes = local.groupBy("__wm_pid").agg(max("tu").as("__wm_pmax"))
       .withColumn("__wm_prefix", max(col("__wm_pmax")).over(
         Window.orderBy("__wm_pid").rowsBetween(Window.unboundedPreceding, -1)))
@@ -237,6 +248,15 @@ object Streaming {
     "stream_dedup" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
          FROM events ORDER BY event_id""",
+    "stream_late_watermark" ->
+      """WITH e AS (SELECT *, epoch_us(CAST(ts AS TIMESTAMP)) AS tu FROM events),
+            f AS (SELECT *, max(tu) OVER (ORDER BY event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS max_tu
+                  FROM e)
+         SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS ws,
+                count(*) AS n_kept
+         FROM f WHERE tu >= max_tu - 600000000
+         GROUP BY 1 ORDER BY ws""",
     "stream_stream_join" ->
       """SELECT a.event_id AS a_id, b.event_id AS b_id
          FROM events a JOIN events b ON a.user_id = b.user_id

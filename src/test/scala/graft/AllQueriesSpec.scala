@@ -15,7 +15,7 @@ class AllQueriesSpec extends AnyFunSuite {
     assert(o.subsetOf(q), s"oracle keys without query: ${o.diff(q)}")
     val noOracle = q.diff(o)
     assert(noOracle == Set("agg_approx_hll", "agg_approx_quantile",
-      "stream_late_watermark", "dedup_near_minhash", "sim_ann_lsh",
+      "dedup_near_minhash", "sim_ann_lsh",
       "sim_ann_ivf", "dedup_near_embedding_lsh"),
       s"unexpected no-oracle keys: $noOracle")
     assert(q.size == 101, s"expected 101 declared keys, got ${q.size}")
