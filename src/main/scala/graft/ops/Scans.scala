@@ -78,6 +78,22 @@ object Scans {
       .orderBy("event_id")
   }
 
+  /** Declared small-file compaction (round 3; [[Compaction]] was
+    * library-only before): fragment `events` into 64 tiny parquet files —
+    * the shape a streaming ingest leaves behind — then compact to ~1 MB
+    * targets with one round-robin repartition and read the result back.
+    * Rows must survive exactly: the oracle reads the original table, so
+    * the whole fragment→compact→scan cycle is hash-checked lossless.
+    * CompactionSpec additionally asserts the file-count arithmetic. */
+  val sinkCompaction: Q = (s, d) => {
+    val frag = scratch(s, "compact_src", d)
+    val dest = scratch(s, "compact_dst", d)
+    Tables.events(s, d).select("event_id", "user_id", "event_type", "value")
+      .repartition(64).write.mode("overwrite").parquet(frag)
+    Compaction.compactTo(s, frag, dest, 1L << 20)
+      .orderBy("event_id")
+  }
+
   val projectRenameCast: Q = (s, d) =>
     Tables.lineitem(s, d)
       .select(
@@ -138,6 +154,7 @@ object Scans {
     "source_csv_roundtrip" -> sourceCsvRoundtrip,
     "source_json_lines" -> sourceJsonLines,
     "source_partition_prune" -> sourcePartitionPrune,
+    "sink_compaction" -> sinkCompaction,
     "project_rename_cast" -> projectRenameCast,
     "filter_conjunct" -> filterConjunct,
     "filter_in_like" -> filterInLike,
@@ -170,6 +187,9 @@ object Scans {
     "source_partition_prune" ->
       """SELECT event_id, user_id, event_type, value
          FROM events WHERE event_type = 'click' ORDER BY event_id""",
+    "sink_compaction" ->
+      """SELECT event_id, user_id, event_type, value
+         FROM events ORDER BY event_id""",
     "project_rename_cast" ->
       """SELECT l_orderkey AS okey, l_linenumber AS line_no,
          CAST(CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS DECIMAL(38,4)) * 10000 AS BIGINT) AS net_price_e4,
