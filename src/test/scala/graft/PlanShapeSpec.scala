@@ -124,6 +124,34 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("no declared query runs a global window over unaggregated data") {
+    // Window.orderBy with no partition key moves ALL rows to one
+    // partition — the scale-killer GlobalRank and the chunked running max
+    // exist to avoid. A global window is sanctioned only above an
+    // aggregation (per-partition offsets, per-chunk prefixes: O(groups)
+    // rows, never the table).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    for ((k, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val df = fn(spark, sf0001)
+      def stripAqe(p: SparkPlan): SparkPlan = p match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }
+      val globals = stripAqe(df.queryExecution.executedPlan).collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      for (w <- globals) {
+        val aboveAgg = w.child.collectFirst {
+          case a: BaseAggregateExec => a }.isDefined
+        assert(aboveAgg,
+          s"$k runs a global window over unaggregated data:\n$w")
+      }
+    }
+  }
+
   test("whole-stage codegen covers the hot aggregation path") {
     // AQE only shows codegen in the final plan, so execute first.
     val df = SparkEntry.queries("agg_groupby_sums")(spark, sf0001)
