@@ -198,18 +198,23 @@ object VardaOps {
       .orderBy("obs_id", "observed")
   }
 
-  /** Header-aware VCF *file* ingestion (round-3; the reference's actual
-    * import surface, varda/tasks.py :: import_variation [U], reads real
-    * `.vcf` files, not pre-split lines). The query first serializes the
-    * observations fixture to a genuine VCF text file — `##fileformat` /
-    * `##INFO` / `##FORMAT` metadata, a `#CHROM ... FORMAT NA00001` header
-    * row naming the genotype column, and tab-delimited data lines with
-    * ID=obs<id>, comma-joined multi-ALT (every 5th record), QUAL/FILTER,
-    * a key=value INFO field and a GT genotype — then parses it back:
+  /** Header-aware multi-sample VCF *file* ingestion (round-3; the
+    * reference's actual import surface, varda/tasks.py ::
+    * import_variation [U], reads real `.vcf` files, not pre-split lines).
+    * The query first serializes the observations fixture to a genuine VCF
+    * text file — `##fileformat` / `##INFO` / `##FORMAT` metadata, a
+    * `#CHROM ... FORMAT S0 S1 S2` header row naming THREE genotype
+    * columns, and tab-delimited records with ID=obs<id>, comma-joined
+    * multi-ALT (every 5th record), QUAL/FILTER, a key=value INFO field,
+    * and per-sample GT cells (`./.` for samples without the call) — then
+    * parses it back:
     *
     *  - `##` metadata skipped, sample names read from the `#CHROM` header
-    *    (a one-row broadcast — never a driver-side collect),
-    *  - multi-ALT fan-out via posexplode (1-based alt_index),
+    *    (a one-row broadcast — never a driver-side collect); the carried
+    *    sample_name comes from the header, the way VCF binds columns,
+    *  - one output row per (record, called sample): posexplode over the
+    *    genotype cells, `./.` filtered out,
+    *  - multi-ALT fan-out via a second posexplode (1-based alt_index),
     *  - INFO key extraction via str_to_map,
     *  - zygosity derived from GT allele indices (a/b equal ⇒ homozygous),
     *    the way real VCF encodes it — not from a fixture column.
@@ -220,6 +225,7 @@ object VardaOps {
   val sourceVcfFile: Q = (s, d) => {
     import s.implicits._
     val tmp = graft.ops.Scans.scratch(s, "vcf_file", d)
+    val nSamples = 3
     val altField = when(col("obs_id") % 5 === 0,
       concat(col("observed"), lit(","),
         expr("substr('ACGT', CAST((obs_id + 2) % 4 AS INT) + 1, 1)")))
@@ -227,18 +233,19 @@ object VardaOps {
     val gt = when(col("obs_id") % 5 === 0, lit("1/2"))
       .when(col("zygosity") === "homozygous", lit("1/1"))
       .otherwise(lit("0/1"))
+    val gtCells = (0 until nSamples).map(k =>
+      when(col("sample_id") % nSamples === k, gt).otherwise(lit("./.")))
     val dataLines = obs(s, d).select(col("obs_id").as("ord"),
-      concat_ws("\t", col("chromosome"), col("position"),
+      concat_ws("\t", Seq(col("chromosome"), col("position"),
         concat(lit("obs"), col("obs_id")), col("reference"), altField,
         lit("."), lit("PASS"),
-        concat(lit("SUP="), col("support"), lit(";SMP="), col("sample_id")),
-        lit("GT"), gt).as("line"))
+        concat(lit("SUP="), col("support")),
+        lit("GT")) ++ gtCells: _*).as("line"))
     val header = Seq(
       (-5L, "##fileformat=VCFv4.2"),
       (-4L, "##INFO=<ID=SUP,Number=1,Type=Integer,Description=\"Allele support\">"),
-      (-3L, "##INFO=<ID=SMP,Number=1,Type=Integer,Description=\"Sample id\">"),
-      (-2L, "##FORMAT=<ID=GT,Number=1,Type=String,Description=\"Genotype\">"),
-      (-1L, "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tNA00001"))
+      (-3L, "##FORMAT=<ID=GT,Number=1,Type=String,Description=\"Genotype\">"),
+      (-2L, "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS0\tS1\tS2"))
       .toDF("ord", "line")
     header.unionByName(dataLines).coalesce(1).sortWithinPartitions("ord")
       .select("line").write.mode("overwrite").text(tmp)
@@ -255,19 +262,24 @@ object VardaOps {
         element_at(col("f"), 4).as("reference"),
         split(element_at(col("f"), 5), ",").as("alts"),
         expr("str_to_map(element_at(f, 8), ';', '=')").as("info"),
-        split(element_at(col("f"), 10), "/").as("gt"))
+        slice(col("f"), 10, 4096).as("gts"))
       .select(col("obs_id"), col("chromosome"), col("position"),
-        col("reference"), col("info"), col("gt"),
+        col("reference"), col("alts"), col("info"),
+        posexplode(col("gts")).as(Seq("slot", "gt")))
+      .filter(col("gt") =!= "./.")
+      .select(col("obs_id"), col("chromosome"), col("position"),
+        col("reference"), col("info"), col("slot"),
+        split(col("gt"), "/").as("alleles"),
         posexplode(col("alts")).as(Seq("ai", "observed")))
       .crossJoin(broadcast(sampleNames))
       .select(col("obs_id"), col("chromosome"), col("position"),
         col("reference"),
         (col("ai") + 1).cast(LongType).as("alt_index"), col("observed"),
         element_at(col("info"), "SUP").cast(IntegerType).as("support"),
-        element_at(col("info"), "SMP").cast(LongType).as("sample_id"),
-        when(element_at(col("gt"), 1) === element_at(col("gt"), 2),
-          "homozygous").otherwise("heterozygous").as("zygosity"),
-        element_at(col("names"), 1).as("sample_name"))
+        col("slot").cast(LongType).as("sample_slot"),
+        element_at(col("names"), col("slot") + 1).as("sample_name"),
+        when(element_at(col("alleles"), 1) === element_at(col("alleles"), 2),
+          "homozygous").otherwise("heterozygous").as("zygosity"))
       .orderBy("obs_id", "alt_index")
   }
 
@@ -470,9 +482,10 @@ object VardaOps {
           SELECT obs_id, chromosome, position, reference,
             CASE WHEN observed = substr('ACGT', CAST((obs_id + 1) % 4 AS INT) + 1, 1)
                  THEN CAST(1 AS BIGINT) ELSE CAST(2 AS BIGINT) END AS alt_index,
-            observed, support, sample_id,
-            CASE WHEN obs_id % 5 = 0 THEN 'heterozygous' ELSE zygosity END AS zygosity,
-            'NA00001' AS sample_name
+            observed, support,
+            CAST(sample_id % 3 AS BIGINT) AS sample_slot,
+            'S' || CAST(sample_id % 3 AS VARCHAR) AS sample_name,
+            CASE WHEN obs_id % 5 = 0 THEN 'heterozygous' ELSE zygosity END AS zygosity
           FROM ex ORDER BY obs_id, alt_index""",
     "source_bed" ->
       s"""WITH cov AS ($coverage)
