@@ -37,6 +37,11 @@ case class PostingPairs(child: Expression) extends UnaryExpression {
   override protected def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
     val n = a.numElements()
+    // n*(n-1)/2 wraps Int at n >= 46342 — fail with the actual remedy
+    // instead of a NegativeArraySizeException from nowhere
+    require(n.toLong * (n - 1) / 2 <= Int.MaxValue - 8,
+      s"posting list of $n documents yields more than 2^31 candidate " +
+        "pairs; cap hot shingles with jaccardPairs(maxDf = ...)")
     val out = new Array[Any](n * (n - 1) / 2)
     var k = 0
     var i = 0
@@ -64,6 +69,11 @@ case class PostingPairs(child: Expression) extends UnaryExpression {
       val d1 = ctx.freshName("d1")
       s"""
          |int $n = $a.numElements();
+         |if ((long) $n * ($n - 1) / 2 > Integer.MAX_VALUE - 8) {
+         |  throw new IllegalArgumentException("posting list of " + $n +
+         |    " documents yields more than 2^31 candidate pairs; cap hot" +
+         |    " shingles with jaccardPairs(maxDf = ...)");
+         |}
          |Object[] $arr = new Object[$n * ($n - 1) / 2];
          |int $k = 0;
          |for (int $i = 0; $i < $n; $i++) {

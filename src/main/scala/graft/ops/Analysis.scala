@@ -198,12 +198,12 @@ object Analysis {
   private[graft] def nearIdenticalLsh(e: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     graft.functions.GraftFunctions.registerAll(e.sparkSession)
-    // persist: the self-join's two sides read the (tiny, rows×bands)
-    // materialized bucket table instead of recomputing signatures
+    // no persist: the codegen'd signature pass is cheap enough that the
+    // self-join's two evaluations beat leaking one cache entry per call
+    // (deterministic expression ⇒ both evaluations agree exactly)
     val buckets = e.select(col("vec_id"),
-        posexplode(expr(s"lsh_band_buckets(embedding, $LshBands, $LshBits)"))
-          .as(Seq("band_id", "bucket")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      posexplode(expr(s"lsh_band_buckets(embedding, $LshBands, $LshBits)"))
+        .as(Seq("band_id", "bucket")))
     val cands = buckets.as("a").join(buckets.as("b"),
         col("a.band_id") === col("b.band_id")
           && col("a.bucket") === col("b.bucket")

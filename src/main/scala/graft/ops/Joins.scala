@@ -124,23 +124,48 @@ object Joins {
       .orderBy("l_orderkey", "l_linenumber", "l_suppkey", "s_name")
   }
 
-  /** Ensure a bucketed+sorted copy of `df` exists as table `name`.
-    * The bucketed write is the one-time layout cost the operator exists to
-    * amortize, so it runs at most once per sfDir: a marker file written
-    * after the bucketed write commits makes the layout reusable across
+  /** Fingerprint of the source parquet dir (file names, lengths, mtimes)
+    * plus the expected schema — stamped into the reuse marker so a
+    * regenerated or re-schemaed source invalidates the cached layout
+    * instead of silently serving stale rows. */
+  private def sourceFingerprint(s: org.apache.spark.sql.SparkSession,
+      srcPath: String, df: DataFrame): String = {
+    val p = new org.apache.hadoop.fs.Path(srcPath)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(p).filter(_.isFile)
+      .map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+      .sorted.mkString(",")
+    s"$files|${df.schema.toDDL}"
+  }
+
+  /** Ensure a bucketed+sorted copy of `df` (read from `srcPath`) exists
+    * as table `name`. The bucketed write is the one-time layout cost the
+    * operator exists to amortize, so it runs at most once per source
+    * state: a marker file carrying the source fingerprint is written
+    * after the bucketed write commits, making the layout reusable across
     * JVMs — a fresh session (whose in-memory catalog forgot the table)
     * re-registers an external bucketed table over the surviving files
-    * instead of re-paying the write. A missing marker (first run, or a
-    * write that died mid-flight) takes the cold path: clear and rewrite. */
+    * instead of re-paying the write. A missing OR stale marker (first
+    * run, died mid-write, source regenerated, schema changed) takes the
+    * cold path: clear and rewrite. */
   private def ensureBucketed(s: org.apache.spark.sql.SparkSession,
-      name: String, key: String, df: DataFrame): Unit = {
+      name: String, key: String, srcPath: String, df: DataFrame): Unit = {
     if (s.catalog.tableExists(name)) return
     val wh = new org.apache.hadoop.fs.Path(
       new java.net.URI(s.conf.get("spark.sql.warehouse.dir")))
     val loc = new org.apache.hadoop.fs.Path(wh, name.toLowerCase)
     val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(loc, "_GRAFT_BUCKETS_OK")
-    if (fs.exists(marker)) {
+    val fp = sourceFingerprint(s, srcPath, df)
+    val markerValid = fs.exists(marker) && {
+      val in = fs.open(marker)
+      try {
+        val b = new Array[Byte](fs.getFileStatus(marker).getLen.toInt)
+        in.readFully(b)
+        new String(b, java.nio.charset.StandardCharsets.UTF_8) == fp
+      } finally in.close()
+    }
+    if (markerValid) {
       // underscore-prefixed marker is invisible to the parquet file lister
       s.sql(s"""CREATE TABLE $name (${df.schema.toDDL})
                 USING parquet
@@ -149,7 +174,9 @@ object Joins {
     } else {
       fs.delete(loc, true)
       df.write.mode("overwrite").bucketBy(8, key).sortBy(key).saveAsTable(name)
-      fs.create(marker).close()
+      val out = fs.create(marker)
+      try out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
     }
   }
 
@@ -164,8 +191,10 @@ object Joins {
     * but misses the point). */
   val joinBucketColocated: Q = (s, d) => {
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
-    ensureBucketed(s, s"b_orders_$sfx", "o_custkey", Tables.orders(s, d))
-    ensureBucketed(s, s"b_customer_$sfx", "c_custkey", Tables.customer(s, d))
+    ensureBucketed(s, s"b_orders_$sfx", "o_custkey",
+      s"$d/orders.parquet", Tables.orders(s, d))
+    ensureBucketed(s, s"b_customer_$sfx", "c_custkey",
+      s"$d/customer.parquet", Tables.customer(s, d))
     val bo = s.table(s"b_orders_$sfx"); val bc = s.table(s"b_customer_$sfx")
     bo.join(bc.hint("merge"), bo("o_custkey") === bc("c_custkey"))
       .select(bo("o_orderkey"), bo("o_custkey"), bc("c_name"))

@@ -64,10 +64,20 @@ object Llm {
   private val pairsCache =
     scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
   private[ops] def jaccardPairsShared(s: org.apache.spark.sql.SparkSession,
-      d: String): DataFrame =
-    pairsCache.getOrElseUpdate((System.identityHashCode(s), d),
-      jaccardPairs(Tables.documents(s, d))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      d: String): DataFrame = {
+    val key = (System.identityHashCode(s), d)
+    pairsCache.get(key) match {
+      // guard against an identityHashCode collision with a stopped
+      // session: a cached plan bound to a dead SparkContext must never
+      // be handed to a live one
+      case Some(df) if df.sparkSession eq s => df
+      case _ =>
+        val df = jaccardPairs(Tables.documents(s, d))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pairsCache.put(key, df)
+        df
+    }
+  }
 
   /** Jaccard >= 0.5 pairs via the inverted index; `maxDf` drops posting
     * lists longer than that many documents before pair explosion — the
@@ -218,7 +228,11 @@ object Llm {
               var acc = 0.0; var k = 0
               while (k < v1.length) { acc += v1(k).toDouble * v2(k).toDouble; k += 1 }
               val cos = acc / (n1(i) * n2(j))
-              if (cos >= minCos) {
+              // !(cos < minCos), not (cos >= minCos): a NaN cosine (zero
+              // -norm vector) must keep flowing to the caller exactly as
+              // it did before pruning existed — droppers drop it via
+              // their own DECIMAL threshold, rankers rank it
+              if (!(cos < minCos)) {
                 if (allPairs && id1 > id2) out += ((id2, id1, cos))
                 else out += ((id1, id2, cos))
               }

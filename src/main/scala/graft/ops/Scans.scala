@@ -15,14 +15,18 @@ import org.apache.spark.sql.types._
 object Scans {
 
   /** Scratch directory for queries that write-then-read (CSV roundtrip,
-    * partition prune, VCF file): `spark.graft.scratchDir` if set, else the
-    * JVM temp dir — never a hardcoded checkout path (round-3 ADVICE fix:
-    * the library must work from any deployment location). */
+    * partition prune, VCF file, compaction): `spark.graft.scratchDir` if
+    * set, else the JVM temp dir — never a hardcoded checkout path
+    * (round-3 ADVICE fix: the library must work from any deployment
+    * location). Scoped by applicationId: every write-then-read completes
+    * within one query, so nothing is shared across apps, and two
+    * concurrent apps on one host must not overwrite each other's files
+    * mid-read. */
   private[graft] def scratch(s: org.apache.spark.sql.SparkSession,
       name: String, d: String): String = {
     val base = s.conf.getOption("spark.graft.scratchDir")
       .getOrElse(sys.props("java.io.tmpdir") + "/graft-scratch")
-    s"$base/${name}_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    s"$base/${s.sparkContext.applicationId}/${name}_${d.replaceAll("[^A-Za-z0-9]", "_")}"
   }
 
   // (l_orderkey, l_linenumber) is NOT unique in the generated lineitem, so

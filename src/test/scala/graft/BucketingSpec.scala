@@ -42,4 +42,28 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS b_customer")
     }
   }
+
+  test("bucketed layout survives a catalog wipe: marker re-registration path") {
+    // simulate joinBucketColocated's cross-JVM reuse: after the cold
+    // write, drop the catalog entries (what a fresh JVM's in-memory
+    // catalog looks like) while the files + fingerprint marker survive;
+    // the second call must re-register external bucketed tables and still
+    // plan the exchange-free SMJ with identical rows
+    val q = SparkEntry.queries("join_bucket_colocated")
+    val sfx = sf0001.replaceAll("[^A-Za-z0-9]", "_")
+    val cold = q(spark, sf0001).collect().map(_.toString).toSeq
+    spark.sql(s"DROP TABLE IF EXISTS b_orders_$sfx")
+    spark.sql(s"DROP TABLE IF EXISTS b_customer_$sfx")
+    val df = q(spark, sf0001)
+    val reused = df.collect().map(_.toString).toSeq
+    assert(reused == cold, "re-registered layout returned different rows")
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("SortMergeJoin"), s"not an SMJ after re-registration:\n$p")
+    assert(!p.substring(p.indexOf("SortMergeJoin")).contains("Exchange"),
+      s"re-registered bucketed join shuffles:\n$p")
+    // the external re-registration must also be marked bucketed
+    assert(p.contains("SelectedBucketsCount"),
+      s"bucket metadata lost on re-registration:\n$p")
+  }
 }
