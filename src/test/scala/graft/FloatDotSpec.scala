@@ -26,6 +26,61 @@ class FloatDotSpec extends AnyFunSuite {
     }
   }
 
+  test("posting_pairs: interpreted and codegen paths match the reference") {
+    GraftFunctions.registerAll(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val lists = (0 until 30).map(_ =>
+      (0 until rnd.nextInt(12)).map(_ => rnd.nextLong().abs).sorted.toArray)
+    def expected(a: Array[Long]) =
+      (for { i <- a.indices; j <- i + 1 until a.length } yield (a(i), a(j))).toSeq
+    // column input → whole-stage codegen path
+    val viaCol = lists.zipWithIndex.map { case (a, i) => (i, a) }
+      .toDF("id", "docs")
+      .select(col("id"), expr("posting_pairs(docs)").as("ps"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(p => (p.getLong(0), p.getLong(1))))
+      .toMap
+    lists.zipWithIndex.foreach { case (a, i) =>
+      assert(viaCol(i) == expected(a), s"codegen mismatch on list $i")
+    }
+    // foldable input → Catalyst constant-folds through the INTERPRETED
+    // nullSafeEval — the other implementation of the same loop
+    val lit = lists(1).mkString("array(", "L,", "L)")
+    val viaEval = spark.sql(s"SELECT posting_pairs($lit) AS ps")
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+      .map(p => (p.getLong(0), p.getLong(1)))
+    assert(viaEval == expected(lists(1)), "interpreted eval mismatch")
+  }
+
+  test("lsh_band_buckets: interpreted and codegen paths match the sign reference") {
+    GraftFunctions.registerAll(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(6)
+    val vecs = (0 until 20).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    def expected(v: Array[Float], bands: Int, bits: Int): Seq[Int] =
+      (0 until bands).map { b =>
+        (0 until bits).map { j =>
+          val p = b * bits + j
+          val dot = v.zipWithIndex.map { case (x, i) =>
+            x.toDouble * graft.functions.LshBandBuckets.sign(i, p) }.sum
+          if (dot > 0) 1 << j else 0
+        }.sum
+      }
+    val viaCol = vecs.toDF("id", "v")
+      .select(col("id"), expr("lsh_band_buckets(v, 4, 8)").as("b"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Int](1)).toMap
+    vecs.foreach { case (i, v) =>
+      assert(viaCol(i) == expected(v, 4, 8), s"codegen mismatch on vec $i")
+    }
+    val lit = vecs(3)._2.mkString("cast(array(", "F,", "F) as array<float>)")
+    val viaEval = spark.sql(s"SELECT lsh_band_buckets($lit, 4, 8) AS b")
+      .collect()(0).getSeq[Int](0)
+    assert(viaEval == expected(vecs(3)._2, 4, 8), "interpreted eval mismatch")
+  }
+
   test("float_dot is null-safe and rejects wrong types") {
     GraftFunctions.registerAll(spark)
     import spark.implicits._
