@@ -309,6 +309,39 @@ object VardaOps {
       .select("obs_id", "region_id")
       .orderBy("obs_id", "region_id")
 
+  /** Declared form of the opt-in Catalyst interval-join rewrite
+    * ([[graft.plans.RewriteIntervalJoin]], round 3 — the rule was
+    * library-only before): the query builds the NAIVE range join a user
+    * would write (key equality + BETWEEN — quadratic per key group as
+    * Spark plans it), installs the rule via
+    * `spark.experimental.extraOptimizations`, and pins the optimized plan
+    * while the gating conf is on, so the driver checks both that the
+    * rewrite fired (PlanShapeSpec asserts the `__graft_bin` equi-join and
+    * no quadratic fallback) and that it preserved semantics (the oracle
+    * is the naive range-join SQL). The conf toggles back in a finally —
+    * no other declared query's plan is affected. */
+  val joinRangeRewrite: Q = (s, d) => {
+    if (!s.experimental.extraOptimizations.contains(graft.plans.RewriteIntervalJoin))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.RewriteIntervalJoin
+    val o = obs(s, d).select("obs_id", "chromosome", "position")
+    val c = cov(s, d)
+    val naive = o.join(c,
+      o("chromosome") === c("chromosome")
+        && o("position") >= c("begin_pos") && o("position") <= c("end_pos"))
+      .select(o("obs_id"), c("region_id"))
+    val prev = s.conf.getOption("spark.graft.rewriteIntervalJoin")
+    s.conf.set("spark.graft.rewriteIntervalJoin", "true")
+    try {
+      val optimized = naive.queryExecution.optimizedPlan
+      org.apache.spark.sql.GraftPlanBridge.ofRows(s, optimized)
+        .orderBy("obs_id", "region_id")
+    } finally prev match {
+      case Some(v) => s.conf.set("spark.graft.rewriteIntervalJoin", v)
+      case None => s.conf.unset("spark.graft.rewriteIntervalJoin")
+    }
+  }
+
   /** Frequency as a plain grouped-sums ratio (no zygosity split). */
   val aggFreqRatio: Q = (s, d) =>
     frequency(s, d, withZyg = false)
@@ -444,6 +477,7 @@ object VardaOps {
     "source_vcf_file" -> sourceVcfFile,
     "source_bed" -> sourceBed,
     "join_range_interval" -> joinRangeInterval,
+    "join_range_rewrite" -> joinRangeRewrite,
     "agg_freq_ratio" -> aggFreqRatio,
     "varda_freq_incremental" -> vardaFreqIncremental,
     "varda_normalize_variant" -> vardaNormalizeVariant,
@@ -492,6 +526,13 @@ object VardaOps {
           SELECT region_id, chromosome, begin_pos, end_pos, sample_id, pool_size
           FROM cov ORDER BY region_id""",
     "join_range_interval" ->
+      s"""WITH obs AS ($observations), cov AS ($coverage)
+          SELECT o.obs_id, c.region_id
+          FROM obs o JOIN cov c ON o.chromosome = c.chromosome
+            AND o.position BETWEEN c.begin_pos AND c.end_pos
+          ORDER BY o.obs_id, c.region_id""",
+    // the rewrite must be invisible in the result: same naive SQL
+    "join_range_rewrite" ->
       s"""WITH obs AS ($observations), cov AS ($coverage)
           SELECT o.obs_id, c.region_id
           FROM obs o JOIN cov c ON o.chromosome = c.chromosome

@@ -73,6 +73,13 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("join_range_rewrite: the Catalyst rule turned the naive range join into a bin equi-join") {
+    val p = plan("join_range_rewrite")
+    assert(p.contains("__graft_bin"), s"rewrite did not fire:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"rewritten join still quadratic:\n$p")
+  }
+
   test("aggregation does map-side partial aggregation before the shuffle") {
     val p = plan("agg_groupby_sums")
     assert(p.contains("partial_sum") || p.contains("partial_count"),
