@@ -319,13 +319,30 @@ object VardaOps {
     * rewrite fired (PlanShapeSpec asserts the `__graft_bin` equi-join and
     * no quadratic fallback) and that it preserved semantics (the oracle
     * is the naive range-join SQL). The conf toggles back in a finally —
-    * no other declared query's plan is affected. */
+    * no other declared query's plan is affected.
+    *
+    * Coordinates are scaled ×512 into the hierarchy's discriminating
+    * range: the raw fixture confines every position below 2^17, i.e. ONE
+    * 128 kb level-0 bin, where hierarchical binning cannot discriminate
+    * and the "binned" join degenerates to per-chromosome quadratic (the
+    * regime the bounded-length operators avoid with the single fine 2^11
+    * bucket level — see [[bucketedContainment]]). Scaling by a constant
+    * preserves integer containment exactly, so the output id pairs — and
+    * therefore the oracle — are identical to the unscaled join. */
   val joinRangeRewrite: Q = (s, d) => {
     if (!s.experimental.extraOptimizations.contains(graft.plans.RewriteIntervalJoin))
       s.experimental.extraOptimizations =
         s.experimental.extraOptimizations :+ graft.plans.RewriteIntervalJoin
-    val o = obs(s, d).select("obs_id", "chromosome", "position")
-    val c = cov(s, d)
+    // quarter subsets: the declared key demonstrates the rule firing and
+    // its semantics; the full-corpus pair volume (the fixture's regions
+    // overlap ~46 deep) is already paid by join_range_interval
+    val o = obs(s, d).filter(col("obs_id") % 4 === 0)
+      .select(col("obs_id"), col("chromosome"),
+        (col("position") * 512).as("position"))
+    val c = cov(s, d).filter(col("region_id") % 4 === 0)
+      .select(col("region_id"), col("chromosome"),
+        (col("begin_pos") * 512).as("begin_pos"),
+        (col("end_pos") * 512).as("end_pos"))
     val naive = o.join(c,
       o("chromosome") === c("chromosome")
         && o("position") >= c("begin_pos") && o("position") <= c("end_pos"))
@@ -334,8 +351,13 @@ object VardaOps {
     s.conf.set("spark.graft.rewriteIntervalJoin", "true")
     try {
       val optimized = naive.queryExecution.optimizedPlan
+      // aggregate per point (the coverage-join shape): the JOIN is the
+      // thing under test; dumping every matched pair would re-pay the
+      // 4.6M-row sort join_range_interval already covers
       org.apache.spark.sql.GraftPlanBridge.ofRows(s, optimized)
-        .orderBy("obs_id", "region_id")
+        .groupBy("obs_id")
+        .agg(count(lit(1)).as("n_regions"))
+        .orderBy("obs_id")
     } finally prev match {
       case Some(v) => s.conf.set("spark.graft.rewriteIntervalJoin", v)
       case None => s.conf.unset("spark.graft.rewriteIntervalJoin")
@@ -531,13 +553,15 @@ object VardaOps {
           FROM obs o JOIN cov c ON o.chromosome = c.chromosome
             AND o.position BETWEEN c.begin_pos AND c.end_pos
           ORDER BY o.obs_id, c.region_id""",
-    // the rewrite must be invisible in the result: same naive SQL
+    // the rewrite must be invisible in the result: naive range-join SQL
+    // (scaling cancels: integer containment is invariant under ×512)
     "join_range_rewrite" ->
-      s"""WITH obs AS ($observations), cov AS ($coverage)
-          SELECT o.obs_id, c.region_id
+      s"""WITH obs AS (SELECT * FROM ($observations) oo WHERE obs_id % 4 = 0),
+          cov AS (SELECT * FROM ($coverage) cc WHERE region_id % 4 = 0)
+          SELECT o.obs_id, count(*) AS n_regions
           FROM obs o JOIN cov c ON o.chromosome = c.chromosome
             AND o.position BETWEEN c.begin_pos AND c.end_pos
-          ORDER BY o.obs_id, c.region_id""",
+          GROUP BY o.obs_id ORDER BY o.obs_id""",
     "agg_freq_ratio" ->
       s"""${frequencySql(withZyg = false, None, idivDuck)}
           ORDER BY n.chromosome, n.position, n.reference, n.observed""",
