@@ -37,11 +37,13 @@ case class PostingPairs(child: Expression) extends UnaryExpression {
     val a = v.asInstanceOf[ArrayData]
     val n = a.numElements()
     // n*(n-1)/2 wraps Int at n >= 46342 — fail with the actual remedy
-    // instead of a NegativeArraySizeException from nowhere
+    // instead of a NegativeArraySizeException from nowhere. The size must
+    // also be COMPUTED in Long: for n in [46342, 65536] the Int multiply
+    // n*(n-1) wraps even when the final quotient fits.
     require(n.toLong * (n - 1) / 2 <= Int.MaxValue - 8,
       s"posting list of $n documents yields more than 2^31 candidate " +
         "pairs; cap hot shingles with jaccardPairs(maxDf = ...)")
-    val out = new Array[Any](n * (n - 1) / 2)
+    val out = new Array[Any]((n.toLong * (n - 1) / 2).toInt)
     var k = 0
     var i = 0
     while (i < n) {
@@ -73,7 +75,7 @@ case class PostingPairs(child: Expression) extends UnaryExpression {
          |    " documents yields more than 2^31 candidate pairs; cap hot" +
          |    " shingles with jaccardPairs(maxDf = ...)");
          |}
-         |Object[] $arr = new Object[$n * ($n - 1) / 2];
+         |Object[] $arr = new Object[(int) ((long) $n * ($n - 1) / 2)];
          |int $k = 0;
          |for (int $i = 0; $i < $n; $i++) {
          |  long $d1 = $a.getLong($i);

@@ -124,18 +124,24 @@ object Joins {
       .orderBy("l_orderkey", "l_linenumber", "l_suppkey", "s_name")
   }
 
-  /** Fingerprint of the source parquet dir (file names, lengths, mtimes)
-    * plus the expected schema — stamped into the reuse marker so a
-    * regenerated or re-schemaed source invalidates the cached layout
-    * instead of silently serving stale rows. */
+  /** Fingerprint of the source parquet dir (relative file paths, lengths,
+    * mtimes — recursive, so partitioned/nested sources contribute their
+    * leaf files too) plus the expected schema — stamped into the reuse
+    * marker so a regenerated or re-schemaed source invalidates the cached
+    * layout instead of silently serving stale rows. */
   private def sourceFingerprint(s: org.apache.spark.sql.SparkSession,
       srcPath: String, df: DataFrame): String = {
     val p = new org.apache.hadoop.fs.Path(srcPath)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(p).filter(_.isFile)
-      .map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
-      .sorted.mkString(",")
-    s"$files|${df.schema.toDDL}"
+    val base = p.toUri.getPath
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val rel = f.getPath.toUri.getPath.stripPrefix(base)
+      files += s"$rel:${f.getLen}:${f.getModificationTime}"
+    }
+    s"${files.sorted.mkString(",")}|${df.schema.toDDL}"
   }
 
   /** Ensure a bucketed+sorted copy of `df` (read from `srcPath`) exists
@@ -150,7 +156,6 @@ object Joins {
     * cold path: clear and rewrite. */
   private def ensureBucketed(s: org.apache.spark.sql.SparkSession,
       name: String, key: String, srcPath: String, df: DataFrame): Unit = {
-    if (s.catalog.tableExists(name)) return
     val wh = new org.apache.hadoop.fs.Path(
       new java.net.URI(s.conf.get("spark.sql.warehouse.dir")))
     val loc = new org.apache.hadoop.fs.Path(wh, name.toLowerCase)
@@ -164,6 +169,14 @@ object Joins {
         in.readFully(b)
         new String(b, java.nio.charset.StandardCharsets.UTF_8) == fp
       } finally in.close()
+    }
+    if (s.catalog.tableExists(name)) {
+      // the in-session catalog entry is only trustworthy while the marker
+      // still matches the source — a source regenerated mid-session must
+      // drop the stale layout, not serve it (same staleness the marker
+      // guards against across JVMs)
+      if (markerValid) return
+      s.sql(s"DROP TABLE IF EXISTS $name")
     }
     if (markerValid) {
       // underscore-prefixed marker is invisible to the parquet file lister

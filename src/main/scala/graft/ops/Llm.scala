@@ -71,7 +71,17 @@ object Llm {
       // session: a cached plan bound to a dead SparkContext must never
       // be handed to a live one
       case Some(df) if df.sparkSession eq s => df
-      case _ =>
+      case stale =>
+        // a hit bound to another/stopped session is dead weight — drop it
+        // (unpersist is a no-op if its context is already stopped), and
+        // sweep any other entries whose session has been stopped so the
+        // cache can't grow past one live entry per (session, dir).
+        // Assumption (documented): a fixture dir is not regenerated
+        // within the lifetime of one session — per-dir staleness across
+        // sessions is handled by keying on the session identity.
+        stale.foreach(df => scala.util.Try(df.unpersist(false)))
+        pairsCache.filterInPlace { case (_, df) =>
+          !df.sparkSession.sparkContext.isStopped }
         val df = jaccardPairs(Tables.documents(s, d))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         pairsCache.put(key, df)
