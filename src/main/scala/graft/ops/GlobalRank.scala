@@ -33,12 +33,18 @@ object GlobalRank {
   /** Append `out` = global 1-based rank of each row under `keys` (must be
     * a total order). Distributed: no global single-partition window.
     *
-    * The plan intentionally range-shuffles TWICE: the offsets branch is
-    * column-pruned to the sort keys alone, so its exchange moves a small
-    * fraction of the row bytes — at fact-table scale that beats the
-    * alternative (persisting the fully-shuffled table so one exchange
-    * serves both branches), which would write and re-read every column
-    * through the cache. */
+    * The locally-ranked frame is `localCheckpoint`ed (eagerly, to
+    * executor-local storage) BEFORE the plan branches into the offsets
+    * aggregate and the final join, so both branches read the SAME physical
+    * evaluation of the range shuffle. `repartitionByRange` samples its
+    * boundaries per evaluation — two independent evaluations of the same
+    * subtree can place a row in different partitions (the exact failure
+    * [[Streaming]]'s late-watermark rewrite hit), which under task retry,
+    * speculation, or a nondeterministic upstream silently mis-ranks rows.
+    * The checkpoint trades one executor-local full-width write for that
+    * determinism; the offsets branch then costs one O(partitions)
+    * aggregate over the materialized rows instead of a second range
+    * exchange. */
   def withGlobalRowNumber(df: DataFrame, keys: Seq[Column], out: String,
       numPartitions: Int = 0): DataFrame = {
     val parts = if (numPartitions > 0) numPartitions
@@ -47,6 +53,7 @@ object GlobalRank {
       .withColumn("__gr_pid", spark_partition_id())
     val localW = Window.partitionBy("__gr_pid").orderBy(keys: _*)
     val local = ranged.withColumn("__gr_local", row_number().over(localW))
+      .localCheckpoint()
     // O(partitions) rows: cumulative count of all partitions before pid
     val offsets = local.groupBy("__gr_pid").count()
       .withColumn("__gr_offset",
