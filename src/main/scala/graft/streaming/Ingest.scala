@@ -44,6 +44,39 @@ object Ingest {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Continuous REAL-VCF import — the reference's actual import surface
+    * (varda/tasks.py :: import_variation [U]) as a streaming query: watch
+    * `srcDir` for new `.vcf` text files, parse each with the library
+    * header-aware multi-sample reader ([[graft.varda.Vcf.parseVcfLines]]),
+    * apply the import-path normalization (chromosome canonicalization +
+    * allele prefix/suffix trimming, [[graft.varda.Vcf.normalized]]), and
+    * append to chromosome-partitioned parquet.
+    *
+    * `foreachBatch` rather than a direct streaming sink because the
+    * parser joins data lines to their file's `#CHROM` header row — a
+    * batch broadcast join per micro-batch (the file source delivers whole
+    * files, so a record and its header always share a batch); as a
+    * stream-stream join that tiny bind would need watermarked state.
+    * Progress stays exactly-once via the checkpoint: a replayed batch
+    * rewrites the same rows. */
+  def startVcfIngest(spark: SparkSession, srcDir: String,
+      destDir: String, checkpointDir: String): StreamingQuery =
+    spark.readStream.text(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.varda.Vcf.normalized(graft.varda.Vcf.parseVcfLines(batch))
+          .write.mode("append").partitionBy("chromosome").parquet(destDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Read the VCF-ingested store with the written schema ([[graft.varda
+    * .Vcf.schema]]; explicit so partition-column inference can't retype
+    * chromosome "1" as an int). */
+  def readVcfIngested(spark: SparkSession, destDir: String): DataFrame =
+    spark.read.schema(graft.varda.Vcf.schema).parquet(destDir)
+
   /** Read the ingested store with the written schema (partition-column
     * type inference would otherwise retype chromosome "1" as an int). */
   def readIngested(spark: SparkSession, destDir: String): DataFrame =

@@ -249,37 +249,15 @@ object VardaOps {
       .toDF("ord", "line")
     header.unionByName(dataLines).coalesce(1).sortWithinPartitions("ord")
       .select("line").write.mode("overwrite").text(tmp)
-    // ---- the reader: everything below is the reusable VCF import path
-    val raw = s.read.text(tmp)
-    val sampleNames = raw.filter(col("value").startsWith("#CHROM"))
-      .select(slice(split(col("value"), "\t"), 10, 4096).as("names"))
-    raw.filter(!col("value").startsWith("#"))
-      .select(split(col("value"), "\t").as("f"))
+    // ---- the reader: the extracted library parser ([[Vcf.parseVcfLines]],
+    // round-7) — this query is its regression gate against the oracle
+    Vcf.parseVcfLines(s.read.text(tmp))
       .select(
-        expr("cast(substr(element_at(f, 3), 4) as bigint)").as("obs_id"),
-        element_at(col("f"), 1).as("chromosome"),
-        element_at(col("f"), 2).cast(LongType).as("position"),
-        element_at(col("f"), 4).as("reference"),
-        split(element_at(col("f"), 5), ",").as("alts"),
-        expr("str_to_map(element_at(f, 8), ';', '=')").as("info"),
-        slice(col("f"), 10, 4096).as("gts"))
-      .select(col("obs_id"), col("chromosome"), col("position"),
-        col("reference"), col("alts"), col("info"),
-        posexplode(col("gts")).as(Seq("slot", "gt")))
-      .filter(col("gt") =!= "./.")
-      .select(col("obs_id"), col("chromosome"), col("position"),
-        col("reference"), col("info"), col("slot"),
-        split(col("gt"), "/").as("alleles"),
-        posexplode(col("alts")).as(Seq("ai", "observed")))
-      .crossJoin(broadcast(sampleNames))
-      .select(col("obs_id"), col("chromosome"), col("position"),
-        col("reference"),
-        (col("ai") + 1).cast(LongType).as("alt_index"), col("observed"),
+        expr("cast(substr(vcf_id, 4) as bigint)").as("obs_id"),
+        col("chromosome"), col("position"), col("reference"),
+        col("alt_index"), col("observed"),
         element_at(col("info"), "SUP").cast(IntegerType).as("support"),
-        col("slot").cast(LongType).as("sample_slot"),
-        element_at(col("names"), col("slot") + 1).as("sample_name"),
-        when(element_at(col("alleles"), 1) === element_at(col("alleles"), 2),
-          "homozygous").otherwise("heterozygous").as("zygosity"))
+        col("sample_slot"), col("sample_name"), col("zygosity"))
       .orderBy("obs_id", "alt_index")
   }
 
@@ -651,20 +629,36 @@ object Normalize {
   /** Max allele length the unrolled CASE chains support. */
   val MaxLen = 6
 
+  /** In-place variant normalization over arbitrary column names: trims
+    * the common allele prefix (advancing `pos`) then the common suffix,
+    * always keeping >= 1 char, replacing the three columns and keeping
+    * every other column untouched — the shape the VCF import path needs
+    * ([[Vcf.normalized]]). Pure CASE-chain Column arithmetic, fully
+    * codegen'd; alleles longer than [[MaxLen]] chars keep their tail
+    * untrimmed (the chains are unrolled to MaxLen). */
+  def normalizeVariantCols(df: DataFrame, pos: String, ref: String,
+      alt: String): DataFrame =
+    df.withColumn("__nv_p", expr(
+        s"least(${lcpCase(ref, alt, MaxLen)}, length($ref) - 1, length($alt) - 1)"))
+      .withColumn("__nv_ref1", expr(s"substr($ref, __nv_p + 1)"))
+      .withColumn("__nv_alt1", expr(s"substr($alt, __nv_p + 1)"))
+      .withColumn("__nv_s", expr(
+        s"least(${lcsCase("__nv_ref1", "__nv_alt1", MaxLen)}, " +
+          "length(__nv_ref1) - 1, length(__nv_alt1) - 1)"))
+      .withColumn(pos, col(pos) + col("__nv_p"))
+      .withColumn(ref, expr("substr(__nv_ref1, 1, length(__nv_ref1) - __nv_s)"))
+      .withColumn(alt, expr("substr(__nv_alt1, 1, length(__nv_alt1) - __nv_s)"))
+      .drop("__nv_p", "__nv_ref1", "__nv_alt1", "__nv_s")
+
   /** Column-expression normalization over (var_id, position, ref, alt):
     * the engine implementation vardaNormalizeVariant and the property
-    * tests share. */
+    * tests share. Built on [[normalizeVariantCols]]. */
   def normalizeDf(df: DataFrame): DataFrame =
-    df.withColumn("p", expr(
-        s"least(${lcpCase("ref", "alt", MaxLen)}, length(ref) - 1, length(alt) - 1)"))
-      .withColumn("pos_n", col("position") + col("p"))
-      .withColumn("ref1", expr("substr(ref, p + 1)"))
-      .withColumn("alt1", expr("substr(alt, p + 1)"))
-      .withColumn("s", expr(
-        s"least(${lcsCase("ref1", "alt1", MaxLen)}, length(ref1) - 1, length(alt1) - 1)"))
-      .select(col("var_id"), col("pos_n"),
-        expr("substr(ref1, 1, length(ref1) - s)").as("ref_n"),
-        expr("substr(alt1, 1, length(alt1) - s)").as("alt_n"))
+    normalizeVariantCols(
+        df.select(col("var_id"), col("position"), col("ref"), col("alt")),
+        "position", "ref", "alt")
+      .select(col("var_id"), col("position").as("pos_n"),
+        col("ref").as("ref_n"), col("alt").as("alt_n"))
 
   def lcp(a: String, b: String): Int =
     a.zip(b).takeWhile { case (x, y) => x == y }.length

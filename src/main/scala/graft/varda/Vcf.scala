@@ -1,0 +1,127 @@
+package graft.varda
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Header-aware multi-sample VCF reader/writer as a library surface — the
+  * reference's actual import format (varda/tasks.py :: import_variation
+  * [U] reads real `.vcf` files). Extracted from the `source_vcf_file`
+  * query closure (round-7) so the streaming ingest tier and the declared
+  * query share ONE parser.
+  *
+  * Scale design: every step is per-row Column arithmetic over
+  * `spark.read.text` (which splits across files and blocks), and the only
+  * join is against the per-file header frame — dimension-sized (one row
+  * per FILE), broadcast. Nothing here collects to the driver.
+  */
+object Vcf {
+
+  /** Output schema of [[parseVcfLines]] (chromosome last — the natural
+    * `partitionBy` key for the ingested store). */
+  val schema: StructType = StructType(Seq(
+    StructField("position", LongType),
+    StructField("vcf_id", StringType),
+    StructField("reference", StringType),
+    StructField("alt_index", LongType),
+    StructField("observed", StringType),
+    StructField("qual", StringType),
+    StructField("filt", StringType),
+    StructField("info", MapType(StringType, StringType)),
+    StructField("sample_slot", LongType),
+    StructField("sample_name", StringType),
+    StructField("gt", StringType),
+    StructField("zygosity", StringType),
+    StructField("chromosome", StringType)))
+
+  /** Parse raw VCF text lines (single `value` column, the shape
+    * `spark.read.text` / `readStream.text` produce) into one typed row
+    * per (record, called sample, alt allele):
+    *
+    *  - `##` metadata skipped; sample names bound PER SOURCE FILE from
+    *    that file's `#CHROM ... FORMAT S0 S1 ...` header row via
+    *    `input_file_name()` — a directory of VCFs whose sample columns
+    *    differ parses correctly in one pass (the header frame is one row
+    *    per file, broadcast — never a driver-side collect),
+    *  - one output row per (record, called sample): posexplode over the
+    *    genotype cells, `./.` (no call) filtered out,
+    *  - multi-ALT fan-out via a second posexplode (1-based `alt_index`),
+    *  - INFO keys exposed as a map (`str_to_map`),
+    *  - zygosity derived from the GT allele indices (a/b equal ⇒
+    *    homozygous), the way VCF encodes it.
+    */
+  def parseVcfLines(raw: DataFrame): DataFrame = {
+    val withFile = raw.withColumn("__vcf_file", input_file_name())
+    val headers = withFile.filter(col("value").startsWith("#CHROM"))
+      .select(col("__vcf_file"),
+        slice(split(col("value"), "\t"), 10, 4096).as("__vcf_names"))
+    withFile.filter(!col("value").startsWith("#"))
+      .select(col("__vcf_file"), split(col("value"), "\t").as("f"))
+      .select(col("__vcf_file"),
+        element_at(col("f"), 1).as("chromosome"),
+        element_at(col("f"), 2).cast(LongType).as("position"),
+        element_at(col("f"), 3).as("vcf_id"),
+        element_at(col("f"), 4).as("reference"),
+        split(element_at(col("f"), 5), ",").as("alts"),
+        element_at(col("f"), 6).as("qual"),
+        element_at(col("f"), 7).as("filt"),
+        expr("str_to_map(element_at(f, 8), ';', '=')").as("info"),
+        slice(col("f"), 10, 4096).as("gts"))
+      .select(col("__vcf_file"), col("chromosome"), col("position"),
+        col("vcf_id"), col("reference"), col("alts"), col("qual"),
+        col("filt"), col("info"),
+        posexplode(col("gts")).as(Seq("slot", "gt")))
+      .filter(col("gt") =!= "./.")
+      .select(col("__vcf_file"), col("chromosome"), col("position"),
+        col("vcf_id"), col("reference"), col("qual"), col("filt"),
+        col("info"), col("slot"), col("gt"),
+        split(col("gt"), "/").as("alleles"),
+        posexplode(col("alts")).as(Seq("ai", "observed")))
+      .join(broadcast(headers), Seq("__vcf_file"))
+      .select(
+        col("position"), col("vcf_id"), col("reference"),
+        (col("ai") + 1).cast(LongType).as("alt_index"), col("observed"),
+        col("qual"), col("filt"), col("info"),
+        col("slot").cast(LongType).as("sample_slot"),
+        element_at(col("__vcf_names"), col("slot") + 1).as("sample_name"),
+        col("gt"),
+        when(element_at(col("alleles"), 1) === element_at(col("alleles"), 2),
+          "homozygous").otherwise("heterozygous").as("zygosity"),
+        col("chromosome"))
+  }
+
+  /** The import-path normalization the reference applies to every
+    * incoming variant (varda/utils.py :: normalize_variant,
+    * normalize_chromosome [U]): strip/canonicalize the chromosome name,
+    * then trim the common allele prefix (advancing position) and suffix.
+    * Pure Column arithmetic ([[Normalize]]) — stays in codegen. */
+  def normalized(parsed: DataFrame): DataFrame =
+    Normalize.normalizeVariantCols(
+      parsed.withColumn("chromosome",
+        Normalize.normalizeChromosome(col("chromosome"))),
+      "position", "reference", "observed")
+
+  /** Render typed variant rows back to VCF text lines — the write-back
+    * half of the reference's round trip (varda/tasks.py ::
+    * write_annotation [U] emits an annotated VCF). One output line per
+    * input row; `infoCols` become `K=V` INFO entries in order. Returns a
+    * single `value` column ordered by (chromosome, position, reference,
+    * observed) so the emitted file is position-sorted per partition. */
+  def toVcfLines(df: DataFrame, infoCols: Seq[String]): DataFrame = {
+    val info = if (infoCols.isEmpty) lit(".")
+      else concat_ws(";", infoCols.map(c => concat(lit(s"$c="), col(c))): _*)
+    df.select(concat_ws("\t",
+      col("chromosome"), col("position"), lit("."), col("reference"),
+      col("observed"), lit("."), lit("PASS"), info).as("value"),
+      col("chromosome"), col("position"), col("reference"), col("observed"))
+      .orderBy("chromosome", "position", "reference", "observed")
+      .select("value")
+  }
+
+  /** The standard VCF header for [[toVcfLines]] output. */
+  def headerLines(infoCols: Seq[String]): Seq[String] =
+    Seq("##fileformat=VCFv4.2") ++
+      infoCols.map(c =>
+        s"""##INFO=<ID=$c,Number=1,Type=String,Description="$c">""") :+
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO"
+}

@@ -42,6 +42,72 @@ class IngestSpec extends AnyFunSuite {
       && row4(0).getAs[Long]("position") == 1700L)
   }
 
+  test("real multi-sample VCF files stream through the library parser with normalization") {
+    val base = Files.createTempDirectory(Paths.get("/root/repo/target"), "ingvcf")
+    val (src, dest, ckpt) = (s"$base/src", s"$base/dest", s"$base/ckpt")
+    Files.createDirectories(Paths.get(src))
+
+    // a genuine VCF: ## metadata, #CHROM header naming two samples,
+    // chr-prefixed + mitochondrial chromosomes, a multi-ALT record, an
+    // un-normalized indel (common prefix AND suffix), and a no-call cell
+    val vcf1 = Seq(
+      "##fileformat=VCFv4.2",
+      "##INFO=<ID=SUP,Number=1,Type=Integer,Description=\"support\">",
+      "##FORMAT=<ID=GT,Number=1,Type=String,Description=\"Genotype\">",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tNA1\tNA2",
+      "chr1\t1000\tv1\tCAT\tCAG\t.\tPASS\tSUP=3\tGT\t0/1\t./.",
+      "chr1\t2000\tv2\tA\tT,G\t.\tPASS\tSUP=2\tGT\t1/2\t1/1",
+      "chrM\t50\tv3\tG\tA\t.\tPASS\tSUP=1\tGT\t./.\t1/1")
+    Files.write(Paths.get(s"$src/a.vcf"), String.join("\n", vcf1: _*).getBytes)
+    graft.streaming.Ingest.startVcfIngest(spark, src, dest, ckpt)
+      .awaitTermination()
+
+    val got = graft.streaming.Ingest.readVcfIngested(spark, dest)
+    // streamed rows == batch parse + normalize of the same file (the
+    // library parser is ONE surface for both paths)
+    val batch = graft.varda.Vcf.normalized(
+      graft.varda.Vcf.parseVcfLines(spark.read.text(src)))
+    val key = (df: org.apache.spark.sql.DataFrame) => df
+      .select("chromosome", "position", "vcf_id", "reference", "alt_index",
+        "observed", "sample_name", "gt", "zygosity")
+      .collect().map(_.toSeq).toSet
+    val n1 = got.count()
+    assert(key(got) == key(batch) && n1 == batch.count())
+
+    // normalization applied in-path: chr stripped, M -> MT, CAT>CAG
+    // trimmed to T>G at pos+2
+    val r1 = got.filter(got("vcf_id") === "v1").collect()
+    assert(r1.length == 1, "no-call ./ . cell must not produce a row")
+    assert(r1(0).getAs[String]("chromosome") == "1"
+      && r1(0).getAs[Long]("position") == 1002L
+      && r1(0).getAs[String]("reference") == "T"
+      && r1(0).getAs[String]("observed") == "G"
+      && r1(0).getAs[String]("sample_name") == "NA1"
+      && r1(0).getAs[String]("zygosity") == "heterozygous")
+    assert(got.filter(got("vcf_id") === "v3").collect()
+      .forall(r => r.getAs[String]("chromosome") == "MT"
+        && r.getAs[String]("sample_name") == "NA2"
+        && r.getAs[String]("zygosity") == "homozygous"))
+    // multi-ALT fan-out: v2 has 2 alts x 2 called samples = 4 rows
+    assert(got.filter(got("vcf_id") === "v2").count() == 4)
+
+    // a SECOND file with a DIFFERENT sample column set arrives; restart
+    // ingests only it (checkpoint) and binds ITS header's names
+    val vcf2 = Seq(
+      "##fileformat=VCFv4.2",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tNB7",
+      "2\t300\tv4\tT\tC\t.\tPASS\tSUP=5\tGT\t1/1")
+    Files.write(Paths.get(s"$src/b.vcf"), String.join("\n", vcf2: _*).getBytes)
+    graft.streaming.Ingest.startVcfIngest(spark, src, dest, ckpt)
+      .awaitTermination()
+    val after2 = graft.streaming.Ingest.readVcfIngested(spark, dest)
+    assert(after2.count() == n1 + 1)
+    val r4 = after2.filter(after2("vcf_id") === "v4").collect()
+    assert(r4.length == 1 && r4(0).getAs[String]("sample_name") == "NB7"
+      && r4(0).getAs[String]("chromosome") == "2"
+      && r4(0).getAs[Map[String, String]]("info")("SUP") == "5")
+  }
+
   test("ingested observations feed the frequency computation end-to-end") {
     import spark.implicits._
     val base = Files.createTempDirectory(Paths.get("/root/repo/target"), "ingfrq")
