@@ -33,29 +33,59 @@ object GlobalRank {
   /** Append `out` = global 1-based rank of each row under `keys` (must be
     * a total order). Distributed: no global single-partition window.
     *
-    * The locally-ranked frame is `localCheckpoint`ed (eagerly, to
-    * executor-local storage) BEFORE the plan branches into the offsets
-    * aggregate and the final join, so both branches read the SAME physical
-    * evaluation of the range shuffle. `repartitionByRange` samples its
-    * boundaries per evaluation — two independent evaluations of the same
-    * subtree can place a row in different partitions (the exact failure
-    * [[Streaming]]'s late-watermark rewrite hit), which under task retry,
-    * speculation, or a nondeterministic upstream silently mis-ranks rows.
-    * The checkpoint trades one executor-local full-width write for that
-    * determinism; the offsets branch then costs one O(partitions)
-    * aggregate over the materialized rows instead of a second range
-    * exchange. */
+    * Chunk assignment is DETERMINISTIC BY CONSTRUCTION (round-7; replaces
+    * a `localCheckpoint` of the full-width table): the chunk id derives
+    * arithmetically from the first sort key's (min, max) — the
+    * [[Streaming]] late-watermark pattern — attached as a broadcast
+    * 1-row frame, so a row's chunk is a pure function of its own values
+    * and the key bounds. `repartitionByRange` + `spark_partition_id` is
+    * NOT that (its sampled boundaries differ between two evaluations of
+    * the same subtree, silently mis-ranking under task retry/speculation
+    * — the failure the late-watermark rewrite hit), and the checkpoint
+    * that papered over it materialized every column to the block manager.
+    * Here the offsets branch re-evaluates only a column-pruned scan of
+    * the first key, and re-evaluation is safe because the chunk
+    * expression is value-deterministic. No driver-side action at all:
+    * the bounds ride a broadcast, the offsets stay O(chunks).
+    *
+    * Chunk boundaries only affect BALANCE, never correctness: any fixed
+    * monotone key→chunk map gives a correct rank (ties share a chunk,
+    * and the in-chunk window orders by the full key tuple). Linear
+    * interpolation balances uniform-ish first keys (the analytic-rank
+    * norm); a heavily value-skewed key concentrates chunks — callers own
+    * choosing a spread leading key, same contract as any range
+    * partitioning. The first key must be numeric-castable; nulls follow
+    * Spark's default placement (first under asc, last under desc), NaN
+    * sorts largest. Requires a deterministic input (both branches
+    * re-evaluate `df` — true of every non-checkpointing formulation). */
   def withGlobalRowNumber(df: DataFrame, keys: Seq[Column], out: String,
       numPartitions: Int = 0): DataFrame = {
     val parts = if (numPartitions > 0) numPartitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
-    val ranged = df.repartitionByRange(parts, keys: _*)
-      .withColumn("__gr_pid", spark_partition_id())
+    import org.apache.spark.sql.GraftPlanBridge
+    import org.apache.spark.sql.catalyst.expressions.{Descending, SortOrder}
+    val (firstE, desc) = GraftPlanBridge.expression(keys.head) match {
+      case SortOrder(c, dir, _, _) => (c, dir == Descending)
+      case e => (e, false)
+    }
+    val firstCol = GraftPlanBridge.column(firstE).cast("double")
+    val bounds = df.agg(min(firstCol).as("__gr_lo"), max(firstCol).as("__gr_hi"))
+    val lin = floor((firstCol - col("__gr_lo"))
+      / (col("__gr_hi") - col("__gr_lo")) * parts).cast("int")
+    // degenerate span (all keys equal / empty) divides to null; greatest
+    // ignores nulls, so those rows land in chunk 0
+    val ascChunk = when(isnan(firstCol), lit(parts - 1))
+      .otherwise(least(greatest(lin, lit(0)), lit(parts - 1)))
+    val chunk = if (desc) lit(parts - 1) - ascChunk else ascChunk
+    val bucketed = df.crossJoin(broadcast(bounds))
+      .withColumn("__gr_pid",
+        when(firstCol.isNull, lit(if (desc) parts else -1)).otherwise(chunk))
+      .drop("__gr_lo", "__gr_hi")
     val localW = Window.partitionBy("__gr_pid").orderBy(keys: _*)
-    val local = ranged.withColumn("__gr_local", row_number().over(localW))
-      .localCheckpoint()
-    // O(partitions) rows: cumulative count of all partitions before pid
-    val offsets = local.groupBy("__gr_pid").count()
+    val local = bucketed.withColumn("__gr_local", row_number().over(localW))
+    // O(chunks) rows from a key-column-pruned scan: cumulative count of
+    // all chunks before pid
+    val offsets = bucketed.groupBy("__gr_pid").count()
       .withColumn("__gr_offset",
         coalesce(sum(col("count")).over(
           Window.orderBy("__gr_pid")

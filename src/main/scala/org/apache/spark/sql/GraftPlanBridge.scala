@@ -13,4 +13,14 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftPlanBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Column ⇄ Catalyst Expression, for library code that must inspect a
+    * caller-supplied Column (e.g. [[graft.ops.GlobalRank]] reading the
+    * sort direction off a `col.desc`). Eagerly CONVERTS the column node
+    * (ExpressionUtils.expression returns a lazy ColumnNodeExpression
+    * wrapper that defeats pattern matching). */
+  def expression(c: Column): catalyst.expressions.Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+  def column(e: catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
 }

@@ -43,6 +43,33 @@ class GlobalRankSpec extends AnyFunSuite {
     }
   }
 
+  test("descending first key ranks like the single-partition desc window") {
+    import org.apache.spark.sql.expressions.Window
+    val dkeys = Seq(col("c_acctbal").cast("decimal(18,4)").desc, col("c_custkey"))
+    val expected = customers
+      .select(col("c_custkey"),
+        row_number().over(Window.orderBy(dkeys: _*)).as("rn"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = GlobalRank.withGlobalRowNumber(customers, dkeys, "rn", 8)
+      .select("c_custkey", "rn")
+      .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    assert(got == expected)
+  }
+
+  test("chunk ids are value-deterministic: no partition-id or checkpoint in the plan") {
+    // a row's chunk must be a pure function of its values: a plan that
+    // reads spark_partition_id() after a sampled range exchange (or that
+    // pins one evaluation via a checkpointed RDD) can mis-rank under task
+    // retry/speculation — value-determinism is the structural guarantee
+    val df = GlobalRank.withGlobalRowNumber(customers, keys, "rn", 8)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("SPARK_PARTITION_ID"), "sampled-exchange pid in plan")
+    assert(!p.toLowerCase.contains("existingrdd"), "checkpointed RDD in plan")
+    val eval = () => df.select("c_custkey", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(eval() == eval(), "two evaluations disagree")
+  }
+
   test("the distributed path plans no global single-partition window") {
     val df = GlobalRank.withGlobalRowNumber(customers, keys, "rn", 8)
     df.collect()
