@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.LongType
@@ -25,8 +25,29 @@ import org.apache.spark.sql.types.LongType
   * hence OPT-IN via `spark.graft.rewriteIntervalJoin=true` (the engine
   * can't prove the domain from the plan; same contract as other
   * bin-size-hinted range joins in production engines).
+  *
+  * Two round-7 extensions:
+  *
+  *  - **LEFT OUTER** (the annotation shape — every input variant kept,
+  *    matched or not): rewritten as binned-inner(matched pairs) UNION
+  *    (preserved-side rows anti-joined against the DISTINCT matched key
+  *    tuples, null-extended). The anti join is an equi-join on the
+  *    preserved side's condition columns — never quadratic — and bag
+  *    semantics hold because whether a row matches depends only on
+  *    those columns.
+  *  - **Bounded interval length** via `spark.graft.intervalJoin
+  *    .maxLength=N`: when every interval is guaranteed no longer than N,
+  *    a single fine bucket level (size = smallest 2^s > N) replaces the
+  *    5-level hierarchy — the interval side explodes to its ≤2 covering
+  *    buckets and the point side probes ONE bucket (no 5× point
+  *    fan-out), the [[graft.varda.VardaOps.bucketedContainment]] plan
+  *    chosen by the optimizer instead of hand-written. The length bound
+  *    is the caller's promise (same opt-in contract as the rule itself);
+  *    it also lifts the 2^29 position ceiling — bucket arithmetic is
+  *    plain shiftright at any magnitude.
+  *
   * RewriteIntervalJoinSpec proves plan shape + result equivalence on
-  * randomized data.
+  * randomized data for all paths.
   */
 object RewriteIntervalJoin extends Rule[LogicalPlan] {
 
@@ -50,21 +71,64 @@ object RewriteIntervalJoin extends Rule[LogicalPlan] {
   private def enabled(plan: LogicalPlan): Boolean =
     conf.getConfString("spark.graft.rewriteIntervalJoin", "false") == "true"
 
+  /** Fine-bucket shift from the declared max interval length: smallest s
+    * with 2^s > maxLength, so an interval spans at most two buckets. */
+  private def maxLengthShift: Option[Int] =
+    conf.getConfString("spark.graft.intervalJoin.maxLength", "") match {
+      case "" => None
+      case s => scala.util.Try(s.toLong).toOption.filter(_ > 0)
+        .map(n => 64 - java.lang.Long.numberOfLeadingZeros(n))
+    }
+
   def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled(plan)) return plan
     plan.transform {
       case j @ Join(left, right, Inner, Some(cond), hint) =>
-        rewrite(j, left, right, cond, hint).getOrElse(j)
+        binned(left, right, cond).map { case (nl, nr, newCond) =>
+          Project(j.output, Join(nl, nr, Inner, Some(newCond), hint))
+        }.getOrElse(j)
+      case j @ Join(left, right, LeftOuter, Some(cond), hint) =>
+        rewriteLeftOuter(j, left, right, cond, hint).getOrElse(j)
     }
   }
 
+  /** LEFT OUTER = binned-inner matched pairs ∪ null-extended unmatched
+    * left rows. Unmatched = left ANTI equi-join against the distinct
+    * matched left-side key tuples (whether a left row matches depends
+    * only on its condition columns, so value-level subtraction preserves
+    * bag semantics — duplicate left rows all match or all miss). NULL
+    * condition columns never equal a matched tuple, so those rows are
+    * kept null-extended, exactly as the naive outer join treats them. */
+  private def rewriteLeftOuter(j: Join, left: LogicalPlan,
+      right: LogicalPlan, cond: Expression, hint: JoinHint)
+      : Option[LogicalPlan] =
+    binned(left, right, cond).map { case (nl, nr, newCond) =>
+      val inner = Join(nl, nr, Inner, Some(newCond), hint)
+      val matched = Project(left.output ++ right.output, inner)
+      val keyAttrs = cond.references.intersect(left.outputSet).toSeq
+      val mkAliases = keyAttrs.map(a => Alias(a, s"__graft_mk_${a.name}")())
+      val matchedKeys = Aggregate(keyAttrs, mkAliases, inner)
+      val antiCond = keyAttrs.zip(mkAliases)
+        .map { case (a, mk) => EqualTo(a, mk.toAttribute) }
+        .reduce[Expression](And)
+      val anti = Join(left, matchedKeys, LeftAnti, Some(antiCond), JoinHint.NONE)
+      val nullRight = j.output.drop(left.output.length).map(a =>
+        Alias(Literal.create(null, a.dataType), a.name)(exprId = a.exprId))
+      Union(matched, Project(left.output ++ nullRight, anti))
+    }
+
   private def refsOf(e: Expression): AttributeSet = e.references
 
-  private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
-      cond: Expression, hint: JoinHint): Option[LogicalPlan] = {
+  /** Detect the point-in-interval shape in `cond` and build the binned
+    * equi-join sides: (newLeft, newRight, cond ∧ binEquality). Hierarchy
+    * path: point side explodes 5 candidate bins, interval side computes
+    * assign_bin. maxLength path: interval side explodes its ≤2 covering
+    * fine buckets, point side computes its single bucket. */
+  private def binned(left: LogicalPlan, right: LogicalPlan,
+      cond: Expression): Option[(LogicalPlan, LogicalPlan, Expression)] = {
     // the rewritten join still matches this pattern (and user-provided
     // optimizer batches run to fixpoint) — the marker stops re-application
-    if (cond.references.exists(_.name.startsWith("__graft_bin"))) return None
+    if (cond.references.exists(_.name.startsWith("__graft_"))) return None
     val preds = splitConjuncts(cond)
     // classify: point side has p; interval side has lo/hi
     def sideOf(e: Expression): Option[Boolean] = // true = left
@@ -104,23 +168,35 @@ object RewriteIntervalJoin extends Rule[LogicalPlan] {
         val pointOnLeft = sideOf(p).get
         val (pointPlan, intervalPlan) = if (pointOnLeft) (left, right) else (right, left)
 
-        // point side: explode the 5 candidate bins
-        val binArr = CreateArray(candidateBins(p))
-        val binAttr = AttributeReference("__graft_bin_p", LongType)()
-        val gen = Generate(Explode(binArr), unrequiredChildIndex = Nil,
-          outer = false, qualifier = None, generatorOutput = Seq(binAttr),
-          child = pointPlan)
-
-        // interval side: compute assign_bin(lo, hi)
-        val binAlias = Alias(assignBin(lo, hi), "__graft_bin_i")()
-        val proj = Project(intervalPlan.output :+ binAlias, intervalPlan)
-
-        val newCond = And(cond, EqualTo(binAttr, binAlias.toAttribute))
+        val (pointSide, intervalSide, binEq) = maxLengthShift match {
+          case Some(sh) =>
+            // single fine bucket level: point probes ONE bucket, interval
+            // explodes its (≤2 distinct) covering buckets
+            val pAlias = Alias(shr(p, sh), "__graft_bin_p")()
+            val pproj = Project(pointPlan.output :+ pAlias, pointPlan)
+            val iAttr = AttributeReference("__graft_bin_i", LongType)()
+            val arr = ArrayDistinct(CreateArray(Seq(shr(lo, sh), shr(hi, sh))))
+            val gen = Generate(Explode(arr), unrequiredChildIndex = Nil,
+              outer = false, qualifier = None, generatorOutput = Seq(iAttr),
+              child = intervalPlan)
+            (pproj: LogicalPlan, gen: LogicalPlan,
+              EqualTo(pAlias.toAttribute, iAttr))
+          case None =>
+            // hierarchy: point explodes its 5 candidate bins, interval
+            // computes assign_bin(lo, hi)
+            val binArr = CreateArray(candidateBins(p))
+            val binAttr = AttributeReference("__graft_bin_p", LongType)()
+            val gen = Generate(Explode(binArr), unrequiredChildIndex = Nil,
+              outer = false, qualifier = None, generatorOutput = Seq(binAttr),
+              child = pointPlan)
+            val binAlias = Alias(assignBin(lo, hi), "__graft_bin_i")()
+            val proj = Project(intervalPlan.output :+ binAlias, intervalPlan)
+            (gen: LogicalPlan, proj: LogicalPlan,
+              EqualTo(binAttr, binAlias.toAttribute))
+        }
         val (nl, nr) =
-          if (pointOnLeft) (gen: LogicalPlan, proj: LogicalPlan)
-          else (proj: LogicalPlan, gen: LogicalPlan)
-        // restore the original output (drop the helper bin columns)
-        Project(j.output, Join(nl, nr, Inner, Some(newCond), hint))
+          if (pointOnLeft) (pointSide, intervalSide) else (intervalSide, pointSide)
+        (nl, nr, And(cond, binEq))
       }
     }.headOption
   }

@@ -89,6 +89,76 @@ class RewriteIntervalJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("left outer interval join rewrites with null-extension preserved") {
+    val (points, regions) = data()
+    def louter() = points.join(regions,
+      points("chromosome") === regions("chromosome")
+        && points("position") >= regions("begin_pos")
+        && points("position") <= regions("end_pos"),
+      "left_outer")
+      .select(points("obs_id"), regions("region_id"))
+    val expected = louter().collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .groupBy(identity).map { case (k, v) => k -> v.length }
+    assert(expected.exists(_._1._2 == -1L), "fixture needs unmatched points")
+    withRule {
+      val fresh = louter()
+      val after = fresh.queryExecution.optimizedPlan.toString
+      assert(after.contains("__graft_bin_p"), s"rule did not fire:\n$after")
+      assert(after.contains("Union") && after.contains("LeftAnti"),
+        s"no anti/union null-extension shape:\n$after")
+      // bag semantics: compare with multiplicity, not as a set
+      val got = fresh.collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .groupBy(identity).map { case (k, v) => k -> v.length }
+      assert(got == expected)
+    }
+  }
+
+  test("declared maxLength selects the single fine-bucket level") {
+    val (points, regions) = data()  // lengths < 2^20 by construction
+    val expected = naiveJoin(points, regions).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    withRule {
+      spark.conf.set("spark.graft.intervalJoin.maxLength", (1L << 20).toString)
+      try {
+        val fresh = naiveJoin(points, regions)
+        val after = fresh.queryExecution.optimizedPlan.toString
+        assert(after.contains("__graft_bin_p"), s"rule did not fire:\n$after")
+        assert(after.contains("array_distinct"),
+          s"hierarchy path used despite maxLength (no ≤2-bucket explode):\n$after")
+        val got = fresh.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got == expected)
+      } finally spark.conf.unset("spark.graft.intervalJoin.maxLength")
+    }
+  }
+
+  test("left outer + maxLength compose") {
+    val (points, regions) = data()
+    def louter() = points.join(regions,
+      points("chromosome") === regions("chromosome")
+        && points("position") >= regions("begin_pos")
+        && points("position") <= regions("end_pos"),
+      "left_outer")
+      .select(points("obs_id"), regions("region_id"))
+    val expected = louter().collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .groupBy(identity).map { case (k, v) => k -> v.length }
+    withRule {
+      spark.conf.set("spark.graft.intervalJoin.maxLength", (1L << 20).toString)
+      try {
+        val fresh = louter()
+        val after = fresh.queryExecution.optimizedPlan.toString
+        assert(after.contains("array_distinct") && after.contains("LeftAnti"),
+          s"composed shape missing:\n$after")
+        val got = fresh.collect()
+          .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+          .groupBy(identity).map { case (k, v) => k -> v.length }
+        assert(got == expected)
+      } finally spark.conf.unset("spark.graft.intervalJoin.maxLength")
+    }
+  }
+
   test("GraftExtensions injects the rule via the extensions path") {
     import org.apache.spark.sql.SparkSession
     // the cluster deployment path exercised in-JVM: `spark.sql.extensions`
