@@ -145,30 +145,111 @@ object VardaOps {
           .as("numer"): _*)
   }
 
-  /** Incremental frequency maintenance (round-3; the reference folds each
-    * new import into served state continuously, varda/tasks.py [U]):
-    * observations replay in three import batches, each folding its partial
-    * per-variant sums into the running store ([[foldNumer]] — one
-    * key-partitioned full-outer shuffle per batch, never a rescan of
-    * earlier batches); the serving step then derives denominators for the
-    * store's point set and emits ppm. The final state after replaying all
-    * batches must equal the one-shot computation — the oracle is literally
-    * `agg_freq_ratio`'s SQL. At scale the full-outer merge is the MERGE
-    * shape a transactional table format would commit per import, with only
-    * affected key partitions rewritten. */
-  val vardaFreqIncremental: Q = (s, d) => {
-    val batches = (0 until 3).map(i => obs(s, d).filter(col("obs_id") % 3 === i))
-    val empty = obs(s, d).filter(lit(false))
+  /** The full incrementally-maintained frequency state (round-7; the
+    * reference imports COVERAGE incrementally too — varda/tasks.py ::
+    * import_coverage [U] — so serving must not rescan the full coverage
+    * table):
+    *
+    *  - `numer`:    variant → Σ support ([[foldNumer]] merge-upsert),
+    *  - `regions`:  the accumulated coverage regions (the imported data
+    *                itself — bucketed by (chromosome, bucket) at scale),
+    *  - `covPairs`: DISTINCT (point, sample) containment pairs seen so
+    *                far — the state that keeps "a sample covers a point
+    *                once, however many of its regions overlap it" true
+    *                across batches,
+    *  - `denom`:    point → Σ pool_size × ploidy over covPairs (the
+    *                serving denominator, maintained by merge-add),
+    *  - `uncovPool`: 1-row Σ pool_size of coverage-less samples (they
+    *                cover everything; dimension-sized, broadcast). */
+  private[graft] case class FreqState(numer: DataFrame, regions: DataFrame,
+      covPairs: DataFrame, denom: DataFrame, uncovPool: DataFrame)
+
+  private[graft] def emptyFreqState(obsDf: DataFrame, covDf: DataFrame): FreqState = {
+    val numer = obsDf.filter(lit(false))
       .groupBy(variantKey.head, variantKey.tail: _*)
       .agg(sum(col("support")).cast(LongType).as("numer"))
-    val store = batches.foldLeft(empty)(foldNumer)
-    val pts = store.select("chromosome", "position").distinct()
-    store.join(denomFor(pts, cov(s, d), smp(s, d)),
-        Seq("chromosome", "position"), "left")
+    val regions = covDf.filter(lit(false))
+    val covPairs = regions.select(col("chromosome"),
+      col("begin_pos").as("position"), col("sample_id"), col("pool_size"))
+    val denom = covPairs.groupBy("chromosome", "position")
+      .agg(sum(col("pool_size")).cast(LongType).as("denom_cov"))
+    val uncov = obsDf.sparkSession.range(1)
+      .select(lit(0L).as("uncov_pool"))
+    FreqState(numer, regions, covPairs, denom, uncov)
+  }
+
+  /** Fold one import batch (observations + coverage regions + samples)
+    * into the running state. Every step is an equi-join on bucketable
+    * keys — no full-history rescan:
+    *
+    *  - NEW points (first seen in this batch) probe the accumulated
+    *    region store (bucketed containment — partition-pruned at scale),
+    *  - EXISTING points meet only the BATCH's regions,
+    *  - the union of those candidate pairs is anti-joined against the
+    *    pair store so a sample's overlapping regions arriving in
+    *    different batches still count once,
+    *  - genuinely new pairs merge-add into the per-point denominator
+    *    (the same full-outer MERGE shape as [[foldNumer]]),
+    *  - coverage-less sample pools fold into a 1-row running sum. */
+  private[graft] def foldFreqState(st: FreqState, obsB: DataFrame,
+      covB: DataFrame, smpB: DataFrame): FreqState = {
+    val oldPts = st.numer.select("chromosome", "position").distinct()
+    val newPts = obsB.select("chromosome", "position").distinct()
+      .join(oldPts, Seq("chromosome", "position"), "left_anti")
+    val regions2 = st.regions.unionByName(covB)
+    val candPairs = bucketedContainment(newPts, regions2)
+      .unionByName(bucketedContainment(oldPts, covB))
+      .select("chromosome", "position", "sample_id", "pool_size").distinct()
+    val pairsNew = candPairs.join(st.covPairs,
+      Seq("chromosome", "position", "sample_id"), "left_anti")
+    val denomDelta = pairsNew.groupBy("chromosome", "position")
+      .agg(sum(col("pool_size") * ploidy).cast(LongType).as("denom_new"))
+    val denom2 = st.denom.join(denomDelta, Seq("chromosome", "position"), "full")
+      .select(col("chromosome"), col("position"),
+        (coalesce(col("denom_cov"), lit(0L)) + coalesce(col("denom_new"), lit(0L)))
+          .as("denom_cov"))
+    val uncov2 = st.uncovPool.unionByName(
+        smpB.filter(!col("has_coverage"))
+          .agg(coalesce(sum(col("pool_size")), lit(0)).cast(LongType).as("uncov_pool")))
+      .agg(sum(col("uncov_pool")).cast(LongType).as("uncov_pool"))
+    FreqState(foldNumer(st.numer, obsB), regions2,
+      st.covPairs.unionByName(pairsNew), denom2, uncov2)
+  }
+
+  /** Serve ppm frequencies from the maintained state alone — numer store
+    * left-joined to the denom store plus the broadcast coverage-less
+    * pool; NO containment join and no coverage scan at serve time. */
+  private[graft] def serveFreqState(st: FreqState): DataFrame =
+    st.numer
+      .join(st.denom, Seq("chromosome", "position"), "left")
+      .crossJoin(broadcast(st.uncovPool))
+      .withColumn("denom",
+        (coalesce(col("denom_cov"), lit(0L)) + col("uncov_pool") * ploidy)
+          .cast(LongType))
       .select(col("chromosome"), col("position"), col("reference"),
         col("observed"), col("numer"), col("denom"),
         expr("cast((numer * 1000000) div nullif(denom, 0) as bigint)")
           .as("freq_ppm"))
+
+  /** Incremental frequency maintenance (round-3 numerators; round-7 adds
+    * coverage/denominator folds — the reference folds each new import
+    * into served state continuously, varda/tasks.py [U]): observations
+    * AND coverage AND samples replay in three import batches, each
+    * folding into the running [[FreqState]] (key-partitioned merge
+    * shuffles only — never a rescan of earlier batches), and serving
+    * reads the maintained stores with no containment join at all. The
+    * final state after replaying all batches must equal the one-shot
+    * computation — the oracle is literally `agg_freq_ratio`'s SQL. At
+    * scale each fold is the MERGE a transactional table format would
+    * commit per import, with only affected key partitions rewritten. */
+  val vardaFreqIncremental: Q = (s, d) => {
+    val st = (0 until 3).foldLeft(emptyFreqState(obs(s, d), cov(s, d))) {
+      case (acc, i) => foldFreqState(acc,
+        obs(s, d).filter(col("obs_id") % 3 === i),
+        cov(s, d).filter(col("region_id") % 3 === i),
+        smp(s, d).filter(col("sample_id") % 3 === i))
+    }
+    serveFreqState(st)
       .orderBy("chromosome", "position", "reference", "observed")
   }
 

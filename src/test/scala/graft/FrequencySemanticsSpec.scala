@@ -59,4 +59,56 @@ class FrequencySemanticsSpec extends AnyFunSuite {
     // X obs is homozygous support 1 → het 0, hom 1/12
     assert(rows("X") == ((0L, 1L * 1000000 / 12)))
   }
+
+  test("batched coverage folds converge to the one-shot state") {
+    // the adversarial cross-batch shapes: sample 1's two OVERLAPPING
+    // chr1 regions arrive in DIFFERENT batches (must still count once);
+    // the X observation arrives in batch 0 but its covering region only
+    // in batch 2 (existing point gains denominator later); the chr2
+    // observation arrives in batch 2 after its region in batch 0 (new
+    // point probes the accumulated region store); the coverage-less
+    // sample arrives mid-stream in batch 1
+    val obsB = Seq(
+      Seq(("1", 5000L, "A", "C", 1L, 3, "heterozygous"),
+          ("X", 5000L, "A", "C", 2L, 1, "homozygous")),
+      Seq.empty[(String, Long, String, String, Long, Int, String)],
+      Seq(("2", 700L, "G", "T", 3L, 2, "heterozygous")))
+      .map(_.toDF("chromosome", "position", "reference", "observed",
+        "sample_id", "support", "zygosity"))
+    val covB = Seq(
+      Seq((10L, "1", 4000L, 6000L, 1L, 2), (14L, "2", 600L, 800L, 2L, 5)),
+      Seq((11L, "1", 4500L, 5500L, 1L, 2)),
+      Seq((12L, "X", 4000L, 6000L, 2L, 5), (13L, "X", 9000L, 9500L, 1L, 2)))
+      .map(_.toDF("region_id", "chromosome", "begin_pos", "end_pos",
+        "sample_id", "pool_size"))
+    val smpB = Seq(
+      Seq((1L, 2, true)), Seq((3L, 7, false)), Seq((2L, 5, true)))
+      .map(_.toDF("sample_id", "pool_size", "has_coverage"))
+
+    val allObs = obsB.reduce(_ unionByName _)
+    val allCov = covB.reduce(_ unionByName _)
+    val allSmp = smpB.reduce(_ unionByName _)
+    val expected = VardaOps.frequencyFrom(allObs, allCov, allSmp, withZyg = false)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+
+    val st = (0 until 3).foldLeft(VardaOps.emptyFreqState(allObs, allCov)) {
+      case (acc, i) => VardaOps.foldFreqState(acc, obsB(i), covB(i), smpB(i))
+    }
+    val got = VardaOps.serveFreqState(st)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got == expected)
+    // spot-check the hand-derived numbers: chr1 denom = sample1 once
+    // (2×2) + uncovered sample3 (7×2) = 18 despite split overlap
+    assert(got(("1", 5000L)) == ((3L, 18L, 3L * 1000000 / 18)))
+    // chr2:700 — sample2 covers (5×2) + sample3 (7×2) = 24, numer 2
+    assert(got(("2", 700L)) == ((2L, 24L, 2L * 1000000 / 24)))
+    // X:5000 — sample2 (5×1) + sample3 (7×1) = 12 (region arrived late)
+    assert(got(("X", 5000L)) == ((1L, 12L, 1L * 1000000 / 12)))
+    // and the pair store holds each (point, sample) once
+    val pairs = st.covPairs.collect()
+    assert(pairs.length == pairs.map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2))).distinct.length)
+  }
 }
