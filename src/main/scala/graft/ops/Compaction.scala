@@ -31,15 +31,98 @@ object Compaction {
     (bytes, n)
   }
 
-  /** Rewrite `srcDir` into `destDir` with files of ~`targetFileBytes`.
-    * Returns the compacted DataFrame reader. */
+  /** Per-partition-directory byte totals: hive-style `k=v` relative dir →
+    * parquet bytes under it. The un-partitioned root maps to "". Driver
+    * state is O(partition dirs) — what any real compactor reads from its
+    * catalog/manifest. */
+  def partitionStats(spark: SparkSession, dir: String): Map[String, Long] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = p.toUri.getPath.stripSuffix("/")
+    val acc = scala.collection.mutable.Map.empty[String, Long]
+    val files = fs.listFiles(p, true)
+    while (files.hasNext) {
+      val f = files.next()
+      if (f.getPath.getName.endsWith(".parquet")) {
+        val rel = f.getPath.getParent.toUri.getPath
+          .stripPrefix(base).stripPrefix("/")
+        acc(rel) = acc.getOrElse(rel, 0L) + f.getLen
+      }
+    }
+    acc.toMap
+  }
+
+  /** Rewrite `srcDir` into `destDir` with files of ~`targetFileBytes`,
+    * PRESERVING a hive-style `partitionBy` directory layout (round-7; a
+    * global round-robin would flatten it): each partition directory is
+    * compacted to ceil(itsBytes / targetFileBytes) files independently —
+    * rows get a deterministic within-partition salt `hash(row) mod
+    * nFiles(partition)` (the per-partition file budget rides a broadcast
+    * O(partitions) frame), one shuffle clusters (partition, salt), and
+    * the dynamic-partitioned write emits exactly one file per cluster
+    * into its directory. An un-partitioned source keeps the single
+    * round-robin repartition. Real lakes compact exactly this way:
+    * within partitions, so readers' partition pruning and concurrent
+    * writers' partition-level commits are undisturbed. Returns the
+    * compacted DataFrame reader. */
   def compactTo(spark: SparkSession, srcDir: String, destDir: String,
       targetFileBytes: Long): DataFrame = {
-    val (bytes, _) = fileStats(spark, srcDir)
-    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    spark.read.parquet(srcDir)
-      .repartition(nFiles)
-      .write.mode("overwrite").parquet(destDir)
+    import org.apache.spark.sql.functions._
+    val stats = partitionStats(spark, srcDir)
+    val partitioned = stats.keys.forall(_.nonEmpty) && stats.nonEmpty &&
+      stats.keys.forall(_.split("/").forall(_.contains("=")))
+    val df = spark.read.parquet(srcDir)
+    if (!partitioned) {
+      val bytes = stats.values.sum
+      val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+      df.repartition(nFiles)
+        .write.mode("overwrite").parquet(destDir)
+    } else {
+      val partCols = stats.keys.head.split("/").map(_.split("=")(0)).toSeq
+      val dataCols = df.columns.filterNot(partCols.contains).toSeq
+      // planning phase (driver, O(output files) — the manifest any real
+      // compactor's planner holds): per-partition file budget, and one
+      // PROBE int per output file chosen so Spark's Murmur3 shuffle slot
+      // pmod(hash(probe), nTasks) is unique per file — every file-group
+      // then owns exactly one write task, so neither AQE coalescing nor
+      // hash collisions can merge two groups' output
+      val budgets = stats.toSeq.sortBy(_._1).map { case (rel, bytes) =>
+        (rel, math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt))
+      }
+      val nTasks = budgets.map(_._2).sum
+      val slotTaken = new java.util.BitSet(nTasks)
+      var cand = 0
+      def nextProbe(): Int = {
+        var p = cand
+        while ({
+          val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(p, 42)
+          val slot = ((h % nTasks) + nTasks) % nTasks
+          if (!slotTaken.get(slot)) { slotTaken.set(slot); false } else true
+        }) p += 1
+        cand = p + 1
+        p
+      }
+      val probeRows = budgets.flatMap { case (rel, nf) =>
+        (0 until nf).map(salt => (rel, salt, nextProbe()))
+      }
+      val (budget, probes) = {
+        import spark.implicits._
+        (budgets.toDF("__c_rel", "__c_nf"),
+          probeRows.toDF("__c_rel", "__c_salt", "__c_probe"))
+      }
+      // directory path reconstructed on the data side from the partition
+      // column values (cast to string as the writer renders dir names)
+      val relExpr = concat_ws("/", partCols.map(c =>
+        concat(lit(s"$c="), col(c).cast("string"))): _*)
+      df.withColumn("__c_rel", relExpr)
+        .join(broadcast(budget), "__c_rel")
+        .withColumn("__c_salt",
+          pmod(hash(dataCols.map(col): _*), col("__c_nf")))
+        .join(broadcast(probes), Seq("__c_rel", "__c_salt"))
+        .repartition(nTasks, col("__c_probe"))
+        .drop("__c_rel", "__c_nf", "__c_salt", "__c_probe")
+        .write.mode("overwrite").partitionBy(partCols: _*).parquet(destDir)
+    }
     spark.read.parquet(destDir)
   }
 }

@@ -29,4 +29,36 @@ class CompactionSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(a == b)
   }
+
+  test("compaction preserves a partitionBy directory layout") {
+    val src = "/root/repo/target/tmp/compact_part_src"
+    val dest = "/root/repo/target/tmp/compact_part_dest"
+    // fragmented partitioned store: 8 files inside EACH event_type dir
+    Tables.events(spark, sf001).repartition(8)
+      .write.mode("overwrite").partitionBy("event_type").parquet(src)
+    val srcStats = Compaction.partitionStats(spark, src)
+    assert(srcStats.keys.forall(_.startsWith("event_type=")))
+    assert(srcStats.size > 1, "fixture needs several partitions")
+
+    // target ~ half of each partition's bytes → expect 2 files per dir
+    val target = srcStats.values.min / 2 + 1
+    val compacted = Compaction.compactTo(spark, src, dest, target)
+    val destStats = Compaction.partitionStats(spark, dest)
+    assert(destStats.keySet == srcStats.keySet,
+      s"layout changed: ${destStats.keySet} vs ${srcStats.keySet}")
+    // per-partition file budget honored: ceil(bytes/target) per dir
+    val p0 = new org.apache.hadoop.fs.Path(dest)
+    val fs = p0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for ((rel, bytes) <- srcStats) {
+      val expect = math.max(1, math.ceil(bytes.toDouble / target).toInt)
+      val got = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dest/$rel"))
+        .count(_.getPath.getName.endsWith(".parquet"))
+      assert(got == expect, s"$rel: $got files, expected $expect")
+    }
+    // rows identical, partition column values intact
+    val key = (df: org.apache.spark.sql.DataFrame) => df
+      .select("event_id", "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(key(spark.read.parquet(src)) == key(compacted))
+  }
 }
