@@ -128,21 +128,45 @@ object Joins {
     * mtimes — recursive, so partitioned/nested sources contribute their
     * leaf files too) plus the expected schema — stamped into the reuse
     * marker so a regenerated or re-schemaed source invalidates the cached
-    * layout instead of silently serving stale rows. */
+    * layout instead of silently serving stale rows. File paths are
+    * relativized against the fs-QUALIFIED source URI (round-7 ADVICE fix:
+    * a raw string-prefix strip against the unqualified path silently
+    * yields absolute paths — and so a spurious cold rewrite — when the
+    * caller's path spelling differs from the filesystem's, e.g. relative
+    * vs absolute or scheme-qualified). */
   private def sourceFingerprint(s: org.apache.spark.sql.SparkSession,
       srcPath: String, df: DataFrame): String = {
     val p = new org.apache.hadoop.fs.Path(srcPath)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val base = p.toUri.getPath
+    val base = fs.makeQualified(p).toUri
     val files = scala.collection.mutable.ArrayBuffer.empty[String]
     val it = fs.listFiles(p, true)
     while (it.hasNext) {
       val f = it.next()
-      val rel = f.getPath.toUri.getPath.stripPrefix(base)
+      val rel = base.relativize(f.getPath.toUri).toString
       files += s"$rel:${f.getLen}:${f.getModificationTime}"
     }
     s"${files.sorted.mkString(",")}|${df.schema.toDDL}"
   }
+
+  /** Memoized fingerprint per (live session, source path) — the
+    * recursive listing is the warm path's only non-constant cost, and
+    * the documented staleness contract (a source dir is not regenerated
+    * within one session's lifetime; cross-JVM staleness is caught by the
+    * marker compare) makes one listing per session sufficient. */
+  private val fpCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), String]
+  private def sourceFingerprintCached(s: org.apache.spark.sql.SparkSession,
+      srcPath: String, df: DataFrame): String =
+    fpCache.get((s, srcPath)) match {
+      case Some(fp) => fp
+      case None =>
+        fpCache.filterInPlace { case ((sess, _), _) =>
+          !sess.sparkContext.isStopped }
+        val fp = sourceFingerprint(s, srcPath, df)
+        fpCache.put((s, srcPath), fp)
+        fp
+    }
 
   /** Ensure a bucketed+sorted copy of `df` (read from `srcPath`) exists
     * as table `name`. The bucketed write is the one-time layout cost the
@@ -161,7 +185,7 @@ object Joins {
     val loc = new org.apache.hadoop.fs.Path(wh, name.toLowerCase)
     val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(loc, "_GRAFT_BUCKETS_OK")
-    val fp = sourceFingerprint(s, srcPath, df)
+    val fp = sourceFingerprintCached(s, srcPath, df)
     val markerValid = fs.exists(marker) && {
       val in = fs.open(marker)
       try {
