@@ -18,6 +18,7 @@ object SparkEntry {
     (ops.Streaming.queries, ops.Streaming.oracle),
     (ops.Llm.queries, ops.Llm.oracle),
     (ops.Analysis.queries, ops.Analysis.oracle),
+    (ops.Pipeline.queries, ops.Pipeline.oracle),
     (varda.VardaOps.queries, varda.VardaOps.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

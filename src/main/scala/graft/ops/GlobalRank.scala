@@ -60,6 +60,55 @@ object GlobalRank {
     * re-evaluate `df` — true of every non-checkpointing formulation). */
   def withGlobalRowNumber(df: DataFrame, keys: Seq[Column], out: String,
       numPartitions: Int = 0): DataFrame = {
+    val bucketed = withChunkId(df, keys, numPartitions)
+    val localW = Window.partitionBy("__gr_pid").orderBy(keys: _*)
+    val local = bucketed.withColumn("__gr_local", row_number().over(localW))
+    // O(chunks) rows from a key-column-pruned scan: cumulative count of
+    // all chunks before pid
+    val offsets = bucketed.groupBy("__gr_pid").count()
+      .withColumn("__gr_offset",
+        coalesce(sum(col("count")).over(
+          Window.orderBy("__gr_pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__gr_pid"), col("__gr_offset"))
+    local.join(broadcast(offsets), "__gr_pid")
+      .withColumn(out, col("__gr_offset") + col("__gr_local"))
+      .drop("__gr_pid", "__gr_local", "__gr_offset")
+  }
+
+  /** Append `out` = inclusive global running sum of `value` under the
+    * total order `keys` — the prefix-sum sibling of
+    * [[withGlobalRowNumber]], sharing the same deterministic arithmetic
+    * chunk assignment. Per-chunk local running sums plus an O(chunks)
+    * cumulative-offset broadcast: no single-partition global window at
+    * any width. `value` must be exact-arithmetic (integer/decimal) for
+    * a deterministic result — float prefix sums are order-fragile by
+    * nature, which is exactly what the declared queries avoid. */
+  def withGlobalRunningSum(df: DataFrame, keys: Seq[Column], value: Column,
+      out: String, numPartitions: Int = 0): DataFrame = {
+    val bucketed = withChunkId(df.withColumn("__gr_val", value), keys,
+      numPartitions)
+    val localW = Window.partitionBy("__gr_pid").orderBy(keys: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = bucketed.withColumn("__gr_local", sum(col("__gr_val")).over(localW))
+    val offsets = bucketed.groupBy("__gr_pid")
+      .agg(sum(col("__gr_val")).as("__gr_tot"))
+      .withColumn("__gr_offset",
+        coalesce(sum(col("__gr_tot")).over(
+          Window.orderBy("__gr_pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__gr_pid"), col("__gr_offset"))
+    local.join(broadcast(offsets), "__gr_pid")
+      .withColumn(out, col("__gr_offset") + col("__gr_local"))
+      .drop("__gr_pid", "__gr_local", "__gr_offset", "__gr_val")
+  }
+
+  /** The shared deterministic chunk assignment (scaladoc on
+    * [[withGlobalRowNumber]]): `__gr_pid` derives arithmetically from the
+    * first sort key's broadcast (min, max) — a pure function of the row's
+    * own values, safe under re-evaluation/retry/speculation. */
+  private def withChunkId(df: DataFrame, keys: Seq[Column],
+      numPartitions: Int): DataFrame = {
     val parts = if (numPartitions > 0) numPartitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
     import org.apache.spark.sql.GraftPlanBridge
@@ -77,23 +126,10 @@ object GlobalRank {
     val ascChunk = when(isnan(firstCol), lit(parts - 1))
       .otherwise(least(greatest(lin, lit(0)), lit(parts - 1)))
     val chunk = if (desc) lit(parts - 1) - ascChunk else ascChunk
-    val bucketed = df.crossJoin(broadcast(bounds))
+    df.crossJoin(broadcast(bounds))
       .withColumn("__gr_pid",
         when(firstCol.isNull, lit(if (desc) parts else -1)).otherwise(chunk))
       .drop("__gr_lo", "__gr_hi")
-    val localW = Window.partitionBy("__gr_pid").orderBy(keys: _*)
-    val local = bucketed.withColumn("__gr_local", row_number().over(localW))
-    // O(chunks) rows from a key-column-pruned scan: cumulative count of
-    // all chunks before pid
-    val offsets = bucketed.groupBy("__gr_pid").count()
-      .withColumn("__gr_offset",
-        coalesce(sum(col("count")).over(
-          Window.orderBy("__gr_pid")
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__gr_pid"), col("__gr_offset"))
-    local.join(broadcast(offsets), "__gr_pid")
-      .withColumn(out, col("__gr_offset") + col("__gr_local"))
-      .drop("__gr_pid", "__gr_local", "__gr_offset")
   }
 
   /** percent_rank = (rank - 1) / (N - 1) and cume_dist = rank / N over a

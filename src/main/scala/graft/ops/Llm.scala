@@ -35,7 +35,7 @@ object Llm {
       .orderBy("keep_id")
 
   /** doc_id → distinct 3-word shingles, exploded. */
-  private[ops] def shingles(docs: DataFrame): DataFrame =
+  private[graft] def shingles(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), explode(expr(
         """array_distinct(CASE WHEN size(ws) < 3 THEN array()

@@ -1,0 +1,268 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Training-data pipeline COMPOSITION operators (round 7) — the steps a
+  * real 100 TB pretraining-data build runs between the per-document
+  * analysis ops ([[Analysis]]) and the dedup/similarity kernels ([[Llm]]):
+  *
+  *   - benchmark decontamination (`text_decontaminate`)
+  *   - incremental corpus-delta dedup (`dedup_incremental`)
+  *   - domain/language mixture resampling (`sample_mixture`)
+  *   - token-budget sequence packing (`pack_sequences`)
+  *   - repetition-based quality signals (`text_repetition`)
+  *   - Z-order clustered writes for data-skipping (`sink_zorder`)
+  *
+  * Same hash-match discipline as everywhere else (SURVEY.md §0): integer
+  * ppm ratios, exact integer hashes, a total order on every output.
+  */
+object Pipeline {
+
+  /** Benchmark decontamination: drop from the training corpus every
+    * document sharing >= 2 distinct 3-word shingles with the held-out
+    * benchmark set (here the deterministic slice doc_id % 10 == 7 — in a
+    * real build, the eval suites). The benchmark shingle set is tiny
+    * relative to the corpus (eval suites are MBs, the corpus is TBs), so
+    * it rides a broadcast and the corpus is scanned exactly once; the
+    * only shuffle carries matched (doc_id, shingle) hits, not documents.
+    */
+  val textDecontaminate: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val bench = docs.filter(col("doc_id") % 10 === 7)
+    val train = docs.filter(col("doc_id") % 10 =!= 7)
+    val benchShingles = Llm.shingles(bench).select("shingle").distinct()
+    // Llm.shingles emits DISTINCT shingles per doc, so this count is the
+    // distinct-overlap size, matching the oracle's semantics exactly.
+    val contaminated = Llm.shingles(train)
+      .join(broadcast(benchShingles), "shingle")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= 2)
+    train.join(contaminated, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
+  /** Incremental corpus-delta dedup: the store (docs already imported —
+    * deterministic slice doc_id % 5 != 0) is represented ONLY by its
+    * persisted sha-256 digest set; the new batch (doc_id % 5 == 0) keeps
+    * one survivor (min doc_id) per digest not already in the store. At
+    * 100 TB this is the shape that matters: each import shuffles 32-byte
+    * digests, never document text, and never rescans stored documents —
+    * the digest table is the corpus's standing fingerprint index, the
+    * same incremental-maintenance contract as `varda_freq_incremental`.
+    */
+  val dedupIncremental: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val storeDigests = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(sha2(col("text"), 256).as("digest")).distinct()
+    docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), sha2(col("text"), 256).as("digest"))
+      .join(storeDigests, Seq("digest"), "left_anti")
+      .groupBy("digest").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** Equal-share language mixture: downsample every language to the size
+    * of the smallest one, picking each language's quota by a
+    * content-derived hash order (md5(text|doc_id), doc_id) — a
+    * deterministic, rerun-stable "random" sample, the same leakage-safe
+    * trick as `sample_stratified`. The quota is a 1-row broadcast; the
+    * only wide operation is one per-language window, partitioned, never
+    * global. */
+  val sampleMixture: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val quota = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("__quota"))
+    val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    docs.withColumn("h", md5(concat_ws("|", col("text"), col("doc_id"))))
+      .withColumn("rn", row_number().over(w))
+      .crossJoin(broadcast(quota))
+      .filter(col("rn") <= col("__quota"))
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
+  /** Token budget per packed training sequence. */
+  private val PackBudget = 256L
+
+  /** Offset-based sequence packing: documents in doc_id order form one
+    * token stream; a document's bin is the PackBudget-token chunk its
+    * first token lands in (bin = prefix-token-count div budget) — the
+    * standard concat-then-chunk packing a pretraining loader performs.
+    * The prefix sum is [[GlobalRank.withGlobalRunningSum]]: per-chunk
+    * local running sums + an O(chunks) offset broadcast, so there is no
+    * single-partition global window even at fact-table width. */
+  val packSequences: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+    GlobalRank.withGlobalRunningSum(docs, Seq(col("doc_id")),
+        col("n_tokens"), "run")
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"(run - n_tokens) div $PackBudget").as("bin_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Gopher-style repetition signals, integer ppm: the fraction of a
+    * document's 2-grams taken by its single most frequent 2-gram, and the
+    * fraction of 3-gram occurrences that are repeats of an earlier
+    * 3-gram. Sliding n-grams come from one array transform per doc;
+    * counting happens in a partitioned aggregate (explode → groupBy), so
+    * a pathological single document never becomes a task-level hotspot.
+    * Documents shorter than 3 tokens have no 3-grams and drop out — same
+    * rule in the oracle. */
+  val textRepetition: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    def grams(n: Int) = expr(
+      s"""CASE WHEN size(ws) < $n THEN array()
+          ELSE transform(sequence(0, size(ws) - $n),
+                         i -> concat_ws(' ', ${(0 until n).map(j => s"ws[i+$j]").mkString(", ")}))
+          END""")
+    val top2 = docs.select(col("doc_id"), explode(grams(2)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("top2"), sum(col("c")).as("tot2"))
+    val dup3 = docs.select(col("doc_id"), explode(grams(3)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(sum(col("c")).as("tot3"),
+        count(lit(1)).as("distinct3"))
+    top2.join(dup3, "doc_id")
+      .select(col("doc_id"),
+        expr("(1000000 * top2) div tot2").as("top2_ppm"),
+        expr("(1000000 * (tot3 - distinct3)) div tot3").as("dup3_ppm"))
+      .orderBy("doc_id")
+  }
+
+  /** Bits per dimension in the Z-value interleave. 24 bits covers key
+    * spaces to 16M; the interleaved value stays well inside BIGINT. Must
+    * match the oracle's arithmetic exactly. */
+  private val ZBits = 24
+
+  /** Morton/Z-value bit interleave of two BIGINT dimensions, emitted for
+    * both dialects from one generator (the SimHash pattern —
+    * [[Analysis]]): z = Σ_k ((x>>k & 1) << 2k) + ((y>>k & 1) << 2k+1). */
+  private def zValueSql(x: String, y: String,
+      shl: (String, Int) => String, shr: (String, Int) => String): String =
+    (0 until ZBits).map { k =>
+      s"(${shl(s"(${shr(x, k)} & 1)", 2 * k)} + ${shl(s"(${shr(y, k)} & 1)", 2 * k + 1)})"
+    }.mkString("(", " + ", ")")
+
+  private[ops] def zValueSpark(x: String, y: String): String =
+    zValueSql(x, y,
+      (e, n) => s"shiftleft($e, $n)", (e, n) => s"shiftright($e, $n)")
+
+  private[graft] def zValueDuck(x: String, y: String): String =
+    zValueSql(x, y, (e, n) => s"($e << $n)", (e, n) => s"($e >> $n)")
+
+  /** Z-order clustered sink: rewrite lineitem's (l_orderkey, l_partkey)
+    * projection range-partitioned AND sorted by the Morton-interleaved
+    * Z-value, then read it back. Each parquet file then covers a tight
+    * Z-range — a rectangle in (orderkey, partkey) space — so a range scan
+    * on EITHER dimension (or both) prunes by footer min/max instead of
+    * reading the table: the lakehouse data-skipping layout, paid for with
+    * one range shuffle at write time. PipelineSpec asserts the per-file
+    * Z-ranges are pairwise disjoint; the oracle hash-checks the cycle
+    * lossless (it computes the same rows straight from the source). */
+  val sinkZorder: Q = (s, d) => {
+    val dest = Scans.scratch(s, "zorder_dst", d)
+    val z = Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_partkey"),
+      col("l_linenumber").cast(LongType).as("line_no"),
+      expr(zValueSpark("l_orderkey", "l_partkey")).as("z"))
+    // explicit file count: at 100 TB this is total_bytes / target_file_size
+    // (a write-time layout choice, not something AQE should coalesce away)
+    val parts = s.conf.getOption("spark.graft.zorder.partitions").map(_.toInt)
+      .getOrElse(s.sessionState.conf.numShufflePartitions)
+    z.repartitionByRange(parts, col("z"), col("l_orderkey"), col("l_partkey"),
+        col("line_no"))
+      .sortWithinPartitions("z", "l_orderkey", "l_partkey", "line_no")
+      .write.mode("overwrite").parquet(dest)
+    s.read.parquet(dest)
+      .orderBy("z", "l_orderkey", "l_partkey", "line_no")
+      .select("l_orderkey", "l_partkey", "line_no", "z")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "text_decontaminate" -> textDecontaminate,
+    "dedup_incremental" -> dedupIncremental,
+    "sample_mixture" -> sampleMixture,
+    "pack_sequences" -> packSequences,
+    "text_repetition" -> textRepetition,
+    "sink_zorder" -> sinkZorder)
+
+  private val shingleSqlDuck =
+    """SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(ws) - 1),
+           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+       FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) w"""
+
+  val oracle: Map[String, String] = Map(
+    "text_decontaminate" ->
+      s"""WITH sh AS ($shingleSqlDuck),
+            bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 7),
+            cont AS (SELECT doc_id FROM sh JOIN bench USING (shingle)
+                     WHERE doc_id % 10 <> 7
+                     GROUP BY doc_id HAVING count(*) >= 2)
+          SELECT doc_id, lang, source FROM documents
+          WHERE doc_id % 10 <> 7
+            AND doc_id NOT IN (SELECT doc_id FROM cont)
+          ORDER BY doc_id""",
+    "dedup_incremental" ->
+      """WITH store AS (SELECT DISTINCT sha256(text) AS digest
+                        FROM documents WHERE doc_id % 5 <> 0),
+            batch AS (SELECT doc_id, sha256(text) AS digest
+                      FROM documents WHERE doc_id % 5 = 0)
+         SELECT min(doc_id) AS doc_id FROM batch
+         WHERE digest NOT IN (SELECT digest FROM store)
+         GROUP BY digest ORDER BY doc_id""",
+    "sample_mixture" ->
+      """WITH q AS (SELECT min(n) AS quota FROM
+                      (SELECT lang, count(*) AS n FROM documents GROUP BY 1)),
+            r AS (SELECT doc_id, lang,
+                    row_number() OVER (PARTITION BY lang
+                      ORDER BY md5(text || '|' || CAST(doc_id AS VARCHAR)),
+                               doc_id) AS rn
+                  FROM documents)
+         SELECT doc_id, lang FROM r, q WHERE rn <= quota ORDER BY doc_id""",
+    "pack_sequences" ->
+      s"""SELECT doc_id, n_tokens,
+            CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 // $PackBudget AS BIGINT) AS bin_id
+          FROM (SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                FROM documents) t
+          ORDER BY doc_id""",
+    "text_repetition" ->
+      """WITH g2 AS (SELECT doc_id,
+                       unnest(list_transform(range(1, len(ws)),
+                         i -> ws[i] || ' ' || ws[i+1])) AS g
+                     FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                           FROM documents) w),
+            g3 AS (SELECT doc_id,
+                     unnest(list_transform(range(1, len(ws) - 1),
+                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+                   FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                         FROM documents) w),
+            t2 AS (SELECT doc_id, max(c) AS top2, sum(c) AS tot2 FROM
+                     (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2) x
+                   GROUP BY doc_id),
+            t3 AS (SELECT doc_id, sum(c) AS tot3, count(*) AS distinct3 FROM
+                     (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2) x
+                   GROUP BY doc_id)
+         SELECT t2.doc_id,
+           CAST((1000000 * top2) // tot2 AS BIGINT) AS top2_ppm,
+           CAST((1000000 * (tot3 - distinct3)) // tot3 AS BIGINT) AS dup3_ppm
+         FROM t2 JOIN t3 ON t2.doc_id = t3.doc_id
+         ORDER BY t2.doc_id""",
+    "sink_zorder" ->
+      s"""SELECT l_orderkey, l_partkey,
+            CAST(l_linenumber AS BIGINT) AS line_no,
+            CAST(${zValueDuck("l_orderkey", "l_partkey")} AS BIGINT) AS z
+          FROM lineitem
+          ORDER BY z, l_orderkey, l_partkey, line_no""")
+}

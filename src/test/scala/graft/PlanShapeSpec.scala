@@ -117,14 +117,16 @@ class PlanShapeSpec extends AnyFunSuite {
     // source_vcf_file's one BNLJ is the 1-row #CHROM-header broadcast;
     // varda_freq_incremental / varda_annotate_multi inherit the frequency
     // family's dimension-sized coverage-less broadcast;
-    // stream_late_watermark's and win_global_rank's (and win_ntile_pct's,
-    // via GlobalRank) is the 1-row key-bounds broadcast that makes their
-    // arithmetic chunking deterministic
+    // stream_late_watermark's and win_global_rank's (and win_ntile_pct's
+    // and pack_sequences', via GlobalRank) is the 1-row key-bounds
+    // broadcast that makes their arithmetic chunking deterministic;
+    // sample_mixture's is the 1-row min-language quota broadcast
     val sanctioned = Set("join_cross", "text_tfidf", "win_ntile_pct",
       "sim_topk_cosine", "dedup_near_embedding", "varda_frequency",
       "agg_freq_ratio", "varda_sample_expr", "varda_annotate",
       "source_vcf_file", "varda_freq_incremental", "varda_annotate_multi",
-      "stream_late_watermark", "win_global_rank")
+      "stream_late_watermark", "win_global_rank",
+      "pack_sequences", "sample_mixture")
     for ((k, fn) <- SparkEntry.queries.toSeq.sortBy(_._1) if !sanctioned(k)) {
       val p = fn(spark, sf0001).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
