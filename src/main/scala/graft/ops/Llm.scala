@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.{Q, Tables}
 import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, Normalizer}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -119,7 +119,8 @@ object Llm {
     * surviving pair that shares a capped shingle reports a lower-bound
     * inter_cnt (set sizes stay uncapped). With the default no-cap this is
     * the exact pair set the oracle computes. */
-  def jaccardPairs(docs: DataFrame, maxDf: Int = Int.MaxValue): DataFrame = {
+  def jaccardPairs(docs: DataFrame, maxDf: Int = Int.MaxValue,
+      pairPred: Column = lit(true)): DataFrame = {
     val sh = shingles(docs)
     // per-doc set sizes as a map-side-combined aggregate (one row per
     // doc), joined back at PAIR level where the data is tiny. Round-3
@@ -138,6 +139,10 @@ object Llm {
     graft.functions.GraftFunctions.registerAll(docs.sparkSession)
     postings
       .select(explode(expr("posting_pairs(docs)")).as("p"))
+      // pairPred prunes candidate pairs BEFORE the pair-count shuffle —
+      // an incremental caller restricts enumeration to pairs touching
+      // its delta batch, so store×store pairs never reach the aggregate
+      .filter(pairPred)
       .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .agg(count(lit(1)).as("inter_cnt"))
       .join(sizes.select(col("doc_id").as("d1"), col("s").as("s1")), "d1")

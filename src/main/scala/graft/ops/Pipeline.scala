@@ -86,6 +86,89 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Temperature-scaled language mixture (α = 0.5, the multilingual
+    * up/down-sampling curve): each language's share of the sample budget
+    * is proportional to n_lang^α instead of n_lang, flattening the
+    * head-language dominance without equalizing outright (the
+    * [[sampleMixture]] extreme). All arithmetic after the one
+    * `floor(sqrt(n))` is INTEGER — weights s_l = ⌊√n_l⌋, budget
+    * B = ⌊Σn/2⌋, quota_l = ⌊B·s_l / Σs⌋ — so both engines agree
+    * bit-for-bit (IEEE sqrt is correctly rounded; everything else is
+    * exact). Selection within a language is the same content-hash order
+    * as [[sampleMixture]]: deterministic, rerun-stable, leakage-safe.
+    * The quota table is languages-sized → broadcast; the only wide op is
+    * the per-language window. */
+  val sampleTemperature: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .withColumn("sw", expr("CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT)"))
+    val tot = counts.agg(sum(col("sw")).as("S"), expr("sum(n) div 2").as("B"))
+    val quotas = counts.crossJoin(broadcast(tot))
+      .select(col("lang"), expr("(B * sw) div S").as("quota"))
+    val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    docs.withColumn("h", md5(concat_ws("|", col("text"), col("doc_id"))))
+      .withColumn("rn", row_number().over(w))
+      .join(broadcast(quotas), "lang")
+      .filter(col("rn") <= col("quota"))
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
+  /** Symmetric int8 embedding quantization — the storage/serving
+    * compression every vector index applies before ANN (4× smaller than
+    * f32, dot products in integer SIMD). Per vector: scale = max |x_i|,
+    * q_i = ⌊x_i·127 / scale⌋ ∈ [-127, 127]. The declared output is the
+    * quantized digest tier (Σq, min q, max q, ⌊scale·2^20⌋) — integer
+    * columns both engines hash identically; the float steps are the
+    * fixed-order IEEE double ops the multimodal digests already proved
+    * cross-engine-exact. Zero vectors quantize to zeros (no 0/0). Pure
+    * per-row codegen'd array expressions: no shuffle at all before the
+    * declared ORDER BY, so the op is embarrassingly parallel at any
+    * scale. */
+  val embedQuantize: Q = (s, d) =>
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))")
+          .as("sc"))
+      .select(col("vec_id"), col("sc"),
+        expr("""CASE WHEN sc = 0D THEN transform(embedding, x -> 0L)
+                ELSE transform(embedding, x ->
+                  CAST(floor((CAST(x AS DOUBLE) * 127.0) / sc) AS BIGINT))
+                END""").as("ql"))
+      .select(col("vec_id"),
+        expr("aggregate(ql, 0L, (a, x) -> a + x)").as("q_sum"),
+        expr("array_min(ql)").as("q_min"),
+        expr("array_max(ql)").as("q_max"),
+        expr("CAST(floor(sc * 1048576.0) AS BIGINT)").as("scale_q20"))
+      .orderBy("vec_id")
+
+  /** Incremental NEAR-dedup of a corpus delta — the composition of
+    * [[dedupIncremental]]'s store/batch contract with the exact
+    * jaccard-pair machinery ([[Llm.jaccardPairs]]): a new-batch document
+    * (doc_id % 5 == 0) is dropped iff it has shingle-Jaccard >= 0.5 with
+    * ANY stored document or with an earlier (smaller doc_id) batch
+    * document — the greedy first-wins rule, pairwise like
+    * `dedup_near_jaccard`, no transitive closure. The pair predicate is
+    * pushed into the posting-list enumeration, so store×store pairs are
+    * pruned BEFORE the pair shuffle: each import pays for pairs touching
+    * its delta, never for re-verifying the standing corpus against
+    * itself — the incremental contract that makes repeated imports
+    * affordable at 100 TB. */
+  val dedupIncrementalNear: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val pairs = Llm.jaccardPairs(docs,
+      pairPred = col("p.d1") % 5 === 0 || col("p.d2") % 5 === 0)
+    val dropped = pairs.filter(col("d2") % 5 === 0)
+        .select(col("d2").as("doc_id"))
+      .unionByName(pairs.filter(col("d1") % 5 === 0 && col("d2") % 5 =!= 0)
+        .select(col("d1").as("doc_id")))
+      .distinct()
+    docs.filter(col("doc_id") % 5 === 0)
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
   /** Token budget per packed training sequence. */
   private val PackBudget = 256L
 
@@ -190,6 +273,9 @@ object Pipeline {
     "text_decontaminate" -> textDecontaminate,
     "dedup_incremental" -> dedupIncremental,
     "sample_mixture" -> sampleMixture,
+    "sample_temperature" -> sampleTemperature,
+    "embed_quantize" -> embedQuantize,
+    "dedup_incremental_near" -> dedupIncrementalNear,
     "pack_sequences" -> packSequences,
     "text_repetition" -> textRepetition,
     "sink_zorder" -> sinkZorder)
@@ -219,6 +305,60 @@ object Pipeline {
          SELECT min(doc_id) AS doc_id FROM batch
          WHERE digest NOT IN (SELECT digest FROM store)
          GROUP BY digest ORDER BY doc_id""",
+    "sample_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS n,
+                      CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS sw
+                    FROM documents GROUP BY 1),
+            t AS (SELECT sum(sw) AS S, sum(n) // 2 AS B FROM c),
+            q AS (SELECT lang, (B * sw) // S AS quota FROM c, t),
+            r AS (SELECT doc_id, lang,
+                    row_number() OVER (PARTITION BY lang
+                      ORDER BY md5(text || '|' || CAST(doc_id AS VARCHAR)),
+                               doc_id) AS rn
+                  FROM documents)
+         SELECT doc_id, lang FROM r JOIN q USING (lang)
+         WHERE rn <= quota ORDER BY doc_id""",
+    "embed_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding,
+                      list_max(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE)))) AS sc
+                    FROM embeddings),
+            q AS (SELECT vec_id, sc,
+                    CASE WHEN sc = 0 THEN
+                      list_transform(embedding, x -> CAST(0 AS BIGINT))
+                    ELSE
+                      list_transform(embedding, x ->
+                        CAST(floor((CAST(x AS DOUBLE) * 127.0) / sc) AS BIGINT))
+                    END AS ql
+                  FROM e)
+         SELECT vec_id,
+           CAST(list_sum(ql) AS BIGINT) AS q_sum,
+           CAST(list_min(ql) AS BIGINT) AS q_min,
+           CAST(list_max(ql) AS BIGINT) AS q_max,
+           CAST(floor(sc * 1048576.0) AS BIGINT) AS scale_q20
+         FROM q ORDER BY vec_id""",
+    "dedup_incremental_near" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            sh AS (SELECT DISTINCT doc_id,
+                     unnest(list_transform(range(1, len(ws) - 1),
+                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+                   FROM w),
+            sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
+            pr AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter_cnt
+                   FROM sh a JOIN sh b
+                     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   WHERE a.doc_id % 5 = 0 OR b.doc_id % 5 = 0
+                   GROUP BY 1, 2),
+            np AS (SELECT d1, d2 FROM pr
+                   JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+                   WHERE inter_cnt * 3 >= s1.s + s2.s),
+            dropped AS (SELECT d2 AS doc_id FROM np WHERE d2 % 5 = 0
+                        UNION
+                        SELECT d1 FROM np WHERE d1 % 5 = 0 AND d2 % 5 <> 0)
+         SELECT doc_id, lang, source FROM documents
+         WHERE doc_id % 5 = 0
+           AND doc_id NOT IN (SELECT doc_id FROM dropped)
+         ORDER BY doc_id""",
     "sample_mixture" ->
       """WITH q AS (SELECT min(n) AS quota FROM
                       (SELECT lang, count(*) AS n FROM documents GROUP BY 1)),

@@ -105,6 +105,63 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("sample_temperature: per-language counts equal min(integer quota, n_lang)") {
+    val docs = Tables.documents(spark, sf0001)
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("n")).toMap
+    val sw = counts.view.mapValues(n => math.sqrt(n.toDouble).floor.toLong).toMap
+    val s = sw.values.sum
+    val b = counts.values.sum / 2
+    val got = ops.Pipeline.sampleTemperature(spark, sf0001)
+      .groupBy("lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    counts.keys.foreach { lang =>
+      val quota = b * sw(lang) / s
+      assert(got.getOrElse(lang, 0L) == math.min(quota, counts(lang)),
+        s"$lang: got ${got.get(lang)}, quota=$quota n=${counts(lang)}")
+    }
+    // the α=0.5 curve flattens: sampled share of the smallest language
+    // exceeds its corpus share (that is the point of temperature sampling)
+    val minLang = counts.minBy(_._2)._1
+    val sampledTot = got.values.sum.toDouble
+    assert(got(minLang) / sampledTot > counts(minLang).toDouble / counts.values.sum)
+  }
+
+  test("embed_quantize: int8 range, max-abs element hits ±127, reconstruction bounded") {
+    val out = ops.Pipeline.embedQuantize(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val qMin = r.getAs[Long]("q_min"); val qMax = r.getAs[Long]("q_max")
+      assert(qMin >= -127 && qMax <= 127, s"int8 range violated: $qMin..$qMax")
+      // the max-|x| element quantizes to an endpoint (floor(±127.0))
+      assert(qMax == 127 || qMin == -127 || r.getAs[Long]("scale_q20") == 0,
+        s"no endpoint hit: $qMin..$qMax")
+    }
+  }
+
+  test("dedup_incremental_near: survivors have no qualifying pair; restricted == filtered full") {
+    val docs = Tables.documents(spark, sf0001)
+    val full = ops.Llm.jaccardPairs(docs).select("d1", "d2")
+    // the pushed-down pair predicate must equal filtering the full pair set
+    val restricted = ops.Llm.jaccardPairs(docs,
+      pairPred = col("p.d1") % 5 === 0 || col("p.d2") % 5 === 0)
+      .select("d1", "d2")
+    val fullFiltered = full.filter(col("d1") % 5 === 0 || col("d2") % 5 === 0)
+    assert(restricted.except(fullFiltered).isEmpty
+      && fullFiltered.except(restricted).isEmpty)
+    val survivors = ops.Pipeline.dedupIncrementalNear(spark, sf0001)
+    assert(survivors.filter(col("doc_id") % 5 =!= 0).isEmpty)
+    // no survivor pairs with a store doc or an earlier batch doc
+    val s2 = survivors.select(col("doc_id").as("b"))
+    // d2 = survivor ⇒ the d1 partner has a smaller id (store OR batch,
+    // both disqualify under greedy first-wins), so ANY such pair is a bug
+    val viaD2 = full.join(s2, full("d2") === s2("b"))
+    assert(viaD2.isEmpty, "survivor has a pair with a smaller-id doc")
+    val viaD1 = full.join(s2, full("d1") === s2("b"))
+      .filter(col("d2") % 5 =!= 0)
+    assert(viaD1.isEmpty, "survivor has a pair with a store doc")
+  }
+
   test("text_repetition: ppm signals are in range and detect planted repetition") {
     val out = ops.Pipeline.textRepetition(spark, sf0001).collect()
     assert(out.nonEmpty)
