@@ -48,7 +48,15 @@ object Vcf {
     *  - multi-ALT fan-out via a second posexplode (1-based `alt_index`),
     *  - INFO keys exposed as a map (`str_to_map`),
     *  - zygosity derived from the GT allele indices (a/b equal ⇒
-    *    homozygous), the way VCF encodes it.
+    *    homozygous), the way VCF encodes it,
+    *  - SITES-ONLY records (no FORMAT/sample columns — the shape an
+    *    annotation write-back emits) parse to ONE row with null
+    *    sample_slot/sample_name/gt/zygosity instead of vanishing into an
+    *    empty posexplode, and a data file that lacks its own `#CHROM`
+    *    header (e.g. one part of a distributed multi-part write whose
+    *    header lives in a sibling part) keeps its rows — the header join
+    *    is LEFT OUTER, unresolvable sample names surface as null rather
+    *    than silently dropping records.
     */
   def parseVcfLines(raw: DataFrame): DataFrame = {
     val withFile = raw.withColumn("__vcf_file", input_file_name())
@@ -66,27 +74,34 @@ object Vcf {
         element_at(col("f"), 6).as("qual"),
         element_at(col("f"), 7).as("filt"),
         expr("str_to_map(element_at(f, 8), ';', '=')").as("info"),
-        slice(col("f"), 10, 4096).as("gts"))
+        // sites-only record (≤8 fields): a single null GT cell keeps the
+        // record through the posexplode as one sample-less row
+        when(size(col("f")) <= lit(9), array(lit(null).cast(StringType)))
+          .otherwise(slice(col("f"), 10, 4096)).as("gts"))
       .select(col("__vcf_file"), col("chromosome"), col("position"),
         col("vcf_id"), col("reference"), col("alts"), col("qual"),
         col("filt"), col("info"),
         posexplode(col("gts")).as(Seq("slot", "gt")))
-      .filter(col("gt") =!= "./.")
+      .filter(col("gt").isNull || col("gt") =!= "./.")
       .select(col("__vcf_file"), col("chromosome"), col("position"),
         col("vcf_id"), col("reference"), col("qual"), col("filt"),
         col("info"), col("slot"), col("gt"),
         split(col("gt"), "/").as("alleles"),
         posexplode(col("alts")).as(Seq("ai", "observed")))
-      .join(broadcast(headers), Seq("__vcf_file"))
+      .join(broadcast(headers), Seq("__vcf_file"), "left_outer")
       .select(
         col("position"), col("vcf_id"), col("reference"),
         (col("ai") + 1).cast(LongType).as("alt_index"), col("observed"),
         col("qual"), col("filt"), col("info"),
-        col("slot").cast(LongType).as("sample_slot"),
-        element_at(col("__vcf_names"), col("slot") + 1).as("sample_name"),
+        when(col("gt").isNull, lit(null).cast(LongType))
+          .otherwise(col("slot").cast(LongType)).as("sample_slot"),
+        when(col("gt").isNull, lit(null).cast(StringType))
+          .otherwise(element_at(col("__vcf_names"), col("slot") + 1))
+          .as("sample_name"),
         col("gt"),
-        when(element_at(col("alleles"), 1) === element_at(col("alleles"), 2),
-          "homozygous").otherwise("heterozygous").as("zygosity"),
+        when(col("gt").isNull, lit(null).cast(StringType))
+          .when(element_at(col("alleles"), 1) === element_at(col("alleles"), 2),
+            "homozygous").otherwise("heterozygous").as("zygosity"),
         col("chromosome"))
   }
 
