@@ -16,6 +16,7 @@ object SparkEntry {
     (ops.SortsSets.queries, ops.SortsSets.oracle),
     (ops.ScalarFns.queries, ops.ScalarFns.oracle),
     (ops.Streaming.queries, ops.Streaming.oracle),
+    (ops.Events.queries, ops.Events.oracle),
     (ops.Llm.queries, ops.Llm.oracle),
     (ops.Analysis.queries, ops.Analysis.oracle),
     (ops.Pipeline.queries, ops.Pipeline.oracle),
