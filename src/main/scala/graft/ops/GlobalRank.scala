@@ -76,6 +76,61 @@ object GlobalRank {
       .drop("__gr_pid", "__gr_local", "__gr_offset")
   }
 
+  /** Append `out` = 1-based rank within each `groupCols` group under the
+    * total order `keys` — the PER-GROUP sibling of [[withGlobalRowNumber]]
+    * for low-cardinality groups over fact-scale rows. A plain
+    * `Window.partitionBy(group)` ranks each whole group inside one task:
+    * 5 languages over a 100 TB corpus means 5 tasks sort 20 TB each. Here
+    * every group splits into `numPartitions` arithmetic chunks, so
+    * parallelism is groups × chunks regardless of group skew.
+    *
+    * `chunkKey` must be a NUMERIC column monotone non-decreasing in
+    * `keys.head` (ties may share a chunk — in-chunk windows order by the
+    * full key tuple, so only balance is affected; defaults to `keys.head`
+    * cast to double). Chunk ids derive from the key's per-group broadcast
+    * (min, max) — deterministic by construction, the
+    * [[withGlobalRowNumber]] contract. The offsets frame is
+    * O(groups × chunks) rows and must stay broadcast-sized; its
+    * cumulative window partitions BY GROUP over that aggregated frame,
+    * never over data rows. */
+  def withGroupedRowNumber(df: DataFrame, groupCols: Seq[String],
+      keys: Seq[Column], out: String, chunkKey: Option[Column] = None,
+      numPartitions: Int = 0): DataFrame = {
+    val parts = if (numPartitions > 0) numPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    import org.apache.spark.sql.GraftPlanBridge
+    import org.apache.spark.sql.catalyst.expressions.{Descending, SortOrder}
+    val (firstE, desc) = GraftPlanBridge.expression(keys.head) match {
+      case SortOrder(c, dir, _, _) => (c, dir == Descending)
+      case e => (e, false)
+    }
+    val ck = chunkKey.getOrElse(GraftPlanBridge.column(firstE)).cast("double")
+    val gcols = groupCols.map(col)
+    val bounds = df.groupBy(gcols: _*)
+      .agg(min(ck).as("__gr_lo"), max(ck).as("__gr_hi"))
+    val lin = floor((ck - col("__gr_lo"))
+      / (col("__gr_hi") - col("__gr_lo")) * parts).cast("int")
+    val ascChunk = when(isnan(ck), lit(parts - 1))
+      .otherwise(least(greatest(lin, lit(0)), lit(parts - 1)))
+    val chunk = if (desc) lit(parts - 1) - ascChunk else ascChunk
+    val bucketed = df.join(broadcast(bounds), groupCols)
+      .withColumn("__gr_pid",
+        when(ck.isNull, lit(if (desc) parts else -1)).otherwise(chunk))
+      .drop("__gr_lo", "__gr_hi")
+    val localW = Window.partitionBy(gcols :+ col("__gr_pid"): _*)
+      .orderBy(keys: _*)
+    val local = bucketed.withColumn("__gr_local", row_number().over(localW))
+    val offsets = bucketed.groupBy(gcols :+ col("__gr_pid"): _*).count()
+      .withColumn("__gr_offset",
+        coalesce(sum(col("count")).over(
+          Window.partitionBy(gcols: _*).orderBy("__gr_pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(gcols :+ col("__gr_pid") :+ col("__gr_offset"): _*)
+    local.join(broadcast(offsets), groupCols :+ "__gr_pid")
+      .withColumn(out, col("__gr_offset") + col("__gr_local"))
+      .drop("__gr_pid", "__gr_local", "__gr_offset")
+  }
+
   /** Append `out` = inclusive global running sum of `value` under the
     * total order `keys` — the prefix-sum sibling of
     * [[withGlobalRowNumber]], sharing the same deterministic arithmetic

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -71,20 +72,31 @@ object Pipeline {
     * content-derived hash order (md5(text|doc_id), doc_id) — a
     * deterministic, rerun-stable "random" sample, the same leakage-safe
     * trick as `sample_stratified`. The quota is a 1-row broadcast; the
-    * only wide operation is one per-language window, partitioned, never
-    * global. */
+    * per-language rank is [[GlobalRank.withGroupedRowNumber]] (languages
+    * are FEW and huge — a plain per-lang window would sort each whole
+    * language in one task at corpus scale; the hash-prefix chunk key
+    * splits every language into uniformly-filled chunks instead). */
   val sampleMixture: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     val quota = docs.groupBy("lang").agg(count(lit(1)).as("n"))
       .agg(min(col("n")).as("__quota"))
-    val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
-    docs.withColumn("h", md5(concat_ws("|", col("text"), col("doc_id"))))
-      .withColumn("rn", row_number().over(w))
+    rankedByContentHash(docs)
       .crossJoin(broadcast(quota))
       .filter(col("rn") <= col("__quota"))
       .select("doc_id", "lang")
       .orderBy("doc_id")
   }
+
+  /** Shared per-language content-hash rank: md5 order, doc_id tiebreak,
+    * distributed via the grouped two-pass rank. The chunk key is the
+    * hash's first 15 hex digits as a number — monotone in the hex string
+    * (lowercase fixed-width hex sorts like its value) and uniform, so
+    * chunks fill evenly by construction. */
+  private def rankedByContentHash(docs: DataFrame): DataFrame =
+    GlobalRank.withGroupedRowNumber(
+      docs.withColumn("h", md5(concat_ws("|", col("text"), col("doc_id")))),
+      Seq("lang"), Seq(col("h"), col("doc_id")), "rn",
+      chunkKey = Some(conv(substring(col("h"), 1, 15), 16, 10)))
 
   /** Temperature-scaled language mixture (α = 0.5, the multilingual
     * up/down-sampling curve): each language's share of the sample budget
@@ -95,9 +107,10 @@ object Pipeline {
     * B = ⌊Σn/2⌋, quota_l = ⌊B·s_l / Σs⌋ — so both engines agree
     * bit-for-bit (IEEE sqrt is correctly rounded; everything else is
     * exact). Selection within a language is the same content-hash order
-    * as [[sampleMixture]]: deterministic, rerun-stable, leakage-safe.
-    * The quota table is languages-sized → broadcast; the only wide op is
-    * the per-language window. */
+    * as [[sampleMixture]]: deterministic, rerun-stable, leakage-safe,
+    * and distributed through the same grouped two-pass rank (no whole-
+    * language single-task sort). The quota table is languages-sized →
+    * broadcast. */
   val sampleTemperature: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
@@ -105,9 +118,7 @@ object Pipeline {
     val tot = counts.agg(sum(col("sw")).as("S"), expr("sum(n) div 2").as("B"))
     val quotas = counts.crossJoin(broadcast(tot))
       .select(col("lang"), expr("(B * sw) div S").as("quota"))
-    val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
-    docs.withColumn("h", md5(concat_ws("|", col("text"), col("doc_id"))))
-      .withColumn("rn", row_number().over(w))
+    rankedByContentHash(docs)
       .join(broadcast(quotas), "lang")
       .filter(col("rn") <= col("quota"))
       .select("doc_id", "lang")

@@ -70,6 +70,34 @@ class GlobalRankSpec extends AnyFunSuite {
     assert(eval() == eval(), "two evaluations disagree")
   }
 
+  test("grouped row_number equals the per-group window, balanced across chunks") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sf0001)
+      .withColumn("h", md5(concat_ws("|", col("text"), col("doc_id"))))
+    val gkeys = Seq(col("h"), col("doc_id"))
+    val expected = docs.select(col("doc_id"),
+        row_number().over(
+          Window.partitionBy("lang").orderBy(gkeys: _*)).as("rn"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val ranked = GlobalRank.withGroupedRowNumber(docs, Seq("lang"), gkeys,
+      "rn", chunkKey = Some(conv(substring(col("h"), 1, 15), 16, 10)),
+      numPartitions = 8)
+    val got = ranked.select("doc_id", "rn")
+      .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    assert(got.size == expected.size && got == expected)
+    // the md5-prefix chunk key spreads each language over many chunks —
+    // the whole point vs a single-task-per-language window: every
+    // in-data window must partition on (lang, __gr_pid), not lang alone
+    val winLines = ranked.queryExecution.executedPlan.toString
+      .split("\n").filter(_.contains("Window "))
+    assert(winLines.exists(_.contains("__gr_pid")),
+      s"no chunked window in plan:\n${winLines.mkString("\n")}")
+    // determinism across evaluations
+    val eval = () => ranked.select("doc_id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(eval() == eval())
+  }
+
   test("the distributed path plans no global single-partition window") {
     val df = GlobalRank.withGlobalRowNumber(customers, keys, "rn", 8)
     df.collect()
