@@ -98,6 +98,26 @@ object Scans {
       .orderBy("event_id")
   }
 
+  /** Schema evolution on read: generation 0 of an imported table lacks a
+    * column that generation 1 adds — the normal life of any long-lived
+    * lake table (every new pipeline field arrives mid-history). The old
+    * files are NEVER rewritten: `mergeSchema` unions the footer schemas
+    * at planning time and generation-0 rows surface the new column as
+    * NULL. Pushdown/pruning still apply per file against each file's own
+    * physical schema. */
+  val sourceSchemaEvolution: Q = (s, d) => {
+    val evo = scratch(s, "schema_evo", d)
+    val orders = Tables.orders(s, d)
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "o_orderstatus")
+      .write.mode("overwrite").parquet(s"$evo/g0")
+    orders.filter(col("o_orderkey") % 2 =!= 0)
+      .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$evo/g1")
+    s.read.option("mergeSchema", "true").parquet(s"$evo/g0", s"$evo/g1")
+      .orderBy("o_orderkey")
+  }
+
   val projectRenameCast: Q = (s, d) =>
     Tables.lineitem(s, d)
       .select(
@@ -158,6 +178,7 @@ object Scans {
     "source_csv_roundtrip" -> sourceCsvRoundtrip,
     "source_json_lines" -> sourceJsonLines,
     "source_partition_prune" -> sourcePartitionPrune,
+    "source_schema_evolution" -> sourceSchemaEvolution,
     "sink_compaction" -> sinkCompaction,
     "project_rename_cast" -> projectRenameCast,
     "filter_conjunct" -> filterConjunct,
@@ -194,6 +215,14 @@ object Scans {
     "sink_compaction" ->
       """SELECT event_id, user_id, event_type, value
          FROM events ORDER BY event_id""",
+    "source_schema_evolution" ->
+      """SELECT o_orderkey, o_orderstatus,
+                CAST(NULL AS VARCHAR) AS o_orderpriority
+         FROM orders WHERE o_orderkey % 2 = 0
+         UNION ALL
+         SELECT o_orderkey, o_orderstatus, o_orderpriority
+         FROM orders WHERE o_orderkey % 2 <> 0
+         ORDER BY o_orderkey""",
     "project_rename_cast" ->
       """SELECT l_orderkey AS okey, l_linenumber AS line_no,
          CAST(CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS DECIMAL(38,4)) * 10000 AS BIGINT) AS net_price_e4,
