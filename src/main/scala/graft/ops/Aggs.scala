@@ -159,7 +159,21 @@ object Aggs {
       .orderBy("n_nationkey")
   }
 
+  /** Equi-width numeric histogram: prices bin by floor division (the
+    * `width_bucket` shape), each bin carrying count + exact quantity
+    * sum. One map-side-combining hash aggregate over O(bins) groups —
+    * the profile/visualization primitive at any corpus size. */
+  val aggHistogram: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select(floor(col("l_extendedprice") / 5000).cast(LongType).as("bucket"),
+        col("l_quantity"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(LongType)).as("qty_sum"))
+      .orderBy("bucket")
+
   val queries: Map[String, Q] = Map(
+    "agg_histogram" -> aggHistogram,
     "agg_groupby_sums" -> aggGroupbySums,
     "agg_count_distinct" -> aggCountDistinct,
     "agg_multi_distinct" -> aggMultiDistinct,
@@ -174,6 +188,11 @@ object Aggs {
     "agg_collect_sorted" -> aggCollectSorted)
 
   val oracle: Map[String, String] = Map(
+    "agg_histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bucket,
+                count(*) AS n,
+                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
     "agg_groupby_sums" ->
       """SELECT l_returnflag, l_linestatus,
          count(*) AS n_rows,

@@ -99,10 +99,34 @@ object Events {
       .orderBy("cohort_date", "day_offset")
   }
 
+  /** Gaps-and-islands: each user's longest run of CONSECUTIVE active
+    * days (ties broken by earliest start). The date-minus-row_number
+    * trick: over a user's distinct active dates in order, consecutive
+    * days share `d - rn` — a constant per island — so islands fall out
+    * of one per-user window plus a groupBy, no self-join. The distinct
+    * (user, date) projection caps the windowed row count at users × days
+    * regardless of event volume. */
+  val winStreaks: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("d")
+    val islands = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      .withColumn("grp", date_sub(col("d"), row_number().over(w)))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("streak_len"),
+        min("d").as("streak_start"), max("d").as("streak_end"))
+    val best = Window.partitionBy("user_id")
+      .orderBy(col("streak_len").desc, col("streak_start"))
+    islands.withColumn("__rk", row_number().over(best))
+      .filter(col("__rk") === 1)
+      .select("user_id", "streak_len", "streak_start", "streak_end")
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "win_sessionize" -> winSessionize,
     "events_funnel" -> eventsFunnel,
-    "events_retention" -> eventsRetention)
+    "events_retention" -> eventsRetention,
+    "win_streaks" -> winStreaks)
 
   val oracle: Map[String, String] = Map(
     "win_sessionize" ->
@@ -150,5 +174,19 @@ object Events {
                 CAST(date_diff('day', f.d0, a.d) AS BIGINT) AS day_offset,
                 count(*) AS n_users
          FROM a JOIN f USING (user_id)
-         GROUP BY 1, 2 ORDER BY 1, 2""")
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "win_streaks" ->
+      """WITH dd AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+            r AS (SELECT user_id, d,
+                    row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn
+                  FROM dd),
+            st AS (SELECT user_id, d - CAST(rn AS INTEGER) AS grp,
+                     count(*) AS streak_len,
+                     min(d) AS streak_start, max(d) AS streak_end
+                   FROM r GROUP BY 1, 2)
+         SELECT user_id, streak_len, streak_start, streak_end
+         FROM st
+         QUALIFY row_number() OVER (PARTITION BY user_id
+                   ORDER BY streak_len DESC, streak_start) = 1
+         ORDER BY user_id""")
 }

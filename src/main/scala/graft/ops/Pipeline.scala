@@ -180,6 +180,33 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Data-quality audit — the Deequ-style constraint report every
+    * pipeline run gates on before training data ships: completeness,
+    * uniqueness, domain membership, derived-column consistency, length
+    * floors. ONE scan computes every check as a conditional aggregate
+    * (the uniqueness check rides the same pass as a distinct count);
+    * the result is a constraint × violation-count report, O(checks)
+    * rows from any corpus size. */
+  val dqAudit: Q = (s, d) =>
+    Tables.documents(s, d).agg(
+      sum(when(col("doc_id").isNull, 1L).otherwise(0L)).as("c1"),
+      (count(lit(1)) - countDistinct(col("doc_id"))).as("c2"),
+      sum(when(!col("lang").isin("en", "de", "fr", "es"), 1L)
+        .otherwise(0L)).as("c3"),
+      sum(when(col("n_chars") =!= length(col("text")), 1L)
+        .otherwise(0L)).as("c4"),
+      sum(when(col("text").isNull || length(col("text")) === 0, 1L)
+        .otherwise(0L)).as("c5"),
+      sum(when(col("n_chars") < 100, 1L).otherwise(0L)).as("c6"))
+    .select(expr("""stack(6,
+        'doc_id_complete', c1,
+        'doc_id_unique', c2,
+        'lang_in_domain', c3,
+        'n_chars_consistent', c4,
+        'text_nonempty', c5,
+        'min_length_100', c6) AS (check_name, violations)"""))
+    .orderBy("check_name")
+
   /** Token budget per packed training sequence. */
   private val PackBudget = 256L
 
@@ -286,6 +313,7 @@ object Pipeline {
     "sample_mixture" -> sampleMixture,
     "sample_temperature" -> sampleTemperature,
     "embed_quantize" -> embedQuantize,
+    "dq_audit" -> dqAudit,
     "dedup_incremental_near" -> dedupIncrementalNear,
     "pack_sequences" -> packSequences,
     "text_repetition" -> textRepetition,
@@ -316,6 +344,22 @@ object Pipeline {
          SELECT min(doc_id) AS doc_id FROM batch
          WHERE digest NOT IN (SELECT digest FROM store)
          GROUP BY digest ORDER BY doc_id""",
+    "dq_audit" ->
+      """WITH m AS (SELECT
+            sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS c1,
+            count(*) - count(DISTINCT doc_id) AS c2,
+            sum(CASE WHEN lang NOT IN ('en','de','fr','es') THEN 1 ELSE 0 END) AS c3,
+            sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS c4,
+            sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS c5,
+            sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS c6
+          FROM documents)
+         SELECT 'doc_id_complete' AS check_name, CAST(c1 AS BIGINT) AS violations FROM m
+         UNION ALL SELECT 'doc_id_unique', CAST(c2 AS BIGINT) FROM m
+         UNION ALL SELECT 'lang_in_domain', CAST(c3 AS BIGINT) FROM m
+         UNION ALL SELECT 'n_chars_consistent', CAST(c4 AS BIGINT) FROM m
+         UNION ALL SELECT 'text_nonempty', CAST(c5 AS BIGINT) FROM m
+         UNION ALL SELECT 'min_length_100', CAST(c6 AS BIGINT) FROM m
+         ORDER BY check_name""",
     "sample_temperature" ->
       """WITH c AS (SELECT lang, count(*) AS n,
                       CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS sw

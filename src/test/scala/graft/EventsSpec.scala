@@ -70,6 +70,29 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("win_streaks: longest consecutive-day run matches brute force") {
+    val dates = Tables.events(spark, sf0001)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct().collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toVector).toMap
+    val got = ops.Events.winStreaks(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("streak_len"),
+          r.getDate(2).toLocalDate, r.getDate(3).toLocalDate))).toMap
+    assert(got.keySet == dates.keySet)
+    dates.foreach { case (u, ds) =>
+      // brute-force islands: split where the day step is not exactly 1
+      val islands = ds.tail.foldLeft(Vector(Vector(ds.head))) { (acc, d) =>
+        if (acc.last.last.plusDays(1) == d) acc.init :+ (acc.last :+ d)
+        else acc :+ Vector(d)
+      }
+      val best = islands.maxBy(i => (i.size, -i.head.toEpochDay))
+      val (len, s0, e0) = got(u)
+      assert(len == best.size && s0 == best.head && e0 == best.last,
+        s"user $u: got ($len,$s0,$e0) want (${best.size},${best.head},${best.last})")
+    }
+  }
+
   test("events_retention: day-0 cell equals cohort size, counts never exceed it") {
     val ret = ops.Events.eventsRetention(spark, sf0001).collect()
     val cohortSize = Tables.events(spark, sf0001)

@@ -162,6 +162,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(viaD1.isEmpty, "survivor has a pair with a store doc")
   }
 
+  test("dq_audit: clean constraints report zero, domain/length checks count violators") {
+    val docs = Tables.documents(spark, sf0001)
+    val got = ops.Pipeline.dqAudit(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("doc_id_complete") == 0L && got("doc_id_unique") == 0L
+      && got("n_chars_consistent") == 0L && got("text_nonempty") == 0L)
+    assert(got("lang_in_domain") ==
+      docs.filter(col("lang") === "zh").count())
+    assert(got("min_length_100") ==
+      docs.filter(col("n_chars") < 100).count())
+  }
+
   test("text_repetition: ppm signals are in range and detect planted repetition") {
     val out = ops.Pipeline.textRepetition(spark, sf0001).collect()
     assert(out.nonEmpty)
