@@ -267,6 +267,43 @@ object Joins {
       .orderBy("o_orderkey")
   }
 
+  /** CDC changelog application — the MERGE shape [[mergeUpsert]] lacks:
+    * DELETES and op ORDERING. A changelog of (key, seq, op I/U/D,
+    * payload) rows collapses to the last op per key (max_by on seq —
+    * one map-side-combining aggregate, never a sort of the log), then
+    * one key-partitioned full-outer merge applies it: D drops, U
+    * overrides, I inserts, absent keeps. Deterministic fixture: every
+    * key≡2 (mod 3) inserts, key≡0 (mod 3) updates, and keys ≡1/≡3
+    * (mod 6) delete — keys ≡3 (mod 6) carry BOTH a seq-1 update and a
+    * seq-2 delete, pinning last-op-wins. */
+  val mergeCdcApply: Q = (s, d) => {
+    val o = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+      col("o_orderstatus").as("status"),
+      expr("cast(floor(o_totalprice * 10000) as bigint)").as("price_e4"))
+    val store = o.filter(col("k") % 3 =!= 2)
+    val log = o.filter(col("k") % 3 === 2)
+        .select(col("k"), lit(1L).as("seq"), lit("I").as("op"),
+          col("status"), col("price_e4"))
+      .unionByName(o.filter(col("k") % 3 === 0)
+        .select(col("k"), lit(1L).as("seq"), lit("U").as("op"),
+          lit("UPD").as("status"), (col("price_e4") + 1L).as("price_e4")))
+      .unionByName(o.filter(col("k") % 6 === 1 || col("k") % 6 === 3)
+        .select(col("k"), lit(2L).as("seq"), lit("D").as("op"),
+          lit(null).cast("string").as("status"),
+          lit(null).cast("long").as("price_e4")))
+    val last = log.groupBy("k")
+      .agg(max_by(struct(col("op"), col("status"), col("price_e4")),
+        col("seq")).as("f"))
+      .select(col("k"), col("f.op").as("op"),
+        col("f.status").as("n_status"), col("f.price_e4").as("n_price"))
+    store.join(last, Seq("k"), "full")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(col("k").as("o_orderkey"),
+        coalesce(col("n_status"), col("status")).as("status"),
+        coalesce(col("n_price"), col("price_e4")).as("price_e4"))
+      .orderBy("o_orderkey")
+  }
+
   val joinCross: Q = (s, d) => {
     val r = Tables.region(s, d); val n = Tables.nation(s, d)
     r.crossJoin(n)
@@ -287,6 +324,7 @@ object Joins {
     "join_skew_salted" -> joinSkewSalted,
     "join_bucket_colocated" -> joinBucketColocated,
     "merge_upsert" -> mergeUpsert,
+    "merge_cdc_apply" -> mergeCdcApply,
     "join_cross" -> joinCross)
 
   val oracle: Map[String, String] = Map(
@@ -364,6 +402,29 @@ object Joins {
                      WHEN b.o_orderkey IS NULL THEN 'inserted'
                      ELSE 'updated' END AS action
          FROM base b FULL JOIN upd u ON b.o_orderkey = u.o_orderkey
+         ORDER BY o_orderkey""",
+    "merge_cdc_apply" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+                      CAST(floor(o_totalprice * 10000) AS BIGINT) AS price_e4
+                    FROM orders),
+            store AS (SELECT * FROM o WHERE k % 3 <> 2),
+            log AS (
+              SELECT k, 1 AS seq, 'I' AS op, status, price_e4
+              FROM o WHERE k % 3 = 2
+              UNION ALL
+              SELECT k, 1, 'U', 'UPD', price_e4 + 1 FROM o WHERE k % 3 = 0
+              UNION ALL
+              SELECT k, 2, 'D', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+              FROM o WHERE k % 6 = 1 OR k % 6 = 3),
+            last AS (SELECT k, op, status AS n_status, price_e4 AS n_price
+                     FROM log
+                     QUALIFY row_number() OVER (PARTITION BY k
+                               ORDER BY seq DESC) = 1)
+         SELECT k AS o_orderkey,
+                COALESCE(n_status, status) AS status,
+                COALESCE(n_price, price_e4) AS price_e4
+         FROM store FULL JOIN last USING (k)
+         WHERE op IS NULL OR op <> 'D'
          ORDER BY o_orderkey""",
     "join_cross" ->
       """SELECT r_regionkey, n_nationkey, r_name, n_name
