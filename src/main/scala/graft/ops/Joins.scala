@@ -291,6 +291,14 @@ object Joins {
         .select(col("k"), lit(2L).as("seq"), lit("D").as("op"),
           lit(null).cast("string").as("status"),
           lit(null).cast("long").as("price_e4")))
+    applyCdc(store, log).orderBy("o_orderkey")
+  }
+
+  /** The CDC apply step as a library surface (shared by the declared key
+    * and the streaming form's parity test): collapse the changelog to
+    * the last op per key, then merge into the store. Schema contract:
+    * store (k, status, price_e4), log (k, seq, op, status, price_e4). */
+  private[graft] def applyCdc(store: DataFrame, log: DataFrame): DataFrame = {
     val last = log.groupBy("k")
       .agg(max_by(struct(col("op"), col("status"), col("price_e4")),
         col("seq")).as("f"))
@@ -301,7 +309,6 @@ object Joins {
       .select(col("k").as("o_orderkey"),
         coalesce(col("n_status"), col("status")).as("status"),
         coalesce(col("n_price"), col("price_e4")).as("price_e4"))
-      .orderBy("o_orderkey")
   }
 
   val joinCross: Q = (s, d) => {

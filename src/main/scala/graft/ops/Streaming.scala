@@ -209,6 +209,39 @@ object Streaming {
       }
   }
 
+  /** A CDC changelog record for the streaming apply path (price boxed —
+    * D records carry no payload). */
+  case class CdcRow(k: Long, seq: Long, op: String, status: String,
+      price_e4: java.lang.Long)
+  /** Last-op-seen state per key. */
+  case class CdcState(seq: Long, op: String, status: String,
+      price_e4: java.lang.Long)
+
+  /** Streaming CDC tail: per-key LAST-op state maintained in the state
+    * store via flatMapGroupsWithState (update mode) — records may arrive
+    * across micro-batches in any order; a stale seq never overwrites a
+    * newer one. Emits the refreshed (k, op, status, price) snapshot per
+    * key per micro-batch; the final emission per key equals the batch
+    * `max_by(…, seq)` collapse inside [[Joins.applyCdc]], so merging the
+    * final snapshots into the store yields exactly the batch
+    * `merge_cdc_apply` result (asserted in StreamingSpec). */
+  def cdcStateStream(ds: org.apache.spark.sql.Dataset[CdcRow])
+      : org.apache.spark.sql.Dataset[(Long, Long, String, String, java.lang.Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.k)
+      .flatMapGroupsWithState[CdcState, (Long, Long, String, String, java.lang.Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (k: Long, recs: Iterator[CdcRow], state: GroupState[CdcState]) =>
+          var st = state.getOption.getOrElse(CdcState(Long.MinValue, null, null, null))
+          recs.foreach { r =>
+            if (r.seq > st.seq) st = CdcState(r.seq, r.op, r.status, r.price_e4)
+          }
+          state.update(st)
+          Iterator((k, st.seq, st.op, st.status, st.price_e4))
+      }
+  }
+
   val queries: Map[String, Q] = Map(
     "stream_tumbling" -> streamTumbling,
     "stream_sliding" -> streamSliding,

@@ -212,6 +212,47 @@ class StreamingSpec extends AnyFunSuite {
       s"stream state $streamed != batch $expected")
   }
 
+  test("streaming CDC state: final snapshot merge equals batch merge_cdc_apply") {
+    import spark.implicits._
+    import graft.ops.Streaming.CdcRow
+    // out-of-order arrival across micro-batches: key 10's delete (seq 2)
+    // lands BEFORE its update (seq 1) — the stale seq must not win
+    val log = Seq(
+      CdcRow(10, 2, "D", null, null),
+      CdcRow(20, 1, "I", "NEW", 500L),
+      CdcRow(10, 1, "U", "UPD", 101L),
+      CdcRow(30, 1, "U", "UPD", 301L),
+      CdcRow(40, 1, "D", null, null))
+    val ms = MemoryStream[CdcRow](spark)
+    ms.addData(log.take(2))
+    ms.addData(log.drop(2))
+    val q = graft.ops.Streaming.cdcStateStream(ms.toDS())
+      .toDF("k", "seq", "op", "status", "price_e4")
+      .writeStream.outputMode("update").format("memory").queryName("cdc").start()
+    try q.processAllAvailable() finally q.stop()
+    // last emission per key = final state; rebuild a log from it and
+    // apply batch-side — must equal applying the full original log
+    val finals = spark.table("cdc").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getString(2),
+        Option(r.get(3)).map(_.toString).orNull,
+        if (r.isNullAt(4)) null else java.lang.Long.valueOf(r.getLong(4)))))
+      .groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).maxBy(_._1) }
+    val store = Seq((10L, "OLD", 100L), (30L, "OLD", 300L), (40L, "OLD", 400L))
+      .toDF("k", "status", "price_e4")
+    val snapshotLog = finals.toSeq.map { case (k, (seq, op, st, pr)) =>
+      (k, seq, op, st, pr.asInstanceOf[java.lang.Long])
+    }.toDF("k", "seq", "op", "status", "price_e4")
+    val fullLog = log.toDF()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Joins.applyCdc(store, df).collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) null else r.getLong(2))).toSet
+    val got = rows(snapshotLog)
+    assert(got == rows(fullLog), "snapshot-merge != full-log merge")
+    // semantics spot check: 10 deleted, 20 inserted, 30 updated, 40 deleted
+    assert(got == Set((20L, "NEW", 500L), (30L, "UPD", 301L)))
+  }
+
   test("distributed late-watermark emulation equals the naive global-window form") {
     // round-3 rewrite check: the range-partitioned two-pass running max
     // must reproduce the single-partition global window bit for bit
