@@ -108,8 +108,12 @@ object GlobalRank {
     val gcols = groupCols.map(col)
     val bounds = df.groupBy(gcols: _*)
       .agg(min(ck).as("__gr_lo"), max(ck).as("__gr_hi"))
-    val lin = floor((ck - col("__gr_lo"))
-      / (col("__gr_hi") - col("__gr_lo")) * parts).cast("int")
+    // degenerate span (all of a group's keys equal) → everything in
+    // chunk 0; guarded explicitly because ANSI mode makes 0/0 an error,
+    // not a null
+    val span = col("__gr_hi") - col("__gr_lo")
+    val lin = when(span === 0d, lit(0))
+      .otherwise(floor((ck - col("__gr_lo")) / span * parts)).cast("int")
     val ascChunk = when(isnan(ck), lit(parts - 1))
       .otherwise(least(greatest(lin, lit(0)), lit(parts - 1)))
     val chunk = if (desc) lit(parts - 1) - ascChunk else ascChunk
@@ -174,10 +178,13 @@ object GlobalRank {
     }
     val firstCol = GraftPlanBridge.column(firstE).cast("double")
     val bounds = df.agg(min(firstCol).as("__gr_lo"), max(firstCol).as("__gr_hi"))
-    val lin = floor((firstCol - col("__gr_lo"))
-      / (col("__gr_hi") - col("__gr_lo")) * parts).cast("int")
-    // degenerate span (all keys equal / empty) divides to null; greatest
-    // ignores nulls, so those rows land in chunk 0
+    // degenerate span (all keys equal) → chunk 0; guarded explicitly
+    // because ANSI mode makes 0/0 an error, not a null (empty input's
+    // null bounds still divide to null, which greatest() ignores)
+    val gspan = col("__gr_hi") - col("__gr_lo")
+    val lin = when(gspan === 0d, lit(0))
+      .otherwise(floor((firstCol - col("__gr_lo")) / gspan * parts))
+      .cast("int")
     val ascChunk = when(isnan(firstCol), lit(parts - 1))
       .otherwise(least(greatest(lin, lit(0)), lit(parts - 1)))
     val chunk = if (desc) lit(parts - 1) - ascChunk else ascChunk
