@@ -136,6 +136,22 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("literal-k rank filters plan map-side WindowGroupLimit pruning") {
+    // rank() <= <literal k> must become a Partial WindowGroupLimit below
+    // the exchange: each task keeps k rows per group, so a
+    // low-cardinality group key (sample_stratified partitions by lang)
+    // never funnels whole groups through one sort. The samplers whose
+    // quota is a COLUMN (sample_mixture/sample_temperature) can't use
+    // this optimization — they route through
+    // GlobalRank.withGroupedRowNumber instead.
+    for (k <- Seq("sample_stratified", "topk_per_group")) {
+      val p = SparkEntry.queries(k)(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+        s"$k lost map-side group-limit pruning:\n$p")
+    }
+  }
+
   test("no declared query runs a global window over unaggregated data") {
     // Window.orderBy with no partition key moves ALL rows to one
     // partition — the scale-killer GlobalRank and the chunked running max
