@@ -81,11 +81,21 @@ object Llm {
           if (!live) scala.util.Try(df.unpersist(false))
           live
         }
-        val df = jaccardPairs(Tables.documents(s, d))
+        val (sizes, postings) = jaccardIndexShared(s, d)
+        val df = jaccardPairsFrom(sizes, postings)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         pairsCache.put((s, d), df)
         df
     }
+
+  /** Restricted pair enumeration over the shared standing index — the
+    * incremental-import probe: only pairs passing `pairPred` reach the
+    * pair-count shuffle, and the shingle index is NOT rebuilt. */
+  private[ops] def jaccardPairsIndexed(s: org.apache.spark.sql.SparkSession,
+      d: String, pairPred: Column): DataFrame = {
+    val (sizes, postings) = jaccardIndexShared(s, d)
+    jaccardPairsFrom(sizes, postings, pairPred)
+  }
 
   /** Fitted-model memo per (live session, key) — the ANN index-build
     * cost (BRP-LSH hyperplanes, IVF k-means quantizer) is a one-time
@@ -133,10 +143,19 @@ object Llm {
       .groupBy("shingle")
       .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
       .filter(size(col("docs")) <= maxDf)
+    jaccardPairsFrom(sizes, postings, pairPred)
+  }
+
+  /** The pair stage alone, over a prebuilt (sizes, postings) inverted
+    * index — so a standing index can be probed by multiple consumers
+    * (the full pair set AND an incremental delta's restricted
+    * enumeration) without rebuilding shingles. */
+  private def jaccardPairsFrom(sizes: DataFrame, postings: DataFrame,
+      pairPred: Column = lit(true)): DataFrame = {
     // pair enumeration is a codegen'd expression + codegen'd explode —
     // the interpreted flatten/transform/slice lambda chain it replaces
     // was the measured bottleneck of the whole pipeline (round 3)
-    graft.functions.GraftFunctions.registerAll(docs.sparkSession)
+    graft.functions.GraftFunctions.registerAll(postings.sparkSession)
     postings
       .select(explode(expr("posting_pairs(docs)")).as("p"))
       // pairPred prunes candidate pairs BEFORE the pair-count shuffle —
@@ -151,6 +170,32 @@ object Llm {
       .select(col("d1"), col("d2"), col("inter_cnt"),
         (col("s1") + col("s2") - col("inter_cnt")).as("union_cnt"))
   }
+
+  /** Memoized, persisted (sizes, postings) inverted index per
+    * (session, sfDir) — the standing index a 100 TB corpus would keep as
+    * a table: built once, probed by every pair consumer (full dedup,
+    * clustering, AND each incremental import's restricted enumeration).
+    * Same lifecycle discipline as [[jaccardPairsShared]]. */
+  private val indexCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), (DataFrame, DataFrame)]
+  private[ops] def jaccardIndexShared(s: org.apache.spark.sql.SparkSession,
+      d: String): (DataFrame, DataFrame) =
+    indexCache.get((s, d)) match {
+      case Some(ix) => ix
+      case None =>
+        indexCache.filterInPlace { case ((sess, _), (a, b)) =>
+          val live = !sess.sparkContext.isStopped
+          if (!live) scala.util.Try { a.unpersist(false); b.unpersist(false) }
+          live
+        }
+        val sh = shingles(Tables.documents(s, d))
+        val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("s")).persist(lvl)
+        val postings = sh.groupBy("shingle")
+          .agg(sort_array(collect_list(col("doc_id"))).as("docs")).persist(lvl)
+        indexCache.put((s, d), (sizes, postings))
+        (sizes, postings)
+    }
 
   /** Approximate near-dup via the canonical shingle → minhash → band →
     * bucket-join pipeline, built from deterministic Murmur3 hashes: 16

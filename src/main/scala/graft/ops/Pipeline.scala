@@ -164,10 +164,13 @@ object Pipeline {
     * pruned BEFORE the pair shuffle: each import pays for pairs touching
     * its delta, never for re-verifying the standing corpus against
     * itself — the incremental contract that makes repeated imports
-    * affordable at 100 TB. */
+    * affordable at 100 TB. The shingle index itself is the SHARED
+    * standing index ([[Llm.jaccardIndexShared]] — persisted per session
+    * here, a maintained table at scale): the import probes it, it is
+    * not rebuilt per import. */
   val dedupIncrementalNear: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    val pairs = Llm.jaccardPairs(docs,
+    val pairs = Llm.jaccardPairsIndexed(s, d,
       pairPred = col("p.d1") % 5 === 0 || col("p.d2") % 5 === 0)
     val dropped = pairs.filter(col("d2") % 5 === 0)
         .select(col("d2").as("doc_id"))
