@@ -162,7 +162,8 @@ object VardaOps {
     *  - `uncovPool`: 1-row Σ pool_size of coverage-less samples (they
     *                cover everything; dimension-sized, broadcast). */
   private[graft] case class FreqState(numer: DataFrame, regions: DataFrame,
-      covPairs: DataFrame, denom: DataFrame, uncovPool: DataFrame)
+      covPairs: DataFrame, denom: DataFrame, uncovPool: DataFrame,
+      pts: DataFrame)
 
   private[graft] def emptyFreqState(obsDf: DataFrame, covDf: DataFrame): FreqState = {
     val numer = obsDf.filter(lit(false))
@@ -175,7 +176,8 @@ object VardaOps {
       .agg(sum(col("pool_size")).cast(LongType).as("denom_cov"))
     val uncov = obsDf.sparkSession.range(1)
       .select(lit(0L).as("uncov_pool"))
-    FreqState(numer, regions, covPairs, denom, uncov)
+    FreqState(numer, regions, covPairs, denom, uncov,
+      obsDf.filter(lit(false)).select("chromosome", "position").distinct())
   }
 
   /** Fold one import batch (observations + coverage regions + samples)
@@ -193,7 +195,13 @@ object VardaOps {
     *  - coverage-less sample pools fold into a 1-row running sum. */
   private[graft] def foldFreqState(st: FreqState, obsB: DataFrame,
       covB: DataFrame, smpB: DataFrame): FreqState = {
-    val oldPts = st.numer.select("chromosome", "position").distinct()
+    // the point store is maintained as a union of per-batch distinct
+    // deltas — at scale this is its own committed table; in-session the
+    // shallow union replaces deriving points from st.numer's nested
+    // merge chain (same measured cost here — exchange reuse already
+    // deduped the derived form — but the store is what an import
+    // pipeline would actually maintain)
+    val oldPts = st.pts
     val newPts = obsB.select("chromosome", "position").distinct()
       .join(oldPts, Seq("chromosome", "position"), "left_anti")
     val regions2 = st.regions.unionByName(covB)
@@ -213,7 +221,10 @@ object VardaOps {
           .agg(coalesce(sum(col("pool_size")), lit(0)).cast(LongType).as("uncov_pool")))
       .agg(sum(col("uncov_pool")).cast(LongType).as("uncov_pool"))
     FreqState(foldNumer(st.numer, obsB), regions2,
-      st.covPairs.unionByName(pairsNew), denom2, uncov2)
+      st.covPairs.unionByName(pairsNew), denom2, uncov2,
+      // newPts is anti-joined against the store, so the union stays
+      // duplicate-free without another distinct
+      st.pts.unionByName(newPts))
   }
 
   /** Serve ppm frequencies from the maintained state alone — numer store
