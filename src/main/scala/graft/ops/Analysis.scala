@@ -221,11 +221,32 @@ object Analysis {
       .select("d1", "d2")
   }
 
+  /** Corpus novelty signal: the ppm fraction of a document's distinct
+    * 3-word shingles that appear in NO other document — the diversity/
+    * boilerplate measure data curation ranks on (low novelty = template
+    * text). Probes the SAME standing inverted index the dedup family
+    * maintains ([[Llm.jaccardIndexShared]]): singleton posting lists ARE
+    * the novel shingles, so the signal costs one filter + one count over
+    * the index, no extra corpus scan. Docs with <3 tokens have no
+    * shingles and are excluded (both engines). */
+  val textNovelty: Q = (s, d) => {
+    val (sizes, postings) = Llm.jaccardIndexShared(s, d)
+    val novel = postings.filter(size(col("docs")) === 1)
+      .select(element_at(col("docs"), 1).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("novel"))
+    sizes.join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("s").as("n_shingles"),
+        expr("cast((coalesce(novel, 0L) * 1000000) div s as bigint)")
+          .as("novel_ppm"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "text_langid" -> textLangid,
     "text_quality" -> textQuality,
     "text_token_count" -> textTokenCount,
     "text_fingerprint" -> textFingerprint,
+    "text_novelty" -> textNovelty,
     "dedup_simhash" -> dedupSimhash,
     "dedup_near_embedding" -> dedupNearEmbedding,
     "dedup_near_embedding_lsh" -> dedupNearEmbeddingLsh)
@@ -237,6 +258,21 @@ object Analysis {
        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) w"""
 
   val oracle: Map[String, String] = Map(
+    "text_novelty" ->
+      """WITH sh AS (SELECT DISTINCT doc_id,
+                       unnest(list_transform(range(1, len(ws) - 1),
+                         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+                     FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                           FROM documents) w),
+            sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY 1),
+            df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+            nv AS (SELECT sh.doc_id, count(*) AS novel
+                   FROM sh JOIN df USING (shingle)
+                   WHERE df = 1 GROUP BY 1)
+         SELECT sz.doc_id AS doc_id, sz.s AS n_shingles,
+                CAST((COALESCE(novel, 0) * 1000000) // s AS BIGINT) AS novel_ppm
+         FROM sz LEFT JOIN nv ON sz.doc_id = nv.doc_id
+         ORDER BY sz.doc_id""",
     "text_langid" ->
       """WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM documents),
             cnts AS (SELECT lang, term, count(*) AS cnt FROM toks GROUP BY 1, 2),
