@@ -19,12 +19,20 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  private val cache = TrieMap.empty[(Int, String, String), DataFrame]
+  // keyed on the SESSION OBJECT (reference equality), not its
+  // identityHashCode — a stopped session's hash can be reused by a new
+  // session, silently serving DataFrames bound to the dead one (the same
+  // ADVICE fix Llm's caches got in round 7). Entries for stopped
+  // sessions are swept on the next miss.
+  private val cache = TrieMap.empty[(SparkSession, String, String), DataFrame]
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     cache.getOrElseUpdate(
-      (System.identityHashCode(spark), sfDir, name),
-      spark.read.parquet(s"$sfDir/$name.parquet"))
+      (spark, sfDir, name), {
+        cache.filterInPlace { case ((sess, _, _), _) =>
+          !sess.sparkContext.isStopped }
+        spark.read.parquet(s"$sfDir/$name.parquet")
+      })
 
   def region(spark: SparkSession, d: String): DataFrame = table(spark, d, "region")
   def nation(spark: SparkSession, d: String): DataFrame = table(spark, d, "nation")
@@ -40,7 +48,7 @@ object Tables {
     * DuckDB's `CAST(ts AS TIMESTAMP)` bit for bit. */
   def events(spark: SparkSession, d: String): DataFrame =
     cache.getOrElseUpdate(
-      (System.identityHashCode(spark), d, "events@ts"), {
+      (spark, d, "events@ts"), {
         val raw = table(spark, d, "events")
         if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
           raw.withColumn("ts",
@@ -56,9 +64,9 @@ object Tables {
     * (FIXTURES.md §2, referenced by bare table name on both engines) runs
     * identically through `spark.sql`. Idempotent per (session, sfDir).
     */
-  private val viewDir = TrieMap.empty[Int, String]
+  private val viewDir = TrieMap.empty[SparkSession, String]
   def registerViews(spark: SparkSession, sfDir: String): Unit = {
-    val k = System.identityHashCode(spark)
+    val k = spark
     if (!viewDir.get(k).contains(sfDir)) {
       names.foreach {
         case "events" => events(spark, sfDir).createOrReplaceTempView("events")
