@@ -108,6 +108,29 @@ class IngestSpec extends AnyFunSuite {
       && r4(0).getAs[Map[String, String]]("info")("SUP") == "5")
   }
 
+  test("annotated VCF write-back re-imports through the streaming VCF ingest") {
+    import org.apache.spark.sql.functions.col
+    val base = Files.createTempDirectory(Paths.get("/root/repo/target"), "reimport")
+    val (src, dest, ckpt) = (s"$base/src", s"$base/dest", s"$base/ckpt")
+    // the reference's full loop: annotate → emit VCF → import it back
+    graft.varda.Annotate.writeAnnotatedVcf(spark, sf0001, src)
+    graft.streaming.Ingest.startVcfIngest(spark, src, dest, ckpt)
+      .awaitTermination()
+    val got = graft.streaming.Ingest.readVcfIngested(spark, dest)
+    val batch = graft.varda.Vcf.normalized(
+      graft.varda.Vcf.parseVcfLines(spark.read.text(src)))
+    assert(got.count() > 0 && got.count() == batch.count())
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("chromosome", "position", "reference", "observed")
+        .collect().map(_.toSeq).toSet
+    assert(key(got) == key(batch))
+    // sites-only rows: no sample bindings, and the INFO field survived
+    assert(got.filter(col("sample_name").isNotNull
+      || col("gt").isNotNull || col("sample_slot").isNotNull).isEmpty)
+    assert(got.filter(col("info")("FREQ_PPM").isNull).isEmpty,
+      "FREQ_PPM must survive the round trip")
+  }
+
   test("ingested observations feed the frequency computation end-to-end") {
     import spark.implicits._
     val base = Files.createTempDirectory(Paths.get("/root/repo/target"), "ingfrq")
