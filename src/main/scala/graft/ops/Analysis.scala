@@ -221,6 +221,69 @@ object Analysis {
       .select("d1", "d2")
   }
 
+  private val EmailRe = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+  private val PhoneRe = "[0-9]{3}-[0-9]+"
+
+  /** PII redaction — the scrubbing pass every training-data pipeline runs
+    * before text ships: count and replace email- and phone-shaped spans.
+    * The corpus fixture carries no PII (verified: zero '@' / digit-dash
+    * hits), so the fixture deterministically injects one email per
+    * doc_id % 3 == 0 document and one phone per doc_id % 3 == 1 document
+    * (same derivation in the oracle — the [D]-fixture pattern). Declared
+    * output digests the redacted text (md5 + length) rather than shipping
+    * it; per-row regex work only — embarrassingly parallel, no shuffle
+    * before the declared ORDER BY. Regex patterns stay inside the
+    * character-class + quantifier subset where Java and RE2 dialects
+    * agree (SURVEY §7 known-hard #4). */
+  val textPiiRedact: Q = (s, d) => {
+    val pii = when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" reach user"), col("doc_id").cast(StringType),
+          lit("@mail"), (col("doc_id") % 7).cast(StringType), lit(".com soon")))
+      .when(col("doc_id") % 3 === 1,
+        concat(col("text"), lit(" call 555-0"),
+          (col("doc_id") % 900 + 100).cast(StringType), lit(" now")))
+      .otherwise(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), pii.as("t"))
+      .withColumn("red",
+        regexp_replace(regexp_replace(col("t"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(EmailRe), lit(0)))
+          .cast(LongType).as("n_emails"),
+        size(regexp_extract_all(col("t"), lit(PhoneRe), lit(0)))
+          .cast(LongType).as("n_phones"),
+        md5(col("red")).as("redacted_md5"),
+        length(col("red")).cast(LongType).as("n_chars_red"))
+      .orderBy("doc_id")
+  }
+
+  /** Unigram-LM quality score — the CCNet-style perplexity filter: rank
+    * documents by average token surprisal under the corpus's own unigram
+    * model. nll(term) = ln(T / count(term)) is quantized per DISTINCT
+    * term to an e6 integer (the [[Llm.textTfidf]] recipe — a float ulp in
+    * ln() cannot move a quantized value, and everything after the
+    * quantization is exact integer arithmetic summed identically in both
+    * engines). The vocabulary table is what shuffles (terms, not
+    * documents); the per-doc sum rides the token explode's natural
+    * doc_id grouping. */
+  val textPerplexity: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val cnt = toks.groupBy("term").agg(count(lit(1)).as("c"))
+    val tot = cnt.agg(sum(col("c")).as("T"))
+    val nll = cnt.crossJoin(broadcast(tot))
+      .select(col("term"),
+        round(log(col("T").cast(DoubleType) / col("c")) * 1000000)
+          .cast(LongType).as("nll_e6"))
+    toks.join(nll, "term")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("nll_e6")).as("sum_nll"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("sum_nll div n_tokens").as("avg_nll_e6"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus novelty signal: the ppm fraction of a document's distinct
     * 3-word shingles that appear in NO other document — the diversity/
     * boilerplate measure data curation ranks on (low novelty = template
@@ -247,6 +310,8 @@ object Analysis {
     "text_token_count" -> textTokenCount,
     "text_fingerprint" -> textFingerprint,
     "text_novelty" -> textNovelty,
+    "text_pii_redact" -> textPiiRedact,
+    "text_perplexity" -> textPerplexity,
     "dedup_simhash" -> dedupSimhash,
     "dedup_near_embedding" -> dedupNearEmbedding,
     "dedup_near_embedding_lsh" -> dedupNearEmbeddingLsh)
@@ -258,6 +323,40 @@ object Analysis {
        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) w"""
 
   val oracle: Map[String, String] = Map(
+    "text_pii_redact" ->
+      s"""WITH p AS (SELECT doc_id,
+              CASE WHEN doc_id % 3 = 0 THEN
+                     text || ' reach user' || CAST(doc_id AS VARCHAR)
+                          || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.com soon'
+                   WHEN doc_id % 3 = 1 THEN
+                     text || ' call 555-0'
+                          || CAST(doc_id % 900 + 100 AS VARCHAR) || ' now'
+                   ELSE text END AS t
+            FROM documents),
+            r AS (SELECT doc_id, t,
+              regexp_replace(regexp_replace(t, '$EmailRe', '<EMAIL>', 'g'),
+                '$PhoneRe', '<PHONE>', 'g') AS red
+            FROM p)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '$EmailRe')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '$PhoneRe')) AS BIGINT) AS n_phones,
+           md5(red) AS redacted_md5,
+           CAST(length(red) AS BIGINT) AS n_chars_red
+         FROM r ORDER BY doc_id""",
+    "text_perplexity" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                      FROM documents),
+            c AS (SELECT term, count(*) AS c FROM toks GROUP BY 1),
+            t AS (SELECT sum(c) AS T FROM c),
+            nll AS (SELECT term,
+                      CAST(round(ln(CAST(T AS DOUBLE) / c) * 1000000) AS BIGINT)
+                        AS nll_e6
+                    FROM c, t)
+         SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(nll_e6) // count(*) AS BIGINT) AS avg_nll_e6
+         FROM toks JOIN nll USING (term)
+         GROUP BY doc_id ORDER BY doc_id""",
     "text_novelty" ->
       """WITH sh AS (SELECT DISTINCT doc_id,
                        unnest(list_transform(range(1, len(ws) - 1),

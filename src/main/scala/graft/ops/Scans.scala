@@ -59,6 +59,19 @@ object Scans {
       .orderBy("n_nationkey")
   }
 
+  /** ORC roundtrip — the second columnar format next to parquet: write
+    * supplier as ORC, read it back. Both formats are binary columnar, so
+    * every value (including the raw DOUBLE s_acctbal) survives
+    * bit-exactly; the oracle reads the original parquet and the cycle is
+    * hash-checked lossless. ORC ships with Spark's distribution — no
+    * extra dependency — and at scale gives the same predicate-pushdown /
+    * column-pruning surface as parquet (stripe-level min/max). */
+  val sourceOrcRoundtrip: Q = (s, d) => {
+    val tmp = scratch(s, "orc_roundtrip", d)
+    Tables.supplier(s, d).write.mode("overwrite").orc(tmp)
+    s.read.orc(tmp).orderBy("s_suppkey")
+  }
+
   val sourceJsonLines: Q = (s, d) =>
     Tables.events(s, d)
       .select(col("event_id"),
@@ -176,6 +189,7 @@ object Scans {
     "subquery_correlated" -> subqueryCorrelated,
     "scan_projection_pushdown" -> scanProjectionPushdown,
     "source_csv_roundtrip" -> sourceCsvRoundtrip,
+    "source_orc_roundtrip" -> sourceOrcRoundtrip,
     "source_json_lines" -> sourceJsonLines,
     "source_partition_prune" -> sourcePartitionPrune,
     "source_schema_evolution" -> sourceSchemaEvolution,
@@ -207,6 +221,8 @@ object Scans {
       "SELECT l_orderkey, l_linenumber FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "source_csv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "source_orc_roundtrip" ->
+      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey",
     "source_json_lines" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val FROM events ORDER BY event_id",
     "source_partition_prune" ->

@@ -481,6 +481,56 @@ object VardaOps {
         sum(col("pool_size")).cast(LongType).as("total_pool"))
       .orderBy("obs_id")
 
+  /** Interval × interval overlap join — the bedtools-intersect analog
+    * (coverage regions of one sample cohort against another's), the
+    * second interval primitive next to point-in-interval containment.
+    * Scale shape: each interval explodes into the 2^11-wide buckets it
+    * spans (length <= 1100 ⇒ at most 2), the join is equi on
+    * (chromosome, bucket) with the residual overlap predicate — and each
+    * overlapping pair is counted exactly ONCE by keeping only the bucket
+    * containing the overlap's start (that bucket lies in both intervals'
+    * bucket sets by construction), so no distinct() pass is needed. The
+    * oracle runs the naive quadratic range join; results must be
+    * identical. */
+  val vardaRegionIntersect: Q = (s, d) => {
+    val c = cov(s, d)
+    // cohorts split by region_id parity (sample_id parity is confounded
+    // with the chromosome derivation in this fixture — every same-
+    // chromosome pair shares it, which would make the op vacuous)
+    val a = c.filter(col("region_id") % 2 === 0).select(col("chromosome"),
+      col("region_id").as("region_a"), col("begin_pos").as("ba"),
+      col("end_pos").as("ea"))
+    val b = c.filter(col("region_id") % 2 === 1).select(col("chromosome"),
+      col("region_id").as("region_b"), col("begin_pos").as("bb"),
+      col("end_pos").as("eb"))
+    bucketedOverlap(a, b)
+      .select(col("chromosome"), col("region_a"), col("region_b"),
+        greatest(col("ba"), col("bb")).as("ov_begin"),
+        least(col("ea"), col("eb")).as("ov_end"),
+        (least(col("ea"), col("eb")) - greatest(col("ba"), col("bb")) + 1)
+          .as("ov_len"))
+      .orderBy("region_a", "region_b")
+  }
+
+  /** Bucketed interval-overlap join core: `a` carries (chromosome, …,
+    * ba, ea), `b` carries (chromosome, …, bb, eb); returns the overlap
+    * pairs (ba <= eb ∧ bb <= ea, same chromosome) with both sides'
+    * columns. Each interval explodes into the 2^11-wide buckets it spans;
+    * a pair is emitted only from the bucket containing the overlap's
+    * start — that bucket is in both intervals' bucket sets by
+    * construction, so the output is exactly-once without a distinct().
+    * PropertySpec asserts equality with the naive quadratic join. */
+  private[graft] def bucketedOverlap(a: DataFrame, b: DataFrame): DataFrame = {
+    val aB = a.withColumn("bkt",
+      explode(expr("sequence(shiftright(ba, 11), shiftright(ea, 11))")))
+    val bB = b.withColumn("bkt",
+      explode(expr("sequence(shiftright(bb, 11), shiftright(eb, 11))")))
+    aB.join(bB, Seq("chromosome", "bkt"))
+      .filter(col("ba") <= col("eb") && col("bb") <= col("ea"))
+      .filter(col("bkt") === shiftright(greatest(col("ba"), col("bb")), 11))
+      .drop("bkt")
+  }
+
   /** End-to-end frequency with het/hom split (varda/tasks.py [U]). */
   val vardaFrequency: Q = (s, d) =>
     frequency(s, d, withZyg = true)
@@ -589,6 +639,7 @@ object VardaOps {
     "varda_freq_incremental" -> vardaFreqIncremental,
     "varda_normalize_variant" -> vardaNormalizeVariant,
     "varda_region_bins" -> vardaRegionBins,
+    "varda_region_intersect" -> vardaRegionIntersect,
     "varda_coverage_join" -> vardaCoverageJoin,
     "varda_frequency" -> vardaFrequency,
     "varda_sample_expr" -> vardaSampleExpr,
@@ -661,6 +712,18 @@ object VardaOps {
           SELECT region_id,
             CAST(${assignBin("begin_pos", "end_pos", shrDuck)} AS BIGINT) AS bin
           FROM cov ORDER BY region_id""",
+    // the bucketed overlap join must equal the naive quadratic range join
+    "varda_region_intersect" ->
+      s"""WITH cov AS ($coverage)
+          SELECT a.chromosome, a.region_id AS region_a, b.region_id AS region_b,
+            greatest(a.begin_pos, b.begin_pos) AS ov_begin,
+            least(a.end_pos, b.end_pos) AS ov_end,
+            least(a.end_pos, b.end_pos) - greatest(a.begin_pos, b.begin_pos) + 1
+              AS ov_len
+          FROM cov a JOIN cov b ON a.chromosome = b.chromosome
+            AND a.begin_pos <= b.end_pos AND b.begin_pos <= a.end_pos
+          WHERE a.region_id % 2 = 0 AND b.region_id % 2 = 1
+          ORDER BY region_a, region_b""",
     "varda_coverage_join" ->
       s"""WITH obs AS ($observations), cov AS ($coverage)
           SELECT o.obs_id, count(*) AS n_regions,

@@ -122,13 +122,15 @@ class PlanShapeSpec extends AnyFunSuite {
     // broadcast that makes their arithmetic chunking deterministic;
     // sample_mixture's is the 1-row min-language quota broadcast;
     // sample_temperature's is the 1-row (Σweight, budget) broadcast the
-    // per-language quotas divide by
+    // per-language quotas divide by; text_perplexity's is the 1-row
+    // total-token-count broadcast its per-term surprisal divides by
     val sanctioned = Set("join_cross", "text_tfidf", "win_ntile_pct",
       "sim_topk_cosine", "dedup_near_embedding", "varda_frequency",
       "agg_freq_ratio", "varda_sample_expr", "varda_annotate",
       "source_vcf_file", "varda_freq_incremental", "varda_annotate_multi",
       "stream_late_watermark", "win_global_rank",
-      "pack_sequences", "sample_mixture", "sample_temperature")
+      "pack_sequences", "sample_mixture", "sample_temperature",
+      "text_perplexity")
     for ((k, fn) <- SparkEntry.queries.toSeq.sortBy(_._1) if !sanctioned(k)) {
       val p = fn(spark, sf0001).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

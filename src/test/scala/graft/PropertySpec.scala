@@ -111,6 +111,31 @@ class PropertySpec extends AnyFunSuite {
     assert(pairs(VardaOps.bucketedContainment(points, regions)) == naive)
   }
 
+  test("bucketed interval-overlap join equals the naive quadratic join") {
+    import spark.implicits._
+    // lengths beyond one 2^11 bucket too — exercises multi-bucket explode
+    val mkIv = (n: Int) => (1 to n).map { i =>
+      val b = rnd.nextLong(100000)
+      (i.toLong, (1 + rnd.nextInt(3)).toString, b, b + rnd.nextInt(3000))
+    }
+    val a = mkIv(250).toDF("region_a", "chromosome", "ba", "ea")
+      .select("chromosome", "region_a", "ba", "ea")
+    val b = mkIv(250).toDF("region_b", "chromosome", "bb", "eb")
+      .select("chromosome", "region_b", "bb", "eb")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("region_a", "region_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val naive = pairs(a.join(b,
+      a("chromosome") === b("chromosome")
+        && a("ba") <= b("eb") && b("bb") <= a("ea")))
+    assert(naive.nonEmpty)
+    val got = pairs(VardaOps.bucketedOverlap(a, b))
+    // exactly-once: compare as multisets, not sets — a dedup bug that
+    // emitted a pair from several buckets would survive a Set compare
+    assert(got.groupBy(identity).view.mapValues(_.size).toMap ==
+      naive.groupBy(identity).view.mapValues(_.size).toMap)
+  }
+
   // ---- expression language --------------------------------------------
   test("sample expression language evaluates like direct set algebra") {
     import spark.implicits._
