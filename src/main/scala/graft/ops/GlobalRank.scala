@@ -96,6 +96,61 @@ object GlobalRank {
   def withGroupedRowNumber(df: DataFrame, groupCols: Seq[String],
       keys: Seq[Column], out: String, chunkKey: Option[Column] = None,
       numPartitions: Int = 0): DataFrame = {
+    val gcols = groupCols.map(col)
+    val bucketed = withGroupedChunkId(df, groupCols, keys, chunkKey,
+      numPartitions)
+    val localW = Window.partitionBy(gcols :+ col("__gr_pid"): _*)
+      .orderBy(keys: _*)
+    val local = bucketed.withColumn("__gr_local", row_number().over(localW))
+    val offsets = bucketed.groupBy(gcols :+ col("__gr_pid"): _*).count()
+      .withColumn("__gr_offset",
+        coalesce(sum(col("count")).over(
+          Window.partitionBy(gcols: _*).orderBy("__gr_pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(gcols :+ col("__gr_pid") :+ col("__gr_offset"): _*)
+    local.join(broadcast(offsets), groupCols :+ "__gr_pid")
+      .withColumn(out, col("__gr_offset") + col("__gr_local"))
+      .drop("__gr_pid", "__gr_local", "__gr_offset")
+  }
+
+  /** Append `out` = inclusive running sum of `value` within each
+    * `groupCols` group under the total order `keys` — the PER-GROUP
+    * sibling of [[withGlobalRunningSum]], same contract as
+    * [[withGroupedRowNumber]]: every group splits into arithmetic
+    * chunks, so a low-cardinality group key (22 chromosomes, 5
+    * languages) never serializes into one task per group. `value` must
+    * be exact-arithmetic (integer/decimal) for a deterministic result. */
+  def withGroupedRunningSum(df: DataFrame, groupCols: Seq[String],
+      keys: Seq[Column], value: Column, out: String,
+      chunkKey: Option[Column] = None, numPartitions: Int = 0): DataFrame = {
+    val gcols = groupCols.map(col)
+    val bucketed = withGroupedChunkId(df.withColumn("__gr_val", value),
+      groupCols, keys, chunkKey, numPartitions)
+    val localW = Window.partitionBy(gcols :+ col("__gr_pid"): _*)
+      .orderBy(keys: _*).rowsBetween(Window.unboundedPreceding, 0)
+    val local = bucketed.withColumn("__gr_local",
+      sum(col("__gr_val")).over(localW))
+    val offsets = bucketed.groupBy(gcols :+ col("__gr_pid"): _*)
+      .agg(sum(col("__gr_val")).as("__gr_tot"))
+      .withColumn("__gr_offset",
+        coalesce(sum(col("__gr_tot")).over(
+          Window.partitionBy(gcols: _*).orderBy("__gr_pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(gcols :+ col("__gr_pid") :+ col("__gr_offset"): _*)
+    local.join(broadcast(offsets), groupCols :+ "__gr_pid")
+      .withColumn(out, col("__gr_offset") + col("__gr_local"))
+      .drop("__gr_pid", "__gr_local", "__gr_offset", "__gr_val")
+  }
+
+  /** Shared per-group deterministic chunk assignment: `__gr_pid` derives
+    * arithmetically from `chunkKey`'s per-group broadcast (min, max) —
+    * the grouped form of [[withChunkId]]. `chunkKey` must be NUMERIC and
+    * monotone non-decreasing in `keys.head` (ties may share a chunk —
+    * in-chunk windows order by the full key tuple, so only balance is
+    * affected; defaults to `keys.head` cast to double). */
+  private def withGroupedChunkId(df: DataFrame, groupCols: Seq[String],
+      keys: Seq[Column], chunkKey: Option[Column],
+      numPartitions: Int): DataFrame = {
     val parts = if (numPartitions > 0) numPartitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
     import org.apache.spark.sql.GraftPlanBridge
@@ -117,22 +172,10 @@ object GlobalRank {
     val ascChunk = when(isnan(ck), lit(parts - 1))
       .otherwise(least(greatest(lin, lit(0)), lit(parts - 1)))
     val chunk = if (desc) lit(parts - 1) - ascChunk else ascChunk
-    val bucketed = df.join(broadcast(bounds), groupCols)
+    df.join(broadcast(bounds), groupCols)
       .withColumn("__gr_pid",
         when(ck.isNull, lit(if (desc) parts else -1)).otherwise(chunk))
       .drop("__gr_lo", "__gr_hi")
-    val localW = Window.partitionBy(gcols :+ col("__gr_pid"): _*)
-      .orderBy(keys: _*)
-    val local = bucketed.withColumn("__gr_local", row_number().over(localW))
-    val offsets = bucketed.groupBy(gcols :+ col("__gr_pid"): _*).count()
-      .withColumn("__gr_offset",
-        coalesce(sum(col("count")).over(
-          Window.partitionBy(gcols: _*).orderBy("__gr_pid")
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(gcols :+ col("__gr_pid") :+ col("__gr_offset"): _*)
-    local.join(broadcast(offsets), groupCols :+ "__gr_pid")
-      .withColumn(out, col("__gr_offset") + col("__gr_local"))
-      .drop("__gr_pid", "__gr_local", "__gr_offset")
   }
 
   /** Append `out` = inclusive global running sum of `value` under the

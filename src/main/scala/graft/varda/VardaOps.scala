@@ -531,6 +531,58 @@ object VardaOps {
       .drop("bkt")
   }
 
+  /** Interval merge (the bedtools-merge analog): collapse each
+    * (chromosome, sample)'s overlapping coverage regions into maximal
+    * merged intervals — the normalization step before any coverage set
+    * algebra (adjacent-but-not-overlapping regions stay separate).
+    * Gaps-and-islands: previous running max end → island break flag →
+    * running island id, BOTH window functions over ONE
+    * (chromosome, sample_id) window spec, so the log shuffles once; the
+    * partition key is samples × chromosomes (high cardinality — per-
+    * partition interval lists stay bounded at corpus scale, unlike a
+    * per-chromosome-only window). */
+  val vardaRegionMerge: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("chromosome", "sample_id")
+      .orderBy("begin_pos", "end_pos", "region_id")
+    cov(s, d)
+      .withColumn("pmax", max(col("end_pos")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("pmax").isNull || col("begin_pos") > col("pmax"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("chromosome", "sample_id", "island")
+      .agg(min(col("begin_pos")).as("m_begin"), max(col("end_pos")).as("m_end"),
+        count(lit(1)).as("n_regions"))
+      .select("chromosome", "sample_id", "m_begin", "m_end", "n_regions")
+      .orderBy("chromosome", "sample_id", "m_begin")
+  }
+
+  /** Coverage depth profile (the genomecov analog): at every position
+    * where total depth changes, the new depth — the classic sweep:
+    * +1 at begin, −1 at end+1, aggregate deltas per (chromosome,
+    * position), prefix-sum per chromosome. The prefix sum is
+    * [[graft.ops.GlobalRank.withGroupedRunningSum]]: a plain
+    * per-chromosome window would sort each whole chromosome in ONE task
+    * (22 tasks for a 100 TB genome); grouped arithmetic chunking keeps
+    * parallelism at chromosomes × chunks. Zero-net-change points are
+    * dropped on both engines. */
+  val vardaCoverageDepth: Q = (s, d) => {
+    val c = cov(s, d)
+    val deltas = c.select(col("chromosome"), col("begin_pos").as("position"),
+        lit(1L).as("delta"))
+      .unionByName(c.select(col("chromosome"),
+        (col("end_pos") + 1).as("position"), lit(-1L).as("delta")))
+      .groupBy("chromosome", "position").agg(sum(col("delta")).as("d"))
+      .filter(col("d") =!= 0)
+    graft.ops.GlobalRank.withGroupedRunningSum(deltas, Seq("chromosome"),
+        Seq(col("position")), col("d"), "depth")
+      .select("chromosome", "position", "d", "depth")
+      .orderBy("chromosome", "position")
+  }
+
   /** End-to-end frequency with het/hom split (varda/tasks.py [U]). */
   val vardaFrequency: Q = (s, d) =>
     frequency(s, d, withZyg = true)
@@ -640,6 +692,8 @@ object VardaOps {
     "varda_normalize_variant" -> vardaNormalizeVariant,
     "varda_region_bins" -> vardaRegionBins,
     "varda_region_intersect" -> vardaRegionIntersect,
+    "varda_region_merge" -> vardaRegionMerge,
+    "varda_coverage_depth" -> vardaCoverageDepth,
     "varda_coverage_join" -> vardaCoverageJoin,
     "varda_frequency" -> vardaFrequency,
     "varda_sample_expr" -> vardaSampleExpr,
@@ -724,6 +778,36 @@ object VardaOps {
             AND a.begin_pos <= b.end_pos AND b.begin_pos <= a.end_pos
           WHERE a.region_id % 2 = 0 AND b.region_id % 2 = 1
           ORDER BY region_a, region_b""",
+    "varda_region_merge" ->
+      s"""WITH cov AS ($coverage),
+          w AS (SELECT *, max(end_pos) OVER (
+                  PARTITION BY chromosome, sample_id
+                  ORDER BY begin_pos, end_pos, region_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+                FROM cov),
+          f AS (SELECT *, CASE WHEN pmax IS NULL OR begin_pos > pmax
+                               THEN 1 ELSE 0 END AS brk FROM w),
+          i AS (SELECT *, SUM(brk) OVER (
+                  PARTITION BY chromosome, sample_id
+                  ORDER BY begin_pos, end_pos, region_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+                FROM f)
+          SELECT chromosome, sample_id,
+            min(begin_pos) AS m_begin, max(end_pos) AS m_end,
+            count(*) AS n_regions
+          FROM i GROUP BY chromosome, sample_id, island
+          ORDER BY chromosome, sample_id, m_begin""",
+    "varda_coverage_depth" ->
+      s"""WITH cov AS ($coverage),
+          ev AS (SELECT chromosome, begin_pos AS position, 1 AS delta FROM cov
+                 UNION ALL
+                 SELECT chromosome, end_pos + 1, -1 FROM cov),
+          g AS (SELECT chromosome, position, CAST(sum(delta) AS BIGINT) AS d
+                FROM ev GROUP BY 1, 2 HAVING sum(delta) <> 0)
+          SELECT chromosome, position, d,
+            CAST(sum(d) OVER (PARTITION BY chromosome ORDER BY position)
+                 AS BIGINT) AS depth
+          FROM g ORDER BY chromosome, position""",
     "varda_coverage_join" ->
       s"""WITH obs AS ($observations), cov AS ($coverage)
           SELECT o.obs_id, count(*) AS n_regions,

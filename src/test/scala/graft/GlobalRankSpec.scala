@@ -98,6 +98,22 @@ class GlobalRankSpec extends AnyFunSuite {
     assert(eval() == eval())
   }
 
+  test("grouped running sum equals the per-group prefix-sum window") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val expected = docs.select(col("doc_id"),
+        sum(col("n_chars")).over(
+          Window.partitionBy("lang").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, 0)).as("run"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = GlobalRank.withGroupedRunningSum(docs, Seq("lang"),
+        Seq(col("doc_id")), col("n_chars"), "run", numPartitions = 8)
+      .select("doc_id", "run")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == expected.size && got == expected)
+  }
+
   test("the distributed path plans no global single-partition window") {
     val df = GlobalRank.withGlobalRowNumber(customers, keys, "rn", 8)
     df.collect()
