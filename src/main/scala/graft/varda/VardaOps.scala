@@ -227,6 +227,50 @@ object VardaOps {
       st.pts.unionByName(newPts))
   }
 
+  /** Retract samples from the maintained state — the reference's sample
+    * deactivation [U varda/models.py :: Sample.active]: a deactivated
+    * sample's contribution must leave served frequencies WITHOUT
+    * rebuilding the store from history. Everything in [[FreqState]] is
+    * additive, so retraction is the negative fold:
+    *
+    *  - numerators: [[foldNumer]] with negated support; variants whose
+    *    support came only from retracted samples net to zero and drop
+    *    (the one-shot over remaining samples never sees them),
+    *  - denominators: the retracted samples' rows in the PAIR STORE are
+    *    exactly their per-point contributions (that store exists to make
+    *    both folds and retractions exact under overlap dedup) —
+    *    aggregate them and merge-subtract,
+    *  - pair/region stores: anti-join the retracted sample ids out, so
+    *    later folds can re-import the same sample cleanly,
+    *  - coverage-less pool: subtract the retracted uncovered samples'
+    *    pools from the 1-row running sum.
+    *
+    * Each step shuffles only the retracted samples' rows — never the
+    * store's history. `obsR`/`smpR` are the retracted samples'
+    * observations and sample rows. */
+  private[graft] def retractSample(st: FreqState, obsR: DataFrame,
+      smpR: DataFrame): FreqState = {
+    val sids = smpR.select("sample_id")
+    val numer2 = foldNumer(st.numer, obsR.withColumn("support", -col("support")))
+      .filter(col("numer") =!= 0)
+    val pairsGone = st.covPairs.join(broadcast(sids), Seq("sample_id"), "left_semi")
+    val denomGone = pairsGone.groupBy("chromosome", "position")
+      .agg(sum(col("pool_size") * ploidy).cast(LongType).as("denom_gone"))
+    val denom2 = st.denom.join(denomGone, Seq("chromosome", "position"), "left")
+      .select(col("chromosome"), col("position"),
+        (col("denom_cov") - coalesce(col("denom_gone"), lit(0L)))
+          .cast(LongType).as("denom_cov"))
+    val covPairs2 = st.covPairs.join(broadcast(sids), Seq("sample_id"), "left_anti")
+      .select(st.covPairs.columns.map(col): _*)
+    val regions2 = st.regions.join(broadcast(sids), Seq("sample_id"), "left_anti")
+      .select(st.regions.columns.map(col): _*)
+    val uncovGone = smpR.filter(!col("has_coverage"))
+      .agg(coalesce(sum(col("pool_size")), lit(0)).cast(LongType).as("gone"))
+    val uncov2 = st.uncovPool.crossJoin(broadcast(uncovGone))
+      .select((col("uncov_pool") - col("gone")).as("uncov_pool"))
+    FreqState(numer2, regions2, covPairs2, denom2, uncov2, st.pts)
+  }
+
   /** Serve ppm frequencies from the maintained state alone — numer store
     * left-joined to the denom store plus the broadcast coverage-less
     * pool; NO containment join and no coverage scan at serve time. */
@@ -276,6 +320,22 @@ object VardaOps {
         smp(s, d).filter(col("sample_id") % 3 === i))
     }
     serveFreqState(st)
+      .orderBy("chromosome", "position", "reference", "observed")
+  }
+
+  /** Declared retraction query: import everything in one fold, then
+    * deactivate samples 4 (covered) and 14 (coverage-less — both
+    * retraction paths exercised) and serve. Must equal the one-shot
+    * frequency computed over the remaining samples only — the oracle IS
+    * that one-shot SQL with `sample_id NOT IN (4, 14)`. */
+  val vardaSampleRetract: Q = (s, d) => {
+    val gone = Seq(4, 14)
+    val st = foldFreqState(emptyFreqState(obs(s, d), cov(s, d)),
+      obs(s, d), cov(s, d), smp(s, d))
+    val st2 = retractSample(st,
+      obs(s, d).filter(col("sample_id").isin(gone: _*)),
+      smp(s, d).filter(col("sample_id").isin(gone: _*)))
+    serveFreqState(st2)
       .orderBy("chromosome", "position", "reference", "observed")
   }
 
@@ -689,6 +749,7 @@ object VardaOps {
     "join_range_rewrite" -> joinRangeRewrite,
     "agg_freq_ratio" -> aggFreqRatio,
     "varda_freq_incremental" -> vardaFreqIncremental,
+    "varda_sample_retract" -> vardaSampleRetract,
     "varda_normalize_variant" -> vardaNormalizeVariant,
     "varda_region_bins" -> vardaRegionBins,
     "varda_region_intersect" -> vardaRegionIntersect,
@@ -759,6 +820,10 @@ object VardaOps {
     // oracle IS the one-shot frequency SQL
     "varda_freq_incremental" ->
       s"""${frequencySql(withZyg = false, None, idivDuck)}
+          ORDER BY n.chromosome, n.position, n.reference, n.observed""",
+    // retraction must converge to the one-shot over the REMAINING samples
+    "varda_sample_retract" ->
+      s"""${frequencySql(withZyg = false, Some("sample_id NOT IN (4, 14)"), idivDuck)}
           ORDER BY n.chromosome, n.position, n.reference, n.observed""",
     "varda_normalize_variant" -> normalizeSql(VardaSql.alleles, Normalize.MaxLen),
     "varda_region_bins" ->

@@ -1,6 +1,7 @@
 package graft
 
 import graft.varda.VardaOps
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The reference's core frequency semantics (SURVEY.md §1 item 3), pinned
@@ -110,5 +111,40 @@ class FrequencySemanticsSpec extends AnyFunSuite {
     val pairs = st.covPairs.collect()
     assert(pairs.length == pairs.map(r => (r.getString(0), r.getLong(1),
       r.getLong(2))).distinct.length)
+  }
+
+  test("sample retraction converges to the one-shot over remaining samples") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(4), r.getLong(5), r.getLong(6)))
+    val st = VardaOps.foldFreqState(
+      VardaOps.emptyFreqState(obsDf, covDf), obsDf, covDf, smpDf)
+    // retract sample 1 (covered, sole observer of the chr1 variant) and
+    // sample 3 (coverage-less) — both retraction paths in one go
+    val gone = Set(1L, 3L)
+    val st2 = VardaOps.retractSample(st,
+      obsDf.filter(col("sample_id").isin(gone.toSeq: _*)),
+      smpDf.filter(col("sample_id").isin(gone.toSeq: _*)))
+    val got = VardaOps.serveFreqState(st2).collect().map(key).toMap
+    val expected = VardaOps.frequencyFrom(
+      obsDf.filter(!col("sample_id").isin(gone.toSeq: _*)),
+      covDf.filter(!col("sample_id").isin(gone.toSeq: _*)),
+      smpDf.filter(!col("sample_id").isin(gone.toSeq: _*)),
+      withZyg = false).collect().map(key).toMap
+    assert(got == expected)
+    // the chr1 variant (observed only by retracted sample 1) is GONE,
+    // and X:5000 keeps only sample 2's haploid contribution (5×1)
+    assert(!got.contains(("1", 5000L)))
+    assert(got(("X", 5000L)) == ((1L, 5L, 1L * 1000000 / 5)))
+    // re-importing the retracted sample restores the full state — the
+    // store cleanup (pair/region/pool subtraction) must leave no residue
+    val st3 = VardaOps.foldFreqState(st2,
+      obsDf.filter(col("sample_id").isin(gone.toSeq: _*)),
+      covDf.filter(col("sample_id").isin(gone.toSeq: _*)),
+      smpDf.filter(col("sample_id").isin(gone.toSeq: _*)))
+    val restored = VardaOps.serveFreqState(st3).collect().map(key).toMap
+    val full = VardaOps.frequencyFrom(obsDf, covDf, smpDf, withZyg = false)
+      .collect().map(key).toMap
+    assert(restored == full)
   }
 }
