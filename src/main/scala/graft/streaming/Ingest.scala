@@ -71,6 +71,75 @@ object Ingest {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Continuous frequency-numerator maintenance — the second half of the
+    * reference's import task (import_variation both INSERTS observations
+    * and updates served state [U]): each micro-batch of observation
+    * lines folds its per-variant partial sums into a persistent
+    * numerator store via [[graft.varda.VardaOps.foldNumer]]'s
+    * merge-upsert shape, so serving never rescans ingest history.
+    *
+    * The store is GENERATIONAL and replay-idempotent: batch `b` reads
+    * the newest generation with id < `b` and overwrites `gen-b` — a pure
+    * function of (previous generation, batch content), so a batch
+    * replayed after a crash rewrites the same generation instead of
+    * double-counting (exactly the reason a plain read-merge-overwrite of
+    * one store path would be wrong under the checkpoint's at-least-once
+    * foreachBatch contract). At scale each generation is a partitioned
+    * table and old generations are retention-pruned; here they are tiny
+    * parquet dirs. */
+  def startFrequencyMaintenance(spark: SparkSession, srcDir: String,
+      storeDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Int = 1): StreamingQuery =
+    spark.readStream.option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val prev = latestGen(s, storeDir, before = batchId)
+          .map(readNumerGen(s, _)).getOrElse(emptyNumer(s))
+        graft.varda.VardaOps.foldNumer(prev, parseObservationLines(batch))
+          .write.mode("overwrite").parquet(s"$storeDir/gen-$batchId")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Serve the maintained numerator store: newest committed generation,
+    * or an empty frame before any batch has folded. */
+  def readNumerStore(spark: SparkSession, storeDir: String): DataFrame =
+    latestGen(spark, storeDir, before = Long.MaxValue)
+      .map(readNumerGen(spark, _)).getOrElse(emptyNumer(spark))
+
+  private val numerSchema = StructType(Seq(
+    StructField("chromosome", StringType), StructField("position", LongType),
+    StructField("reference", StringType), StructField("observed", StringType),
+    StructField("numer", LongType)))
+
+  private def readNumerGen(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(numerSchema).parquet(path)
+
+  private def emptyNumer(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      numerSchema)
+
+  /** Newest `gen-<id>` directory with id < `before` (Hadoop FS listing —
+    * works on any supported filesystem, not just local). */
+  private def latestGen(spark: SparkSession, storeDir: String,
+      before: Long): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("gen-")) n.stripPrefix("gen-").toLongOption
+          .filter(_ < before).map(_ -> st.getPath.toString)
+        else None
+      }
+      .sortBy(_._1).lastOption.map(_._2)
+  }
+
   /** Read the VCF-ingested store with the written schema ([[graft.varda
     * .Vcf.schema]]; explicit so partition-column inference can't retype
     * chromosome "1" as an int). */

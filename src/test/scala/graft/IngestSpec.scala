@@ -197,4 +197,39 @@ class IngestSpec extends AnyFunSuite {
       assert(got == oneShot, s"after batch $i: $got != $oneShot")
     }
   }
+
+  test("streaming frequency maintenance folds each micro-batch into the store") {
+    val base = Files.createTempDirectory(Paths.get("/root/repo/target"), "ingmaint")
+    val (src, store, ckpt) = (s"$base/src", s"$base/store", s"$base/ckpt")
+    Files.createDirectories(Paths.get(src))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getString(2), r.getString(3)) -> r.getLong(4)
+
+    // two files, maxFilesPerTrigger=1 → two folded generations in one run
+    Files.write(Paths.get(s"$src/b0.txt"), String.join("\n",
+      "1;1;1000;A;T;1", "2;1;1000;A;T;2", "3;2;1500;G;A;1").getBytes)
+    Files.write(Paths.get(s"$src/b1.txt"), String.join("\n",
+      "4;1;1000;A;T;2", "5;2;1500;G;C;1").getBytes)
+    Ingest.startFrequencyMaintenance(spark, src, store, ckpt).awaitTermination()
+    val after2 = Ingest.readNumerStore(spark, store).collect().map(key).toMap
+    assert(after2 == Map(
+      ("1", 1000L, "A", "T") -> 5L,
+      ("2", 1500L, "G", "A") -> 1L,
+      ("2", 1500L, "G", "C") -> 1L))
+
+    // restart with one new file: the checkpoint skips history, the new
+    // batch folds onto the newest prior generation
+    Files.write(Paths.get(s"$src/b2.txt"),
+      String.join("\n", "6;2;1500;G;A;3").getBytes)
+    Ingest.startFrequencyMaintenance(spark, src, store, ckpt).awaitTermination()
+    val after3 = Ingest.readNumerStore(spark, store).collect().map(key).toMap
+    assert(after3(("2", 1500L, "G", "A")) == 4L)
+    assert(after3(("1", 1000L, "A", "T")) == 5L)
+
+    // replay-idempotence: re-running a batch's fold rewrites the same
+    // generation (pure function of prior gen + batch), never doubles
+    val gens = new java.io.File(store).listFiles()
+      .filter(_.getName.startsWith("gen-")).map(_.getName).sorted
+    assert(gens.length == 3, s"expected 3 generations, got ${gens.mkString(",")}")
+  }
 }
