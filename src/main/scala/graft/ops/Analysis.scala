@@ -284,6 +284,25 @@ object Analysis {
       .orderBy("doc_id")
   }
 
+  /** BPE merge-step pair counting — the inner loop of byte-pair-encoding
+    * tokenizer training, whose corpus-scale cost IS this distributed
+    * count: for every token, every adjacent character pair; the top-20
+    * pairs by global count are the merge candidates. Two generator
+    * explodes feed one hash aggregate (partial map-side combine makes
+    * the shuffle carry pair counts, not pair occurrences); the top-k is
+    * a TakeOrdered over the O(|pair vocabulary|) aggregate, never a
+    * global window over data rows. */
+  val textBpePairs: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .select(explode(expr(
+        """CASE WHEN length(t) < 2 THEN array()
+           ELSE transform(sequence(1, length(t) - 1), i -> substr(t, i, 2))
+           END""")).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(20)
+
   /** Corpus novelty signal: the ppm fraction of a document's distinct
     * 3-word shingles that appear in NO other document — the diversity/
     * boilerplate measure data curation ranks on (low novelty = template
@@ -312,6 +331,7 @@ object Analysis {
     "text_novelty" -> textNovelty,
     "text_pii_redact" -> textPiiRedact,
     "text_perplexity" -> textPerplexity,
+    "text_bpe_pairs" -> textBpePairs,
     "dedup_simhash" -> dedupSimhash,
     "dedup_near_embedding" -> dedupNearEmbedding,
     "dedup_near_embedding_lsh" -> dedupNearEmbeddingLsh)
@@ -357,6 +377,14 @@ object Analysis {
            CAST(sum(nll_e6) // count(*) AS BIGINT) AS avg_nll_e6
          FROM toks JOIN nll USING (term)
          GROUP BY doc_id ORDER BY doc_id""",
+    "text_bpe_pairs" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS t
+                      FROM documents),
+            pairs AS (SELECT unnest(list_transform(range(1, length(t)),
+                        i -> substr(t, i, 2))) AS pair
+                      FROM toks)
+         SELECT pair, count(*) AS cnt FROM pairs
+         GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""",
     "text_novelty" ->
       """WITH sh AS (SELECT DISTINCT doc_id,
                        unnest(list_transform(range(1, len(ws) - 1),
