@@ -68,6 +68,10 @@ object Tables {
   def registerViews(spark: SparkSession, sfDir: String): Unit = {
     val k = spark
     if (!viewDir.get(k).contains(sfDir)) {
+      // sweep-on-miss, like every other session-keyed cache here: without
+      // it each stopped session stays pinned as a map key for the JVM's
+      // lifetime
+      viewDir.filterInPlace((sess, _) => !sess.sparkContext.isStopped)
       names.foreach {
         case "events" => events(spark, sfDir).createOrReplaceTempView("events")
         case n        => table(spark, sfDir, n).createOrReplaceTempView(n)

@@ -169,7 +169,11 @@ object Aggs {
         col("l_quantity"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"),
-        sum(col("l_quantity").cast(LongType)).as("qty_sum"))
+        // dec4/scaledLong, not a raw LongType cast: Spark's DOUBLE→BIGINT
+        // truncates toward zero while DuckDB's rounds half-even, so any
+        // fractional quantity would silently diverge the hash
+        scaledLong(sum(dec4(col("l_quantity"))).cast(DecimalType(18, 4)), 4)
+          .as("qty_sum_e4"))
       .orderBy("bucket")
 
   val queries: Map[String, Q] = Map(
@@ -191,7 +195,7 @@ object Aggs {
     "agg_histogram" ->
       """SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bucket,
                 count(*) AS n,
-                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+                CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) * 10000 AS BIGINT) AS qty_sum_e4
          FROM lineitem GROUP BY 1 ORDER BY 1""",
     "agg_groupby_sums" ->
       """SELECT l_returnflag, l_linestatus,

@@ -34,18 +34,24 @@ object Compaction {
   /** Per-partition-directory byte totals: hive-style `k=v` relative dir →
     * parquet bytes under it. The un-partitioned root maps to "". Driver
     * state is O(partition dirs) — what any real compactor reads from its
-    * catalog/manifest. */
+    * catalog/manifest. Relative dirs come from relativizing against the
+    * fs-QUALIFIED base URI (same discipline as Joins.sourceFingerprint):
+    * a raw string stripPrefix is a silent no-op when the caller's path
+    * spelling differs from the filesystem's (relative vs absolute vs
+    * scheme-qualified), which would flatten the layout downstream. Keys
+    * are the DECODED on-disk dir names (hive-escaped values like
+    * `k=a%253Ab` stay exactly as the writer spelled them on disk). */
   def partitionStats(spark: SparkSession, dir: String): Map[String, Long] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val base = p.toUri.getPath.stripSuffix("/")
+    val base = fs.makeQualified(p).toUri
     val acc = scala.collection.mutable.Map.empty[String, Long]
     val files = fs.listFiles(p, true)
     while (files.hasNext) {
       val f = files.next()
       if (f.getPath.getName.endsWith(".parquet")) {
-        val rel = f.getPath.getParent.toUri.getPath
-          .stripPrefix(base).stripPrefix("/")
+        val rel = base.relativize(f.getPath.getParent.toUri)
+          .getPath.stripSuffix("/")
         acc(rel) = acc.getOrElse(rel, 0L) + f.getLen
       }
     }
@@ -71,6 +77,8 @@ object Compaction {
     val stats = partitionStats(spark, srcDir)
     val partitioned = stats.keys.forall(_.nonEmpty) && stats.nonEmpty &&
       stats.keys.forall(_.split("/").forall(_.contains("=")))
+    val srcP = new Path(srcDir)
+    val srcFs = srcP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val df = spark.read.parquet(srcDir)
     if (!partitioned) {
       val bytes = stats.values.sum
@@ -110,10 +118,27 @@ object Compaction {
         (budgets.toDF("__c_rel", "__c_nf"),
           probeRows.toDF("__c_rel", "__c_salt", "__c_probe"))
       }
-      // directory path reconstructed on the data side from the partition
-      // column values (cast to string as the writer renders dir names)
-      val relExpr = concat_ws("/", partCols.map(c =>
-        concat(lit(s"$c="), col(c).cast("string"))): _*)
+      // the data-side partition-dir key comes from input_file_name(), NOT
+      // from re-rendering the partition column values: the writer
+      // hive-escapes special chars ('=', ':', '%', …) and spells nulls as
+      // __HIVE_DEFAULT_PARTITION__, so a string-cast reconstruction
+      // silently mismatches those dirs and the budget join would DROP
+      // their rows. input_file_name() is the on-disk path URL-encoded
+      // once more (space→%20, %→%25 — probed empirically); one
+      // url_decode recovers exactly the decoded on-disk string that
+      // partitionStats keys carry, making the join structural rather
+      // than reconstructive.
+      val bu = srcFs.makeQualified(srcP).toUri
+      val decodedBase = bu.getScheme + "://" +
+        Option(bu.getAuthority).getOrElse("") +
+        bu.getPath.stripSuffix("/")
+      // url_decode is form-decoding ('+' → space), but input_file_name
+      // encodes spaces as %20 and passes literal '+' through — so every
+      // raw '+' is a genuine '+' and must be shielded before decoding
+      val relExpr = regexp_replace(
+        url_decode(regexp_replace(input_file_name(), "\\+", "%2B")).substr(
+          lit(decodedBase.length + 2), lit(Int.MaxValue)),
+        "/[^/]*$", "")
       df.withColumn("__c_rel", relExpr)
         .join(broadcast(budget), "__c_rel")
         .withColumn("__c_salt",

@@ -108,7 +108,7 @@ object GlobalRank {
           Window.partitionBy(gcols: _*).orderBy("__gr_pid")
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(gcols :+ col("__gr_pid") :+ col("__gr_offset"): _*)
-    local.join(broadcast(offsets), groupCols :+ "__gr_pid")
+    nullSafeBroadcastJoin(local, offsets, groupCols :+ "__gr_pid")
       .withColumn(out, col("__gr_offset") + col("__gr_local"))
       .drop("__gr_pid", "__gr_local", "__gr_offset")
   }
@@ -137,9 +137,22 @@ object GlobalRank {
           Window.partitionBy(gcols: _*).orderBy("__gr_pid")
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(gcols :+ col("__gr_pid") :+ col("__gr_offset"): _*)
-    local.join(broadcast(offsets), groupCols :+ "__gr_pid")
+    nullSafeBroadcastJoin(local, offsets, groupCols :+ "__gr_pid")
       .withColumn(out, col("__gr_offset") + col("__gr_local"))
       .drop("__gr_pid", "__gr_local", "__gr_offset", "__gr_val")
+  }
+
+  /** Broadcast inner join on `keys` with NULL-SAFE equality (`<=>`):
+    * `Window.partitionBy` treats NULL as a group of its own, so the
+    * grouped chunked forms must too — a plain equi-join would silently
+    * DROP every null-group row (null != null), losing rows rather than
+    * misranking them. EqualNullSafe is still an equi-join key to the
+    * planner, so this stays a broadcast hash join. */
+  private def nullSafeBroadcastJoin(left: DataFrame, right: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val r = keys.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"__gr_r_$c"))
+    val cond = keys.map(c => col(c) <=> col(s"__gr_r_$c")).reduce(_ && _)
+    left.join(broadcast(r), cond).drop(keys.map(c => s"__gr_r_$c"): _*)
   }
 
   /** Shared per-group deterministic chunk assignment: `__gr_pid` derives
@@ -172,7 +185,7 @@ object GlobalRank {
     val ascChunk = when(isnan(ck), lit(parts - 1))
       .otherwise(least(greatest(lin, lit(0)), lit(parts - 1)))
     val chunk = if (desc) lit(parts - 1) - ascChunk else ascChunk
-    df.join(broadcast(bounds), groupCols)
+    nullSafeBroadcastJoin(df, bounds, groupCols)
       .withColumn("__gr_pid",
         when(ck.isNull, lit(if (desc) parts else -1)).otherwise(chunk))
       .drop("__gr_lo", "__gr_hi")

@@ -150,23 +150,31 @@ object Joins {
   }
 
   /** Memoized fingerprint per (live session, source path) — the
-    * recursive listing is the warm path's only non-constant cost, and
-    * the documented staleness contract (a source dir is not regenerated
-    * within one session's lifetime; cross-JVM staleness is caught by the
-    * marker compare) makes one listing per session sufficient. */
+    * recursive listing is the warm path's only non-constant cost. The
+    * memo is REVALIDATED against the source dir's own modification time
+    * (one `getFileStatus`, O(1)) so a source regenerated mid-session
+    * still invalidates the cached layout — an overwrite rewrite
+    * recreates the directory, bumping its mtime. Granularity limit: a
+    * leaf file replaced in-place deep inside a partitioned dir without
+    * touching the root dir escapes the cheap check until the next
+    * session (the cross-JVM marker compare re-fingerprints fully). */
   private val fpCache = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String), String]
+    .empty[(org.apache.spark.sql.SparkSession, String), (Long, String)]
   private def sourceFingerprintCached(s: org.apache.spark.sql.SparkSession,
-      srcPath: String, df: DataFrame): String =
+      srcPath: String, df: DataFrame): String = {
+    val p = new org.apache.hadoop.fs.Path(srcPath)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val dirM = fs.getFileStatus(p).getModificationTime
     fpCache.get((s, srcPath)) match {
-      case Some(fp) => fp
-      case None =>
+      case Some((m, fp)) if m == dirM => fp
+      case _ =>
         fpCache.filterInPlace { case ((sess, _), _) =>
           !sess.sparkContext.isStopped }
         val fp = sourceFingerprint(s, srcPath, df)
-        fpCache.put((s, srcPath), fp)
+        fpCache.put((s, srcPath), (dirM, fp))
         fp
     }
+  }
 
   /** Ensure a bucketed+sorted copy of `df` (read from `srcPath`) exists
     * as table `name`. The bucketed write is the one-time layout cost the

@@ -57,15 +57,22 @@ object Ingest {
     * batch broadcast join per micro-batch (the file source delivers whole
     * files, so a record and its header always share a batch); as a
     * stream-stream join that tiny bind would need watermarked state.
-    * Progress stays exactly-once via the checkpoint: a replayed batch
-    * rewrites the same rows. */
+    *
+    * foreachBatch is AT-LEAST-ONCE (a crash between the write and the
+    * checkpoint commit replays the batch), so each batch writes its OWN
+    * `batch=<id>` generation dir with mode overwrite — a replayed batch
+    * rewrites the same directory instead of appending duplicates, the
+    * same idempotence shape [[startFrequencyMaintenance]] uses. The
+    * store stays chromosome-partitioned inside each generation, so
+    * partition pruning on chromosome still works for readers. */
   def startVcfIngest(spark: SparkSession, srcDir: String,
       destDir: String, checkpointDir: String): StreamingQuery =
     spark.readStream.text(srcDir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.varda.Vcf.normalized(graft.varda.Vcf.parseVcfLines(batch))
-          .write.mode("append").partitionBy("chromosome").parquet(destDir)
+          .write.mode("overwrite").partitionBy("chromosome")
+          .parquet(s"$destDir/batch=$batchId")
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -142,9 +149,13 @@ object Ingest {
 
   /** Read the VCF-ingested store with the written schema ([[graft.varda
     * .Vcf.schema]]; explicit so partition-column inference can't retype
-    * chromosome "1" as an int). */
+    * chromosome "1" as an int). The `batch` generation column is an
+    * ingest-internal idempotence key, dropped from the served frame. */
   def readVcfIngested(spark: SparkSession, destDir: String): DataFrame =
-    spark.read.schema(graft.varda.Vcf.schema).parquet(destDir)
+    spark.read
+      .schema(graft.varda.Vcf.schema.add("batch", LongType))
+      .parquet(destDir)
+      .drop("batch")
 
   /** Read the ingested store with the written schema (partition-column
     * type inference would otherwise retype chromosome "1" as an int). */

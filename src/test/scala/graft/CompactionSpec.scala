@@ -61,4 +61,29 @@ class CompactionSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
     assert(key(spark.read.parquet(src)) == key(compacted))
   }
+
+  test("partitioned compaction keeps rows under hive-escaped and null partition values") {
+    import spark.implicits._
+    val src = "/root/repo/target/tmp/compact_esc_src"
+    val dest = "/root/repo/target/tmp/compact_esc_dest"
+    // partition values the writer must hive-escape ('=' ':' '%' space)
+    // plus a null — the cases where reconstructing the dir name from the
+    // value string diverges from what's on disk
+    val df = Seq(
+      (1L, "a b"), (2L, "a b"),
+      (3L, null.asInstanceOf[String]),
+      (4L, "x=y:z"), (5L, "p%q"), (6L, "plain"), (7L, "c+d"))
+      .toDF("id", "k")
+    df.repartition(2).write.mode("overwrite").partitionBy("k").parquet(src)
+    val srcStats = Compaction.partitionStats(spark, src)
+    assert(srcStats.keys.forall(_.startsWith("k=")), srcStats.keySet.toString)
+
+    val compacted = Compaction.compactTo(spark, src, dest, Long.MaxValue)
+    // every row survives, including null and escaped partitions
+    val key = (d: org.apache.spark.sql.DataFrame) => d.select("id", "k")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).sorted.toSeq
+    assert(key(compacted) == key(spark.read.parquet(src)))
+    // and the on-disk layout is preserved dir-for-dir
+    assert(Compaction.partitionStats(spark, dest).keySet == srcStats.keySet)
+  }
 }

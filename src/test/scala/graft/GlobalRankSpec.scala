@@ -98,6 +98,36 @@ class GlobalRankSpec extends AnyFunSuite {
     assert(eval() == eval())
   }
 
+  test("grouped rank keeps NULL-group rows, ranked as their own group") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // Window.partitionBy treats NULL as a group of its own; an equi-join
+    // attach of per-group bounds/offsets would silently DROP these rows
+    val df = Seq(
+      (1L, "en"), (2L, "en"), (3L, null.asInstanceOf[String]),
+      (4L, null.asInstanceOf[String]), (5L, "fr"))
+      .toDF("id", "lang")
+    val expected = df.select(col("id"),
+        row_number().over(Window.partitionBy("lang").orderBy("id")).as("rn"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = GlobalRank.withGroupedRowNumber(df, Seq("lang"),
+        Seq(col("id")), "rn", numPartitions = 4)
+      .select("id", "rn")
+      .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    assert(got.size == expected.size, s"rows lost: $got vs $expected")
+    assert(got == expected)
+    // same for the running-sum sibling
+    val expSum = df.select(col("id"),
+        sum(col("id")).over(Window.partitionBy("lang").orderBy("id")
+          .rowsBetween(Window.unboundedPreceding, 0)).as("run"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gotSum = GlobalRank.withGroupedRunningSum(df, Seq("lang"),
+        Seq(col("id")), col("id"), "run", numPartitions = 4)
+      .select("id", "run")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotSum == expSum)
+  }
+
   test("grouped running sum equals the per-group prefix-sum window") {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, sf0001)
