@@ -176,7 +176,52 @@ object Aggs {
           .as("qty_sum_e4"))
       .orderBy("bucket")
 
+  /** Modal value per group (most frequent `source` per language),
+    * deterministic tie-break on the value itself. Two hash aggregates:
+    * the ranking window runs over the O(groups × distinct values)
+    * AGGREGATED frame, never over data rows — at 100 TB the counts frame
+    * is millions of rows, not billions. `max_by` would be one pass but
+    * leaves ties engine-defined, which the oracle discipline forbids. */
+  val aggMode: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(s, d)
+      .groupBy("lang", "source").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("source"))
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("lang"), col("source").as("mode_source"), col("cnt"))
+      .orderBy("lang")
+  }
+
+  /** Exact per-group median of `events.value`, DISTRIBUTED: the in-group
+    * rank comes from [[GlobalRank.withGroupedRowNumber]]'s arithmetic
+    * chunking, so no group is ever sorted inside a single task (the
+    * failure mode of `percentile` / a per-group window at fact scale —
+    * 5 event types over 100 TB would mean 5 tasks sorting 20 TB each).
+    * Declared output is 2×median ×10^4 as BIGINT: the sum of the one or
+    * two middle decimal values needs no division, keeping the result
+    * integer-exact and engine-portable (DuckDB's avg/median return
+    * DOUBLE, which can never hash-match). */
+  val aggExactMedian: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), dec4(col("value")).as("v"), col("event_id"))
+    val ranked = GlobalRank.withGroupedRowNumber(ev, Seq("event_type"),
+      Seq(col("v"), col("event_id")), "rn")
+    val n = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val lo = floor((col("n") + 1) / 2).cast(LongType)
+    val hi = floor((col("n") + 2) / 2).cast(LongType)
+    ranked.join(broadcast(n), "event_type")
+      .filter(col("rn") === lo || col("rn") === hi)
+      .groupBy("event_type")
+      .agg(scaledLong(
+        (sum(col("v")) * when(count(lit(1)) === 1, 2).otherwise(1))
+          .cast(DecimalType(38, 4)), 4).as("med2_e4"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_mode" -> aggMode,
+    "agg_exact_median" -> aggExactMedian,
     "agg_histogram" -> aggHistogram,
     "agg_groupby_sums" -> aggGroupbySums,
     "agg_count_distinct" -> aggCountDistinct,
@@ -192,6 +237,31 @@ object Aggs {
     "agg_collect_sorted" -> aggCollectSorted)
 
   val oracle: Map[String, String] = Map(
+    "agg_mode" ->
+      """WITH c AS (SELECT lang, source, count(*) AS cnt
+                    FROM documents GROUP BY 1, 2),
+              r AS (SELECT lang, source, cnt,
+                           row_number() OVER (PARTITION BY lang
+                             ORDER BY cnt DESC, source) AS rn
+                    FROM c)
+         SELECT lang, source AS mode_source, cnt
+         FROM r WHERE rn = 1 ORDER BY lang""",
+    "agg_exact_median" ->
+      """WITH e AS (SELECT event_type, CAST(value AS DECIMAL(18,4)) AS v,
+                           event_id
+                    FROM events),
+              r AS (SELECT event_type, v,
+                           row_number() OVER (PARTITION BY event_type
+                             ORDER BY v, event_id) AS rn,
+                           count(*) OVER (PARTITION BY event_type) AS n
+                    FROM e)
+         SELECT event_type,
+                CAST(CAST(SUM(v) * (CASE WHEN COUNT(*) = 1 THEN 2 ELSE 1 END)
+                     AS DECIMAL(38,4)) * 10000 AS BIGINT) AS med2_e4
+         FROM r
+         WHERE rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
+            OR rn = CAST(floor((n + 2) / 2.0) AS BIGINT)
+         GROUP BY event_type ORDER BY event_type""",
     "agg_histogram" ->
       """SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bucket,
                 count(*) AS n,

@@ -326,7 +326,26 @@ object Joins {
       .orderBy("r_regionkey", "n_nationkey")
   }
 
+  /** NULL-SAFE equi-join (`<=>` / SQL `IS NOT DISTINCT FROM`): NULL keys
+    * MATCH each other instead of silently dropping — the semantics a
+    * dimension attach needs when the key is optional (here: market
+    * segment with one segment nulled out, each row annotated with its
+    * segment's population INCLUDING the null segment). EqualNullSafe is
+    * still an equi-join key to the planner, so this broadcasts and
+    * hash-joins exactly like `join_broadcast` — no BNLJ fallback. */
+  val joinNullSafe: Q = (s, d) => {
+    val c = Tables.customer(s, d).select(col("c_custkey"),
+      when(col("c_mktsegment") === "BUILDING", lit(null))
+        .otherwise(col("c_mktsegment")).as("seg_n"))
+    val g = c.groupBy("seg_n").agg(count(lit(1)).as("seg_count"))
+      .withColumnRenamed("seg_n", "seg_g")
+    c.join(broadcast(g), col("seg_n") <=> col("seg_g"))
+      .select(col("c_custkey"), col("seg_n"), col("seg_count"))
+      .orderBy("c_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "join_null_safe" -> joinNullSafe,
     "join_inner_equi" -> joinInnerEqui,
     "join_broadcast" -> joinBroadcast,
     "join_sort_merge" -> joinSortMerge,
@@ -343,6 +362,15 @@ object Joins {
     "join_cross" -> joinCross)
 
   val oracle: Map[String, String] = Map(
+    "join_null_safe" ->
+      """WITH c AS (SELECT c_custkey,
+                           nullif(c_mktsegment, 'BUILDING') AS seg_n
+                    FROM customer),
+              g AS (SELECT seg_n, count(*) AS seg_count
+                    FROM c GROUP BY seg_n)
+         SELECT c.c_custkey, c.seg_n, g.seg_count
+         FROM c JOIN g ON c.seg_n IS NOT DISTINCT FROM g.seg_n
+         ORDER BY c_custkey""",
     "join_inner_equi" ->
       """SELECT o_orderkey, o_custkey, c_name, o_totalprice
          FROM orders JOIN customer ON o_custkey = c_custkey
