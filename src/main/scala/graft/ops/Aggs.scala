@@ -219,9 +219,61 @@ object Aggs {
       .orderBy("event_type")
   }
 
+  /** Exact distribution moments per group — count, sum, sum-of-squares,
+    * min, max from ONE hash-aggregate scan with map-side combine. These
+    * five are the sufficient statistics for mean/variance/stddev (and,
+    * two-column, covariance/correlation): at 100 TB you ship the
+    * O(groups) moments and do the division downstream, never a second
+    * pass over data. All sums are DECIMAL-exact (partition-order
+    * independent) and emitted as scaled BIGINTs; Spark's own
+    * `var_samp`/`stddev` return DOUBLE, which can neither hash-match nor
+    * merge exactly across partitions. */
+  val aggMoments: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"), dec4(col("value")).as("v"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        scaledLong(sum(col("v")).cast(DecimalType(38, 4)), 4).as("sum_e4"),
+        scaledLong(sum((col("v") * col("v")).cast(DecimalType(28, 8)))
+          .cast(DecimalType(38, 8)), 8).as("sumsq_e8"),
+        scaledLong(min(col("v")).cast(DecimalType(38, 4)), 4).as("min_e4"),
+        scaledLong(max(col("v")).cast(DecimalType(38, 4)), 4).as("max_e4"))
+      .orderBy("event_type")
+
+  /** Discrete quartiles (percentile_disc at 0.25/0.5/0.75) per group,
+    * distributed exactly like [[aggExactMedian]]: chunked in-group rank,
+    * broadcast counts, pick rows at rank ceil(q·n) — integer formulas
+    * `(n+3) div 4`, `(n+1) div 2`, `(3n+3) div 4`, so both engines select
+    * the identical row with no floating-point q·n. The selected VALUE is
+    * deterministic even under value ties (any row at the target rank
+    * carries the same v). One shuffle for the rank, one broadcast join;
+    * never a per-group single-task sort. */
+  val aggQuartiles: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), dec4(col("value")).as("v"), col("event_id"))
+    val ranked = GlobalRank.withGroupedRowNumber(ev, Seq("event_type"),
+      Seq(col("v"), col("event_id")), "rn")
+    val n = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val r25 = floor((col("n") + 3) / 4).cast(LongType)
+    val r50 = floor((col("n") + 1) / 2).cast(LongType)
+    val r75 = floor((col("n") * 3 + 3) / 4).cast(LongType)
+    def pick(r: org.apache.spark.sql.Column, out: String) =
+      scaledLong(max(when(col("rn") === r, col("v")))
+        .cast(DecimalType(38, 4)), 4).as(out)
+    ranked.join(broadcast(n), "event_type")
+      .filter(col("rn") === r25 || col("rn") === r50 || col("rn") === r75)
+      .groupBy("event_type", "n")
+      .agg(pick(r25, "p25_e4"), pick(r50, "p50_e4"), pick(r75, "p75_e4"))
+      .select("event_type", "p25_e4", "p50_e4", "p75_e4")
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "agg_mode" -> aggMode,
     "agg_exact_median" -> aggExactMedian,
+    "agg_moments" -> aggMoments,
+    "agg_quartiles" -> aggQuartiles,
     "agg_histogram" -> aggHistogram,
     "agg_groupby_sums" -> aggGroupbySums,
     "agg_count_distinct" -> aggCountDistinct,
@@ -237,6 +289,35 @@ object Aggs {
     "agg_collect_sorted" -> aggCollectSorted)
 
   val oracle: Map[String, String] = Map(
+    "agg_moments" ->
+      """WITH e AS (SELECT event_type, CAST(value AS DECIMAL(18,4)) AS v
+                    FROM events)
+         SELECT event_type, count(*) AS n,
+           CAST(CAST(SUM(v) AS DECIMAL(38,4)) * 10000 AS BIGINT) AS sum_e4,
+           CAST(CAST(SUM(CAST(v * v AS DECIMAL(28,8))) AS DECIMAL(38,8))
+                * 100000000 AS BIGINT) AS sumsq_e8,
+           CAST(CAST(MIN(v) AS DECIMAL(38,4)) * 10000 AS BIGINT) AS min_e4,
+           CAST(CAST(MAX(v) AS DECIMAL(38,4)) * 10000 AS BIGINT) AS max_e4
+         FROM e GROUP BY event_type ORDER BY event_type""",
+    "agg_quartiles" ->
+      """WITH e AS (SELECT event_type, CAST(value AS DECIMAL(18,4)) AS v,
+                           event_id
+                    FROM events),
+              r AS (SELECT event_type, v,
+                           row_number() OVER (PARTITION BY event_type
+                             ORDER BY v, event_id) AS rn,
+                           count(*) OVER (PARTITION BY event_type) AS n
+                    FROM e)
+         SELECT event_type,
+           CAST(CAST(MAX(CASE WHEN rn = (n + 3) // 4 THEN v END)
+                AS DECIMAL(38,4)) * 10000 AS BIGINT) AS p25_e4,
+           CAST(CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN v END)
+                AS DECIMAL(38,4)) * 10000 AS BIGINT) AS p50_e4,
+           CAST(CAST(MAX(CASE WHEN rn = (n * 3 + 3) // 4 THEN v END)
+                AS DECIMAL(38,4)) * 10000 AS BIGINT) AS p75_e4
+         FROM r
+         WHERE rn = (n + 3) // 4 OR rn = (n + 1) // 2 OR rn = (n * 3 + 3) // 4
+         GROUP BY event_type ORDER BY event_type""",
     "agg_mode" ->
       """WITH c AS (SELECT lang, source, count(*) AS cnt
                     FROM documents GROUP BY 1, 2),

@@ -310,7 +310,85 @@ object Pipeline {
       .select("l_orderkey", "l_partkey", "line_no", "z")
   }
 
+  /** CCNet-style boilerplate LINE removal: treat every consecutive
+    * 10-word chunk as a "line", drop every line whose exact text occurs
+    * in more than 5% of documents (the cookie-banner / nav-footer pass
+    * every web-corpus build runs before dedup), and re-emit each doc's
+    * surviving text as an md5 digest. Scale shape: document-frequency
+    * counting groups by the LINE ITSELF only long enough to aggregate —
+    * the shuffle carries (line, doc_id) once, the resulting hot list is
+    * tiny by construction (a line in >5% of a 100 TB corpus is a handful
+    * of distinct strings) and rides a broadcast anti-join, so the second
+    * corpus pass never shuffles. The 5% threshold is relative (df·20 >
+    * ndocs) — scale-free, no magic absolute count. The corpus fixture
+    * carries no natural repeated lines (31-word vocab, max exact-dup text
+    * count 2), so deterministic boilerplate headers are injected on two
+    * doc_id classes, exactly 10 words each to preserve chunk alignment of
+    * the original text. */
+  val textLineDedup: Q = (s, d) => {
+    val b1 = "cookie policy accept all terms to continue reading this site"
+    val b2 = "subscribe to our newsletter for daily updates delivered every morning"
+    val docs = Tables.documents(s, d).withColumn("t2",
+      when(col("doc_id") % 7 === 0, concat(lit(b1 + " "), col("text")))
+        .when(col("doc_id") % 7 === 3, concat(lit(b2 + " "), col("text")))
+        .otherwise(col("text")))
+    val lines = docs
+      .withColumn("ws", split(col("t2"), " "))
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(0, (size(ws) - 1) div 10),
+                     p -> array_join(slice(ws, p * 10 + 1, 10), ' '))"""))
+        .as(Seq("pos", "line")))
+    val ndocs = Tables.documents(s, d).select(count(lit(1)).as("ndocs"))
+    val hot = lines.groupBy("line")
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .crossJoin(broadcast(ndocs))
+      .filter(col("df") * 20 > col("ndocs"))
+      .select("line")
+    val kept = lines.join(broadcast(hot), Seq("line"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("kept_raw"),
+        md5(array_join(
+          transform(sort_array(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")), " ")).as("clean_md5"))
+    lines.groupBy("doc_id").agg(count(lit(1)).as("n_lines"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("kept_raw"), lit(0L)).as("kept_lines"), col("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  private val stopListSql = "('the','a','of','and','to','in','is','it')"
+
+  /** Reason-coded quality filter — the C4/Gopher-style keep/drop decision
+    * composed from the per-document signals [[Analysis.textQuality]]
+    * measures: token-count floor and ceiling, stopword-ratio floor
+    * (gibberish/listing pages), distinct-token-ratio floor (repetition).
+    * Emits a bitmask of FAILED rules per document (bit 0 = too short,
+    * 1 = too long, 2 = low stopword ratio, 3 = low diversity) plus the
+    * keep verdict, so downstream mixture building can both filter and
+    * report per-rule loss. One scan, zero shuffles, all integer ppm
+    * arithmetic — at 100 TB this runs at read bandwidth and the reason
+    * histogram is a free rollup of the output. */
+  val textQualityFilter: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n_tok", size(col("ws")).cast(LongType))
+      .withColumn("stop_ppm", expr(
+        s"cast((1000000 * size(filter(ws, t -> t IN $stopListSql))) div size(ws) as bigint)"))
+      .withColumn("distinct_ppm", expr(
+        "cast((1000000 * size(array_distinct(ws))) div size(ws) as bigint)"))
+      .withColumn("reason_mask",
+        (when(col("n_tok") < 20, 1L).otherwise(0L)
+          + when(col("n_tok") > 80, 2L).otherwise(0L)
+          + when(col("stop_ppm") < 30000, 4L).otherwise(0L)
+          + when(col("distinct_ppm") < 300000, 8L).otherwise(0L)))
+      .select(col("doc_id"), col("n_tok"), col("reason_mask"),
+        (col("reason_mask") === 0).as("keep"))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
+    "text_line_dedup" -> textLineDedup,
+    "text_quality_filter" -> textQualityFilter,
     "text_decontaminate" -> textDecontaminate,
     "dedup_incremental" -> dedupIncremental,
     "sample_mixture" -> sampleMixture,
@@ -329,6 +407,55 @@ object Pipeline {
        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) w"""
 
   val oracle: Map[String, String] = Map(
+    "text_line_dedup" ->
+      """WITH d0 AS (SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN
+                 'cookie policy accept all terms to continue reading this site ' || text
+               WHEN doc_id % 7 = 3 THEN
+                 'subscribe to our newsletter for daily updates delivered every morning ' || text
+               ELSE text END AS t2
+             FROM documents),
+            w AS (SELECT doc_id, string_split(t2, ' ') AS ws FROM d0),
+            lx AS (SELECT doc_id, ws,
+                          unnest(range(0, (len(ws) - 1) // 10 + 1)) AS pos
+                   FROM w),
+            l AS (SELECT doc_id, pos,
+                         array_to_string(ws[pos*10+1 : pos*10+10], ' ') AS line
+                  FROM lx),
+            nd AS (SELECT count(*) AS ndocs FROM documents),
+            hot AS (SELECT line FROM l, nd
+                    GROUP BY line, ndocs
+                    HAVING count(DISTINCT doc_id) * 20 > ndocs),
+            kept AS (SELECT doc_id, pos, line FROM l
+                     WHERE line NOT IN (SELECT line FROM hot)),
+            tot AS (SELECT doc_id, count(*) AS n_lines FROM l GROUP BY 1)
+         SELECT t.doc_id, t.n_lines,
+                count(k.line) AS kept_lines,
+                md5(string_agg(k.line, ' ' ORDER BY k.pos)) AS clean_md5
+         FROM tot t LEFT JOIN kept k USING (doc_id)
+         GROUP BY t.doc_id, t.n_lines
+         ORDER BY t.doc_id""",
+    "text_quality_filter" ->
+      """WITH q AS (SELECT doc_id,
+               CAST(len(ws) AS BIGINT) AS n_tok,
+               (1000000 * len(list_filter(ws,
+                  t -> t IN ('the','a','of','and','to','in','is','it'))))
+                 // len(ws) AS stop_ppm,
+               (1000000 * len(list_distinct(ws))) // len(ws) AS distinct_ppm
+             FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM documents) t)
+         SELECT doc_id, n_tok,
+                CAST(CASE WHEN n_tok < 20 THEN 1 ELSE 0 END
+                   + CASE WHEN n_tok > 80 THEN 2 ELSE 0 END
+                   + CASE WHEN stop_ppm < 30000 THEN 4 ELSE 0 END
+                   + CASE WHEN distinct_ppm < 300000 THEN 8 ELSE 0 END
+                  AS BIGINT) AS reason_mask,
+                (CASE WHEN n_tok < 20 THEN 1 ELSE 0 END
+                   + CASE WHEN n_tok > 80 THEN 2 ELSE 0 END
+                   + CASE WHEN stop_ppm < 30000 THEN 4 ELSE 0 END
+                   + CASE WHEN distinct_ppm < 300000 THEN 8 ELSE 0 END) = 0
+                  AS keep
+         FROM q ORDER BY doc_id""",
     "text_decontaminate" ->
       s"""WITH sh AS ($shingleSqlDuck),
             bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 7),

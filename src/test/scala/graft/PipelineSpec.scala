@@ -195,4 +195,48 @@ class PipelineSpec extends AnyFunSuite {
       .select(expr("(1000000 * top2) div tot2").as("ppm")).head.getLong(0)
     assert(g2 > 490000, s"planted repetition not detected: $g2")
   }
+
+  test("text_line_dedup: exactly the injected boilerplate line is removed") {
+    val out = ops.Pipeline.textLineDedup(spark, sf0001).collect()
+    val origMd5 = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), md5(col("text")).as("m")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("m")).toMap
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val injected = id % 7 == 0 || id % 7 == 3
+      val delta = r.getAs[Long]("n_lines") - r.getAs[Long]("kept_lines")
+      assert(delta == (if (injected) 1L else 0L),
+        s"doc $id: removed $delta lines, injected=$injected")
+      // surviving text re-joins to EXACTLY the original document: chunking
+      // partitions the words and only the prepended 10-word line is hot
+      assert(r.getAs[String]("clean_md5") == origMd5(id), s"doc $id digest")
+    }
+  }
+
+  test("text_quality_filter: mask bits recompute from the signals") {
+    val out = ops.Pipeline.textQualityFilter(spark, sf0001).collect()
+    assert(out.exists(_.getAs[Boolean]("keep")) &&
+      out.exists(!_.getAs[Boolean]("keep")), "filter must split the corpus")
+    out.foreach { r =>
+      val m = r.getAs[Long]("reason_mask"); val n = r.getAs[Long]("n_tok")
+      assert(((m & 1) == 1) == (n < 20))
+      assert(((m & 2) == 2) == (n > 80))
+      assert(r.getAs[Boolean]("keep") == (m == 0))
+    }
+  }
+
+  test("moments and quartiles agree: min <= p25 <= p50 <= p75 <= max") {
+    val mo = ops.Aggs.aggMoments(spark, sf0001).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("min_e4"), r.getAs[Long]("max_e4"))).toMap
+    val qu = ops.Aggs.aggQuartiles(spark, sf0001).collect()
+    assert(qu.nonEmpty)
+    qu.foreach { r =>
+      val (mn, mx) = mo(r.getAs[String]("event_type"))
+      val (p25, p50, p75) = (r.getAs[Long]("p25_e4"),
+        r.getAs[Long]("p50_e4"), r.getAs[Long]("p75_e4"))
+      assert(mn <= p25 && p25 <= p50 && p50 <= p75 && p75 <= mx)
+    }
+  }
 }

@@ -123,14 +123,16 @@ class PlanShapeSpec extends AnyFunSuite {
     // sample_mixture's is the 1-row min-language quota broadcast;
     // sample_temperature's is the 1-row (Σweight, budget) broadcast the
     // per-language quotas divide by; text_perplexity's is the 1-row
-    // total-token-count broadcast its per-term surprisal divides by
+    // total-token-count broadcast its per-term surprisal divides by;
+    // text_line_dedup's is the 1-row corpus-doc-count broadcast its
+    // relative (df·20 > ndocs) hot-line threshold compares against
     val sanctioned = Set("join_cross", "text_tfidf", "win_ntile_pct",
       "sim_topk_cosine", "dedup_near_embedding", "varda_frequency",
       "agg_freq_ratio", "varda_sample_expr", "varda_annotate",
       "source_vcf_file", "varda_freq_incremental", "varda_annotate_multi",
       "stream_late_watermark", "win_global_rank",
       "pack_sequences", "sample_mixture", "sample_temperature",
-      "text_perplexity", "varda_sample_retract")
+      "text_perplexity", "varda_sample_retract", "text_line_dedup")
     for ((k, fn) <- SparkEntry.queries.toSeq.sortBy(_._1) if !sanctioned(k)) {
       val p = fn(spark, sf0001).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
