@@ -242,7 +242,29 @@ object Streaming {
       }
   }
 
+  /** Windowed top-k: the per-(window, event_type) counts are the
+    * STREAMABLE half (same maintained state as [[tumblingAgg]];
+    * StreamingSpec proves batch/stream parity on it), and the top-3
+    * ranking runs over that O(windows × types) AGGREGATED frame — the
+    * serving-side read every dashboard does against the maintained
+    * counts store, never a rank over raw events. */
+  def windowTypeCounts(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("ws"), col("event_type"),
+        col("n_events"))
+
+  val streamTopk: Q = (s, d) => {
+    val w = Window.partitionBy("ws")
+      .orderBy(col("n_events").desc, col("event_type"))
+    windowTypeCounts(Tables.events(s, d))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy("ws", "rn")
+  }
+
   val queries: Map[String, Q] = Map(
+    "stream_topk" -> streamTopk,
     "stream_tumbling" -> streamTumbling,
     "stream_sliding" -> streamSliding,
     "stream_session" -> streamSession,
@@ -252,6 +274,17 @@ object Streaming {
     "stream_stateful_running" -> streamStatefulRunning)
 
   val oracle: Map[String, String] = Map(
+    "stream_topk" ->
+      """WITH c AS (SELECT time_bucket(INTERVAL '1 hour',
+                      CAST(ts AS TIMESTAMP)) AS ws,
+                    event_type, count(*) AS n_events
+             FROM events GROUP BY 1, 2),
+            r AS (SELECT ws, event_type, n_events,
+                    row_number() OVER (PARTITION BY ws
+                      ORDER BY n_events DESC, event_type) AS rn
+                  FROM c)
+         SELECT ws, event_type, n_events, rn
+         FROM r WHERE rn <= 3 ORDER BY ws, rn""",
     "stream_tumbling" ->
       """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS ws,
                 event_type, count(*) AS n_events,

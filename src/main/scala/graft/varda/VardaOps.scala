@@ -741,7 +741,69 @@ object VardaOps {
       .orderBy("chromosome", "position", "reference", "observed")
   }
 
+  /** Trio de-novo candidate detection over explicit inputs — the
+    * testable core (TrioSpec drives it with crafted rows). A variant is a
+    * de-novo CANDIDATE for a child iff (1) the child observed it
+    * heterozygous, (2) NEITHER parent observed it at all, and (3) BOTH
+    * parents cover the position — an uncovered parent means absence is
+    * missing data, not absence of the allele (the same covering rule as
+    * the frequency denominator: a containment region, or a sample with no
+    * coverage profile covers everything).
+    *
+    * Scale shape: parent-absence is two equi anti-joins on (variant key,
+    * parent id) — the parent id is child_id + offset, an equi key to the
+    * planner; parent-coverage is the bucketed containment equi-join over
+    * the candidates' distinct points plus the dimension-sized
+    * coverage-less broadcast, then two semi-joins. Every shuffle carries
+    * candidate variants or covered (point, sample) pairs — never the
+    * corpus crossed with itself. */
+  private[graft] def denovoFrom(obsDf: DataFrame, covDf: DataFrame,
+      smpDf: DataFrame): DataFrame = {
+    val vkey = Seq("chromosome", "position", "reference", "observed")
+    val child = obsDf
+      .filter(col("sample_id") % 8 === 4 && col("zygosity") === "heterozygous")
+      .select(vkey.map(col) :+ col("sample_id").as("child_id"): _*)
+      .distinct()
+    val pvar = obsDf
+      .select(vkey.map(col) :+ col("sample_id"): _*).distinct()
+      .toDF("p_chrom", "p_pos", "p_ref", "p_obs", "p_sid")
+    def absentIn(cur: DataFrame, off: Int): DataFrame =
+      cur.join(pvar,
+        col("chromosome") === col("p_chrom") && col("position") === col("p_pos")
+          && col("reference") === col("p_ref") && col("observed") === col("p_obs")
+          && col("p_sid") === col("child_id") + off,
+        "left_anti")
+    val pts = child.select("chromosome", "position").distinct()
+    val covPairs = bucketedContainment(pts, covDf)
+      .select("chromosome", "position", "sample_id").distinct()
+    val uncovered = pts.crossJoin(broadcast(
+      smpDf.filter(!col("has_coverage")).select("sample_id")))
+      .select("chromosome", "position", "sample_id")
+    val coverAll = covPairs.unionByName(uncovered)
+      .toDF("c_chrom", "c_pos", "c_sid")
+    def coveredIn(cur: DataFrame, off: Int): DataFrame =
+      cur.join(coverAll,
+        col("chromosome") === col("c_chrom") && col("position") === col("c_pos")
+          && col("c_sid") === col("child_id") + off,
+        "left_semi")
+    val out = coveredIn(coveredIn(absentIn(absentIn(child, 2), 4), 2), 4)
+    out.orderBy("chromosome", "position", "reference", "observed", "child_id")
+  }
+
+  /** Trio de-novo candidates on the fixture pedigree: children are
+    * samples ≡ 4 (mod 8) — {4, 12} — father = child + 2, mother =
+    * child + 4, so trio 12 has a coverage-less father (sample 14 covers
+    * everything) while trio 4 is fully covered. Parents are deliberately
+    * the child's PARITY: the fixture derives chromosome from user_id % 22
+    * but sample_id from user_id % 20, so an odd sample's coverage lives
+    * entirely on chromosomes where an even sample has no observations —
+    * an odd-offset pedigree would vacuously empty the result via the
+    * coverage clause. See [[denovoFrom]]. */
+  val vardaTrioDenovo: Q = (s, d) =>
+    denovoFrom(obs(s, d), cov(s, d), smp(s, d))
+
   val queries: Map[String, Q] = Map(
+    "varda_trio_denovo" -> vardaTrioDenovo,
     "source_vcf" -> sourceVcf,
     "source_vcf_file" -> sourceVcfFile,
     "source_bed" -> sourceBed,
@@ -765,6 +827,50 @@ object VardaOps {
     s"sample_id IN (${sampleExprSet.mkString(", ")})"
 
   val oracle: Map[String, String] = Map(
+    "varda_trio_denovo" ->
+      s"""WITH obs AS ($observations),
+            cov AS ($coverage),
+            smp AS (${VardaSql.samples}),
+            child AS (SELECT DISTINCT chromosome, position, reference,
+                        observed, sample_id AS child_id
+                      FROM obs
+                      WHERE sample_id % 8 = 4
+                        AND zygosity = 'heterozygous'),
+            pvar AS (SELECT DISTINCT chromosome, position, reference,
+                       observed, sample_id
+                     FROM obs),
+            pts AS (SELECT DISTINCT chromosome, position FROM child),
+            covp AS (SELECT DISTINCT p.chromosome, p.position, c.sample_id
+                     FROM pts p JOIN cov c ON c.chromosome = p.chromosome
+                       AND p.position BETWEEN c.begin_pos AND c.end_pos
+                     UNION
+                     SELECT p.chromosome, p.position, s.sample_id
+                     FROM pts p CROSS JOIN
+                       (SELECT sample_id FROM smp WHERE NOT has_coverage) s)
+         SELECT ch.chromosome, ch.position, ch.reference, ch.observed,
+                ch.child_id
+         FROM child ch
+         WHERE NOT EXISTS (SELECT 1 FROM pvar p
+                 WHERE p.chromosome = ch.chromosome
+                   AND p.position = ch.position
+                   AND p.reference = ch.reference
+                   AND p.observed = ch.observed
+                   AND p.sample_id = ch.child_id + 2)
+           AND NOT EXISTS (SELECT 1 FROM pvar p
+                 WHERE p.chromosome = ch.chromosome
+                   AND p.position = ch.position
+                   AND p.reference = ch.reference
+                   AND p.observed = ch.observed
+                   AND p.sample_id = ch.child_id + 4)
+           AND EXISTS (SELECT 1 FROM covp cp
+                 WHERE cp.chromosome = ch.chromosome
+                   AND cp.position = ch.position
+                   AND cp.sample_id = ch.child_id + 2)
+           AND EXISTS (SELECT 1 FROM covp cp
+                 WHERE cp.chromosome = ch.chromosome
+                   AND cp.position = ch.position
+                   AND cp.sample_id = ch.child_id + 4)
+         ORDER BY chromosome, position, reference, observed, child_id""",
     "source_vcf" ->
       s"""WITH obs AS ($observations),
           lines AS (SELECT obs_id, chromosome, position, reference,

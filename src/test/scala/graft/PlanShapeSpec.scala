@@ -132,7 +132,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "source_vcf_file", "varda_freq_incremental", "varda_annotate_multi",
       "stream_late_watermark", "win_global_rank",
       "pack_sequences", "sample_mixture", "sample_temperature",
-      "text_perplexity", "varda_sample_retract", "text_line_dedup")
+      "text_perplexity", "varda_sample_retract", "text_line_dedup", "varda_trio_denovo")
     for ((k, fn) <- SparkEntry.queries.toSeq.sortBy(_._1) if !sanctioned(k)) {
       val p = fn(spark, sf0001).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -38,6 +38,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.map(_.toString) == batch.map(_.toString))
   }
 
+  test("window-type counts (stream_topk's maintained state): stream equals batch") {
+    import spark.implicits._
+    val rows = Seq(
+      ev(1, "2024-01-01 10:05:00"), ev(2, "2024-01-01 10:10:00", typ = "view"),
+      ev(3, "2024-01-01 10:20:00"), ev(4, "2024-01-01 11:05:00", typ = "view"))
+    val ms = MemoryStream[EvRow](spark)
+    ms.addData(rows.take(2)); ms.addData(rows.drop(2))
+    val q = Streaming.windowTypeCounts(ms.toDF()
+        .withColumn("value", lit(1.0)).withColumn("props", lit("{}")))
+      .writeStream.outputMode("complete").format("memory").queryName("wtc").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("wtc").orderBy("ws", "event_type").collect().toSeq
+    val batch = Streaming.windowTypeCounts(rows.toDF()
+        .withColumn("value", lit(1.0)).withColumn("props", lit("{}")))
+      .orderBy("ws", "event_type").collect().toSeq
+    assert(streamed.map(_.toString) == batch.map(_.toString))
+  }
+
   test("streaming dropDuplicates with watermark dedups the replayed batch") {
     import spark.implicits._
     val rows = Seq(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:10:00"))
