@@ -142,6 +142,36 @@ object GlobalRank {
       .drop("__gr_pid", "__gr_local", "__gr_offset", "__gr_val")
   }
 
+  /** Append `out` = inclusive running MAX of `value` within each
+    * `groupCols` group under the total order `keys` — the max-monoid
+    * sibling of [[withGroupedRunningSum]] (same chunking contract):
+    * per-chunk local running max plus an O(groups × chunks) exclusive
+    * prefix-max broadcast, combined with `greatest` (which skips nulls,
+    * so a null `value` row simply carries the prefix forward and `out`
+    * is null only while NO non-null value has occurred yet in the
+    * group — exactly the open-left-edge semantics a sweep wants). */
+  def withGroupedRunningMax(df: DataFrame, groupCols: Seq[String],
+      keys: Seq[Column], value: Column, out: String,
+      chunkKey: Option[Column] = None, numPartitions: Int = 0): DataFrame = {
+    val gcols = groupCols.map(col)
+    val bucketed = withGroupedChunkId(df.withColumn("__gr_val", value),
+      groupCols, keys, chunkKey, numPartitions)
+    val localW = Window.partitionBy(gcols :+ col("__gr_pid"): _*)
+      .orderBy(keys: _*).rowsBetween(Window.unboundedPreceding, 0)
+    val local = bucketed.withColumn("__gr_local",
+      max(col("__gr_val")).over(localW))
+    val offsets = bucketed.groupBy(gcols :+ col("__gr_pid"): _*)
+      .agg(max(col("__gr_val")).as("__gr_tot"))
+      .withColumn("__gr_offset",
+        max(col("__gr_tot")).over(
+          Window.partitionBy(gcols: _*).orderBy("__gr_pid")
+            .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(gcols :+ col("__gr_pid") :+ col("__gr_offset"): _*)
+    nullSafeBroadcastJoin(local, offsets, groupCols :+ "__gr_pid")
+      .withColumn(out, greatest(col("__gr_offset"), col("__gr_local")))
+      .drop("__gr_pid", "__gr_local", "__gr_offset", "__gr_val")
+  }
+
   /** Broadcast inner join on `keys` with NULL-SAFE equality (`<=>`):
     * `Window.partitionBy` treats NULL as a group of its own, so the
     * grouped chunked forms must too — a plain equi-join would silently

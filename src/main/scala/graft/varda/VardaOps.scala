@@ -802,7 +802,64 @@ object VardaOps {
   val vardaTrioDenovo: Q = (s, d) =>
     denovoFrom(obs(s, d), cov(s, d), smp(s, d))
 
+  /** Nearest-region distance (the bedtools-closest analog) over explicit
+    * inputs — for each distinct variant point, the distance to the
+    * nearest coverage interval on its chromosome: 0 when covered, else
+    * min(gap to the closest interval ending before it, gap to the
+    * closest interval starting after it), −1 when the chromosome has no
+    * interval at all.
+    *
+    * Scale shape: covered points come from the bucketed containment
+    * equi-join; each sweep side is a union of interval endpoints and
+    * points run through [[graft.ops.GlobalRank.withGroupedRunningMax]] —
+    * per-chromosome arithmetic chunks, so 22 chromosomes never serialize
+    * into 22 sort tasks and the shuffle carries (chromosome, coord,
+    * kind, value) rows, never point × interval pairs. The next-begin
+    * side is the same running max over negated coordinates. Equality
+    * ties with endpoints cannot occur for uncovered points (an endpoint
+    * at the point's position implies containment), so the strict-side
+    * semantics match the oracle's `<` / `>` predicates exactly. */
+  private[graft] def nearestRegionFrom(ptsIn: DataFrame,
+      covDf: DataFrame): DataFrame = {
+    val pts = ptsIn.select("chromosome", "position").distinct()
+    val covered = bucketedContainment(pts, covDf)
+      .select("chromosome", "position").distinct()
+    val uncovered = pts.join(covered, Seq("chromosome", "position"), "left_anti")
+    def sweep(ev: DataFrame, outCol: String): DataFrame =
+      graft.ops.GlobalRank.withGroupedRunningMax(ev, Seq("chromosome"),
+          Seq(col("coord"), col("kind")), col("v"), outCol)
+        .filter(col("kind") === 1)
+    val prev = sweep(
+      covDf.select(col("chromosome"), col("end_pos").as("coord"),
+          lit(0).as("kind"), col("end_pos").as("v"))
+        .unionByName(uncovered.select(col("chromosome"),
+          col("position").as("coord"), lit(1).as("kind"),
+          lit(null).cast(LongType).as("v"))), "prev_end")
+      .select(col("chromosome"), col("coord").as("position"), col("prev_end"))
+    val nxt = sweep(
+      covDf.select(col("chromosome"), (-col("begin_pos")).as("coord"),
+          lit(0).as("kind"), (-col("begin_pos")).as("v"))
+        .unionByName(uncovered.select(col("chromosome"),
+          (-col("position")).as("coord"), lit(1).as("kind"),
+          lit(null).cast(LongType).as("v"))), "neg_next")
+      .select(col("chromosome"), (-col("coord")).as("position"),
+        (-col("neg_next")).as("next_begin"))
+    val swept = prev.join(nxt, Seq("chromosome", "position"))
+      .withColumn("nearest_dist",
+        coalesce(least(col("position") - col("prev_end"),
+          col("next_begin") - col("position")), lit(-1L)))
+      .select("chromosome", "position", "nearest_dist")
+    covered.withColumn("nearest_dist", lit(0L)).unionByName(swept)
+      .orderBy("chromosome", "position")
+  }
+
+  /** Nearest-region distance on the fixture: distinct observation points
+    * against the full coverage-region cohort. See [[nearestRegionFrom]]. */
+  val vardaNearestRegion: Q = (s, d) =>
+    nearestRegionFrom(obs(s, d), cov(s, d))
+
   val queries: Map[String, Q] = Map(
+    "varda_nearest_region" -> vardaNearestRegion,
     "varda_trio_denovo" -> vardaTrioDenovo,
     "source_vcf" -> sourceVcf,
     "source_vcf_file" -> sourceVcfFile,
@@ -827,6 +884,39 @@ object VardaOps {
     s"sample_id IN (${sampleExprSet.mkString(", ")})"
 
   val oracle: Map[String, String] = Map(
+    "varda_nearest_region" ->
+      s"""WITH obs AS ($observations),
+            cov AS ($coverage),
+            pts AS (SELECT DISTINCT chromosome, position FROM obs),
+            covered AS (SELECT DISTINCT p.chromosome, p.position
+                        FROM pts p JOIN cov c
+                          ON c.chromosome = p.chromosome
+                         AND p.position BETWEEN c.begin_pos AND c.end_pos),
+            unc AS (SELECT p.chromosome, p.position FROM pts p
+                    WHERE NOT EXISTS (SELECT 1 FROM covered c
+                      WHERE c.chromosome = p.chromosome
+                        AND c.position = p.position)),
+            sides AS (SELECT u.chromosome, u.position,
+                        max(CASE WHEN c.end_pos < u.position
+                              THEN c.end_pos END) AS prev_end,
+                        min(CASE WHEN c.begin_pos > u.position
+                              THEN c.begin_pos END) AS next_begin
+                      FROM unc u LEFT JOIN cov c
+                        ON c.chromosome = u.chromosome
+                      GROUP BY 1, 2)
+         SELECT chromosome, position, CAST(0 AS BIGINT) AS nearest_dist
+         FROM covered
+         UNION ALL
+         SELECT chromosome, position,
+                CASE WHEN prev_end IS NULL AND next_begin IS NULL
+                       THEN CAST(-1 AS BIGINT)
+                     WHEN prev_end IS NULL THEN next_begin - position
+                     WHEN next_begin IS NULL THEN position - prev_end
+                     WHEN position - prev_end <= next_begin - position
+                       THEN position - prev_end
+                     ELSE next_begin - position END AS nearest_dist
+         FROM sides
+         ORDER BY chromosome, position""",
     "varda_trio_denovo" ->
       s"""WITH obs AS ($observations),
             cov AS ($coverage),
