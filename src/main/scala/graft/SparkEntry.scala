@@ -20,6 +20,7 @@ object SparkEntry {
     (ops.Llm.queries, ops.Llm.oracle),
     (ops.Analysis.queries, ops.Analysis.oracle),
     (ops.Pipeline.queries, ops.Pipeline.oracle),
+    (ops.Graph.queries, ops.Graph.oracle),
     (varda.VardaOps.queries, varda.VardaOps.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

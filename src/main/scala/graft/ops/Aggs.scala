@@ -241,6 +241,32 @@ object Aggs {
         scaledLong(max(col("v")).cast(DecimalType(38, 4)), 4).as("max_e4"))
       .orderBy("event_type")
 
+  /** Cross-moments per group — the sufficient statistics for covariance,
+    * correlation and OLS slope between two columns (n, Σx, Σy, Σxy, Σx²,
+    * Σy² as scaled BIGINTs over quantity × discount). Same contract as
+    * [[aggMoments]]: ONE hash aggregate with map-side combine ships
+    * O(groups) rows; the float divisions (corr = (nΣxy−ΣxΣy)/…) happen
+    * downstream on the results-sized frame, never in a second data pass.
+    * Products stay DECIMAL-exact (quantity and discount are 2-dp values,
+    * so e4 casts are lossless) and every sum accumulates as
+    * DECIMAL(38,·) — no BIGINT wraparound at any row count. */
+  val aggComoments: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        dec4(col("l_quantity")).as("x"), dec4(col("l_discount")).as("y"))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        scaledLong(sum(col("x")).cast(DecimalType(38, 4)), 4).as("sum_x_e4"),
+        scaledLong(sum(col("y")).cast(DecimalType(38, 4)), 4).as("sum_y_e4"),
+        scaledLong(sum((col("x") * col("y")).cast(DecimalType(28, 8)))
+          .cast(DecimalType(38, 8)), 8).as("sum_xy_e8"),
+        scaledLong(sum((col("x") * col("x")).cast(DecimalType(28, 8)))
+          .cast(DecimalType(38, 8)), 8).as("sum_xx_e8"),
+        scaledLong(sum((col("y") * col("y")).cast(DecimalType(28, 8)))
+          .cast(DecimalType(38, 8)), 8).as("sum_yy_e8"))
+      .orderBy("l_returnflag")
+
   /** Discrete quartiles (percentile_disc at 0.25/0.5/0.75) per group,
     * distributed exactly like [[aggExactMedian]]: chunked in-group rank,
     * broadcast counts, pick rows at rank ceil(q·n) — integer formulas
@@ -273,6 +299,7 @@ object Aggs {
     "agg_mode" -> aggMode,
     "agg_exact_median" -> aggExactMedian,
     "agg_moments" -> aggMoments,
+    "agg_comoments" -> aggComoments,
     "agg_quartiles" -> aggQuartiles,
     "agg_histogram" -> aggHistogram,
     "agg_groupby_sums" -> aggGroupbySums,
@@ -299,6 +326,21 @@ object Aggs {
            CAST(CAST(MIN(v) AS DECIMAL(38,4)) * 10000 AS BIGINT) AS min_e4,
            CAST(CAST(MAX(v) AS DECIMAL(38,4)) * 10000 AS BIGINT) AS max_e4
          FROM e GROUP BY event_type ORDER BY event_type""",
+    "agg_comoments" ->
+      """WITH li AS (SELECT l_returnflag,
+                       CAST(l_quantity AS DECIMAL(18,4)) AS x,
+                       CAST(l_discount AS DECIMAL(18,4)) AS y
+                     FROM lineitem)
+         SELECT l_returnflag, count(*) AS n,
+           CAST(CAST(SUM(x) AS DECIMAL(38,4)) * 10000 AS BIGINT) AS sum_x_e4,
+           CAST(CAST(SUM(y) AS DECIMAL(38,4)) * 10000 AS BIGINT) AS sum_y_e4,
+           CAST(CAST(SUM(CAST(x * y AS DECIMAL(28,8))) AS DECIMAL(38,8))
+                * 100000000 AS BIGINT) AS sum_xy_e8,
+           CAST(CAST(SUM(CAST(x * x AS DECIMAL(28,8))) AS DECIMAL(38,8))
+                * 100000000 AS BIGINT) AS sum_xx_e8,
+           CAST(CAST(SUM(CAST(y * y AS DECIMAL(28,8))) AS DECIMAL(38,8))
+                * 100000000 AS BIGINT) AS sum_yy_e8
+         FROM li GROUP BY l_returnflag ORDER BY l_returnflag""",
     "agg_quartiles" ->
       """WITH e AS (SELECT event_type, CAST(value AS DECIMAL(18,4)) AS v,
                            event_id

@@ -122,10 +122,39 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** Gap-filled hourly resample — the time-series downsampling step every
+    * metrics pipeline runs before charting or joining against other
+    * series: per event_type, one row per hour between that type's first
+    * and last event, zeros where nothing happened. The event log
+    * aggregates FIRST (one shuffle, map-side combined, output bounded by
+    * types × hours), and only then meets the dense hour spine — which is
+    * generated from the per-type [min, max] span via `sequence`, i.e.
+    * O(types × hours) rows with no scan of the log. Both sides of the
+    * final left join are results-sized, so gap-filling costs nothing at
+    * any corpus scale. */
+  val eventsResample: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .withColumn("h", date_trunc("hour", col("ts")))
+    val agg = ev.groupBy("event_type", "h")
+      .agg(count(lit(1)).as("n_events"),
+        scaledLong(sum(dec4(col("value"))).cast(DecimalType(18, 4)), 4)
+          .as("val_sum_e4"))
+    val spine = ev.groupBy("event_type")
+      .agg(min("h").as("h0"), max("h").as("h1"))
+      .select(col("event_type"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+    spine.join(agg, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("val_sum_e4"), lit(0L)).as("val_sum_e4"))
+      .orderBy("event_type", "h")
+  }
+
   val queries: Map[String, Q] = Map(
     "win_sessionize" -> winSessionize,
     "events_funnel" -> eventsFunnel,
     "events_retention" -> eventsRetention,
+    "events_resample" -> eventsResample,
     "win_streaks" -> winStreaks)
 
   val oracle: Map[String, String] = Map(
@@ -166,6 +195,23 @@ object Events {
          LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
          LEFT JOIN p USING (user_id)
          ORDER BY user_id""",
+    "events_resample" ->
+      """WITH ev AS (SELECT event_type,
+                       date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, value
+                     FROM events),
+            agg AS (SELECT event_type, h, count(*) AS n_events,
+                      CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DECIMAL(38,4)) * 10000 AS BIGINT) AS val_sum_e4
+                    FROM ev GROUP BY 1, 2),
+            sp AS (SELECT event_type,
+                     unnest(generate_series(min(h), max(h),
+                       INTERVAL 1 HOUR)) AS h
+                   FROM ev GROUP BY event_type)
+         SELECT sp.event_type, sp.h,
+                COALESCE(n_events, 0) AS n_events,
+                COALESCE(val_sum_e4, 0) AS val_sum_e4
+         FROM sp LEFT JOIN agg
+           ON sp.event_type = agg.event_type AND sp.h = agg.h
+         ORDER BY 1, 2""",
     "events_retention" ->
       """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS d0
                     FROM events GROUP BY 1),

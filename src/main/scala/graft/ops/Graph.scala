@@ -1,0 +1,107 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over a relational co-occurrence graph — the entity-
+  * resolution / link-analysis capability an analytics engine grows once
+  * its dedup tier starts producing pair sets (DedupClusters already does
+  * transitive closure; this adds the local-structure metric).
+  *
+  * The graph: suppliers are vertices; an undirected edge connects two
+  * suppliers that co-occur in at least one order. Edge derivation is a
+  * bounded self-join (TPC-H orders hold ≤ 7 lineitems, so per-order
+  * fan-out is ≤ C(7,2) = 21 pairs) followed by distinct — one shuffle on
+  * the pair key.
+  *
+  * Triangle counting is the MapReduce wedge algorithm (Suri &
+  * Vassilvitskii, WWW'11; Cohen, "Graph Twiddling in a MapReduce
+  * World"): orient every edge from its lower-(degree, id) endpoint to
+  * its higher one, enumerate wedges at each vertex from its oriented
+  * out-neighbors, and close them against the oriented edge set. Degree
+  * orientation bounds every out-degree by O(√m) on any graph, so the
+  * wedge join is O(m^{3/2}) total work with no skew blow-up at a hub
+  * vertex — the property that lets this survive a power-law co-occurrence
+  * graph at 100 TB, where id-orientation would pile every hub's wedges
+  * onto one reducer. All three stages are equi-joins keyed on vertex
+  * ids; nothing is quadratic in the vertex set.
+  */
+object Graph {
+
+  /** Undirected co-occurrence edges (u < v), one row per distinct pair. */
+  private[graft] def supplierEdges(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+    li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
+      .select(col("a.sk").as("u"), col("b.sk").as("v"))
+      .distinct()
+  }
+
+  /** Per-vertex triangle counts over an undirected edge list (u < v).
+    * Returns (node, n_tri) for every vertex in ≥ 1 triangle. The result
+    * is orientation-invariant, so the degree-oriented plan is
+    * result-identical to the oracle's naive id-oriented 3-way join
+    * (GraphSpec asserts equality on crafted graphs). */
+  private[graft] def trianglesPerNode(edges: DataFrame): DataFrame = {
+    // degree per vertex, then a total order (degree, id) packed into one
+    // BIGINT rank: deg * 2^32 + id (ids and degrees both < 2^31).
+    val deg = edges.select(col("u").as("n"))
+      .unionAll(edges.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val rank = (col("deg") * lit(4294967296L) + col("n")).as("r")
+    val ranked = deg.select(col("n"), rank)
+
+    // orient each edge low-rank → high-rank, keeping original ids
+    val e = edges
+      .join(ranked.select(col("n").as("u"), col("r").as("ru")), "u")
+      .join(ranked.select(col("n").as("v"), col("r").as("rv")), "v")
+    val oriented = e.select(
+      when(col("ru") < col("rv"), col("u")).otherwise(col("v")).as("lo"),
+      when(col("ru") < col("rv"), col("v")).otherwise(col("u")).as("hi"),
+      least(col("ru"), col("rv")).as("rlo"),
+      greatest(col("ru"), col("rv")).as("rhi"))
+
+    // wedges at each low vertex: unordered pairs of out-neighbors,
+    // canonicalized by rank so each wedge appears once
+    val o1 = oriented.select(col("lo").as("x"), col("hi").as("y1"),
+      col("rhi").as("ry1"))
+    val o2 = oriented.select(col("lo").as("x"), col("hi").as("y2"),
+      col("rhi").as("ry2"))
+    val wedges = o1.join(o2, Seq("x")).filter(col("ry1") < col("ry2"))
+
+    // close each wedge against the oriented edge set: (y1, y2) is an
+    // oriented edge iff the original graph has edge {y1, y2}
+    val closing = oriented.select(col("lo").as("y1"), col("hi").as("y2"))
+    val tris = wedges.join(closing, Seq("y1", "y2"))
+
+    tris.select(explode(array(col("x"), col("y1"), col("y2"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+      .orderBy("node")
+  }
+
+  /** Declared graph_triangles: per-supplier triangle counts of the
+    * order-co-occurrence graph. */
+  val graphTriangles: Q = (s, d) => trianglesPerNode(supplierEdges(s, d))
+
+  val queries: Map[String, Q] = Map(
+    "graph_triangles" -> graphTriangles)
+
+  val oracle: Map[String, String] = Map(
+    "graph_triangles" ->
+      """WITH e AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+                    FROM lineitem a JOIN lineitem b
+                      ON a.l_orderkey = b.l_orderkey
+                     AND a.l_suppkey < b.l_suppkey),
+            t AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+                  FROM e e1
+                  JOIN e e2 ON e2.u = e1.v
+                  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+         SELECT node, count(*) AS n_tri
+         FROM (SELECT x AS node FROM t
+               UNION ALL SELECT y FROM t
+               UNION ALL SELECT z FROM t)
+         GROUP BY node ORDER BY node""")
+}

@@ -526,6 +526,19 @@ object Llm {
     Multimodal.featureDigest(Multimodal.mediaTable(s, d))
       .orderBy("media_id")
 
+  /** Declared multimodal_framesample: the temporal-downsampling path of
+    * the media tier ([[Multimodal.frameSample]]) — treat each payload's
+    * rows as video frames, keep every 3rd (rows 0, 3, 6 of the 8×8
+    * payload), digest the sampled payload. Exercises the
+    * decode→transform→re-encode→metadata-update plumbing end to end; the
+    * digest math stays the exact-binary integer recipe. Per-row work,
+    * zero shuffles — frame sampling at 100 TB is embarrassingly
+    * parallel. */
+  val multimodalFrameSample: Q = (s, d) =>
+    Multimodal.featureDigest(
+      Multimodal.frameSample(Multimodal.mediaTable(s, d), 3))
+      .orderBy("media_id")
+
   /** One-call dedup pipeline — the user-facing composition: documents →
     * pair generator → transitive-closure cluster resolution → deduplicated
     * corpus. `pairGen` is any of this file's generators (exact text match
@@ -541,6 +554,7 @@ object Llm {
     "dedup_exact" -> dedupExact,
     "dedup_cluster" -> dedupCluster,
     "multimodal_features" -> multimodalFeatures,
+    "multimodal_framesample" -> multimodalFrameSample,
     "dedup_near_jaccard" -> dedupNearJaccard,
     "dedup_near_minhash" -> dedupNearMinhash,
     "sim_topk_cosine" -> simTopkCosine,
@@ -585,6 +599,17 @@ object Llm {
              x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT))) AS BIGINT) AS px_sum_fp,
            CAST(floor(CAST(list_max(embedding) AS DOUBLE) * 1048576) AS BIGINT) AS max_fp
          FROM embeddings ORDER BY media_id""",
+    "multimodal_framesample" ->
+      """WITH px AS (SELECT vec_id,
+                       embedding[1:8] || embedding[25:32] || embedding[49:56] AS px
+                     FROM embeddings)
+         SELECT vec_id AS media_id,
+           CAST(8 AS BIGINT) AS width, CAST(3 AS BIGINT) AS height,
+           CAST(len(px) AS BIGINT) AS n_px,
+           CAST(list_sum(list_transform(px,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT))) AS BIGINT) AS px_sum_fp,
+           CAST(floor(CAST(list_max(px) AS DOUBLE) * 1048576) AS BIGINT) AS max_fp
+         FROM px ORDER BY media_id""",
     "dedup_near_jaccard" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
             sh AS (SELECT DISTINCT doc_id,

@@ -4,6 +4,7 @@ import graft.{Q, Tables}
 import graft.Tables.dec4
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
 
 /** §2.6 sorts/limits/top-k + §2.7 set operations.
   *
@@ -77,6 +78,23 @@ object SortsSets {
           .otherwise("test").as("split"))
       .orderBy("doc_id")
 
+  /** Bottom-k uniform sample: the 100 documents with the smallest
+    * content hash — the distributed-safe "give me a random sample of the
+    * corpus" primitive. Bottom-k by a uniform hash IS a uniform sample
+    * (every doc equally likely to land in the k smallest), but unlike
+    * reservoir sampling it needs no sequential pass and no driver state:
+    * `orderBy(h).limit(k)` plans as TakeOrderedAndProject, each partition
+    * ships only its own top-k candidates, O(k) rows reach the driver
+    * regardless of corpus size. Hash keyed on (text, doc_id) so the
+    * sample is rerun- and engine-stable. */
+  val sampleBottomK: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(concat(col("text"), lit("|"),
+          col("doc_id").cast(StringType))).as("hk"))
+      .orderBy("hk")
+      .limit(100)
+
   val setUnionAll: Q = (s, d) =>
     Tables.orders(s, d).select(col("o_custkey").as("k"))
       .unionAll(Tables.customer(s, d).select(col("c_custkey").as("k")))
@@ -123,6 +141,7 @@ object SortsSets {
     "topk_per_group" -> topkPerGroup,
     "sample_stratified" -> sampleStratified,
     "sample_split" -> sampleSplit,
+    "sample_bottomk" -> sampleBottomK,
     "set_union_all" -> setUnionAll,
     "set_union_distinct" -> setUnionDistinct,
     "set_intersect" -> setIntersect,
@@ -164,6 +183,9 @@ object SortsSets {
                  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 AS b
                FROM documents) t
          ORDER BY doc_id""",
+    "sample_bottomk" ->
+      """SELECT doc_id, md5(text || '|' || CAST(doc_id AS VARCHAR)) AS hk
+         FROM documents ORDER BY hk LIMIT 100""",
     "set_union_all" ->
       """SELECT k FROM (
            SELECT o_custkey AS k FROM orders

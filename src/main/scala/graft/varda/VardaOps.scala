@@ -858,8 +858,36 @@ object VardaOps {
   val vardaNearestRegion: Q = (s, d) =>
     nearestRegionFrom(obs(s, d), cov(s, d))
 
+  /** Coordinate lift-over (the UCSC liftOver analog): map every distinct
+    * observation point through the [[VardaSql.chain]] assembly map —
+    * position + shift when a chain block contains it, −1 (unmapped)
+    * otherwise. The chain-file invariant (at most one mapping interval
+    * per position) makes this a LEFT OUTER containment join; because the
+    * fixture's blocks are grid-aligned with bounded length, the
+    * containment collapses to the single-fine-bucket strategy (the same
+    * one `spark.graft.intervalJoin.maxLength` selects in
+    * [[graft.plans.RewriteIntervalJoin]]): equi-join on
+    * (chromosome, position div 1000) with only the upper-bound residual —
+    * both sides hash-partition on the block key, no bucket explosion, no
+    * quadratic fallback for the null-extended rows. */
+  val vardaLiftover: Q = (s, d) => {
+    val pts = obs(s, d).select("chromosome", "position").distinct()
+      .withColumn("blk", expr("position div 1000"))
+    val ch = fixture(s, d, VardaSql.chain)
+      .withColumn("blk", expr("src_begin div 1000"))
+    pts.join(ch,
+        pts("chromosome") === ch("chromosome") && pts("blk") === ch("blk")
+          && pts("position") >= ch("src_begin")
+          && pts("position") <= ch("src_end"),
+        "left_outer")
+      .select(pts("chromosome"), pts("position"),
+        coalesce(pts("position") + ch("shift"), lit(-1L)).as("new_position"))
+      .orderBy("chromosome", "position")
+  }
+
   val queries: Map[String, Q] = Map(
     "varda_nearest_region" -> vardaNearestRegion,
+    "varda_liftover" -> vardaLiftover,
     "varda_trio_denovo" -> vardaTrioDenovo,
     "source_vcf" -> sourceVcf,
     "source_vcf_file" -> sourceVcfFile,
@@ -884,6 +912,16 @@ object VardaOps {
     s"sample_id IN (${sampleExprSet.mkString(", ")})"
 
   val oracle: Map[String, String] = Map(
+    "varda_liftover" ->
+      s"""WITH obs AS ($observations),
+            chain AS (${VardaSql.chain}),
+            pts AS (SELECT DISTINCT chromosome, position FROM obs)
+         SELECT p.chromosome, p.position,
+                COALESCE(p.position + c.shift, -1) AS new_position
+         FROM pts p LEFT JOIN chain c
+           ON c.chromosome = p.chromosome
+          AND p.position BETWEEN c.src_begin AND c.src_end
+         ORDER BY 1, 2""",
     "varda_nearest_region" ->
       s"""WITH obs AS ($observations),
             cov AS ($coverage),

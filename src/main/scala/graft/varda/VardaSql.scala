@@ -77,6 +77,23 @@ object VardaSql {
            WHEN 0 THEN 'A'   WHEN 1 THEN 'AATT' ELSE 'GC' END                 AS alt
        FROM part"""
 
+  /** chain — a liftOver-style assembly map derived from orders: per
+    * chromosome, grid-aligned source blocks [blk·1000, blk·1000+799]
+    * each carrying a deterministic coordinate shift (min orderkey of the
+    * block's contributing rows, recentred to ±1000). Blocks are disjoint
+    * per chromosome BY CONSTRUCTION (distinct blk ⇒ disjoint
+    * [blk·1000, blk·1000+799]), so every position maps through at most
+    * one chain interval — the chain-file invariant liftOver relies on. */
+  val chain: String =
+    s"""SELECT chromosome,
+         CAST(blk * 1000 AS BIGINT)       AS src_begin,
+         CAST(blk * 1000 + 799 AS BIGINT) AS src_end,
+         CAST(min(ok) % 2000 - 1000 AS BIGINT) AS shift
+       FROM (SELECT ${chromName("o_custkey % 22")} AS chromosome,
+               o_orderkey % 100 AS blk, o_orderkey AS ok
+             FROM orders) t
+       GROUP BY chromosome, blk"""
+
   /** Engine-specific right shift: Spark lacks `>>` in all dialects we pin,
     * DuckDB lacks `shiftright`. */
   def shrSpark(x: String, n: Int) = s"shiftright($x, $n)"

@@ -18,11 +18,31 @@ class AllQueriesSpec extends AnyFunSuite {
       "dedup_near_minhash", "sim_ann_lsh",
       "sim_ann_ivf", "dedup_near_embedding_lsh"),
       s"unexpected no-oracle keys: $noOracle")
-    assert(q.size == 139, s"expected 139 declared keys, got ${q.size}")
+    assert(q.size == 145, s"expected 145 declared keys, got ${q.size}")
   }
 
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("agg_comoments sufficient statistics reproduce Spark's corr()") {
+    import org.apache.spark.sql.functions.{col, corr}
+    val m = ops.Aggs.aggComoments(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val want = Tables.lineitem(spark, sf0001)
+      .groupBy("l_returnflag").agg(corr(col("l_quantity"), col("l_discount")))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    want.foreach { case (flag, c) =>
+      val r = m(flag)
+      val n = r.getAs[Long]("n").toDouble
+      val (sx, sy) = (r.getAs[Long]("sum_x_e4") / 1e4, r.getAs[Long]("sum_y_e4") / 1e4)
+      val sxy = r.getAs[Long]("sum_xy_e8") / 1e8
+      val (sxx, syy) = (r.getAs[Long]("sum_xx_e8") / 1e8, r.getAs[Long]("sum_yy_e8") / 1e8)
+      val derived = (n * sxy - sx * sy) /
+        (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+      assert(math.abs(derived - c) < 1e-6,
+        s"$flag: derived corr $derived vs Spark ${c}")
+    }
   }
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

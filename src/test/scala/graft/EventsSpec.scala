@@ -93,6 +93,37 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("events_resample: dense hourly spine, zero-filled gaps, totals preserved") {
+    val rows = ops.Events.eventsResample(spark, sf0001).collect()
+    val byType = rows.groupBy(_.getString(0))
+    val ev = Tables.events(spark, sf0001)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).toLocalDateTime))
+    byType.foreach { case (t, cells) =>
+      val hours = cells.map(_.getTimestamp(1).toLocalDateTime).sorted
+      // spine is dense: consecutive cells exactly one hour apart
+      hours.sliding(2).foreach {
+        case Array(a, b) => assert(a.plusHours(1) == b,
+          s"$t spine gap between $a and $b")
+        case _ =>
+      }
+      val present = ev.filter(_._1 == t).map(_._2)
+      assert(hours.head == present.min && hours.last == present.max,
+        s"$t spine must span [first, last] event hour")
+      // counts: zero exactly where no event fell, totals preserved
+      val perHour = present.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      cells.foreach { c =>
+        val h = c.getTimestamp(1).toLocalDateTime
+        assert(c.getAs[Long]("n_events") == perHour.getOrElse(h, 0L),
+          s"$t count at $h")
+        if (!perHour.contains(h))
+          assert(c.getAs[Long]("val_sum_e4") == 0L, s"$t gap not zero-filled at $h")
+      }
+      assert(cells.map(_.getAs[Long]("n_events")).sum == present.length,
+        s"$t resample must preserve the event count")
+    }
+  }
+
   test("events_retention: day-0 cell equals cohort size, counts never exceed it") {
     val ret = ops.Events.eventsRetention(spark, sf0001).collect()
     val cohortSize = Tables.events(spark, sf0001)

@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Triangle-counting semantics: the degree-oriented wedge algorithm must
+  * count exactly the triangles a naive closed-triple enumeration finds —
+  * on crafted graphs covering the degenerate shapes and on the real
+  * fixture graph. */
+class GraphSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def tri(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    ops.Graph.trianglesPerNode(edges.toDF("u", "v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("K4: every vertex participates in 3 triangles") {
+    val k4 = for { i <- 0L to 3L; j <- (i + 1) to 3L } yield (i, j)
+    assert(tri(k4) == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+  }
+
+  test("a path has no triangles") {
+    assert(tri(Seq((1L, 2L), (2L, 3L), (3L, 4L))).isEmpty)
+  }
+
+  test("hub star with one rim edge: exactly one triangle, hub included once") {
+    // the hub has degree 10 — under degree orientation every closing
+    // wedge lives at a LOW-degree rim vertex, never at the hub
+    val star = (1L to 10L).map(i => (0L, i))
+    assert(tri(star :+ ((1L, 2L))) == Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
+  }
+
+  test("two triangles sharing an edge: shared vertices count both") {
+    // {1,2,3} and {2,3,4} share edge (2,3)
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(tri(g) == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("fixture graph: degree-oriented counts equal naive triple enumeration") {
+    val edges = ops.Graph.supplierEdges(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val naive = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      (a, b) <- edges
+      c <- nodes if c > b && edges((b, c)) && edges((a, c))
+    } {
+      naive(a) += 1; naive(b) += 1; naive(c) += 1
+    }
+    val mine = ops.Graph.graphTriangles(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mine == naive.toMap, "per-node triangle counts diverge")
+  }
+}

@@ -71,6 +71,18 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r.getAs[Array[Byte]](1).length == 3 * 8 * 4)
   }
 
+  test("declared framesample digests match a direct digest of the sampled rows") {
+    val direct = Multimodal.featureDigest(Multimodal.frameSample(media, 3))
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val full = Multimodal.featureDigest(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(direct.nonEmpty)
+    direct.foreach { case (_, (nPx, _, _)) => assert(nPx == 24) } // 3 rows × 8
+    // sampling must be a strict subset: sampled n_px < full n_px
+    full.foreach { case (id, n) => assert(direct(id)._1 < n) }
+  }
+
   test("per-partition batched path equals the row-at-a-time path") {
     val batched = Multimodal.extractFeaturesBatched(media)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap

@@ -65,6 +65,10 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan("topk_global").contains("TakeOrderedAndProject"))
   }
 
+  test("sample_bottomk plans TakeOrderedAndProject (bottom-k, not a full sort)") {
+    assert(plan("sample_bottomk").contains("TakeOrderedAndProject"))
+  }
+
   test("varda containment joins are equi-joins, not nested-loop") {
     for (k <- Seq("varda_coverage_join", "join_range_interval")) {
       val p = plan(k)

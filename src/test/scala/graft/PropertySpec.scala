@@ -111,6 +111,26 @@ class PropertySpec extends AnyFunSuite {
     assert(pairs(VardaOps.bucketedContainment(points, regions)) == naive)
   }
 
+  test("liftover equals the naive chain lookup; both branches exercised") {
+    Tables.registerViews(spark, sf0001)
+    val chain = spark.sql(VardaSql.chain).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val got = VardaOps.vardaLiftover(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val pts = VardaOps.obs(spark, sf0001)
+      .select("chromosome", "position").distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.size == pts.length, "one output row per distinct point")
+    pts.foreach { case (c, p) =>
+      val m = chain.filter(x => x._1 == c && p >= x._2 && p <= x._3)
+      assert(m.length <= 1, s"chain invariant violated at ($c, $p)")
+      val want = m.headOption.map(x => p + x._4).getOrElse(-1L)
+      assert(got((c, p)) == want, s"liftover at ($c, $p)")
+    }
+    assert(got.values.exists(_ != -1L), "no mapped point — fixture degenerate")
+    assert(got.values.exists(_ == -1L), "no unmapped point — fixture degenerate")
+  }
+
   test("bucketed interval-overlap join equals the naive quadratic join") {
     import spark.implicits._
     // lengths beyond one 2^11 bucket too — exercises multi-bucket explode
