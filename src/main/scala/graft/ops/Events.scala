@@ -150,11 +150,38 @@ object Events {
       .orderBy("event_type", "h")
   }
 
+  /** 3σ anomaly hours per event_type — the alerting query every metrics
+    * pipeline runs over its resampled series. The z-score test is done
+    * in EXACT integer algebra: (c−μ)² > 9σ² multiplied through by nh²
+    * becomes (c·nh − s)² > 9·(nh·q − s²) over the per-type sufficient
+    * statistics nh = #hours, s = Σc, q = Σc² — no floats, no sqrt, so
+    * both engines flag the identical cell set (the float formulation
+    * would be un-hashable at the σ boundary). Costs one shuffle for the
+    * hourly counts; the per-type stats frame is O(types) and broadcast
+    * back, so the flagging pass is shuffle-free. Magnitudes: c·nh ≤
+    * corpus size, squared ≤ 10³⁸? No — (c·nh − s) is bounded by the
+    * series total (≤ corpus rows ~2³⁰ at 100 TB per type·hour grain),
+    * squared ≤ 2⁶⁰ — inside BIGINT. */
+  val eventsAnomaly: Q = (s, d) => {
+    val c = Tables.events(s, d)
+      .withColumn("h", date_trunc("hour", col("ts")))
+      .groupBy("event_type", "h").agg(count(lit(1)).as("n_events"))
+    val st = c.groupBy("event_type").agg(
+      count(lit(1)).as("nh"), sum("n_events").as("sv"),
+      sum(col("n_events") * col("n_events")).as("qv"))
+    c.join(broadcast(st), "event_type")
+      .filter(expr(
+        "(n_events*nh - sv)*(n_events*nh - sv) > 9*(nh*qv - sv*sv)"))
+      .select("event_type", "h", "n_events")
+      .orderBy("event_type", "h")
+  }
+
   val queries: Map[String, Q] = Map(
     "win_sessionize" -> winSessionize,
     "events_funnel" -> eventsFunnel,
     "events_retention" -> eventsRetention,
     "events_resample" -> eventsResample,
+    "events_anomaly" -> eventsAnomaly,
     "win_streaks" -> winStreaks)
 
   val oracle: Map[String, String] = Map(
@@ -211,6 +238,19 @@ object Events {
                 COALESCE(val_sum_e4, 0) AS val_sum_e4
          FROM sp LEFT JOIN agg
            ON sp.event_type = agg.event_type AND sp.h = agg.h
+         ORDER BY 1, 2""",
+    "events_anomaly" ->
+      """WITH c AS (SELECT event_type,
+                      date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+                      count(*) AS n_events
+                    FROM events GROUP BY 1, 2),
+            st AS (SELECT event_type, count(*) AS nh, sum(n_events) AS sv,
+                     sum(n_events * n_events) AS qv
+                   FROM c GROUP BY 1)
+         SELECT c.event_type, c.h, c.n_events
+         FROM c JOIN st ON c.event_type = st.event_type
+         WHERE (c.n_events*st.nh - st.sv)*(c.n_events*st.nh - st.sv)
+               > 9*(st.nh*st.qv - st.sv*st.sv)
          ORDER BY 1, 2""",
     "events_retention" ->
       """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS d0

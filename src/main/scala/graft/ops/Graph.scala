@@ -101,8 +101,52 @@ object Graph {
     * order-co-occurrence graph. */
   val graphTriangles: Q = (s, d) => trianglesPerNode(supplierEdges(s, d))
 
+  /** Fixed-point PageRank over an undirected edge list — `iters` rounds
+    * of pr'(v) = 0.15/n + 0.85·Σ_{u∈N(v)} pr(u)/deg(u), carried out
+    * ENTIRELY in 64-bit integer arithmetic on e9-scaled ranks
+    * (share(u) = ((pr·85) div 100) div deg — every division floors), so
+    * two engines replaying the recurrence agree bit-for-bit: no float
+    * summation-order drift, which is what normally makes iterative rank
+    * scores unverifiable across systems. Floor losses only ever shrink
+    * the total mass (bounded by n·iters ulps at e9 scale — ppb territory),
+    * they never reorder ranks materially.
+    *
+    * Each round is one vertex-keyed join (rank ⋈ degree — both
+    * vertex-sized), one edge-keyed join (shares ⋈ edges, shuffle on the
+    * source vertex), and one hash aggregate on the destination — the
+    * standard message-passing round, O(m) per iteration with map-side
+    * combine on the destination key. The vertex count enters as a
+    * broadcast 1-row aggregate, never a driver-side collect. Symmetric
+    * edges mean every vertex has out-degree ≥ 1: no dangling-mass term.
+    * For iteration counts beyond a handful, checkpoint the rank frame
+    * per round exactly as [[DedupClusters]] does in its union-find loop;
+    * at 3 rounds the chained plan stays shallow. */
+  private[graft] def pagerank(edges: DataFrame, iters: Int): DataFrame = {
+    val dir = edges.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
+    val deg = dir.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nRow = deg.agg(count(lit(1)).as("n"))
+    var pr = deg.crossJoin(broadcast(nRow))
+      .select(col("src").as("node"), expr("1000000000 div n").as("pr"))
+    for (_ <- 1 to iters) {
+      val share = pr.join(deg, pr("node") === deg("src"))
+        .select(col("node"), expr("((pr * 85) div 100) div deg").as("sh"))
+      pr = dir.join(share, dir("src") === share("node"))
+        .groupBy(col("dst"))
+        .agg(sum(col("sh")).as("acc"))
+        .crossJoin(broadcast(nRow))
+        .select(col("dst").as("node"), expr("150000000 div n + acc").as("pr"))
+    }
+    pr.select(col("node"), col("pr").as("pr_e9")).orderBy("node")
+  }
+
+  /** Declared graph_pagerank: 3 fixed-point iterations over the
+    * support-thresholded supplier co-occurrence graph. */
+  val graphPagerank: Q = (s, d) => pagerank(supplierEdges(s, d), 3)
+
   val queries: Map[String, Q] = Map(
-    "graph_triangles" -> graphTriangles)
+    "graph_triangles" -> graphTriangles,
+    "graph_pagerank" -> graphPagerank)
 
   val oracle: Map[String, String] = Map(
     "graph_triangles" ->
@@ -119,5 +163,36 @@ object Graph {
          FROM (SELECT x AS node FROM t
                UNION ALL SELECT y FROM t
                UNION ALL SELECT z FROM t)
-         GROUP BY node ORDER BY node""")
+         GROUP BY node ORDER BY node""",
+    "graph_pagerank" ->
+      """WITH e AS (SELECT a.l_suppkey AS u, b.l_suppkey AS v
+                    FROM lineitem a JOIN lineitem b
+                      ON a.l_orderkey = b.l_orderkey
+                     AND a.l_suppkey < b.l_suppkey
+                    GROUP BY 1, 2 HAVING count(*) >= 5),
+            de AS (SELECT u AS src, v AS dst FROM e
+                   UNION ALL SELECT v, u FROM e),
+            dg AS (SELECT src, count(*) AS deg FROM de GROUP BY 1),
+            nn AS (SELECT count(*) AS n FROM dg),
+            p0 AS (SELECT src AS node,
+                     (SELECT 1000000000 // n FROM nn) AS pr FROM dg),
+            p1 AS (SELECT de.dst AS node,
+                     (SELECT 150000000 // n FROM nn)
+                       + CAST(SUM(((p.pr * 85) // 100) // d2.deg) AS BIGINT) AS pr
+                   FROM de JOIN p0 p ON p.node = de.src
+                           JOIN dg d2 ON d2.src = de.src
+                   GROUP BY de.dst),
+            p2 AS (SELECT de.dst AS node,
+                     (SELECT 150000000 // n FROM nn)
+                       + CAST(SUM(((p.pr * 85) // 100) // d2.deg) AS BIGINT) AS pr
+                   FROM de JOIN p1 p ON p.node = de.src
+                           JOIN dg d2 ON d2.src = de.src
+                   GROUP BY de.dst),
+            p3 AS (SELECT de.dst AS node,
+                     (SELECT 150000000 // n FROM nn)
+                       + CAST(SUM(((p.pr * 85) // 100) // d2.deg) AS BIGINT) AS pr
+                   FROM de JOIN p2 p ON p.node = de.src
+                           JOIN dg d2 ON d2.src = de.src
+                   GROUP BY de.dst)
+         SELECT node, pr AS pr_e9 FROM p3 ORDER BY node""")
 }

@@ -111,6 +111,36 @@ object Scans {
       .orderBy("event_id")
   }
 
+  /** Dynamic partition overwrite — the incremental-refresh write path of
+    * a partitioned lake table: re-deliver ONE partition's data (here the
+    * `click` slice, values doubled to make the rewrite observable) with
+    * `partitionOverwriteMode=dynamic`, which replaces exactly the
+    * partitions present in the incoming frame and leaves every other
+    * partition's files untouched (PartitionOverwriteSpec pins the
+    * file-level claim). This is THE daily-refresh primitive at 100 TB:
+    * static overwrite mode — Spark's default — would truncate the whole
+    * table root first, turning a one-partition update into a full-lake
+    * rewrite. Set per-write via the writer option, never session-wide.
+    * The declared output re-reads the table and digests per partition,
+    * so the oracle hash-checks the post-overwrite table content. */
+  val sinkPartitionOverwrite: Q = (s, d) => {
+    val dir = scratch(s, "part_overwrite", d)
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    ev.filter(col("event_type") === "click")
+      .withColumn("value", col("value") * 2)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("event_type").parquet(dir)
+    s.read.parquet(dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        scaledLong(sum(Tables.dec4(col("value"))).cast(DecimalType(38, 4)), 4)
+          .as("val_sum_e4"))
+      .orderBy("event_type")
+  }
+
   /** Schema evolution on read: generation 0 of an imported table lacks a
     * column that generation 1 adds — the normal life of any long-lived
     * lake table (every new pipeline field arrives mid-history). The old
@@ -194,6 +224,7 @@ object Scans {
     "source_partition_prune" -> sourcePartitionPrune,
     "source_schema_evolution" -> sourceSchemaEvolution,
     "sink_compaction" -> sinkCompaction,
+    "sink_partition_overwrite" -> sinkPartitionOverwrite,
     "project_rename_cast" -> projectRenameCast,
     "filter_conjunct" -> filterConjunct,
     "filter_in_like" -> filterInLike,
@@ -231,6 +262,15 @@ object Scans {
     "sink_compaction" ->
       """SELECT event_id, user_id, event_type, value
          FROM events ORDER BY event_id""",
+    "sink_partition_overwrite" ->
+      """WITH ev AS (SELECT event_type,
+                       CASE WHEN event_type = 'click' THEN value * 2
+                            ELSE value END AS value
+                     FROM events)
+         SELECT event_type, count(*) AS n,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4))
+                * 10000 AS BIGINT) AS val_sum_e4
+         FROM ev GROUP BY 1 ORDER BY 1""",
     "source_schema_evolution" ->
       """SELECT o_orderkey, o_orderstatus,
                 CAST(NULL AS VARCHAR) AS o_orderpriority

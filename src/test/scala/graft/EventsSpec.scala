@@ -124,6 +124,25 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("events_anomaly: flags exactly the cells a float z-score would, non-degenerate") {
+    val got = ops.Events.eventsAnomaly(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toLocalDateTime)).toSet
+    assert(got.nonEmpty, "fixture must contain at least one 3-sigma hour")
+    // brute force: float mean/variance per type over the hourly series
+    val cells = Tables.events(spark, sf0001)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).toLocalDateTime))
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case ((t, h), c) => (t, h, c) }
+    val flagged = cells.groupBy(_._1).flatMap { case (_, cs) =>
+      val n = cs.size.toDouble
+      val mu = cs.map(_._3).sum / n
+      val varc = cs.map(x => (x._3 - mu) * (x._3 - mu)).sum / n
+      cs.filter(x => (x._3 - mu) * (x._3 - mu) > 9 * varc)
+    }.map(x => (x._1, x._2)).toSet
+    assert(got == flagged, "integer z-score must flag the float-z cell set")
+  }
+
   test("events_retention: day-0 cell equals cohort size, counts never exceed it") {
     val ret = ops.Events.eventsRetention(spark, sf0001).collect()
     val cohortSize = Tables.events(spark, sf0001)

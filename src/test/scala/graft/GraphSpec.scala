@@ -36,6 +36,52 @@ class GraphSpec extends AnyFunSuite {
     assert(tri(g) == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
   }
 
+  /** Scala reference of the integer-exact PageRank recurrence. */
+  private def prRef(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val adj = (edges ++ edges.map(_.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val n = adj.size
+    var pr = adj.keys.map(_ -> 1000000000L / n).toMap
+    for (_ <- 1 to iters) {
+      val sh = pr.map { case (v, p) => v -> (p * 85 / 100) / adj(v).size }
+      pr = adj.keys.map { v =>
+        v -> (150000000L / n + adj(v).map(sh).sum)
+      }.toMap
+    }
+    pr
+  }
+
+  private def prSpark(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    ops.Graph.pagerank(edges.toDF("u", "v"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("pagerank: path graph matches the integer reference, asymmetry preserved") {
+    val path = Seq((1L, 2L), (2L, 3L))
+    val got = prSpark(path, 3)
+    assert(got == prRef(path, 3))
+    // the middle vertex of a path must outrank the endpoints
+    assert(got(2L) > got(1L) && got(1L) == got(3L))
+  }
+
+  test("pagerank: hub star — hub accumulates rank, rims equal") {
+    val star = (1L to 6L).map(i => (0L, i))
+    val got = prSpark(star, 3)
+    assert(got == prRef(star, 3))
+    assert(got(0L) > got(1L), "hub must outrank a rim vertex")
+    assert((1L to 6L).map(got).distinct.size == 1, "rim ranks must be equal")
+  }
+
+  test("pagerank: mass is conserved up to floor losses, never created") {
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+    val got = prSpark(g, 3)
+    val total = got.values.sum
+    // floors only ever LOSE mass; per round the loss is bounded by
+    // Σdeg (per-neighbor share floors) + 2n (the ×0.85 and base floors)
+    val perRound = 2 * g.size + 2 * got.size
+    assert(total <= 1000000000L, s"mass created: $total")
+    assert(total >= 1000000000L - 3L * perRound, s"mass lost too fast: $total")
+  }
+
   test("fixture graph: degree-oriented counts equal naive triple enumeration") {
     val edges = ops.Graph.supplierEdges(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
