@@ -109,6 +109,48 @@ object Joins {
       .orderBy("o_orderkey")
   }
 
+  /** Forward as-of join with tolerance — the other half of the as-of
+    * family (pandas `merge_asof(direction='forward', tolerance=…)`,
+    * kdb's `wj`): each order matches the EARLIEST event at-or-after its
+    * timestamp, but only within a 1-hour window — beyond tolerance the
+    * match is null, which is the semantics feature-stores need ("the
+    * next reading, unless the sensor went quiet"). Same scalable
+    * union + running-window formulation as [[joinAsof]], mirrored: scan
+    * DESCENDING in time so "running last non-null" means "nearest
+    * future event", carry the event's (ts, id) as ONE struct so the
+    * tolerance test happens after the window without a second join.
+    * Still one shuffle on the key; tolerance is a post-window filter,
+    * never a range-join blow-up. DuckDB's ASOF is backward-only, so the
+    * oracle is the naive bounded range join + min + join-back. */
+  val joinAsofFwd: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .groupBy("user_id", "ts").agg(max("event_id").as("event_id"))
+    val ord = Tables.orders(s, d).select(
+      col("o_orderkey"),
+      (col("o_custkey") % 97).as("uk"),
+      expr("timestamp_ntz '2024-01-01 00:00:00' + make_dt_interval(0, 0, cast(o_orderkey % 43200 as int), 0)").as("asof_ts"))
+    val evU = ev.select(col("user_id").as("k"), col("ts").as("t"),
+      lit(0).as("is_order"),
+      struct(col("ts").as("et"), col("event_id").as("eid")).as("ev_s"),
+      lit(null).cast(LongType).as("o_orderkey"))
+    val ordU = ord.select(col("uk").as("k"), col("asof_ts").as("t"),
+      lit(1).as("is_order"),
+      lit(null).cast("struct<et:timestamp_ntz,eid:bigint>").as("ev_s"),
+      col("o_orderkey"))
+    // DESC time scan: frame = all rows at-or-after t; events sort before
+    // orders at equal t (is_order asc) so an exactly-at-t event matches
+    val w = Window.partitionBy("k")
+      .orderBy(col("t").desc, col("is_order"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    evU.unionByName(ordU)
+      .withColumn("m", last(col("ev_s"), ignoreNulls = true).over(w))
+      .filter(col("is_order") === 1)
+      .select(col("o_orderkey"),
+        when(col("m.et") <= expr("t + interval 1 hour"), col("m.eid"))
+          .as("matched_event_id"))
+      .orderBy("o_orderkey")
+  }
+
   /** Salted equi-join — the explicit skew escape hatch ([[Skew]]): the
     * fact side's key is salted 8 ways by a row-derived hash and the dim
     * side is replicated across the salt shards, so one hot supplier key
@@ -355,6 +397,7 @@ object Joins {
     "join_left_anti" -> joinLeftAnti,
     "join_theta" -> joinTheta,
     "join_asof" -> joinAsof,
+    "join_asof_fwd" -> joinAsofFwd,
     "join_skew_salted" -> joinSkewSalted,
     "join_bucket_colocated" -> joinBucketColocated,
     "merge_upsert" -> mergeUpsert,
@@ -421,6 +464,23 @@ object Joins {
          FROM ord o ASOF LEFT JOIN ev e
            ON o.uk = e.user_id AND e.ts <= o.asof_ts
          ORDER BY o.o_orderkey""",
+    "join_asof_fwd" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                            max(event_id) AS event_id
+                     FROM events GROUP BY 1, 2),
+            ord AS (SELECT o_orderkey, o_custkey % 97 AS uk,
+                           TIMESTAMP '2024-01-01 00:00:00'
+                             + (o_orderkey % 43200) * INTERVAL 1 MINUTE AS asof_ts
+                    FROM orders),
+            m AS (SELECT o.o_orderkey, o.uk, min(e.ts) AS mt
+                  FROM ord o LEFT JOIN ev e
+                    ON e.user_id = o.uk AND e.ts >= o.asof_ts
+                   AND e.ts <= o.asof_ts + INTERVAL 1 HOUR
+                  GROUP BY 1, 2)
+         SELECT m.o_orderkey, e2.event_id AS matched_event_id
+         FROM m LEFT JOIN ev e2
+           ON e2.user_id = m.uk AND e2.ts = m.mt
+         ORDER BY m.o_orderkey""",
     "join_skew_salted" ->
       """SELECT l_orderkey, l_linenumber, l_suppkey, s_name
          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey

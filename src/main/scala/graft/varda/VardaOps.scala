@@ -821,23 +821,35 @@ object VardaOps {
     * semantics match the oracle's `<` / `>` predicates exactly. */
   private[graft] def nearestRegionFrom(ptsIn: DataFrame,
       covDf: DataFrame): DataFrame = {
+    // The downstream DAG fans out: pts feeds the containment join, the
+    // anti-join and the final union; covDf feeds containment plus BOTH
+    // sweeps; and each sweep evaluates its input twice (local window +
+    // chunk offsets). Unchecked, that re-runs the upstream scan+distinct
+    // up to 8x. These frames are points/regions-sized — narrow keys,
+    // orders of magnitude smaller than the raw tables they derive from —
+    // so materializing them once is the right trade at any scale (the
+    // full-width-table checkpoint this codebase removed from GlobalRank
+    // was the opposite case).
     val pts = ptsIn.select("chromosome", "position").distinct()
-    val covered = bucketedContainment(pts, covDf)
-      .select("chromosome", "position").distinct()
+      .localCheckpoint()
+    val cov = covDf.localCheckpoint()
+    val covered = bucketedContainment(pts, cov)
+      .select("chromosome", "position").distinct().localCheckpoint()
     val uncovered = pts.join(covered, Seq("chromosome", "position"), "left_anti")
+      .localCheckpoint()
     def sweep(ev: DataFrame, outCol: String): DataFrame =
       graft.ops.GlobalRank.withGroupedRunningMax(ev, Seq("chromosome"),
           Seq(col("coord"), col("kind")), col("v"), outCol)
         .filter(col("kind") === 1)
     val prev = sweep(
-      covDf.select(col("chromosome"), col("end_pos").as("coord"),
+      cov.select(col("chromosome"), col("end_pos").as("coord"),
           lit(0).as("kind"), col("end_pos").as("v"))
         .unionByName(uncovered.select(col("chromosome"),
           col("position").as("coord"), lit(1).as("kind"),
           lit(null).cast(LongType).as("v"))), "prev_end")
       .select(col("chromosome"), col("coord").as("position"), col("prev_end"))
     val nxt = sweep(
-      covDf.select(col("chromosome"), (-col("begin_pos")).as("coord"),
+      cov.select(col("chromosome"), (-col("begin_pos")).as("coord"),
           lit(0).as("kind"), (-col("begin_pos")).as("v"))
         .unionByName(uncovered.select(col("chromosome"),
           (-col("position")).as("coord"), lit(1).as("kind"),
