@@ -53,6 +53,12 @@ object Graph {
       .groupBy("u", "v").agg(count(lit(1)).as("support"))
       .filter(col("support") >= MinSupport)
       .select("u", "v")
+      // both consumers (triangles, pagerank) fan the edge list into
+      // 3-6 plan references; without materialization each reference
+      // re-runs the lineitem self-join + pair aggregate. The edge list
+      // is the SMALL derived frame here (pairs above support, two
+      // BIGINTs) — checkpoint it once.
+      .localCheckpoint()
   }
 
   /** Per-vertex triangle counts over an undirected edge list (u < v).
@@ -124,7 +130,9 @@ object Graph {
   private[graft] def pagerank(edges: DataFrame, iters: Int): DataFrame = {
     val dir = edges.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint() // referenced by deg + every message round
     val deg = dir.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint() // joined into every round's share computation
     val nRow = deg.agg(count(lit(1)).as("n"))
     var pr = deg.crossJoin(broadcast(nRow))
       .select(col("src").as("node"), expr("1000000000 div n").as("pr"))

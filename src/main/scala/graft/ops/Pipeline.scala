@@ -92,11 +92,20 @@ object Pipeline {
     * hash's first 15 hex digits as a number — monotone in the hex string
     * (lowercase fixed-width hex sorts like its value) and uniform, so
     * chunks fill evenly by construction. */
-  private def rankedByContentHash(docs: DataFrame): DataFrame =
-    GlobalRank.withGroupedRowNumber(
-      docs.withColumn("h", md5(concat_ws("|", col("text"), col("doc_id")))),
+  private def rankedByContentHash(docs: DataFrame): DataFrame = {
+    // Hash once, then materialize the NARROW (doc_id, lang, 32-hex)
+    // projection: the grouped two-pass rank references its input three
+    // times (chunk bounds, local window, offsets), and without the cut
+    // each reference re-scans the corpus text and re-hashes it. The
+    // checkpointed frame is ~50 bytes/row vs the KB-scale text column —
+    // at any corpus size this is the cheap side of the trade.
+    val hashed = docs.select(col("doc_id"), col("lang"),
+        md5(concat_ws("|", col("text"), col("doc_id"))).as("h"))
+      .localCheckpoint()
+    GlobalRank.withGroupedRowNumber(hashed,
       Seq("lang"), Seq(col("h"), col("doc_id")), "rn",
       chunkKey = Some(conv(substring(col("h"), 1, 15), 16, 10)))
+  }
 
   /** Temperature-scaled language mixture (α = 0.5, the multilingual
     * up/down-sampling curve): each language's share of the sample budget
@@ -224,6 +233,10 @@ object Pipeline {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+      // narrow (id, count) rows; the running sum references its input
+      // three times, and re-tokenizing the text column per reference is
+      // the expensive side at corpus scale
+      .localCheckpoint()
     GlobalRank.withGlobalRunningSum(docs, Seq(col("doc_id")),
         col("n_tokens"), "run")
       .select(col("doc_id"), col("n_tokens"),

@@ -637,6 +637,9 @@ object VardaOps {
         (col("end_pos") + 1).as("position"), lit(-1L).as("delta")))
       .groupBy("chromosome", "position").agg(sum(col("delta")).as("d"))
       .filter(col("d") =!= 0)
+      // change-point-sized; materialized once instead of re-deriving the
+      // coverage fixture + delta aggregate per prefix-sum reference
+      .localCheckpoint()
     graft.ops.GlobalRank.withGroupedRunningSum(deltas, Seq("chromosome"),
         Seq(col("position")), col("d"), "depth")
       .select("chromosome", "position", "d", "depth")

@@ -129,8 +129,11 @@ class PlanShapeSpec extends AnyFunSuite {
     // per-language quotas divide by; text_perplexity's is the 1-row
     // total-token-count broadcast its per-term surprisal divides by;
     // text_line_dedup's is the 1-row corpus-doc-count broadcast its
-    // relative (df·20 > ndocs) hot-line threshold compares against
+    // relative (df·20 > ndocs) hot-line threshold compares against;
+    // graph_pagerank's is the 1-row vertex-count broadcast feeding the
+    // base-rank term of every message round
     val sanctioned = Set("join_cross", "text_tfidf", "win_ntile_pct",
+      "graph_pagerank",
       "sim_topk_cosine", "dedup_near_embedding", "varda_frequency",
       "agg_freq_ratio", "varda_sample_expr", "varda_annotate",
       "source_vcf_file", "varda_freq_incremental", "varda_annotate_multi",
