@@ -41,17 +41,24 @@ object Graph {
     * ≥ 5 times there) and a 9.7%-dense graph at sf0.1. */
   private val MinSupport = 5
 
+  /** Components use a higher support bar than triangles/pagerank: the
+    * 5-support graph is one giant component at every scale (the usual
+    * fate of a co-occurrence graph), while ≥ 9 leaves the genuinely
+    * tight association clusters — 136 components over 594 suppliers at
+    * sf0.1 — which is the structure component analysis exists to find. */
+  private val ComponentSupport = 9
+
   /** Undirected co-occurrence edges (u < v), one row per pair whose
-    * co-occurrence support meets [[MinSupport]]. */
+    * co-occurrence support meets `minSupport`. */
   private[graft] def supplierEdges(s: org.apache.spark.sql.SparkSession,
-      d: String): DataFrame = {
+      d: String, minSupport: Int = MinSupport): DataFrame = {
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
     li.as("a").join(li.as("b"),
         col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
       .select(col("a.sk").as("u"), col("b.sk").as("v"))
       .groupBy("u", "v").agg(count(lit(1)).as("support"))
-      .filter(col("support") >= MinSupport)
+      .filter(col("support") >= minSupport)
       .select("u", "v")
       // both consumers (triangles, pagerank) fan the edge list into
       // 3-6 plan references; without materialization each reference
@@ -152,9 +159,28 @@ object Graph {
     * support-thresholded supplier co-occurrence graph. */
   val graphPagerank: Q = (s, d) => pagerank(supplierEdges(s, d), 3)
 
+  /** Declared graph_components: connected components of the tightly-
+    * associated (support ≥ 9) co-occurrence graph — component id = min
+    * supplier id reachable. Pure REUSE of the dedup tier's union-find
+    * contraction + min-label propagation ([[DedupClusters.components]]):
+    * per-partition path-halving collapses chains locally, then
+    * O(contracted-diameter) join+agg rounds with only a scalar
+    * convergence count on the driver — the same machinery that resolves
+    * near-dup clusters resolves entity groups. The oracle is a DuckDB
+    * recursive reachability CTE (terminates on cycles via UNION
+    * dedup — viable at fixture scale, quadratic in the large; the
+    * union-find side is the scale path). */
+  val graphComponents: Q = (s, d) =>
+    DedupClusters.components(
+      supplierEdges(s, d, ComponentSupport)
+        .select(col("u").as("d1"), col("v").as("d2")))
+      .select(col("id").as("node"), col("component"))
+      .orderBy("node")
+
   val queries: Map[String, Q] = Map(
     "graph_triangles" -> graphTriangles,
-    "graph_pagerank" -> graphPagerank)
+    "graph_pagerank" -> graphPagerank,
+    "graph_components" -> graphComponents)
 
   val oracle: Map[String, String] = Map(
     "graph_triangles" ->
@@ -202,5 +228,18 @@ object Graph {
                    FROM de JOIN p2 p ON p.node = de.src
                            JOIN dg d2 ON d2.src = de.src
                    GROUP BY de.dst)
-         SELECT node, pr AS pr_e9 FROM p3 ORDER BY node""")
+         SELECT node, pr AS pr_e9 FROM p3 ORDER BY node""",
+    "graph_components" ->
+      """WITH RECURSIVE eb AS (SELECT a.l_suppkey AS u, b.l_suppkey AS v
+                    FROM lineitem a JOIN lineitem b
+                      ON a.l_orderkey = b.l_orderkey
+                     AND a.l_suppkey < b.l_suppkey
+                    GROUP BY 1, 2 HAVING count(*) >= 9),
+            e AS (SELECT u, v FROM eb UNION ALL SELECT v, u FROM eb),
+            r AS (SELECT u AS a, v AS b FROM e
+                  UNION
+                  SELECT r.a, e.v FROM r JOIN e ON e.u = r.b),
+            comp AS (SELECT a AS node, least(a, min(b)) AS component
+                     FROM r GROUP BY a)
+         SELECT node, component FROM comp ORDER BY node""")
 }

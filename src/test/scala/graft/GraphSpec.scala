@@ -82,6 +82,31 @@ class GraphSpec extends AnyFunSuite {
     assert(total >= 1000000000L - 3L * perRound, s"mass lost too fast: $total")
   }
 
+  test("components: disjoint subgraphs get distinct min-id labels") {
+    // {1,2,3} triangle, {10,11} edge, {20,21,22} path — 3 components
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L)).toDF("d1", "d2")
+    val got = ops.DedupClusters.components(g)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L,
+      11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("fixture components: every edge's endpoints share a label") {
+    val edges = ops.Graph.supplierEdges(spark, sf0001, 9).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val comp = ops.Graph.graphComponents(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.nonEmpty)
+    edges.foreach { case (u, v) =>
+      assert(comp(u) == comp(v), s"edge ($u,$v) spans two components")
+    }
+    // every label is the min id of its member set
+    comp.groupBy(_._2).foreach { case (label, members) =>
+      assert(label == members.keys.min, s"label $label is not the min id")
+    }
+  }
+
   test("fixture graph: degree-oriented counts equal naive triple enumeration") {
     val edges = ops.Graph.supplierEdges(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
