@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftOuter, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.LongType
@@ -25,6 +25,18 @@ import org.apache.spark.sql.types.LongType
   * hence OPT-IN via `spark.graft.rewriteIntervalJoin=true` (the engine
   * can't prove the domain from the plan; same contract as other
   * bin-size-hinted range joins in production engines).
+  *
+  * Round-8 extension — **LEFT SEMI / LEFT ANTI** (the containment-
+  * existence shapes: "points inside any region" / "points outside every
+  * region" — what `varda_trio_denovo`'s coverage gate and
+  * `text_decontaminate` hand-build): both reduce to one binned-inner
+  * join aggregated to the DISTINCT matched left-side condition tuples,
+  * then a plain equi semi/anti join of the untouched left against those
+  * tuples. Whether a left row matches depends only on its condition
+  * columns, so the value-level membership test preserves bag semantics
+  * exactly (duplicate left rows all match or all miss), and NULL
+  * condition columns never equal a matched tuple — null-point rows are
+  * dropped by SEMI and kept by ANTI, exactly the naive behavior.
   *
   * Two round-7 extensions:
   *
@@ -89,8 +101,33 @@ object RewriteIntervalJoin extends Rule[LogicalPlan] {
         }.getOrElse(j)
       case j @ Join(left, right, LeftOuter, Some(cond), hint) =>
         rewriteLeftOuter(j, left, right, cond, hint).getOrElse(j)
+      case j @ Join(left, right, LeftSemi, Some(cond), hint) =>
+        rewriteSemiAnti(j, left, right, cond, hint, LeftSemi).getOrElse(j)
+      case j @ Join(left, right, LeftAnti, Some(cond), hint) =>
+        rewriteSemiAnti(j, left, right, cond, hint, LeftAnti).getOrElse(j)
     }
   }
+
+  /** SEMI/ANTI = membership of the left row's condition tuple in the
+    * DISTINCT matched tuples of the binned inner join. The outer
+    * semi/anti is a plain equi-join (hashable, broadcastable when the
+    * matched-tuple set is small — the usual case for containment
+    * gates), and the left side is passed through UNTOUCHED, so
+    * multiplicity and non-condition columns are preserved by
+    * construction. */
+  private def rewriteSemiAnti(j: Join, left: LogicalPlan,
+      right: LogicalPlan, cond: Expression, hint: JoinHint,
+      joinType: JoinType): Option[LogicalPlan] =
+    binned(left, right, cond).map { case (nl, nr, newCond) =>
+      val inner = Join(nl, nr, Inner, Some(newCond), hint)
+      val keyAttrs = cond.references.intersect(left.outputSet).toSeq
+      val mkAliases = keyAttrs.map(a => Alias(a, s"__graft_mk_${a.name}")())
+      val matchedKeys = Aggregate(keyAttrs, mkAliases, inner)
+      val memberCond = keyAttrs.zip(mkAliases)
+        .map { case (a, mk) => EqualTo(a, mk.toAttribute) }
+        .reduce[Expression](And)
+      Join(left, matchedKeys, joinType, Some(memberCond), JoinHint.NONE)
+    }
 
   /** LEFT OUTER = binned-inner matched pairs ∪ null-extended unmatched
     * left rows. Unmatched = left ANTI equi-join against the distinct

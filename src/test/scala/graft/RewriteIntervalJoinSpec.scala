@@ -115,6 +115,55 @@ class RewriteIntervalJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("left semi / left anti interval joins rewrite to binned membership") {
+    val (points, regions) = data()
+    for (jt <- Seq("left_semi", "left_anti")) {
+      def jq() = points.join(regions,
+        points("chromosome") === regions("chromosome")
+          && points("position") >= regions("begin_pos")
+          && points("position") <= regions("end_pos"), jt)
+      // bag semantics: duplicate left rows must all pass or all miss
+      def dup(df: DataFrame) = df.unionAll(df.filter(df("obs_id") % 3 === 0))
+      val expected = dup(jq()).collect().map(_.toSeq).groupBy(identity)
+        .map { case (k, v) => k -> v.length }
+      withRule {
+        val fresh = points.join(regions,
+          points("chromosome") === regions("chromosome")
+            && points("position") >= regions("begin_pos")
+            && points("position") <= regions("end_pos"), jt)
+        val after = fresh.queryExecution.optimizedPlan.toString
+        assert(after.contains("__graft_bin_p") && after.contains("__graft_mk_"),
+          s"$jt rule did not fire:\n$after")
+        val got = dup(fresh).collect().map(_.toSeq).groupBy(identity)
+          .map { case (k, v) => k -> v.length }
+        assert(got == expected, s"$jt mismatch")
+      }
+    }
+    // sanity: fixture exercises both sides of the membership split
+    val n = points.count()
+    val ns = withRule { points.join(regions,
+      points("chromosome") === regions("chromosome")
+        && points("position") >= regions("begin_pos")
+        && points("position") <= regions("end_pos"), "left_semi").count() }
+    assert(ns > 0 && ns < n, s"degenerate fixture: $ns of $n points covered")
+  }
+
+  test("semi rewrite keeps NULL-position rows out; anti keeps them") {
+    import spark.implicits._
+    val points = Seq((1L, "1", Some(150L)), (2L, "1", None), (3L, "1", Some(999L)))
+      .toDF("obs_id", "chromosome", "position")
+    val regions = Seq((1L, "1", 100L, 200L))
+      .toDF("region_id", "chromosome", "begin_pos", "end_pos")
+    def jq(jt: String) = points.join(regions,
+      points("chromosome") === regions("chromosome")
+        && points("position") >= regions("begin_pos")
+        && points("position") <= regions("end_pos"), jt)
+    withRule {
+      assert(jq("left_semi").collect().map(_.getLong(0)).toSet == Set(1L))
+      assert(jq("left_anti").collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+    }
+  }
+
   test("declared maxLength selects the single fine-bucket level") {
     val (points, regions) = data()  // lengths < 2^20 by construction
     val expected = naiveJoin(points, regions).collect()
