@@ -150,4 +150,45 @@ object Compaction {
     }
     spark.read.parquet(destDir)
   }
+
+  /** Clustering-PRESERVING compaction (round-8): [[compactTo]]'s
+    * round-robin salt maximizes balance but shreds any sort/z-order the
+    * source files carry — compacting a `sink_zorder` table through it
+    * silently forfeits the disjoint per-file ranges the write paid a
+    * range shuffle for, and every footer-min/max data-skipping scan
+    * thereafter reads the whole table. When the table's clustering key is
+    * known (real compactors read it from the catalog's table spec — the
+    * same place `sink_zorder` would record `z`), compact with ONE
+    * `repartitionByRange` on that key + `sortWithinPartitions`: files
+    * come out target-sized AND pairwise range-disjoint, so the layout
+    * survives the rewrite. A hive-partitioned source range-partitions on
+    * (partition cols ++ sort key): each output task owns a contiguous
+    * slice of one partition's key space, and the dynamic-partitioned
+    * write keeps the directory layout intact.
+    *
+    * Range boundaries come from Spark's reservoir sampling — file sizes
+    * track the key distribution rather than matching byte budgets
+    * exactly (the trade every sorted compactor makes; a heavily skewed
+    * key can over-fill one file). CompactionSpec asserts per-file
+    * disjointness and row preservation over a z-ordered source. */
+  def compactSorted(spark: SparkSession, srcDir: String, destDir: String,
+      targetFileBytes: Long, sortCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(sortCols.nonEmpty, "compactSorted needs the clustering key")
+    val stats = partitionStats(spark, srcDir)
+    val partitioned = stats.nonEmpty && stats.keys.forall(_.nonEmpty) &&
+      stats.keys.forall(_.split("/").forall(_.contains("=")))
+    val df = spark.read.parquet(srcDir)
+    val bytes = stats.values.sum
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val partCols: Seq[String] =
+      if (partitioned) stats.keys.head.split("/").map(_.split("=")(0)).toSeq
+      else Nil
+    val keyCols = (partCols ++ sortCols).map(col)
+    df.repartitionByRange(nFiles, keyCols: _*)
+      .sortWithinPartitions(keyCols: _*)
+      .write.mode("overwrite")
+      .partitionBy(partCols: _*).parquet(destDir)
+    spark.read.parquet(destDir)
+  }
 }

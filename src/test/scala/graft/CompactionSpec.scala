@@ -62,6 +62,75 @@ class CompactionSpec extends AnyFunSuite {
     assert(key(spark.read.parquet(src)) == key(compacted))
   }
 
+  test("sorted compaction preserves z-order clustering that salt compaction destroys") {
+    import org.apache.spark.sql.functions._
+    val src = "/root/repo/target/tmp/compact_z_src"
+    val destSalt = "/root/repo/target/tmp/compact_z_salt"
+    val destSort = "/root/repo/target/tmp/compact_z_sort"
+    // a z-ordered table fragmented into many clustered files (the
+    // sink_zorder layout: per-file z-ranges pairwise disjoint)
+    ops.Pipeline.sinkZorder(spark, sf0001).count()
+    val zdir = ops.Scans.scratch(spark, "zorder_dst", sf0001)
+    spark.read.parquet(zdir).repartitionByRange(16, col("z"))
+      .sortWithinPartitions("z")
+      .write.mode("overwrite").parquet(src)
+    def ranges(dir: String) = spark.read.parquet(dir)
+      .select(input_file_name().as("f"), col("z"))
+      .groupBy("f").agg(min("z").as("lo"), max("z").as("hi"))
+      .collect().map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+      .sortBy(_._1)
+    def disjoint(rs: Seq[(Long, Long)]) =
+      rs.zip(rs.tail).forall { case ((_, hi), (lo2, _)) => hi <= lo2 }
+    assert(disjoint(ranges(src).toSeq), "fixture must start clustered")
+
+    val (srcBytes, srcFiles) = Compaction.fileStats(spark, src)
+    assert(srcFiles == 16)
+    val target = srcBytes / 4 + 1 // → 4 files
+    // the salt path loses the clustering (that's WHY compactSorted exists)
+    Compaction.compactTo(spark, src, destSalt, target)
+    assert(!disjoint(ranges(destSalt).toSeq),
+      "salt compaction unexpectedly kept z-clustering; fixture too small?")
+    // the sorted path keeps it, at the same file budget
+    val compacted = Compaction.compactSorted(spark, src, destSort, target, Seq("z"))
+    val rs = ranges(destSort).toSeq
+    assert(rs.length >= 2 && rs.length <= 6, s"got ${rs.length} files")
+    assert(disjoint(rs), s"sorted compaction lost clustering: $rs")
+    // rows preserved exactly
+    val key = (d: org.apache.spark.sql.DataFrame) => d
+      .select("z", "l_orderkey", "l_partkey", "line_no")
+      .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(key(compacted) == key(spark.read.parquet(src)))
+  }
+
+  test("sorted compaction keeps a hive partition layout and per-dir clustering") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val src = "/root/repo/target/tmp/compact_zp_src"
+    val dest = "/root/repo/target/tmp/compact_zp_dest"
+    val df = (1 to 4000).map(i => (i.toLong, s"p${i % 3}", (i * 7919L) % 100000))
+      .toDF("id", "k", "v")
+    df.repartition(8).write.mode("overwrite").partitionBy("k").parquet(src)
+    val (srcBytes, _) = Compaction.fileStats(spark, src)
+    val compacted = Compaction.compactSorted(spark, src, dest,
+      srcBytes / 6 + 1, Seq("v"))
+    assert(Compaction.partitionStats(spark, dest).keySet ==
+      Compaction.partitionStats(spark, src).keySet)
+    // within every partition dir, per-file v-ranges are disjoint
+    val perDir = spark.read.parquet(dest)
+      .select(input_file_name().as("f"), col("k"), col("v"))
+      .groupBy("k", "f").agg(min("v").as("lo"), max("v").as("hi"))
+      .collect().groupBy(_.getAs[String]("k"))
+    for ((k, rows) <- perDir) {
+      val rs = rows.map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi"))).sortBy(_._1)
+      rs.zip(rs.tail).foreach { case ((_, hi), (lo2, _)) =>
+        assert(hi <= lo2, s"partition $k: file v-ranges overlap ($hi > $lo2)")
+      }
+    }
+    val key = (d: org.apache.spark.sql.DataFrame) => d.select("id", "k", "v")
+      .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(key(compacted) == key(spark.read.parquet(src)))
+  }
+
   test("partitioned compaction keeps rows under hive-escaped and null partition values") {
     import spark.implicits._
     val src = "/root/repo/target/tmp/compact_esc_src"
