@@ -62,7 +62,17 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // the driver truncates captured stdout to a 2000-char tail, which
+    // loses the total and most per-key times at 150 keys — persist the
+    // full JSON line so every bench run is adjudicable after the fact
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.props("user.dir"), "BENCH_FULL.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write BENCH_FULL.json: $e")
+    }
     spark.stop()
   }
 }
