@@ -78,6 +78,73 @@ object Ingest {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Parse `;`-delimited BED-shaped coverage lines (region_id;chromosome;
+    * begin_pos;end_pos;sample_id;pool_size — the `source_bed` shape,
+    * varda/tasks.py :: import_coverage [U]). */
+  def parseCoverageLines(lines: DataFrame): DataFrame =
+    lines.select(split(col("value"), ";").as("f"))
+      .select(
+        element_at(col("f"), 1).cast(LongType).as("region_id"),
+        element_at(col("f"), 2).as("chromosome"),
+        element_at(col("f"), 3).cast(LongType).as("begin_pos"),
+        element_at(col("f"), 4).cast(LongType).as("end_pos"),
+        element_at(col("f"), 5).cast(LongType).as("sample_id"),
+        element_at(col("f"), 6).cast(IntegerType).as("pool_size"))
+
+  /** Parse `;`-delimited sample registration lines (sample_id;pool_size;
+    * has_coverage). */
+  def parseSampleLines(lines: DataFrame): DataFrame =
+    lines.select(split(col("value"), ";").as("f"))
+      .select(
+        element_at(col("f"), 1).cast(LongType).as("sample_id"),
+        element_at(col("f"), 2).cast(IntegerType).as("pool_size"),
+        element_at(col("f"), 3).cast(BooleanType).as("has_coverage"))
+
+  /** Continuous FULL-STATE frequency maintenance (round-8; the round-7
+    * numerator-only stream is [[startFrequencyMaintenance]] below): ONE
+    * inbox directory receives typed import files — `*.obs` observation
+    * lines, `*.bed` coverage lines, `*.smp` sample registrations — and
+    * each micro-batch routes them by extension and folds all three into
+    * the committed [[graft.varda.FreqStore]]: numerators, per-point
+    * denominators, the overlap-dedup pair store and the coverage-less
+    * pool all advance together, durably, with only the batch's hash
+    * buckets rewritten (O(batch) commits) and replay-idempotent
+    * generations under foreachBatch's at-least-once contract. This is
+    * the reference's import lifecycle [U varda/tasks.py ::
+    * import_variation + import_coverage] as one restartable stream:
+    * serving reads the committed stores with no containment join and no
+    * import-history rescan, and a crash between write and checkpoint
+    * commit replays into the same generation. Coverage bin assignment
+    * (the region → 2^11-cell explode) happens in-path inside the
+    * commit. */
+  def startFreqStateMaintenance(spark: SparkSession, srcDir: String,
+      storeDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val reader = spark.readStream
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.text(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val withF = batch.withColumn("__f", input_file_name())
+        def slice(ext: String) =
+          withF.filter(col("__f").endsWith(ext)).select("value")
+        new graft.varda.FreqStore(batch.sparkSession, storeDir).commit(
+          batchId,
+          parseObservationLines(slice(".obs")),
+          parseCoverageLines(slice(".bed"))
+            .select("chromosome", "begin_pos", "end_pos", "sample_id", "pool_size"),
+          parseSampleLines(slice(".smp")))
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Serve the stream-maintained full state: ppm frequencies straight
+    * from the committed stores. */
+  def readFreqStore(spark: SparkSession, storeDir: String): DataFrame =
+    new graft.varda.FreqStore(spark, storeDir).serve()
+
   /** Continuous frequency-numerator maintenance — the second half of the
     * reference's import task (import_variation both INSERTS observations
     * and updates served state [U]): each micro-batch of observation

@@ -1,0 +1,174 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.varda.{FreqStore, VardaOps}
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/** The committed, bucket-partitioned, generational FreqStore: replayed
+  * import batches must converge to the one-shot frequency computation,
+  * commits must rewrite only the buckets a batch touches, and a replayed
+  * batch must rewrite its own generation instead of double-counting. */
+class FreqStoreSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(Paths.get("/root/repo/target"), prefix).toString
+
+  private def freqKey(df: DataFrame) = df.collect()
+    .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3)) ->
+      ((r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+
+  test("committed replay converges to the one-shot state (adversarial batches)") {
+    // the FrequencySemanticsSpec cross-batch shapes: same-sample
+    // overlapping regions split across batches (count once), coverage
+    // arriving after its point, a point arriving after its coverage, a
+    // coverage-less sample registering mid-stream, haploid X
+    val obsB = Seq(
+      Seq(("1", 5000L, "A", "C", 3, "x"), ("X", 5000L, "A", "C", 1, "x")),
+      Seq.empty[(String, Long, String, String, Int, String)],
+      Seq(("2", 700L, "G", "T", 2, "x")))
+      .map(_.toDF("chromosome", "position", "reference", "observed",
+        "support", "ignore"))
+    val covB = Seq(
+      Seq((10L, "1", 4000L, 6000L, 1L, 2), (14L, "2", 600L, 800L, 2L, 5)),
+      Seq((11L, "1", 4500L, 5500L, 1L, 2)),
+      Seq((12L, "X", 4000L, 6000L, 2L, 5), (13L, "X", 9000L, 9500L, 1L, 2)))
+      .map(_.toDF("region_id", "chromosome", "begin_pos", "end_pos",
+        "sample_id", "pool_size"))
+    val smpB = Seq(
+      Seq((1L, 2, true)), Seq((3L, 7, false)), Seq((2L, 5, true)))
+      .map(_.toDF("sample_id", "pool_size", "has_coverage"))
+
+    val store = new FreqStore(spark, tmpDir("fqs_adv"), nBuckets = 4)
+    for (i <- 0 until 3) store.commit(i, obsB(i), covB(i), smpB(i))
+
+    val expected = freqKey(VardaOps.frequencyFrom(
+      obsB.reduce(_ unionByName _)
+        .withColumn("sample_id", org.apache.spark.sql.functions.lit(0L)),
+      covB.reduce(_ unionByName _), smpB.reduce(_ unionByName _),
+      withZyg = false))
+    val got = freqKey(store.serve())
+    assert(got == expected)
+    // hand-derived spot checks (same numbers as the in-session fold)
+    assert(got(("1", 5000L, "A", "C")) == ((3L, 18L, 3L * 1000000 / 18)))
+    assert(got(("2", 700L, "G", "T")) == ((2L, 24L, 2L * 1000000 / 24)))
+    assert(got(("X", 5000L, "A", "C")) == ((1L, 12L, 1L * 1000000 / 12)))
+  }
+
+  test("commits are O(batch): untouched bucket files survive, new gens hold only touched buckets") {
+    val dir = tmpDir("fqs_obatch")
+    val store = new FreqStore(spark, dir, nBuckets = 8)
+    // batch 0: points spread over many cells → many buckets
+    val obs0 = (0 until 64).map(i =>
+      ("1", 1000L + i * 4096L, "A", "C", 1)).toDF(
+      "chromosome", "position", "reference", "observed", "support")
+    // bounded-length regions (< 2^11, the documented containment bound)
+    // tiling the whole point range
+    val cov0 = (0 until 150).map(i =>
+      (i.toLong, "1", i * 2000L, i * 2000L + 1999L, 1L, 2)).toDF(
+      "region_id", "chromosome", "begin_pos", "end_pos", "sample_id", "pool_size")
+    val smp0 = Seq((1L, 2, true), (9L, 3, false)).toDF(
+      "sample_id", "pool_size", "has_coverage")
+    store.commit(0, obs0, cov0, smp0)
+
+    def parquetFiles(sub: String): Map[String, Long] = {
+      val base = Paths.get(dir, sub)
+      if (!Files.exists(base)) Map.empty
+      else {
+        val out = scala.collection.mutable.Map.empty[String, Long]
+        Files.walk(base).forEach { p =>
+          if (p.toString.endsWith(".parquet"))
+            out(p.toString) = Files.getLastModifiedTime(p).toMillis
+        }
+        out.toMap
+      }
+    }
+    val gen0Files = parquetFiles("numer/gen-0") ++ parquetFiles("denom/gen-0") ++
+      parquetFiles("pts/gen-0") ++ parquetFiles("cover/gen-0")
+    assert(gen0Files.nonEmpty)
+    val gen0NumerBkts = Files.list(Paths.get(dir, "numer/gen-0")).toArray
+      .map(_.toString).count(_.contains("bkt="))
+    assert(gen0NumerBkts > 2, s"fixture must spread buckets, got $gen0NumerBkts")
+
+    // batch 1 touches ONE point (one bucket, no coverage, no samples)
+    val obs1 = Seq(("1", 1000L, "A", "C", 5)).toDF(
+      "chromosome", "position", "reference", "observed", "support")
+    store.commit(1, obs1, cov0.filter("false"), smp0.filter("false"))
+
+    // gen-1 overlays only the touched bucket(s)
+    val gen1NumerBkts = Files.list(Paths.get(dir, "numer/gen-1")).toArray
+      .map(_.toString).filter(_.contains("bkt="))
+    assert(gen1NumerBkts.length == 1,
+      s"gen-1 should hold exactly the touched bucket: ${gen1NumerBkts.toSeq}")
+    // and NO gen-0 file was rewritten
+    val gen0After = parquetFiles("numer/gen-0") ++ parquetFiles("denom/gen-0") ++
+      parquetFiles("pts/gen-0") ++ parquetFiles("cover/gen-0")
+    assert(gen0After == gen0Files, "a committed generation's files changed")
+
+    // served state equals the one-shot over both batches
+    val expected = freqKey(VardaOps.frequencyFrom(
+      obs0.unionByName(obs1).withColumn("sample_id",
+        org.apache.spark.sql.functions.lit(0L)),
+      cov0, smp0, withZyg = false))
+    assert(freqKey(store.serve()) == expected)
+  }
+
+  test("a replayed batch rewrites its generation instead of double-counting") {
+    val dir = tmpDir("fqs_replay")
+    val store = new FreqStore(spark, dir, nBuckets = 4)
+    val obs = Seq(("1", 5000L, "A", "C", 3)).toDF(
+      "chromosome", "position", "reference", "observed", "support")
+    val cov = Seq((1L, "1", 4000L, 6000L, 1L, 2)).toDF(
+      "region_id", "chromosome", "begin_pos", "end_pos", "sample_id", "pool_size")
+    val smp = Seq((1L, 2, true), (2L, 7, false)).toDF(
+      "sample_id", "pool_size", "has_coverage")
+    store.commit(0, obs, cov, smp)
+    val once = freqKey(store.serve())
+    // at-least-once foreachBatch: the same batch id replays after a crash
+    store.commit(0, obs, cov, smp)
+    assert(freqKey(store.serve()) == once, "replay double-counted")
+    // numer 3; denom = covered 2×2 + uncovered 7×2 = 18
+    assert(once(("1", 5000L, "A", "C")) == ((3L, 18L, 3L * 1000000 / 18)))
+  }
+
+  test("randomized interleavings converge to the one-shot state") {
+    val rnd = new Random(11)
+    val chroms = Seq("1", "2", "X", "MT")
+    val nSmp = 6
+    val obs = (1 to 120).map { i =>
+      (chroms(rnd.nextInt(4)), (rnd.nextInt(50) * 997L) % 40000L,
+        "A", if (rnd.nextBoolean()) "C" else "G", 1 + rnd.nextInt(3))
+    }.toDF("chromosome", "position", "reference", "observed", "support")
+      .withColumn("obs_id", org.apache.spark.sql.functions
+        .monotonically_increasing_id())
+    val cov = (1 to 60).map { i =>
+      val b = rnd.nextLong(40000L)
+      val sid = 1L + rnd.nextInt(nSmp - 1)
+      // pool_size is a SAMPLE attribute denormalized onto coverage rows —
+      // keep it consistent per sample, as the import pipeline would
+      (i.toLong, chroms(rnd.nextInt(4)), b, b + rnd.nextLong(1500L),
+        sid, 1 + (sid % 4).toInt)
+    }.toDF("region_id", "chromosome", "begin_pos", "end_pos",
+      "sample_id", "pool_size")
+    val smp = (1 to nSmp).map(s =>
+      (s.toLong, 1 + s % 4, s % 3 != 0)).toDF(
+      "sample_id", "pool_size", "has_coverage")
+
+    val store = new FreqStore(spark, tmpDir("fqs_rand"), nBuckets = 4)
+    for (i <- 0 until 4)
+      store.commit(i,
+        obs.filter(s"obs_id % 4 = $i"),
+        cov.filter(s"region_id % 4 = $i"),
+        smp.filter(s"sample_id % 4 = $i"))
+    val expected = freqKey(VardaOps.frequencyFrom(
+      obs.withColumn("sample_id", org.apache.spark.sql.functions.lit(0L)),
+      cov, smp, withZyg = false))
+    assert(expected.nonEmpty)
+    assert(freqKey(store.serve()) == expected)
+  }
+}

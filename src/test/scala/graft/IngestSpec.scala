@@ -198,6 +198,57 @@ class IngestSpec extends AnyFunSuite {
     }
   }
 
+  test("full-state streaming maintenance serves frequencies from committed stores") {
+    import spark.implicits._
+    val base = Files.createTempDirectory(Paths.get("/root/repo/target"), "ingfull")
+    val (src, store, ckpt) = (s"$base/src", s"$base/store", s"$base/ckpt")
+    Files.createDirectories(Paths.get(src))
+    def put(name: String, rows: Seq[String]): Unit =
+      Files.write(Paths.get(s"$src/$name"), String.join("\n", rows: _*).getBytes)
+
+    def freqKey(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3)) ->
+        ((r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+
+    // wave 1: typed import files land in ONE inbox — observations,
+    // BED coverage, sample registrations (sample 2 has no profile)
+    put("a.obs", Seq("1;1;5000;A;C;3", "2;X;5000;A;C;1"))
+    put("a.bed", Seq("10;1;4000;6000;1;2"))
+    put("a.smp", Seq("1;2;true", "2;7;false"))
+    Ingest.startFreqStateMaintenance(spark, src, store, ckpt)
+      .awaitTermination()
+    val got1 = freqKey(Ingest.readFreqStore(spark, store))
+    // chr1:5000 — numer 3, denom = covered 2×2 + uncovered 7×2 = 18;
+    // X:5000 (haploid) — only the coverage-less sample: 7×1
+    assert(got1(("1", 5000L, "A", "C")) == ((3L, 18L, 3L * 1000000 / 18)))
+    assert(got1(("X", 5000L, "A", "C")) == ((1L, 7L, 1L * 1000000 / 7)))
+
+    // wave 2 after restart: an overlapping region of the SAME sample
+    // (still counts once), X coverage arriving late (existing point
+    // gains denominator), one new observation for an existing variant
+    put("b.obs", Seq("3;1;5000;A;C;2"))
+    put("b.bed", Seq("11;1;4500;5500;1;2", "12;X;4000;6000;3;5"))
+    put("b.smp", Seq("3;5;true"))
+    Ingest.startFreqStateMaintenance(spark, src, store, ckpt)
+      .awaitTermination()
+    val got2 = freqKey(Ingest.readFreqStore(spark, store))
+    assert(got2(("1", 5000L, "A", "C")) == ((5L, 18L, 5L * 1000000 / 18)))
+    assert(got2(("X", 5000L, "A", "C")) == ((1L, 12L, 1L * 1000000 / 12)))
+
+    // and the whole stream equals the one-shot over everything imported
+    val obs = Seq(("1", 5000L, "A", "C", 3), ("X", 5000L, "A", "C", 1),
+      ("1", 5000L, "A", "C", 2))
+      .toDF("chromosome", "position", "reference", "observed", "support")
+    val cov = Seq((10L, "1", 4000L, 6000L, 1L, 2),
+      (11L, "1", 4500L, 5500L, 1L, 2), (12L, "X", 4000L, 6000L, 3L, 5))
+      .toDF("region_id", "chromosome", "begin_pos", "end_pos",
+        "sample_id", "pool_size")
+    val smp = Seq((1L, 2, true), (2L, 7, false), (3L, 5, true))
+      .toDF("sample_id", "pool_size", "has_coverage")
+    assert(got2 == freqKey(
+      graft.varda.VardaOps.frequencyFrom(obs, cov, smp, withZyg = false)))
+  }
+
   test("streaming frequency maintenance folds each micro-batch into the store") {
     val base = Files.createTempDirectory(Paths.get("/root/repo/target"), "ingmaint")
     val (src, store, ckpt) = (s"$base/src", s"$base/store", s"$base/ckpt")
