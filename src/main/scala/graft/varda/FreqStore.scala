@@ -183,14 +183,118 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
     try {
       val writes = Seq(
-        () => write("numer", batchId, numerNew, Some(pointBkt)),
-        () => write("denom", batchId, denomNew, Some(pointBkt)),
+        () => write("numer", batchId, numerNew, Some(pointBkt), oBkts),
+        () => write("denom", batchId, denomNew, Some(pointBkt), oBkts ++ cBkts),
         () => write("pts", batchId, newPts, Some(pointBkt)),
         () => write("cover", batchId, coverNew,
-          Some(bktOf(col("chromosome"), col("cell")))),
+          Some(bktOf(col("chromosome"), col("cell"))), cBkts),
         () => write("uncov", batchId, uncovNew, None))
       Await.result(Future.sequence(writes.map(w => Future(w()))), Duration.Inf)
     } finally pool.shutdown()
+  }
+
+  /** Retract samples from the committed state — the reference's sample
+    * deactivation [U varda/models.py :: Sample.active] on the durable
+    * store. The round-7 design kept retraction in-session because
+    * exact removal needed the (point, sample) pair store; the merged-
+    * fragment store makes it committable: a sample's stored fragments
+    * ARE its per-point denominator contribution, so
+    *
+    *  - `fragsGone` = the retracted samples' fragments (one full cover
+    *    scan — deactivation is the rare administrative op; every other
+    *    step is sized to the retracted samples),
+    *  - denominators: points inside `fragsGone` lose pool × ploidy —
+    *    merge-subtract, touched buckets only,
+    *  - cover: rewrite only buckets holding the samples' fragments,
+    *    dropping them (later re-import folds cleanly),
+    *  - numerators: negative fold of the samples' observations `obsR`;
+    *    variants netting to zero are DROPPED from the overlay, which
+    *    under newest-overlay-wins semantics is deletion,
+    *  - coverage-less pool: subtract retracted uncovered pools.
+    *
+    * Same generational idempotence contract as [[commit]]: pure
+    * function of (gens < batchId, arguments), overwrites `gen-batchId`.
+    */
+  def retract(batchId: Long, obsR: DataFrame, smpR: DataFrame): Unit = {
+    val sids = smpR.select("sample_id")
+    val coverAll = mergeRead("cover", batchId, None)
+    val fragsGone = coverAll
+      .join(broadcast(sids), Seq("sample_id"), "left_semi")
+      .select("chromosome", "cell", "fbegin", "fend", "sample_id", "pool_size")
+      .localCheckpoint()
+    val obsN = obsR
+      .select(col("chromosome"), col("position"), col("reference"),
+        col("observed"), (-col("support")).as("support"))
+      .localCheckpoint()
+    val bkts = obsN.select("chromosome", "position").distinct()
+      .select(pointBkt.as("bkt"), lit(true).as("o"))
+      .unionByName(fragsGone.select(
+        bktOf(col("chromosome"), col("cell")).as("bkt"), lit(false).as("o")))
+      .distinct().collect()
+    val oBkts = bkts.filter(_.getBoolean(1)).map(_.getInt(0)).toSet
+    val cBkts = bkts.filterNot(_.getBoolean(1)).map(_.getInt(0)).toSet
+
+    val denomGone = containSamples(
+      appendRead("pts", batchId, Some(cBkts)), broadcast(fragsGone))
+      .groupBy("chromosome", "position")
+      .agg(sum(col("pool_size") * VardaOps.ploidy).cast(LongType).as("denom_gone"))
+    val denomNew = mergeRead("denom", batchId, Some(cBkts))
+      .join(denomGone, Seq("chromosome", "position"), "left")
+      .select(col("chromosome"), col("position"),
+        (col("denom_cov") - coalesce(col("denom_gone"), lit(0L)))
+          .cast(LongType).as("denom_cov"))
+    val coverNew = mergeRead("cover", batchId, Some(cBkts))
+      .join(broadcast(sids), Seq("sample_id"), "left_anti")
+      .select("chromosome", "cell", "fbegin", "fend", "sample_id", "pool_size")
+    val numerNew = VardaOps.foldNumer(
+        mergeRead("numer", batchId, Some(oBkts)), obsN)
+      .filter(col("numer") =!= 0)
+    val uncovNew = uncovRead(batchId)
+      .crossJoin(broadcast(smpR.filter(!col("has_coverage"))
+        .agg(coalesce(sum(col("pool_size")), lit(0)).cast(LongType).as("gone"))))
+      .select((col("uncov_pool") - col("gone")).cast(LongType).as("uncov_pool"))
+
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      val writes = Seq(
+        () => write("numer", batchId, numerNew, Some(pointBkt), oBkts),
+        () => write("denom", batchId, denomNew, Some(pointBkt), cBkts),
+        () => write("cover", batchId, coverNew,
+          Some(bktOf(col("chromosome"), col("cell"))), cBkts),
+        () => write("uncov", batchId, uncovNew, None))
+      Await.result(Future.sequence(writes.map(w => Future(w()))), Duration.Inf)
+    } finally pool.shutdown()
+  }
+
+  /** Retention compaction: consolidate every component into ONE full
+    * snapshot generation (the current max gen id, rewritten in place as
+    * a complete overlay / consolidated delta) and DELETE all older
+    * generations — bounding store file count under continuous import,
+    * the maintenance pass any generational table needs.
+    *
+    * Single-writer, quiescent-store contract (the same contract as any
+    * offline OPTIMIZE): run it between imports, after the streaming
+    * checkpoint has committed the max generation's batch — a crash
+    * replay of that batch AFTER compaction would find its history
+    * already folded in and must not run. Readers see a consistent store
+    * before and after: per-bucket-latest and union-of-gens both resolve
+    * to the snapshot. */
+  def compact(): Unit = {
+    val maxGen = (schemas.keys.flatMap(c => gens(c).map(_._1)) ++ Seq(0L)).max
+    // materialize full current state BEFORE touching any files
+    val snaps = Seq(
+      ("numer", mergeRead("numer", Long.MaxValue, None), Some(pointBkt)),
+      ("denom", mergeRead("denom", Long.MaxValue, None), Some(pointBkt)),
+      ("cover", mergeRead("cover", Long.MaxValue, None),
+        Some(bktOf(col("chromosome"), col("cell")))),
+      ("pts", appendRead("pts", Long.MaxValue, None), Some(pointBkt)),
+      ("uncov", uncovRead(Long.MaxValue), None)
+    ).map { case (comp, df, bkt) => (comp, df.localCheckpoint(), bkt) }
+    for ((comp, df, bkt) <- snaps) {
+      write(comp, maxGen, df, bkt)
+      for ((g, p) <- gens(comp) if g < maxGen) fs.delete(p, true)
+    }
   }
 
   /** Serve ppm frequencies from the committed stores alone — the same
@@ -240,11 +344,17 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
       case None => spark.range(1).select(lit(0L).as("uncov_pool"))
     }
 
-  private def readPaths(comp: String, paths: Seq[Path]): DataFrame =
+  private def readPaths(comp: String, paths0: Seq[Path]): DataFrame = {
+    // an overlay bucket dir may be EMPTY (= "content is now nothing",
+    // the merge-store deletion marker): it must win the latest-gen race
+    // but contributes no rows, so drop it from the actual read
+    val paths = paths0.filter(p =>
+      fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
     if (paths.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemas(comp))
     else spark.read.schema(schemas(comp)).parquet(paths.map(_.toString): _*)
+  }
 
   // ---- manifest listing (driver, O(gens × buckets) names) ---------------
 
@@ -357,8 +467,13 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     gapsBefore.unionByName(tailGaps)
   }
 
+  /** `ensure`: touched buckets that must exist in the generation EVEN
+    * WHEN EMPTY — an overlay bucket with zero rows means "this bucket's
+    * content is now nothing" (how merge stores delete), and partitionBy
+    * writes no dir for it, which would read back as "untouched, use the
+    * older generation". An empty `bkt=k` dir pins the distinction. */
   private def write(comp: String, batchId: Long, df: DataFrame,
-      bkt: Option[Column]): Unit = {
+      bkt: Option[Column], ensure: Set[Int] = Set.empty): Unit = {
     val out = s"$dir/$comp/gen-$batchId"
     bkt match {
       case Some(b) => df.withColumn("bkt", b)
@@ -367,6 +482,10 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
         .write.mode("overwrite").partitionBy("bkt").parquet(out)
       case None =>
         df.coalesce(1).write.mode("overwrite").parquet(out)
+    }
+    for (k <- ensure) {
+      val p = new Path(s"$out/bkt=$k")
+      if (!fs.exists(p)) fs.mkdirs(p)
     }
   }
 }

@@ -136,6 +136,89 @@ class FreqStoreSpec extends AnyFunSuite {
     assert(once(("1", 5000L, "A", "C")) == ((3L, 18L, 3L * 1000000 / 18)))
   }
 
+  test("committed retraction equals the one-shot over remaining samples, re-import restores") {
+    val dir = tmpDir("fqs_retract")
+    val store = new FreqStore(spark, dir, nBuckets = 4)
+    // FrequencySemanticsSpec's crafted rows: sample 1 covers chr1:5000
+    // with TWO overlapping regions, sample 2 covers X:5000, sample 3 is
+    // coverage-less; observations carry sample_id for the retraction cut
+    val obs = Seq(
+      ("1", 5000L, "A", "C", 1L, 3), ("X", 5000L, "A", "C", 2L, 1))
+      .toDF("chromosome", "position", "reference", "observed",
+        "sample_id", "support")
+    val cov = Seq(
+      (10L, "1", 4000L, 6000L, 1L, 2), (11L, "1", 4500L, 5500L, 1L, 2),
+      (12L, "X", 4000L, 6000L, 2L, 5), (13L, "X", 9000L, 9500L, 1L, 2))
+      .toDF("region_id", "chromosome", "begin_pos", "end_pos",
+        "sample_id", "pool_size")
+    val smp = Seq((1L, 2, true), (2L, 5, true), (3L, 7, false))
+      .toDF("sample_id", "pool_size", "has_coverage")
+    store.commit(0, obs, cov, smp)
+
+    // retract sample 1 (covered, sole observer of chr1:5000) and
+    // sample 3 (coverage-less) — both paths in one go
+    import org.apache.spark.sql.functions.col
+    val gone = Seq(1L, 3L)
+    store.retract(1,
+      obs.filter(col("sample_id").isin(gone: _*)),
+      smp.filter(col("sample_id").isin(gone: _*)))
+    val got = freqKey(store.serve())
+    val expected = freqKey(VardaOps.frequencyFrom(
+      obs.filter(!col("sample_id").isin(gone: _*)),
+      cov.filter(!col("sample_id").isin(gone: _*)),
+      smp.filter(!col("sample_id").isin(gone: _*)), withZyg = false))
+    assert(got == expected)
+    assert(!got.contains(("1", 5000L, "A", "C")),
+      "variant observed only by the retracted sample must disappear")
+    assert(got(("X", 5000L, "A", "C")) == ((1L, 5L, 1L * 1000000 / 5)))
+
+    // re-importing the retracted samples restores the full state — the
+    // store cleanup must leave no residue
+    store.commit(2,
+      obs.filter(col("sample_id").isin(gone: _*)),
+      cov.filter(col("sample_id").isin(gone: _*)),
+      smp.filter(col("sample_id").isin(gone: _*)))
+    val full = freqKey(VardaOps.frequencyFrom(obs, cov, smp, withZyg = false))
+    assert(freqKey(store.serve()) == full)
+  }
+
+  test("compaction collapses generations to one snapshot, state and folds unchanged") {
+    val dir = tmpDir("fqs_compact")
+    val store = new FreqStore(spark, dir, nBuckets = 4)
+    val obsB = Seq(
+      Seq(("1", 5000L, "A", "C", 3), ("X", 5000L, "A", "C", 1)),
+      Seq(("2", 700L, "G", "T", 2)))
+      .map(_.toDF("chromosome", "position", "reference", "observed", "support"))
+    val covB = Seq(
+      Seq((10L, "1", 4000L, 6000L, 1L, 2), (14L, "2", 600L, 800L, 2L, 5)),
+      Seq((11L, "1", 4500L, 5500L, 1L, 2), (12L, "X", 4000L, 6000L, 2L, 5)))
+      .map(_.toDF("region_id", "chromosome", "begin_pos", "end_pos",
+        "sample_id", "pool_size"))
+    val smpB = Seq(Seq((1L, 2, true), (3L, 7, false)), Seq((2L, 5, true)))
+      .map(_.toDF("sample_id", "pool_size", "has_coverage"))
+    store.commit(0, obsB(0), covB(0), smpB(0))
+    store.commit(1, obsB(1), covB(1), smpB(1))
+    val before = freqKey(store.serve())
+
+    store.compact()
+    // exactly one generation per component survives
+    for (c <- Seq("numer", "denom", "pts", "cover", "uncov")) {
+      val gens = new java.io.File(s"$dir/$c").listFiles()
+        .filter(_.getName.startsWith("gen-")).map(_.getName).toSeq
+      assert(gens == Seq("gen-1"), s"$c gens after compaction: $gens")
+    }
+    assert(freqKey(store.serve()) == before, "compaction changed served state")
+
+    // a further import folds onto the snapshot exactly as before
+    val obs2 = Seq(("1", 5000L, "A", "C", 2))
+      .toDF("chromosome", "position", "reference", "observed", "support")
+    store.commit(2, obs2, covB(0).filter("false"), smpB(0).filter("false"))
+    val after = freqKey(store.serve())
+    assert(after(("1", 5000L, "A", "C"))._1 == 5L)
+    assert(after.filterKeys(_ != (("1", 5000L, "A", "C"))).toMap ==
+      before.filterKeys(_ != (("1", 5000L, "A", "C"))).toMap)
+  }
+
   test("randomized interleavings converge to the one-shot state") {
     val rnd = new Random(11)
     val chroms = Seq("1", "2", "X", "MT")
