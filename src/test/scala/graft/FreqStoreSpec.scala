@@ -219,6 +219,45 @@ class FreqStoreSpec extends AnyFunSuite {
       before.filterKeys(_ != (("1", 5000L, "A", "C"))).toMap)
   }
 
+  test("arbitrary-length regions work via sequence-exploded clipped fragments") {
+    import org.apache.spark.sql.functions._
+    // a 150-cell region (length 300k >> the 2^11 bound the one-shot's
+    // bucketedContainment documents) — the store's sequence+clip path
+    // must still count it; oracle = a NAIVE range join, no binning
+    val dir = tmpDir("fqs_long")
+    val store = new FreqStore(spark, dir, nBuckets = 4)
+    val obs = (0 until 40).map(i =>
+      ("1", i * 7919L % 300000L, "A", "C", 1)).toDF(
+      "chromosome", "position", "reference", "observed", "support")
+    val cov = Seq((1L, "1", 10000L, 290000L, 1L, 2),
+      (2L, "1", 250L, 550L, 2L, 3)).toDF(
+      "region_id", "chromosome", "begin_pos", "end_pos", "sample_id", "pool_size")
+    val smp = Seq((1L, 2, true), (2L, 3, true), (3L, 5, false)).toDF(
+      "sample_id", "pool_size", "has_coverage")
+    store.commit(0, obs, cov, smp)
+    // naive oracle: denominator by direct range join, numer by group
+    val pts = obs.select("chromosome", "position").distinct()
+    val covered = pts.join(cov,
+      pts("chromosome") === cov("chromosome")
+        && pts("position") >= cov("begin_pos")
+        && pts("position") <= cov("end_pos"))
+      .select(pts("chromosome"), pts("position"),
+        cov("sample_id"), cov("pool_size")).distinct()
+      .groupBy("chromosome", "position")
+      .agg(sum(col("pool_size") * 2).cast("long").as("dcov"))
+    val expected = obs.groupBy("chromosome", "position", "reference", "observed")
+      .agg(sum("support").cast("long").as("numer"))
+      .join(covered, Seq("chromosome", "position"), "left")
+      .select(col("chromosome"), col("position"), col("reference"),
+        col("observed"), col("numer"),
+        (coalesce(col("dcov"), lit(0L)) + 10L).as("denom"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3)) ->
+        ((r.getLong(4), r.getLong(5)))).toMap
+    val got = freqKey(store.serve()).view.mapValues(v => (v._1, v._2)).toMap
+    assert(got == expected)
+  }
+
   test("randomized interleavings converge to the one-shot state") {
     val rnd = new Random(11)
     val chroms = Seq("1", "2", "X", "MT")
