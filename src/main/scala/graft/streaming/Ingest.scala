@@ -158,9 +158,13 @@ object Ingest {
     * replayed after a crash rewrites the same generation instead of
     * double-counting (exactly the reason a plain read-merge-overwrite of
     * one store path would be wrong under the checkpoint's at-least-once
-    * foreachBatch contract). At scale each generation is a partitioned
-    * table and old generations are retention-pruned; here they are tiny
-    * parquet dirs. */
+    * foreachBatch contract).
+    *
+    * This numerator-only stream writes O(store) generations — kept as
+    * the minimal round-7 form its test documents. The PRODUCTION path
+    * is [[startFreqStateMaintenance]]: full state, bucket-partitioned
+    * O(batch) commits, a commit log for partial-write invisibility,
+    * retention compaction. */
   def startFrequencyMaintenance(spark: SparkSession, srcDir: String,
       storeDir: String, checkpointDir: String,
       maxFilesPerTrigger: Int = 1): StreamingQuery =

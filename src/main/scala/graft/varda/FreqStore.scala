@@ -190,6 +190,7 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
           Some(bktOf(col("chromosome"), col("cell"))), cBkts),
         () => write("uncov", batchId, uncovNew, None))
       Await.result(Future.sequence(writes.map(w => Future(w()))), Duration.Inf)
+      markCommitted(batchId)
     } finally pool.shutdown()
   }
 
@@ -264,6 +265,7 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
           Some(bktOf(col("chromosome"), col("cell"))), cBkts),
         () => write("uncov", batchId, uncovNew, None))
       Await.result(Future.sequence(writes.map(w => Future(w()))), Duration.Inf)
+      markCommitted(batchId)
     } finally pool.shutdown()
   }
 
@@ -295,6 +297,9 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
       write(comp, maxGen, df, bkt)
       for ((g, p) <- gens(comp) if g < maxGen) fs.delete(p, true)
     }
+    // prune the commit log to the surviving snapshot generation
+    for (g <- committedGens() if g < maxGen)
+      fs.delete(new Path(s"$dir/_commits/gen-$g"), false)
   }
 
   /** Serve ppm frequencies from the committed stores alone — the same
@@ -361,14 +366,36 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
   private def fs =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** `gen-<id>` directories of a component, ascending by id. */
+  /** The store-level COMMIT LOG: `_commits/gen-<b>` is created only
+    * after every component's generation `b` has fully written, and
+    * readers resolve generations through it — so a crash mid-commit
+    * (some components written, others not, or half-written parquet)
+    * leaves dirs on disk that NO reader ever sees, and the replayed
+    * batch overwrites them. The minimal transaction-log shape every
+    * multi-file commit needs. */
+  private def committedGens(): Set[Long] = {
+    val p = new Path(s"$dir/_commits")
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).toSeq.flatMap(st =>
+      st.getPath.getName.stripPrefix("gen-").toLongOption).toSet
+  }
+
+  private def markCommitted(batchId: Long): Unit = {
+    val d = new Path(s"$dir/_commits")
+    fs.mkdirs(d)
+    fs.create(new Path(d, s"gen-$batchId"), true).close()
+  }
+
+  /** COMMITTED `gen-<id>` directories of a component, ascending by id. */
   private def gens(comp: String): Seq[(Long, Path)] = {
+    val ok = committedGens()
     val p = new Path(s"$dir/$comp")
     if (!fs.exists(p)) Nil
     else fs.listStatus(p).toSeq.filter(_.isDirectory).flatMap { st =>
       st.getPath.getName match {
         case n if n.startsWith("gen-") =>
-          n.stripPrefix("gen-").toLongOption.map(_ -> st.getPath)
+          n.stripPrefix("gen-").toLongOption.filter(ok.contains)
+            .map(_ -> st.getPath)
         case _ => None
       }
     }.sortBy(_._1)

@@ -219,6 +219,29 @@ class FreqStoreSpec extends AnyFunSuite {
       before.filterKeys(_ != (("1", 5000L, "A", "C"))).toMap)
   }
 
+  test("a generation without a commit-log entry is invisible to readers") {
+    val dir = tmpDir("fqs_partial")
+    val store = new FreqStore(spark, dir, nBuckets = 4)
+    val obs = Seq(("1", 5000L, "A", "C", 3)).toDF(
+      "chromosome", "position", "reference", "observed", "support")
+    val cov = Seq((1L, "1", 4000L, 6000L, 1L, 2)).toDF(
+      "region_id", "chromosome", "begin_pos", "end_pos", "sample_id", "pool_size")
+    val smp = Seq((1L, 2, true)).toDF("sample_id", "pool_size", "has_coverage")
+    store.commit(0, obs, cov, smp)
+    val before = freqKey(store.serve())
+
+    // simulate a crash mid-commit: batch 1's numer overlay landed on
+    // disk (poisoned values), but the commit log never recorded gen-1
+    Seq(("1", 5000L, "A", "C", 999L))
+      .toDF("chromosome", "position", "reference", "observed", "numer")
+      .write.parquet(s"$dir/numer/gen-1/bkt=0")
+    assert(freqKey(store.serve()) == before,
+      "reader trusted an uncommitted generation")
+    // the replayed batch commits over the debris and becomes visible
+    store.commit(1, obs, cov.filter("false"), smp.filter("false"))
+    assert(freqKey(store.serve())(("1", 5000L, "A", "C"))._1 == 6L)
+  }
+
   test("arbitrary-length regions work via sequence-exploded clipped fragments") {
     import org.apache.spark.sql.functions._
     // a 150-cell region (length 300k >> the 2^11 bound the one-shot's
