@@ -293,23 +293,38 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
       ("pts", appendRead("pts", Long.MaxValue, None), Some(pointBkt)),
       ("uncov", uncovRead(Long.MaxValue), None)
     ).map { case (comp, df, bkt) => (comp, df.localCheckpoint(), bkt) }
-    for ((comp, df, bkt) <- snaps) {
-      write(comp, maxGen, df, bkt)
-      for ((g, p) <- gens(comp) if g < maxGen) fs.delete(p, true)
+    for ((comp, df, bkt) <- snaps) write(comp, maxGen, df, bkt)
+    markCommitted(maxGen) // no-op unless the store was empty
+    val ok = committedGens()
+    for ((comp, _, _) <- snaps) {
+      // drop superseded generations AND uncommitted crash debris (gen
+      // dirs no log entry ever blessed — invisible to readers, but they
+      // still cost listings)
+      val p = new Path(s"$dir/$comp")
+      if (fs.exists(p)) for (st <- fs.listStatus(p) if st.isDirectory) {
+        val g = st.getPath.getName.stripPrefix("gen-").toLongOption
+        if (g.exists(id => id < maxGen || !ok.contains(id)))
+          fs.delete(st.getPath, true)
+      }
     }
     // prune the commit log to the surviving snapshot generation
-    for (g <- committedGens() if g < maxGen)
+    for (g <- ok if g < maxGen)
       fs.delete(new Path(s"$dir/_commits/gen-$g"), false)
   }
 
   /** Serve ppm frequencies from the committed stores alone — the same
     * three-frame join as the in-session state, no containment join and
-    * no history rescan at serve time. */
-  def serve(): DataFrame =
+    * no history rescan at serve time. The commit-log high-water mark is
+    * pinned ONCE and every component reads strictly below it, so a
+    * commit landing mid-serve cannot skew one component ahead of
+    * another: readers get snapshot consistency from the log bound. */
+  def serve(): DataFrame = {
+    val upTo = committedGens().maxOption.map(_ + 1).getOrElse(Long.MaxValue)
     VardaOps.serveFrom(
-      mergeRead("numer", Long.MaxValue, None),
-      mergeRead("denom", Long.MaxValue, None),
-      uncovRead(Long.MaxValue))
+      mergeRead("numer", upTo, None),
+      mergeRead("denom", upTo, None),
+      uncovRead(upTo))
+  }
 
   /** Run two independent materializations on concurrent Spark jobs. */
   private def inParallel[A, B](fa: () => A, fb: () => B): (A, B) = {
