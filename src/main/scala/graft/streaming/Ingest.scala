@@ -119,7 +119,8 @@ object Ingest {
     * commit. */
   def startFreqStateMaintenance(spark: SparkSession, srcDir: String,
       storeDir: String, checkpointDir: String,
-      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+      maxFilesPerTrigger: Option[Int] = None,
+      compactEvery: Option[Int] = None): StreamingQuery = {
     val reader = spark.readStream
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     reader.text(srcDir)
@@ -128,7 +129,15 @@ object Ingest {
         val withF = batch.withColumn("__f", input_file_name())
         def slice(ext: String) =
           withF.filter(col("__f").endsWith(ext)).select("value")
-        new graft.varda.FreqStore(batch.sparkSession, storeDir).commit(
+        val store = new graft.varda.FreqStore(batch.sparkSession, storeDir)
+        // retention on a cadence, BEFORE folding: only generations
+        // strictly below this batch consolidate, so an at-least-once
+        // replay of batch `batchId` still finds its full history (as
+        // the snapshot) and refolds identically — in-loop compaction
+        // stays replay-safe
+        compactEvery.foreach(n =>
+          if (batchId > 0 && batchId % n == 0) store.compact(before = batchId))
+        store.commit(
           batchId,
           parseObservationLines(slice(".obs")),
           parseCoverageLines(slice(".bed"))

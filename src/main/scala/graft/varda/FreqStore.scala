@@ -269,41 +269,47 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     } finally pool.shutdown()
   }
 
-  /** Retention compaction: consolidate every component into ONE full
-    * snapshot generation (the current max gen id, rewritten in place as
-    * a complete overlay / consolidated delta) and DELETE all older
-    * generations — bounding store file count under continuous import,
-    * the maintenance pass any generational table needs.
+  /** Retention compaction: consolidate every generation `< before` into
+    * ONE full snapshot (the newest such gen id, rewritten in place as a
+    * complete overlay / consolidated delta) and DELETE the older ones —
+    * bounding store file count under continuous import, the maintenance
+    * pass any generational table needs.
     *
-    * Single-writer, quiescent-store contract (the same contract as any
-    * offline OPTIMIZE): run it between imports, after the streaming
-    * checkpoint has committed the max generation's batch — a crash
-    * replay of that batch AFTER compaction would find its history
-    * already folded in and must not run. Readers see a consistent store
-    * before and after: per-bucket-latest and union-of-gens both resolve
-    * to the snapshot. */
-  def compact(): Unit = {
-    val maxGen = (schemas.keys.flatMap(c => gens(c).map(_._1)) ++ Seq(0L)).max
-    // materialize full current state BEFORE touching any files
+    * With the default `before` this is the offline OPTIMIZE
+    * (single-writer, quiescent store, checkpoint committed through the
+    * newest batch). With `before = currentBatchId` it is REPLAY-SAFE
+    * **inside** the import loop: only generations strictly below the
+    * in-flight batch consolidate, so a crash-replayed batch still finds
+    * its entire history — as the snapshot — and refolds identically
+    * (how [[graft.streaming.Ingest.startFreqStateMaintenance]] runs it
+    * on a cadence). Readers see a consistent store throughout: the
+    * snapshot overwrites an already-committed generation id, and
+    * per-bucket-latest / union-of-gens resolve identically before and
+    * after. */
+  def compact(before: Long = Long.MaxValue): Unit = {
+    val target = committedGens().filter(_ < before)
+    if (target.isEmpty) return
+    val maxGen = target.max
+    val upTo = maxGen + 1
+    // materialize the snapshot state BEFORE touching any files
     val snaps = Seq(
-      ("numer", mergeRead("numer", Long.MaxValue, None), Some(pointBkt)),
-      ("denom", mergeRead("denom", Long.MaxValue, None), Some(pointBkt)),
-      ("cover", mergeRead("cover", Long.MaxValue, None),
+      ("numer", mergeRead("numer", upTo, None), Some(pointBkt)),
+      ("denom", mergeRead("denom", upTo, None), Some(pointBkt)),
+      ("cover", mergeRead("cover", upTo, None),
         Some(bktOf(col("chromosome"), col("cell")))),
-      ("pts", appendRead("pts", Long.MaxValue, None), Some(pointBkt)),
-      ("uncov", uncovRead(Long.MaxValue), None)
+      ("pts", appendRead("pts", upTo, None), Some(pointBkt)),
+      ("uncov", uncovRead(upTo), None)
     ).map { case (comp, df, bkt) => (comp, df.localCheckpoint(), bkt) }
     for ((comp, df, bkt) <- snaps) write(comp, maxGen, df, bkt)
-    markCommitted(maxGen) // no-op unless the store was empty
     val ok = committedGens()
     for ((comp, _, _) <- snaps) {
-      // drop superseded generations AND uncommitted crash debris (gen
-      // dirs no log entry ever blessed — invisible to readers, but they
-      // still cost listings)
+      // drop superseded generations AND uncommitted crash debris below
+      // the bound (gen dirs no log entry ever blessed — invisible to
+      // readers, but they still cost listings)
       val p = new Path(s"$dir/$comp")
       if (fs.exists(p)) for (st <- fs.listStatus(p) if st.isDirectory) {
         val g = st.getPath.getName.stripPrefix("gen-").toLongOption
-        if (g.exists(id => id < maxGen || !ok.contains(id)))
+        if (g.exists(id => id < maxGen || (id < before && !ok.contains(id))))
           fs.delete(st.getPath, true)
       }
     }

@@ -249,6 +249,49 @@ class IngestSpec extends AnyFunSuite {
       graft.varda.VardaOps.frequencyFrom(obs, cov, smp, withZyg = false)))
   }
 
+  test("in-loop compaction bounds generations without changing served state") {
+    import spark.implicits._
+    val base = Files.createTempDirectory(Paths.get("/root/repo/target"), "ingcomp")
+    val (src, store, ckpt) = (s"$base/src", s"$base/store", s"$base/ckpt")
+    Files.createDirectories(Paths.get(src))
+    def put(name: String, rows: Seq[String]): Unit =
+      Files.write(Paths.get(s"$src/$name"), String.join("\n", rows: _*).getBytes)
+    def run() = Ingest.startFreqStateMaintenance(spark, src, store, ckpt,
+      compactEvery = Some(1)).awaitTermination()
+
+    put("a.obs", Seq("1;1;5000;A;C;3"))
+    put("a.bed", Seq("10;1;4000;6000;1;2"))
+    put("a.smp", Seq("1;2;true", "2;7;false"))
+    run()
+    put("b.obs", Seq("2;1;5000;A;C;2", "3;2;700;G;T;1"))
+    put("b.bed", Seq("11;2;600;800;1;2"))
+    run()
+    put("c.obs", Seq("4;2;700;G;T;4"))
+    run()
+
+    // every batch ≥ 1 compacted its history first: at most the snapshot
+    // generation plus the newest batch survive per component
+    for (c <- Seq("numer", "denom", "pts", "cover", "uncov")) {
+      val gens = new java.io.File(s"$store/$c").listFiles()
+        .filter(_.getName.startsWith("gen-")).map(_.getName).sorted.toSeq
+      assert(gens.length <= 2, s"$c gens not bounded: $gens")
+    }
+    // and the served state equals the one-shot over everything imported
+    val obs = Seq(("1", 5000L, "A", "C", 3), ("1", 5000L, "A", "C", 2),
+      ("2", 700L, "G", "T", 1), ("2", 700L, "G", "T", 4))
+      .toDF("chromosome", "position", "reference", "observed", "support")
+    val cov = Seq((10L, "1", 4000L, 6000L, 1L, 2), (11L, "2", 600L, 800L, 1L, 2))
+      .toDF("region_id", "chromosome", "begin_pos", "end_pos",
+        "sample_id", "pool_size")
+    val smp = Seq((1L, 2, true), (2L, 7, false))
+      .toDF("sample_id", "pool_size", "has_coverage")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3)) ->
+        ((r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(key(Ingest.readFreqStore(spark, store)) ==
+      key(graft.varda.VardaOps.frequencyFrom(obs, cov, smp, withZyg = false)))
+  }
+
   test("streaming frequency maintenance folds each micro-batch into the store") {
     val base = Files.createTempDirectory(Paths.get("/root/repo/target"), "ingmaint")
     val (src, store, ckpt) = (s"$base/src", s"$base/store", s"$base/ckpt")
