@@ -431,9 +431,6 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
       else None
     }
 
-  private def collectBkts(df: DataFrame): Set[Int] =
-    df.distinct().collect().map(_.getInt(0)).toSet
-
   /** (point, sample) containment against a DISJOINT fragment set: equi
     * on (chromosome, cell) + residual BETWEEN. Because fragments of one
     * sample never overlap within a cell and a point lives in exactly

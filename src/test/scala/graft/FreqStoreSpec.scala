@@ -219,6 +219,30 @@ class FreqStoreSpec extends AnyFunSuite {
       before.filterKeys(_ != (("1", 5000L, "A", "C"))).toMap)
   }
 
+  test("store joins plan as equi-joins — no cartesian or nested-loop fallback") {
+    val store = new FreqStore(spark, tmpDir("fqs_plan"), nBuckets = 4)
+    val pts = Seq(("1", 5000L)).toDF("chromosome", "position")
+    val frags = Seq(("1", 2L, 4096L, 6000L, 1L, 2))
+      .toDF("chromosome", "cell", "fbegin", "fend", "sample_id", "pool_size")
+    for ((name, df) <- Seq(
+        ("containSamples", store.containSamples(pts, frags)),
+        ("subtractFragments", store.subtractFragments(frags, frags)),
+        ("mergeFragments", store.mergeFragments(frags)))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct")
+        && !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name planned a quadratic join:\n$plan")
+    }
+  }
+
+  test("serving an empty store yields an empty, well-typed frame") {
+    val store = new FreqStore(spark, tmpDir("fqs_empty"), nBuckets = 4)
+    val out = store.serve()
+    assert(out.columns.toSeq == Seq("chromosome", "position", "reference",
+      "observed", "numer", "denom", "freq_ppm"))
+    assert(out.count() == 0)
+  }
+
   test("a generation without a commit-log entry is invisible to readers") {
     val dir = tmpDir("fqs_partial")
     val store = new FreqStore(spark, dir, nBuckets = 4)
