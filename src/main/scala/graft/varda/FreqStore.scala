@@ -89,7 +89,7 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
   private def bktOf(chrom: Column, cell: Column): Column =
     pmod(hash(chrom, cell), lit(nBuckets))
   private def pointBkt: Column =
-    bktOf(col("chromosome"), shiftright(col("position"), 11))
+    bktOf(col("chromosome"), shiftright(col("position"), CellShift))
 
   /** Fold one import batch into the committed stores. `obsB` carries
     * (chromosome, position, reference, observed, support), `covB` the
