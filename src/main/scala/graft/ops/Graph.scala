@@ -65,8 +65,10 @@ object Graph {
     edgeCache.get((s, d, minSupport)) match {
       case Some(e) => e
       case None =>
-        edgeCache.filterInPlace { case ((sess, _, _), _) =>
-          !sess.sparkContext.isStopped }
+        edgeCache.filterInPlace { case ((sess, _, _), e) =>
+          val live = !sess.sparkContext.isStopped
+          if (!live) scala.util.Try(e.unpersist(false))
+          live }
         val li = Tables.lineitem(s, d)
           .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
         val e = li.as("a").join(li.as("b"),
@@ -78,8 +80,11 @@ object Graph {
           // each consumer fans the edge list into 3-6 plan references;
           // without materialization every reference re-runs the
           // self-join + aggregate. The edge list is the SMALL derived
-          // frame here (pairs above support, two BIGINTs).
-          .localCheckpoint()
+          // frame here (pairs above support, two BIGINTs). persist, not
+          // localCheckpoint: persisted blocks keep their lineage, so an
+          // executor loss recomputes the lost partitions instead of
+          // failing every later graph query for the session's lifetime
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         edgeCache.put((s, d, minSupport), e)
         e
     }

@@ -31,14 +31,21 @@ object VardaOps {
   def smp(s: SparkSession, d: String): DataFrame = fixture(s, d, VardaSql.samples)
   def alleles(s: SparkSession, d: String): DataFrame = fixture(s, d, VardaSql.alleles)
 
-  /** Generic power-of-two bucketed containment join. Interval length is
-    * bounded by 1100 < 2^11, so an interval overlaps at most two 2^11
-    * buckets; the join becomes equi on (chromosome, bucket) + residual
-    * BETWEEN. */
+  /** Generic power-of-two bucketed containment join: regions explode
+    * into EVERY 2^11 cell they touch (`sequence(begin>>11, end>>11)`),
+    * so the join is equi on (chromosome, bucket) + residual BETWEEN and
+    * correct for ANY interval length — a region's interior cells are
+    * enumerated, not just its endpoints (the round-8 endpoint-only form
+    * silently dropped points in strictly interior cells of ≥3-cell
+    * regions). Fan-out is ceil(length / 2048) rows per region: identical
+    * cost for the bounded-length operators that use this, linear-in-
+    * length for long intervals — [[binnedContainment]]'s 5-level bin
+    * hierarchy stays the right plan when lengths are unbounded AND
+    * per-region fan-out must stay O(1). */
   private[graft] def bucketedContainment(points: DataFrame, regions: DataFrame): DataFrame = {
     val pB = points.withColumn("bkt", shiftright(col("position"), 11))
-    val rB = regions.withColumn("bkt", explode(array_distinct(array(
-      shiftright(col("begin_pos"), 11), shiftright(col("end_pos"), 11)))))
+    val rB = regions.withColumn("bkt", explode(sequence(
+      shiftright(col("begin_pos"), 11), shiftright(col("end_pos"), 11))))
     pB.join(rB, Seq("chromosome", "bkt"))
       .filter(col("position") >= col("begin_pos") && col("position") <= col("end_pos"))
       .drop("bkt")

@@ -92,9 +92,14 @@ class PropertySpec extends AnyFunSuite {
   // ---- containment joins ≡ naive range join ----------------------------
   test("binned and bucketed containment joins equal the naive range join") {
     import spark.implicits._
+    // lengths deliberately straddle the 2^11 cell size: short regions
+    // (≤1100), plus regions spanning 3+ interior cells (up to ~9 cells) —
+    // the round-8 endpoint-only bucketing lost interior-cell points here
     val regions = (1 to 300).map { i =>
       val b = rnd.nextLong(100000)
-      (i.toLong, (1 + rnd.nextInt(3)).toString, b, b + rnd.nextInt(1100), 1)
+      val len = if (i % 5 == 0) 5000L + rnd.nextLong(13000L)
+                else rnd.nextInt(1100).toLong
+      (i.toLong, (1 + rnd.nextInt(3)).toString, b, b + len, 1)
     }.toDF("region_id", "chromosome", "begin_pos", "end_pos", "pool_size")
     val points = (1 to 300).map { i =>
       (i.toLong, (1 + rnd.nextInt(3)).toString, rnd.nextLong(101100))
