@@ -45,6 +45,11 @@ object Bench {
       // numbers stop swinging 3-5x on machine-load noise in the fit.
       SparkEntry.queries.get("sim_ann_lsh").foreach(_(spark, sfDir).count())
       SparkEntry.queries.get("sim_ann_ivf").foreach(_(spark, sfDir).count())
+      // … and the minhash family, for the same reason — warming the BRP
+      // and IVF builds but not this one made the ANN/near-dup families'
+      // bench lines non-comparable (round-8 verdict): its line paid the
+      // one-time shingle/signature build the others had amortized.
+      SparkEntry.queries.get("dedup_near_minhash").foreach(_(spark, sfDir).count())
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup aborted: $e")
     }

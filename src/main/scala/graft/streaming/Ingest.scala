@@ -19,7 +19,12 @@ import org.apache.spark.sql.types._
 object Ingest {
 
   /** Parse `;`-delimited observation lines (obs_id;chromosome;position;
-    * reference;observed;support — FIXTURES.md §2.4 shape). */
+    * reference;observed;support[;sample_id] — FIXTURES.md §2.4 shape).
+    * The 7th field is OPTIONAL: when present it ties the observation to
+    * its sample (the reference's Observation→Sample link [U
+    * varda/models.py]), which is what lets a later `.rm` retraction
+    * find the sample's rows in the store's obslog; 6-field lines parse
+    * with a null sample_id (and are then not sample-retractable). */
   def parseObservationLines(lines: DataFrame): DataFrame =
     lines.select(split(col("value"), ";").as("f"))
       .select(
@@ -28,7 +33,9 @@ object Ingest {
         element_at(col("f"), 3).cast(LongType).as("position"),
         element_at(col("f"), 4).as("reference"),
         element_at(col("f"), 5).as("observed"),
-        element_at(col("f"), 6).cast(IntegerType).as("support"))
+        element_at(col("f"), 6).cast(IntegerType).as("support"),
+        when(size(col("f")) >= 7, element_at(col("f"), 7))
+          .cast(LongType).as("sample_id"))
 
   /** Start the continuous import: watch `srcDir` for new line files,
     * parse, and append to `destDir` parquet partitioned by chromosome
@@ -103,20 +110,33 @@ object Ingest {
   /** Continuous FULL-STATE frequency maintenance (round-8; the round-7
     * numerator-only stream is [[startFrequencyMaintenance]] below): ONE
     * inbox directory receives typed import files — `*.obs` observation
-    * lines, `*.bed` coverage lines, `*.smp` sample registrations — and
-    * each micro-batch routes them by extension and folds all three into
-    * the committed [[graft.varda.FreqStore]]: numerators, per-point
-    * denominators, the overlap-dedup pair store and the coverage-less
-    * pool all advance together, durably, with only the batch's hash
-    * buckets rewritten (O(batch) commits) and replay-idempotent
-    * generations under foreachBatch's at-least-once contract. This is
-    * the reference's import lifecycle [U varda/tasks.py ::
-    * import_variation + import_coverage] as one restartable stream:
-    * serving reads the committed stores with no containment join and no
-    * import-history rescan, and a crash between write and checkpoint
-    * commit replays into the same generation. Coverage bin assignment
-    * (the region → 2^11-cell explode) happens in-path inside the
-    * commit. */
+    * lines, `*.bed` coverage lines, `*.smp` sample registrations,
+    * `*.rm` sample RETRACTIONS (round-9; the reference treats
+    * deactivation as a normal lifecycle event [U varda/models.py ::
+    * Sample.active], so it must be streamable, not an offline admin op)
+    * — and each micro-batch routes them by extension and folds into the
+    * committed [[graft.varda.FreqStore]]: numerators, per-point
+    * denominators, merged coverage fragments, the sample-tagged obslog
+    * and the coverage-less pool all advance together, durably, with
+    * only the batch's hash buckets rewritten (O(batch) commits) and
+    * replay-idempotent generations under foreachBatch's at-least-once
+    * contract.
+    *
+    * Generation ids: stream batch `b` commits imports as generation
+    * `2b` and — when `.rm` files are present — retractions as
+    * generation `2b+1`, so one micro-batch can carry both and a
+    * replayed batch rewrites both deterministically. Within a wave,
+    * imports apply before deactivations (the `.rm` generation reads
+    * `< 2b+1`, so it sees the same wave's imports — a sample registered
+    * and deactivated in one wave nets out). `.rm` lines carry the same
+    * sample_id;pool_size;has_coverage shape as `.smp`; the retracted
+    * samples' observations come off the store's obslog, so the file
+    * needs nothing else.
+    *
+    * Serving reads the committed stores with no containment join and no
+    * import-history rescan; a crash between write and checkpoint commit
+    * replays into the same generations. Coverage bin assignment (the
+    * region → 2^11-cell explode) happens in-path inside the commit. */
   def startFreqStateMaintenance(spark: SparkSession, srcDir: String,
       storeDir: String, checkpointDir: String,
       maxFilesPerTrigger: Option[Int] = None,
@@ -136,13 +156,16 @@ object Ingest {
         // the snapshot) and refolds identically — in-loop compaction
         // stays replay-safe
         compactEvery.foreach(n =>
-          if (batchId > 0 && batchId % n == 0) store.compact(before = batchId))
+          if (batchId > 0 && batchId % n == 0)
+            store.compact(before = 2 * batchId))
         store.commit(
-          batchId,
+          2 * batchId,
           parseObservationLines(slice(".obs")),
           parseCoverageLines(slice(".bed"))
             .select("chromosome", "begin_pos", "end_pos", "sample_id", "pool_size"),
           parseSampleLines(slice(".smp")))
+        val rm = parseSampleLines(slice(".rm"))
+        if (!rm.isEmpty) store.retractSamples(2 * batchId + 1, rm)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

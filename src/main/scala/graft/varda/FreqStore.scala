@@ -5,27 +5,51 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import scala.concurrent.{Await, ExecutionContext, Future}
-import scala.concurrent.duration.Duration
-
-/** The COMMITTED form of [[VardaOps.FreqState]] (round-8): every import
-  * batch folds into durable, bucket-partitioned, generational parquet
-  * stores, and serving reads the stores alone — the at-scale shape the
-  * in-session lazy replay (`VardaOps.vardaFreqIncremental`) stood in
-  * for. This is the reference's actual continuous-import surface
-  * [U varda/tasks.py :: import_variation / import_coverage]: imports
-  * arrive forever, served state must never rescan import history, and a
-  * restart must lose nothing.
+/** The COMMITTED form of [[VardaOps.FreqState]] (round-8, compressed and
+  * hardened round-9): every import batch folds into durable,
+  * bucket-partitioned, generational parquet stores, and serving reads
+  * the stores alone — the at-scale shape the in-session lazy replay
+  * (`VardaOps.vardaFreqIncremental`) stood in for. This is the
+  * reference's actual continuous-import surface [U varda/tasks.py ::
+  * import_variation / import_coverage]: imports arrive forever, served
+  * state must never rescan import history, and a restart must lose
+  * nothing.
   *
-  * Layout — one directory per component store, one generation per batch:
+  * Layout — one directory per generation, one dynamic-partition leaf per
+  * (component, bucket):
   *
   * {{{
-  *   dir/numer/gen-<b>/bkt=<k>/part-*.parquet      merge store (overlay)
-  *   dir/denom/gen-<b>/bkt=<k>/...                 merge store (overlay)
-  *   dir/cover/gen-<b>/bkt=<k>/...                 merge store (overlay)
-  *   dir/pts/gen-<b>/bkt=<k>/...                   append store (delta)
-  *   dir/uncov/gen-<b>/...                         1-row running sum
+  *   dir/gen-<b>/comp=numer/bkt=<k>/part-*.parquet   merge store (overlay)
+  *   dir/gen-<b>/comp=denom/bkt=<k>/...              merge store (overlay)
+  *   dir/gen-<b>/comp=cover/bkt=<k>/...              merge store (overlay)
+  *   dir/gen-<b>/comp=pts/bkt=<k>/...                append store (delta)
+  *   dir/gen-<b>/comp=obslog/bkt=<k>/...             append store (+/- rows)
+  *   dir/gen-<b>/comp=smpreg/bkt=0/...               append store (+/- rows)
+  *   dir/gen-<b>.<v>/...                             snapshot (v >= 1)
+  *   dir/_commits/gen-<b>[.<v>]                      commit log
+  *                                  (content: "nBuckets uncovPool")
   * }}}
+  *
+  * The coverage-less sample pool — one scalar — rides in each commit
+  * marker instead of a 1-row parquet component: the log is already the
+  * atomic commit point, so the scalar is exactly as durable, and serve
+  * reads it for free.
+  *
+  * **A commit is three levels** (round-9): one manifest `collect` over
+  * the RAW batch (O(nBuckets) scalars — the transaction-log planner
+  * computation; raw is enough because dedup and fragment-merging never
+  * change which buckets a batch touches), one job materializing every
+  * lineage-truncated intermediate (batch checkpoint, fragment merge,
+  * new-point anti-join, coverage subtraction), then the component
+  * writes running CONCURRENTLY. A single union write job with a
+  * `partitionBy(comp, bkt)` tag was built and A/B-measured first — it
+  * LOST: one job serializes all driver-side planning/codegen and
+  * chains every branch into one DAG, while independent per-component
+  * jobs overlap both (SURVEY §6). The round-8 full-outer merge folds
+  * are also gone — combining keyed partial sums is a union + ONE hash
+  * aggregate, and the three denominator containment joins fused into
+  * one tagged join (`p_new OR f_new` selects exactly the pairs first
+  * counted this commit).
   *
   * Every store is partitioned by ONE shared bucket function,
   * `pmod(hash(chromosome, position >> 11), nBuckets)` — point rows
@@ -33,49 +57,78 @@ import scala.concurrent.duration.Duration
   * into one FRAGMENT per covered cell (the in-path bin assignment) and
   * bucket by the fragment's cell. Sharing the function is what makes
   * every fold read PRUNED: a batch's points and regions determine, on
-  * the driver, exactly which buckets the fold can touch (a
-  * commit-manifest computation, O(nBuckets) scalars — the same metadata
-  * any transactional table format's planner holds), and both the
+  * the driver, exactly which buckets the fold can touch, and both the
   * previous-state reads and the containment probes open only those
-  * buckets' files.
+  * buckets' files. [[lookup]] exposes the serving-side payoff: a point
+  * query evaluates the same hash on the driver and opens ONE bucket
+  * directory.
+  *
+  * **The commit log carries the bucket modulus.** Each marker
+  * `_commits/gen-<b>[.<v>]` records the nBuckets its generation was
+  * written with; an existing store's effective modulus is read BACK
+  * from the log (the constructor's `nBuckets` only seeds a new store),
+  * so reopening a store with a different constructor value can no
+  * longer mis-prune reads — and [[compact]] can legally SPLIT buckets:
+  * a snapshot consolidates every live generation into one, so it may
+  * rewrite under a doubled modulus (recorded in its marker) without any
+  * mixed-modulus window. All live markers sharing one modulus is an
+  * asserted invariant.
+  *
+  * **Snapshots are versioned, never in-place** (round-9, closing the
+  * round-8 crash window): [[compact]] writes its snapshot to a NEW
+  * directory `gen-<maxGen>.<v+1>`, marks it committed only after the
+  * write completes, and only then deletes superseded generations. A
+  * crash anywhere leaves either the old generations fully readable (new
+  * marker absent) or the snapshot readable (marker present — readers
+  * resolve each generation id to its highest committed version, and a
+  * committed snapshot FLOORS the log: generations below it are ignored
+  * even if their files still exist). No reader ever sees a
+  * half-deleted store.
   *
   * **The coverage store holds MERGED, per-cell-clipped fragments** —
   * for each (sample, chromosome, 2^11 cell), a disjoint set of
   * intervals. That invariant carries the whole design:
   *
   *  - a point matches each covering sample AT MOST ONCE, so the
-  *    denominator fold needs no pair-level `distinct` — the round-7
-  *    in-session state needed a (point, sample) PAIR STORE (at scale:
-  *    points × covering samples, often corpus-dominating) purely to
-  *    keep cross-batch overlap dedup exact; merged fragments encode
-  *    the same fact in corpus-sized state instead,
+  *    denominator fold needs no pair-level `distinct`,
   *  - "what does this batch newly cover" is per-cell interval
-  *    SUBTRACTION (batch \ store) — batch-sized work, no anti-join
-  *    against a growing pair set,
+  *    SUBTRACTION (batch \ store) — batch-sized work,
   *  - clipping at cell boundaries makes merging strictly LOCAL to a
   *    bucket, so commits still rewrite only touched buckets.
+  *
+  * **The obslog and smpreg components retain sample-tagged
+  * observations and sample registrations** (the reference's Observation
+  * and Sample tables [U varda/models.py] — round-9): append stores of
+  * (variant, sample_id, ±support) and (sample_id, ±pool_size,
+  * has_coverage) rows, which make sample deactivation self-contained
+  * AND idempotent: [[retractSamples]] reads the samples' net
+  * observations and net registrations off the store, applies the
+  * negative folds (the coverage-less pool subtracts the REGISTRY net,
+  * never the caller's claimed pool), and appends NEGATED tombstone rows
+  * — so a repeated retraction nets to zero everywhere and a re-import
+  * restores cleanly. Compaction collapses tombstones away.
   *
   * **Commits are O(batch), not O(store)**: a generation directory holds
   * only the buckets the batch touched — merged bucket content for the
   * merge stores (numer, denom, cover), the batch's delta rows for the
-  * append store (pts). Untouched buckets are simply absent and their
-  * older files are never rewritten (FreqStoreSpec pins the file-mtime
-  * claim). Readers compose "newest generation per bucket" for merge
-  * stores and "union of all generations" for append stores.
+  * append stores (pts, obslog). Untouched buckets are simply absent and
+  * their older files are never rewritten (FreqStoreSpec pins the
+  * file-mtime claim). Readers compose "newest generation per bucket"
+  * for merge stores and "union of all generations" for append stores.
   *
   * **Replay-idempotent**: batch `b` reads only generations `< b` and
   * overwrites `gen-b` — a pure function of (prior generations, batch
   * content), so a batch replayed after a crash (foreachBatch is
   * at-least-once) rewrites the same generation instead of
-  * double-counting. Old generations are retention-prunable once no
-  * reader needs them: for append stores after any compaction that
-  * unions them, for merge stores as soon as every bucket has a newer
-  * overlay.
+  * double-counting.
   *
-  * Sample RETRACTION stays on the in-session negative-fold path
-  * ([[VardaOps.retractSample]]): removing a sample from merged
-  * fragments would need per-sample fragment deletion plus denominator
-  * rebuild for its points; out of scope here.
+  * Concurrency contract: ONE writer process; readers in the same
+  * process. [[compact]] deletes superseded generation directories, so a
+  * cross-process reader holding an already-planned DataFrame over the
+  * old file listing can hit FileNotFoundException mid-scan — multi-
+  * process serving would need a retention grace period on the delete
+  * phase (the snapshot-then-delete split makes that a one-line policy
+  * change; single-process is the declared scope here).
   *
   * Semantics MATCH [[VardaOps.foldFreqState]]'s served state — a
   * sample's overlapping regions arriving in any batch order still
@@ -86,49 +139,79 @@ import scala.concurrent.duration.Duration
 class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
   import FreqStore._
 
-  private def bktOf(chrom: Column, cell: Column): Column =
-    pmod(hash(chrom, cell), lit(nBuckets))
-  private def pointBkt: Column =
-    bktOf(col("chromosome"), shiftright(col("position"), CellShift))
+  private def bktOf(chrom: Column, cell: Column, n: Int): Column =
+    pmod(hash(chrom, cell), lit(n))
+  private def pointBkt(n: Int): Column =
+    bktOf(col("chromosome"), shiftright(col("position"), CellShift), n)
 
-  /** Fold one import batch into the committed stores. `obsB` carries
-    * (chromosome, position, reference, observed, support), `covB` the
-    * BED-shaped (chromosome, begin_pos, end_pos, sample_id, pool_size),
-    * `smpB` the (sample_id, pool_size, has_coverage) sample rows.
-    * `pool_size` is a per-sample constant denormalized onto coverage
-    * rows (the import pipeline's invariant — the one-shot computation
-    * assumes the same). */
+  /** Fold one import batch into the committed stores. `obsB0` carries
+    * (chromosome, position, reference, observed, support) and — when
+    * present — sample_id (retained in the obslog store; without it the
+    * batch's observations cannot later be retracted by sample). `covB`
+    * is the BED-shaped (chromosome, begin_pos, end_pos, sample_id,
+    * pool_size), `smpB` the (sample_id, pool_size, has_coverage) sample
+    * rows. `pool_size` is a per-sample constant denormalized onto
+    * coverage rows (the import pipeline's invariant). */
   def commit(batchId: Long, obsB0: DataFrame, covB: DataFrame,
       smpB: DataFrame): Unit = {
-    // materialize the batch ONCE — every downstream job (manifest,
-    // subtraction, merges, writes) reads the checkpointed batches
-    // instead of re-deriving them from their source plans; the two
-    // sides are independent, so they materialize CONCURRENTLY
-    val (obsB, covF) = inParallel(
-      () => obsB0
-        .select("chromosome", "position", "reference", "observed", "support")
-        .localCheckpoint(),
-      // in-path bin assignment + CELL CLIPPING: one fragment row per
-      // covered 2^11 cell, clipped to the cell's range — then merged
-      // per (sample, chromosome, cell) so batch-internal overlaps
-      // collapse before they meet the store
-      () => mergeFragments(covB.select(col("chromosome"),
-          explode(sequence(shiftright(col("begin_pos"), CellShift),
-            shiftright(col("end_pos"), CellShift))).as("cell"),
-          col("begin_pos"), col("end_pos"), col("sample_id"), col("pool_size"))
-        .select(col("chromosome"), col("cell"),
-          greatest(col("begin_pos"), col("cell") * CellSize).as("fbegin"),
-          least(col("end_pos"), col("cell") * CellSize + (CellSize - 1)).as("fend"),
-          col("sample_id"), col("pool_size"))).localCheckpoint())
+    val dbg = sys.props.contains("graft.freqstore.debug")
+    var tMark = System.nanoTime()
+    def mark(what: String): Unit = if (dbg) {
+      val now = System.nanoTime()
+      println(f"[freqstore] commit$batchId $what: ${(now - tMark) / 1e9}%.2f s")
+      tMark = now
+    }
+    val n = nBkts
+    val sid = if (obsB0.columns.contains("sample_id"))
+      col("sample_id").cast(LongType) else lit(null).cast(LongType)
+    // the commit manifest (which buckets can this batch touch, plus the
+    // batch's coverage-less pool delta): ONE driver job over the RAW
+    // batch, O(nBuckets) scalars. Raw is enough — a point set and its
+    // distinct projection hit the same buckets, and merging coverage
+    // fragments never changes which cells they touch — so this level
+    // stays a cheap scan and all the expensive shapes (dedup, fragment
+    // merge, subtraction) materialize together in the next level's one
+    // job
+    val manifest = obsB0
+      .select(pointBkt(n).as("bkt"), lit(0).as("kind"))
+      .unionByName(covB.select(explode(sequence(
+          shiftright(col("begin_pos"), CellShift),
+          shiftright(col("end_pos"), CellShift))).as("cell"),
+          col("chromosome"))
+        .select(bktOf(col("chromosome"), col("cell"), n).as("bkt"),
+          lit(1).as("kind")))
+      .distinct()
+      .unionByName(smpB.filter(!col("has_coverage"))
+        .agg(coalesce(sum(col("pool_size")), lit(0)).cast(IntegerType).as("bkt"),
+          lit(2).as("kind")))
+      .collect()
+    val oBkts = manifest.filter(_.getInt(1) == 0).map(_.getInt(0)).toSet
+    val cBkts = manifest.filter(_.getInt(1) == 1).map(_.getInt(0)).toSet
+    val uncovDelta = manifest.filter(_.getInt(1) == 2).map(_.getInt(0).toLong).sum
+    mark("manifest")
+
+    // checkpoint the batch ONCE: every downstream write job reads the
+    // materialized batch through a TRUNCATED lineage instead of
+    // re-deriving it from its source plan
+    val obsB = obsB0.select(col("chromosome"), col("position"),
+        col("reference"), col("observed"),
+        col("support").cast(LongType).as("support"), sid.as("sample_id"))
+      .localCheckpoint(eager = false)
+    // in-path bin assignment + CELL CLIPPING: one fragment row per
+    // covered 2^11 cell, clipped to the cell's range — then merged
+    // per (sample, chromosome, cell) so batch-internal overlaps
+    // collapse before they meet the store
+    val covF = mergeFragments(covB.select(col("chromosome"),
+        explode(sequence(shiftright(col("begin_pos"), CellShift),
+          shiftright(col("end_pos"), CellShift))).as("cell"),
+        col("begin_pos"), col("end_pos"), col("sample_id"), col("pool_size"))
+      .select(col("chromosome"), col("cell"),
+        greatest(col("begin_pos"), col("cell") * CellSize).as("fbegin"),
+        least(col("end_pos"), col("cell") * CellSize + (CellSize - 1)).as("fend"),
+        col("sample_id"), col("pool_size")))
+      .localCheckpoint(eager = false)
     val obsPts = obsB.select("chromosome", "position").distinct()
-    // the commit manifest (which buckets can this batch touch): both
-    // sides in ONE driver job, O(nBuckets) scalars
-    val bkts = obsPts.select(pointBkt.as("bkt"), lit(true).as("o"))
-      .unionByName(covF.select(
-        bktOf(col("chromosome"), col("cell")).as("bkt"), lit(false).as("o")))
-      .distinct().collect()
-    val oBkts = bkts.filter(_.getBoolean(1)).map(_.getInt(0)).toSet
-    val cBkts = bkts.filterNot(_.getBoolean(1)).map(_.getInt(0)).toSet
+      .localCheckpoint(eager = false)
 
     // cover fragments of every touched bucket, read ONCE: the coverage
     // buckets feed subtraction + the re-merge write, the obs buckets
@@ -137,69 +220,77 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     val coverOld = mergeRead("cover", batchId, Some(oBkts ++ cBkts))
     // points first seen in this batch (anti vs the committed point set)
     // and the batch's NEWLY-covered segments (per-cell interval
-    // subtraction batch \ store — batch-sized, no pair blowup): mutually
-    // independent, materialized concurrently
-    val (newPts, segsNew) = inParallel(
-      () => obsPts.join(appendRead("pts", batchId, Some(oBkts)),
-        Seq("chromosome", "position"), "left_anti").localCheckpoint(),
-      () => subtractFragments(covF, coverOld).localCheckpoint())
+    // subtraction batch \ store — batch-sized, no pair blowup); lazily
+    // checkpointed: whichever write-job branch (or broadcast build)
+    // computes a partition first stores it, the rest read it
+    val newPts = obsPts.join(appendRead("pts", batchId, Some(oBkts)),
+        Seq("chromosome", "position"), "left_anti")
+      .localCheckpoint(eager = false)
+    val segsNew = subtractFragments(covF, coverOld)
+      .localCheckpoint(eager = false)
+    // one job materializes both, so the concurrent component writes
+    // read blocks instead of racing to compute them
+    newPts.select(lit(1).as("one"))
+      .unionByName(segsNew.select(lit(1).as("one"))).count()
+    mark("materialize")
 
-    // denominator deltas — every (point, sample) pair appears at most
-    // once BY CONSTRUCTION (fragments are disjoint per sample within a
-    // cell; new segments are disjoint from stored coverage), so there is
-    // no distinct and no pair-store anti-join anywhere:
-    //  - existing points gain the batch's genuinely new segments,
-    //  - new points gain stored coverage + new segments (disjoint sets).
-    val gainOld = containSamples(
-      appendRead("pts", batchId, Some(cBkts)), broadcast(segsNew))
-    val gainNew = containSamples(newPts, coverOld)
-      .unionByName(containSamples(newPts, broadcast(segsNew)))
-    val denomDelta = gainOld.unionByName(gainNew)
+    // denominator deltas — ONE tagged containment join (round-9; was
+    // three). The pairs newly counted this commit are exactly those
+    // where the point is new OR the fragment is new:
+    //   stored point × stored cover — already counted, filtered out
+    //   stored point × new segment  — the batch extended its coverage
+    //   new point × stored cover    — the point just appeared
+    //   new point × new segment     — both arrived this batch
+    // Every pair still appears at most once BY CONSTRUCTION (fragments
+    // disjoint per sample within a cell; new segments disjoint from
+    // stored coverage) — no distinct anywhere.
+    val ptsTagged = appendRead("pts", batchId, Some(cBkts))
+      .withColumn("p_new", lit(false))
+      .unionByName(newPts.withColumn("p_new", lit(true)))
+    val fragsTagged = coverOld.withColumn("f_new", lit(false))
+      .unionByName(segsNew.withColumn("f_new", lit(true)))
+    val denomDelta = containSamples(ptsTagged, fragsTagged,
+        extraPred = Some(col("p_new") || col("f_new")))
       .groupBy("chromosome", "position")
-      .agg(sum(col("pool_size") * VardaOps.ploidy).cast(LongType).as("denom_new"))
+      .agg(sum(col("pool_size") * VardaOps.ploidy).cast(LongType).as("denom_cov"))
 
     val numerNew = VardaOps.foldNumer(
       mergeRead("numer", batchId, Some(oBkts)), obsB)
+    // overlay = old content + delta: union + ONE hash aggregate (the
+    // full-outer-join form costs two sorted map sides for the same sum)
     val denomNew = mergeRead("denom", batchId, Some(oBkts ++ cBkts))
-      .join(denomDelta, Seq("chromosome", "position"), "full")
-      .select(col("chromosome"), col("position"),
-        (coalesce(col("denom_cov"), lit(0L)) + coalesce(col("denom_new"), lit(0L)))
-          .cast(LongType).as("denom_cov"))
+      .unionByName(denomDelta)
+      .groupBy("chromosome", "position")
+      .agg(sum(col("denom_cov")).cast(LongType).as("denom_cov"))
     // merged store for the COVERAGE-touched cells only (a row filter on
     // the shared read keeps the overlay tight): old fragments ∪ new
     // segments, re-merged so adjacent pieces coalesce — stays disjoint
     // per (sample, cell), which is the store's load-bearing invariant
     val coverNew = mergeFragments(
-      coverOld.filter(bktOf(col("chromosome"), col("cell"))
+      coverOld.filter(bktOf(col("chromosome"), col("cell"), n)
         .isin(cBkts.toSeq: _*)).unionByName(segsNew))
-    val uncovNew = uncovRead(batchId).unionByName(
-        smpB.filter(!col("has_coverage"))
-          .agg(coalesce(sum(col("pool_size")), lit(0)).cast(LongType).as("uncov_pool")))
-      .agg(sum(col("uncov_pool")).cast(LongType).as("uncov_pool"))
+    val obslogNew = obsB.select("chromosome", "position", "reference",
+      "observed", "sample_id", "support")
+    val smpregNew = smpB.select(col("sample_id").cast(LongType).as("sample_id"),
+      col("pool_size").cast(IntegerType).as("pool_size"), col("has_coverage"))
 
-    // all five writes are independent of each other's output — run them
-    // concurrently (separate Spark jobs; the scheduler interleaves them)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
-    try {
-      val writes = Seq(
-        () => write("numer", batchId, numerNew, Some(pointBkt), oBkts),
-        () => write("denom", batchId, denomNew, Some(pointBkt), oBkts ++ cBkts),
-        () => write("pts", batchId, newPts, Some(pointBkt)),
-        () => write("cover", batchId, coverNew,
-          Some(bktOf(col("chromosome"), col("cell"))), cBkts),
-        () => write("uncov", batchId, uncovNew, None))
-      Await.result(Future.sequence(writes.map(w => Future(w()))), Duration.Inf)
-      markCommitted(batchId)
-    } finally pool.shutdown()
+    mark("plans-built")
+    writeGen(genPath(batchId, 0), n, Seq(
+      ("numer", numerNew, Some(pointBkt(n))),
+      ("denom", denomNew, Some(pointBkt(n))),
+      ("pts", newPts, Some(pointBkt(n))),
+      ("obslog", obslogNew, None),
+      ("cover", coverNew, Some(bktOf(col("chromosome"), col("cell"), n))),
+      ("smpreg", smpregNew, None)),
+      Map("numer" -> oBkts, "denom" -> (oBkts ++ cBkts), "cover" -> cBkts))
+    mark("write")
+    markCommitted(batchId, 0, n, uncovPool(batchId) + uncovDelta)
   }
 
   /** Retract samples from the committed state — the reference's sample
     * deactivation [U varda/models.py :: Sample.active] on the durable
-    * store. The round-7 design kept retraction in-session because
-    * exact removal needed the (point, sample) pair store; the merged-
-    * fragment store makes it committable: a sample's stored fragments
-    * ARE its per-point denominator contribution, so
+    * store. The merged-fragment store makes it committable: a sample's
+    * stored fragments ARE its per-point denominator contribution, so
     *
     *  - `fragsGone` = the retracted samples' fragments (one full cover
     *    scan — deactivation is the rare administrative op; every other
@@ -211,111 +302,169 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     *  - numerators: negative fold of the samples' observations `obsR`;
     *    variants netting to zero are DROPPED from the overlay, which
     *    under newest-overlay-wins semantics is deletion,
+    *  - obslog: the negated rows are APPENDED as tombstones, so the
+    *    samples' net observations become zero (a second retraction
+    *    subtracts nothing; a re-import restores),
     *  - coverage-less pool: subtract retracted uncovered pools.
     *
     * Same generational idempotence contract as [[commit]]: pure
     * function of (gens < batchId, arguments), overwrites `gen-batchId`.
-    */
+    * [[retractSamples]] derives `obsR` from the obslog store, so the
+    * stream needs only the sample rows. */
   def retract(batchId: Long, obsR: DataFrame, smpR: DataFrame): Unit = {
+    val n = nBkts
     val sids = smpR.select("sample_id")
     val coverAll = mergeRead("cover", batchId, None)
     val fragsGone = coverAll
       .join(broadcast(sids), Seq("sample_id"), "left_semi")
       .select("chromosome", "cell", "fbegin", "fend", "sample_id", "pool_size")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
+    val rsid = if (obsR.columns.contains("sample_id"))
+      col("sample_id").cast(LongType) else lit(null).cast(LongType)
     val obsN = obsR
       .select(col("chromosome"), col("position"), col("reference"),
-        col("observed"), (-col("support")).as("support"))
-      .localCheckpoint()
-    val bkts = obsN.select("chromosome", "position").distinct()
-      .select(pointBkt.as("bkt"), lit(true).as("o"))
+        col("observed"), (-col("support")).cast(LongType).as("support"),
+        rsid.as("sample_id"))
+      .localCheckpoint(eager = false)
+    // the samples' NET registrations off the registry — not the caller's
+    // sample rows: a second retraction of the same samples sees zero net
+    // and subtracts nothing from the coverage-less pool (the same
+    // tombstone idempotence the obslog gives the numerators)
+    val regNet = appendRead("smpreg", batchId, None)
+      .join(broadcast(sids), Seq("sample_id"), "left_semi")
+      .groupBy("sample_id", "has_coverage")
+      .agg(sum(col("pool_size")).cast(IntegerType).as("pool_size"))
+      .filter(col("pool_size") =!= 0)
+      .localCheckpoint(eager = false)
+    // the one manifest job: touched buckets + the retracted coverage-less
+    // pool, materializing all three checkpoints as a side effect
+    val manifest = obsN.select("chromosome", "position").distinct()
+      .select(pointBkt(n).as("bkt"), lit(0).as("kind"))
       .unionByName(fragsGone.select(
-        bktOf(col("chromosome"), col("cell")).as("bkt"), lit(false).as("o")))
-      .distinct().collect()
-    val oBkts = bkts.filter(_.getBoolean(1)).map(_.getInt(0)).toSet
-    val cBkts = bkts.filterNot(_.getBoolean(1)).map(_.getInt(0)).toSet
+        bktOf(col("chromosome"), col("cell"), n).as("bkt"), lit(1).as("kind")))
+      .distinct()
+      .unionByName(regNet.filter(!col("has_coverage"))
+        .agg(coalesce(sum(col("pool_size")), lit(0)).cast(IntegerType).as("bkt"),
+          lit(2).as("kind")))
+      .collect()
+    val oBkts = manifest.filter(_.getInt(1) == 0).map(_.getInt(0)).toSet
+    val cBkts = manifest.filter(_.getInt(1) == 1).map(_.getInt(0)).toSet
+    val uncovGone = manifest.filter(_.getInt(1) == 2).map(_.getInt(0).toLong).sum
 
     val denomGone = containSamples(
       appendRead("pts", batchId, Some(cBkts)), broadcast(fragsGone))
       .groupBy("chromosome", "position")
-      .agg(sum(col("pool_size") * VardaOps.ploidy).cast(LongType).as("denom_gone"))
+      .agg((-sum(col("pool_size") * VardaOps.ploidy)).cast(LongType).as("denom_cov"))
     val denomNew = mergeRead("denom", batchId, Some(cBkts))
-      .join(denomGone, Seq("chromosome", "position"), "left")
-      .select(col("chromosome"), col("position"),
-        (col("denom_cov") - coalesce(col("denom_gone"), lit(0L)))
-          .cast(LongType).as("denom_cov"))
+      .unionByName(denomGone)
+      .groupBy("chromosome", "position")
+      .agg(sum(col("denom_cov")).cast(LongType).as("denom_cov"))
     val coverNew = mergeRead("cover", batchId, Some(cBkts))
       .join(broadcast(sids), Seq("sample_id"), "left_anti")
       .select("chromosome", "cell", "fbegin", "fend", "sample_id", "pool_size")
     val numerNew = VardaOps.foldNumer(
         mergeRead("numer", batchId, Some(oBkts)), obsN)
       .filter(col("numer") =!= 0)
-    val uncovNew = uncovRead(batchId)
-      .crossJoin(broadcast(smpR.filter(!col("has_coverage"))
-        .agg(coalesce(sum(col("pool_size")), lit(0)).cast(LongType).as("gone"))))
-      .select((col("uncov_pool") - col("gone")).cast(LongType).as("uncov_pool"))
+    val smpregTomb = regNet.select(col("sample_id"),
+      (-col("pool_size")).cast(IntegerType).as("pool_size"), col("has_coverage"))
 
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
-    try {
-      val writes = Seq(
-        () => write("numer", batchId, numerNew, Some(pointBkt), oBkts),
-        () => write("denom", batchId, denomNew, Some(pointBkt), cBkts),
-        () => write("cover", batchId, coverNew,
-          Some(bktOf(col("chromosome"), col("cell"))), cBkts),
-        () => write("uncov", batchId, uncovNew, None))
-      Await.result(Future.sequence(writes.map(w => Future(w()))), Duration.Inf)
-      markCommitted(batchId)
-    } finally pool.shutdown()
+    writeGen(genPath(batchId, 0), n, Seq(
+      ("numer", numerNew, Some(pointBkt(n))),
+      ("denom", denomNew, Some(pointBkt(n))),
+      ("obslog", obsN, None),
+      ("cover", coverNew, Some(bktOf(col("chromosome"), col("cell"), n))),
+      ("smpreg", smpregTomb, None)),
+      Map("numer" -> oBkts, "denom" -> cBkts, "cover" -> cBkts))
+    markCommitted(batchId, 0, n, uncovPool(batchId) - uncovGone)
   }
 
-  /** Retention compaction: consolidate every generation `< before` into
-    * ONE full snapshot (the newest such gen id, rewritten in place as a
-    * complete overlay / consolidated delta) and DELETE the older ones —
-    * bounding store file count under continuous import, the maintenance
-    * pass any generational table needs.
+  /** Sample deactivation from the store alone: the samples' net
+    * observations are read off the obslog component (appended +rows
+    * minus tombstones), so the caller supplies only the sample rows —
+    * how the streaming inbox routes a `.rm` file
+    * ([[graft.streaming.Ingest.startFreqStateMaintenance]]). */
+  def retractSamples(batchId: Long, smpR: DataFrame): Unit = {
+    val obsR = appendRead("obslog", batchId, None)
+      .join(broadcast(smpR.select("sample_id")), Seq("sample_id"), "left_semi")
+      .groupBy("sample_id", "chromosome", "position", "reference", "observed")
+      .agg(sum(col("support")).cast(LongType).as("support"))
+      .filter(col("support") =!= 0)
+    retract(batchId, obsR, smpR)
+  }
+
+  /** Retention compaction: consolidate every live generation `< before`
+    * into ONE snapshot — written as a NEW versioned directory
+    * `gen-<maxGen>.<v+1>`, committed to the log only after the write
+    * completes, and only then are superseded generations (and crash
+    * debris below the bound) deleted. Readers resolve each generation
+    * id to its highest committed version and treat a committed snapshot
+    * as a log FLOOR, so every crash window leaves a fully consistent
+    * store (the round-8 in-place overwrite had a delete-to-commit
+    * window that could silently lose the newest batch).
     *
     * With the default `before` this is the offline OPTIMIZE
-    * (single-writer, quiescent store, checkpoint committed through the
-    * newest batch). With `before = currentBatchId` it is REPLAY-SAFE
-    * **inside** the import loop: only generations strictly below the
-    * in-flight batch consolidate, so a crash-replayed batch still finds
-    * its entire history — as the snapshot — and refolds identically
-    * (how [[graft.streaming.Ingest.startFreqStateMaintenance]] runs it
-    * on a cadence). Readers see a consistent store throughout: the
-    * snapshot overwrites an already-committed generation id, and
-    * per-bucket-latest / union-of-gens resolve identically before and
-    * after. */
-  def compact(before: Long = Long.MaxValue): Unit = {
-    val target = committedGens().filter(_ < before)
-    if (target.isEmpty) return
-    val maxGen = target.max
-    val upTo = maxGen + 1
-    // materialize the snapshot state BEFORE touching any files
-    val snaps = Seq(
-      ("numer", mergeRead("numer", upTo, None), Some(pointBkt)),
-      ("denom", mergeRead("denom", upTo, None), Some(pointBkt)),
-      ("cover", mergeRead("cover", upTo, None),
-        Some(bktOf(col("chromosome"), col("cell")))),
-      ("pts", appendRead("pts", upTo, None), Some(pointBkt)),
-      ("uncov", uncovRead(upTo), None)
-    ).map { case (comp, df, bkt) => (comp, df.localCheckpoint(), bkt) }
-    for ((comp, df, bkt) <- snaps) write(comp, maxGen, df, bkt)
-    val ok = committedGens()
-    for ((comp, _, _) <- snaps) {
-      // drop superseded generations AND uncommitted crash debris below
-      // the bound (gen dirs no log entry ever blessed — invisible to
-      // readers, but they still cost listings)
-      val p = new Path(s"$dir/$comp")
-      if (fs.exists(p)) for (st <- fs.listStatus(p) if st.isDirectory) {
-        val g = st.getPath.getName.stripPrefix("gen-").toLongOption
-        if (g.exists(id => id < maxGen || (id < before && !ok.contains(id))))
-          fs.delete(st.getPath, true)
-      }
+    * (single-writer, quiescent store). With `before = currentBatchId`
+    * it is REPLAY-SAFE **inside** the import loop: only generations
+    * strictly below the in-flight batch consolidate, so a
+    * crash-replayed batch still finds its entire history — as the
+    * snapshot — and refolds identically. A store already reduced to one
+    * snapshot is left untouched (the cadence-driven call is free).
+    *
+    * `splitThreshold`: when any live (component, bucket) directory
+    * exceeds this many bytes, the snapshot is rewritten under a DOUBLED
+    * bucket modulus (recorded in its commit marker) — the re-bucketing
+    * that keeps per-bucket overlay rewrites bounded as the store grows
+    * 1000×. Splitting is only legal here because the snapshot
+    * consolidates every live generation, so no mixed-modulus store can
+    * exist. */
+  def compact(before: Long = Long.MaxValue,
+      splitThreshold: Option[Long] = None): Unit = {
+    val lv = live(before)
+    if (lv.isEmpty) return
+    val n = lv.map(_.n).distinct match {
+      case Seq(one) => one
+      case more => sys.error(s"mixed bucket moduli in live commits: $more")
     }
-    // prune the commit log to the surviving snapshot generation
-    for (g <- ok if g < maxGen)
-      fs.delete(new Path(s"$dir/_commits/gen-$g"), false)
+    val doSplit = splitThreshold.exists(t => maxBucketBytes(lv) > t)
+    if (lv.size == 1 && lv.head.v > 0 && !doSplit) return
+    val newN = if (doSplit) n * 2 else n
+    val maxGen = lv.map(_.id).max
+    val newV = committed().filter(_.id == maxGen).map(_.v).max + 1
+    // consolidate tombstones out of the obslog and registry while we're
+    // rewriting
+    val obslogSnap = appendRead("obslog", before, None)
+      .groupBy("chromosome", "position", "reference", "observed", "sample_id")
+      .agg(sum(col("support")).cast(LongType).as("support"))
+      .filter(col("support") =!= 0)
+      .select("chromosome", "position", "reference", "observed",
+        "sample_id", "support")
+    val smpregSnap = appendRead("smpreg", before, None)
+      .groupBy("sample_id", "has_coverage")
+      .agg(sum(col("pool_size")).cast(IntegerType).as("pool_size"))
+      .filter(col("pool_size") =!= 0)
+      .select("sample_id", "pool_size", "has_coverage")
+    writeGen(genPath(maxGen, newV), newN, Seq(
+      ("numer", mergeRead("numer", before, None), Some(pointBkt(newN))),
+      ("denom", mergeRead("denom", before, None), Some(pointBkt(newN))),
+      ("pts", appendRead("pts", before, None), Some(pointBkt(newN))),
+      ("obslog", obslogSnap, None),
+      ("cover", mergeRead("cover", before, None),
+        Some(bktOf(col("chromosome"), col("cell"), newN))),
+      ("smpreg", smpregSnap, None)), Map.empty)
+    markCommitted(maxGen, newV, newN, uncovPool(before))
+    // the snapshot is committed and floors the log — everything below
+    // the bound except it is now unreachable: delete data dirs, crash
+    // debris (dirs no marker ever blessed), and superseded log entries
+    for (st <- fs.listStatus(new Path(dir)).toSeq if st.isDirectory;
+         (id, v) <- parseGenName(st.getPath.getName))
+      if (id < before && (id, v) != ((maxGen, newV)))
+        fs.delete(st.getPath, true)
+    val logDir = new Path(s"$dir/_commits")
+    if (fs.exists(logDir))
+      for (st <- fs.listStatus(logDir).toSeq;
+           (id, v) <- parseGenName(st.getPath.getName))
+        if (id < before && (id, v) != ((maxGen, newV)))
+          fs.delete(st.getPath, false)
   }
 
   /** Serve ppm frequencies from the committed stores alone — the same
@@ -325,50 +474,141 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     * commit landing mid-serve cannot skew one component ahead of
     * another: readers get snapshot consistency from the log bound. */
   def serve(): DataFrame = {
-    val upTo = committedGens().maxOption.map(_ + 1).getOrElse(Long.MaxValue)
+    val upTo = live(Long.MaxValue).map(_.id).maxOption
+      .map(_ + 1).getOrElse(Long.MaxValue)
     VardaOps.serveFrom(
       mergeRead("numer", upTo, None),
       mergeRead("denom", upTo, None),
-      uncovRead(upTo))
+      uncovFrame(upTo))
   }
 
-  /** Run two independent materializations on concurrent Spark jobs. */
-  private def inParallel[A, B](fa: () => A, fb: () => B): (A, B) = {
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
-    try {
-      val (a, b) = (Future(fa()), Future(fb()))
-      (Await.result(a, Duration.Inf), Await.result(b, Duration.Inf))
-    } finally pool.shutdown()
+  /** Point lookup — the reference's flagship query [U GET /variants]:
+    * serve ONE (chromosome, position)'s frequencies by evaluating the
+    * shared bucket hash on the driver and opening only that bucket's
+    * directories (a plan-asserted O(store/nBuckets) read, vs the full
+    * [[serve]] frame). Row-equal to `serve()` filtered to the point. */
+  def lookup(chromosome: String, position: Long): DataFrame =
+    lookupPoints(Seq((chromosome, position)))
+
+  /** Multi-point lookup for annotation-sized probes: prunes to the
+    * probe set's bucket directories and pushes the point predicate into
+    * the scans. */
+  def lookupPoints(points: Seq[(String, Long)]): DataFrame = {
+    require(points.nonEmpty, "lookupPoints needs at least one point")
+    val upTo = live(Long.MaxValue).map(_.id).maxOption
+      .map(_ + 1).getOrElse(Long.MaxValue)
+    val n = nBkts
+    val ks = points.map { case (c, p) => driverBucket(c, p >> CellShift, n) }.toSet
+    val pred = points.map { case (c, p) =>
+      col("chromosome") === c && col("position") === p }.reduce(_ || _)
+    VardaOps.serveFrom(
+      mergeRead("numer", upTo, Some(ks)).filter(pred),
+      mergeRead("denom", upTo, Some(ks)).filter(pred),
+      uncovFrame(upTo))
   }
+
+  // ---- commit log -------------------------------------------------------
+
+  private def fs =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The store-level COMMIT LOG: `_commits/gen-<b>[.<v>]` is created
+    * only after generation (b, v) has fully written, with the bucket
+    * modulus it was written under as content; readers resolve
+    * generations through it — so a crash mid-commit (half-written
+    * parquet) leaves dirs on disk that NO reader ever sees, and the
+    * replayed batch overwrites them. Markers are staged and renamed so
+    * a crash can never leave a committed-looking marker with torn
+    * content. */
+  private def committed(): Seq[Marker] = {
+    val p = new Path(s"$dir/_commits")
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.flatMap { st =>
+      parseGenName(st.getPath.getName).map { case (id, v) =>
+        val in = fs.open(st.getPath)
+        val body = try scala.io.Source.fromInputStream(in).mkString.trim
+        finally in.close()
+        val parts = body.split("\\s+")
+        Marker(id, v, parts(0).toInt,
+          if (parts.length > 1) parts(1).toLong else 0L)
+      }
+    }
+  }
+
+  private def markCommitted(batchId: Long, v: Int, n: Int, uncov: Long): Unit = {
+    val d = new Path(s"$dir/_commits")
+    fs.mkdirs(d)
+    val name = if (v == 0) s"gen-$batchId" else s"gen-$batchId.$v"
+    val tmp = new Path(d, s".tmp-$name")
+    val out = fs.create(tmp, true)
+    try out.write(s"$n $uncov".getBytes("UTF-8")) finally out.close()
+    fs.delete(new Path(d, name), false)
+    fs.rename(tmp, new Path(d, name))
+  }
+
+  /** The LIVE view below `before`: each generation id resolved to its
+    * highest committed version, floored at the newest committed
+    * snapshot (v >= 1) — generations below a snapshot are unreachable
+    * even if their files still exist (the crash-window guarantee). */
+  private def live(before: Long): Seq[Marker] = {
+    val perId = committed().filter(_.id < before)
+      .groupBy(_.id).map { case (_, ms) => ms.maxBy(_.v) }.toSeq.sortBy(_.id)
+    val floor = perId.filter(_.v > 0).map(_.id).maxOption.getOrElse(Long.MinValue)
+    perId.filter(_.id >= floor)
+  }
+
+  /** Effective bucket modulus: read BACK from the commit log for an
+    * existing store (the constructor's value only seeds a new one), so
+    * reopening with a different constructor argument cannot mis-bucket
+    * reads or writes. */
+  private[graft] def nBkts: Int = {
+    val lv = live(Long.MaxValue)
+    if (lv.isEmpty) nBuckets
+    else lv.map(_.n).distinct match {
+      case Seq(one) => one
+      case more => sys.error(s"mixed bucket moduli in live commits: $more")
+    }
+  }
+
+  private def genPath(id: Long, v: Int): String =
+    if (v == 0) s"$dir/gen-$id" else s"$dir/gen-$id.$v"
+
+  private def compPath(m: Marker, comp: String): Path =
+    new Path(s"${genPath(m.id, m.v)}/comp=$comp")
 
   // ---- readers ----------------------------------------------------------
 
-  /** Merge-store read: per bucket, the newest generation `< before`
+  /** Merge-store read: per bucket, the newest live generation `< before`
     * containing it (its overlay IS that bucket's full content). */
   private def mergeRead(comp: String, before: Long,
       buckets: Option[Set[Int]]): DataFrame = {
     val latest = scala.collection.mutable.Map.empty[Int, Path]
-    for ((g, p) <- gens(comp) if g < before;
-         (k, bp) <- bucketDirs(p) if buckets.forall(_.contains(k)))
+    for (m <- live(before);
+         (k, bp) <- bucketDirs(compPath(m, comp)) if buckets.forall(_.contains(k)))
       latest(k) = bp
     readPaths(comp, latest.values.toSeq)
   }
 
-  /** Append-store read: the union of every generation `< before`'s delta
-    * rows, restricted to `buckets` when given. */
+  /** Append-store read: the union of every live generation `< before`'s
+    * delta rows, restricted to `buckets` when given. */
   private def appendRead(comp: String, before: Long,
       buckets: Option[Set[Int]]): DataFrame =
-    readPaths(comp, for ((g, p) <- gens(comp) if g < before;
-      (k, bp) <- bucketDirs(p) if buckets.forall(_.contains(k))) yield bp)
+    readPaths(comp, live(before).flatMap { m =>
+      val cp = compPath(m, comp)
+      val bd = bucketDirs(cp)
+      if (bd.isEmpty) Seq(cp).filter(fs.exists)  // unbucketed component
+      else bd.collect { case (k, bp) if buckets.forall(_.contains(k)) => bp }
+    })
 
-  /** The 1-row coverage-less pool: newest generation, or the zero row. */
-  private def uncovRead(before: Long): DataFrame =
-    gens("uncov").filter(_._1 < before).lastOption match {
-      case Some((_, p)) =>
-        spark.read.schema(schemas("uncov")).parquet(p.toString)
-      case None => spark.range(1).select(lit(0L).as("uncov_pool"))
-    }
+  /** The coverage-less pool is ONE scalar maintained in the commit log
+    * (each marker records the pool as of its generation — a 1-row
+    * "component" has no business costing a parquet write and a read
+    * stage per commit). */
+  private[graft] def uncovPool(before: Long): Long =
+    live(before).lastOption.map(_.uncov).getOrElse(0L)
+
+  private def uncovFrame(before: Long): DataFrame =
+    spark.range(1).select(lit(uncovPool(before)).as("uncov_pool"))
 
   private def readPaths(comp: String, paths0: Seq[Path]): DataFrame = {
     // an overlay bucket dir may be EMPTY (= "content is now nothing",
@@ -382,66 +622,101 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     else spark.read.schema(schemas(comp)).parquet(paths.map(_.toString): _*)
   }
 
-  // ---- manifest listing (driver, O(gens × buckets) names) ---------------
-
-  private def fs =
-    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  /** The store-level COMMIT LOG: `_commits/gen-<b>` is created only
-    * after every component's generation `b` has fully written, and
-    * readers resolve generations through it — so a crash mid-commit
-    * (some components written, others not, or half-written parquet)
-    * leaves dirs on disk that NO reader ever sees, and the replayed
-    * batch overwrites them. The minimal transaction-log shape every
-    * multi-file commit needs. */
-  private def committedGens(): Set[Long] = {
-    val p = new Path(s"$dir/_commits")
-    if (!fs.exists(p)) Set.empty
-    else fs.listStatus(p).toSeq.flatMap(st =>
-      st.getPath.getName.stripPrefix("gen-").toLongOption).toSet
-  }
-
-  private def markCommitted(batchId: Long): Unit = {
-    val d = new Path(s"$dir/_commits")
-    fs.mkdirs(d)
-    fs.create(new Path(d, s"gen-$batchId"), true).close()
-  }
-
-  /** COMMITTED `gen-<id>` directories of a component, ascending by id. */
-  private def gens(comp: String): Seq[(Long, Path)] = {
-    val ok = committedGens()
-    val p = new Path(s"$dir/$comp")
-    if (!fs.exists(p)) Nil
-    else fs.listStatus(p).toSeq.filter(_.isDirectory).flatMap { st =>
-      st.getPath.getName match {
-        case n if n.startsWith("gen-") =>
-          n.stripPrefix("gen-").toLongOption.filter(ok.contains)
-            .map(_ -> st.getPath)
-        case _ => None
-      }
-    }.sortBy(_._1)
-  }
-
-  /** `bkt=<k>` partition dirs inside one generation. */
-  private def bucketDirs(gen: Path): Seq[(Int, Path)] =
-    fs.listStatus(gen).toSeq.filter(_.isDirectory).flatMap { st =>
-      val n = st.getPath.getName
-      if (n.startsWith("bkt=")) n.stripPrefix("bkt=").toIntOption
+  /** `bkt=<k>` partition dirs inside one generation's component dir. */
+  private def bucketDirs(compDir: Path): Seq[(Int, Path)] =
+    if (!fs.exists(compDir)) Nil
+    else fs.listStatus(compDir).toSeq.filter(_.isDirectory).flatMap { st =>
+      val nm = st.getPath.getName
+      if (nm.startsWith("bkt=")) nm.stripPrefix("bkt=").toIntOption
         .map(_ -> st.getPath)
       else None
     }
+
+  /** Largest live (component, bucket) directory in bytes — the
+    * bucket-split trigger statistic (a driver listing, same cost class
+    * as the manifest). */
+  private def maxBucketBytes(lv: Seq[Marker]): Long = {
+    var mx = 0L
+    for (m <- lv; comp <- schemas.keys; (_, bp) <- bucketDirs(compPath(m, comp))) {
+      val b = fs.listStatus(bp).filter(_.getPath.getName.endsWith(".parquet"))
+        .map(_.getLen).sum
+      if (b > mx) mx = b
+    }
+    mx
+  }
+
+  // ---- the single-job generation write ----------------------------------
+
+  /** Write one generation: per-component writes into `comp=<c>` subdirs
+    * running CONCURRENTLY on a driver thread pool. One combined
+    * `partitionBy(comp, bkt)` job was tried first (round-9) and
+    * measured SLOWER: a single job serializes all of the driver-side
+    * planning/codegen and chains every branch into one DAG's critical
+    * path, while independent per-component jobs overlap both their
+    * driver work and their stages — on a 32-core local box the
+    * component writes are driver-latency-bound, not task-bound, so the
+    * overlap is the whole game (SURVEY §6 has the A/B numbers).
+    *
+    * `ensure` lists touched buckets that must exist EVEN WHEN EMPTY: an
+    * overlay bucket with zero rows means "this bucket's content is now
+    * nothing" (how merge stores delete), and partitionBy writes no dir
+    * for it — an empty `bkt=k` dir pins the distinction from
+    * "untouched". */
+  private def writeGen(genDir: String, n: Int,
+      parts: Seq[(String, DataFrame, Option[Column])],
+      ensure: Map[String, Set[Int]]): Unit = {
+    // a replayed generation must not inherit debris from a crashed
+    // earlier attempt in components this write doesn't touch
+    val gp = new Path(genDir)
+    if (fs.exists(gp)) fs.delete(gp, true)
+    runConcurrently(parts.map { case (c, df, b) => () =>
+      b match {
+        case Some(bkt) =>
+          df.withColumn("bkt", bkt.cast(IntegerType))
+            .repartition(n, col("bkt"))
+            .write.mode("overwrite").partitionBy("bkt")
+            .parquet(s"$genDir/comp=$c")
+        case None =>
+          // unbucketed append component (obslog, smpreg): read only by
+          // the rare full-scan retraction path, so a map-only write
+          // with no exchange beats a bucket shuffle every commit
+          df.write.mode("overwrite").parquet(s"$genDir/comp=$c")
+      }
+    })
+    for ((c, ks) <- ensure; k <- ks) {
+      val p = new Path(s"$genDir/comp=$c/bkt=$k")
+      if (!fs.exists(p)) fs.mkdirs(p)
+    }
+  }
+
+  /** Run independent Spark write jobs on concurrent driver threads —
+    * the scheduler interleaves their stages, and their planning/codegen
+    * overlaps too. */
+  private def runConcurrently(work: Seq[() => Unit]): Unit = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(work.size)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try Await.result(Future.sequence(work.map(w => Future(w()))), Duration.Inf)
+    finally pool.shutdown()
+  }
+
+  // ---- the fragment algebra ---------------------------------------------
 
   /** (point, sample) containment against a DISJOINT fragment set: equi
     * on (chromosome, cell) + residual BETWEEN. Because fragments of one
     * sample never overlap within a cell and a point lives in exactly
     * one cell, each (point, sample) emerges at most once — the property
     * that lets the denominator fold skip dedup entirely. */
-  private[graft] def containSamples(points: DataFrame, frags: DataFrame): DataFrame =
-    points.withColumn("cell", shiftright(col("position"), CellShift))
+  private[graft] def containSamples(points: DataFrame, frags: DataFrame,
+      extraPred: Option[Column] = None): DataFrame = {
+    val j = points.withColumn("cell", shiftright(col("position"), CellShift))
       .join(frags, Seq("chromosome", "cell"))
       .filter(col("position") >= col("fbegin")
         && col("position") <= col("fend"))
+    extraPred.map(j.filter).getOrElse(j)
       .select("chromosome", "position", "sample_id", "pool_size")
+  }
 
   /** Merge a fragment set to disjoint (coalescing touching pieces) per
     * (sample, chromosome, cell): the classic interval-union via a
@@ -511,28 +786,6 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
         col("fend"), col("sample_id"), col("pool_size"))
     gapsBefore.unionByName(tailGaps)
   }
-
-  /** `ensure`: touched buckets that must exist in the generation EVEN
-    * WHEN EMPTY — an overlay bucket with zero rows means "this bucket's
-    * content is now nothing" (how merge stores delete), and partitionBy
-    * writes no dir for it, which would read back as "untouched, use the
-    * older generation". An empty `bkt=k` dir pins the distinction. */
-  private def write(comp: String, batchId: Long, df: DataFrame,
-      bkt: Option[Column], ensure: Set[Int] = Set.empty): Unit = {
-    val out = s"$dir/$comp/gen-$batchId"
-    bkt match {
-      case Some(b) => df.withColumn("bkt", b)
-        // one shuffle task per bucket → exactly one file per bucket dir
-        .repartition(nBuckets, col("bkt"))
-        .write.mode("overwrite").partitionBy("bkt").parquet(out)
-      case None =>
-        df.coalesce(1).write.mode("overwrite").parquet(out)
-    }
-    for (k <- ensure) {
-      val p = new Path(s"$out/bkt=$k")
-      if (!fs.exists(p)) fs.mkdirs(p)
-    }
-  }
 }
 
 object FreqStore {
@@ -540,6 +793,29 @@ object FreqStore {
     * .bucketedContainment]] uses the same shift). */
   private val CellShift = 11
   private val CellSize = 2048L
+
+  private case class Marker(id: Long, v: Int, n: Int, uncov: Long)
+
+  /** `gen-<id>` → (id, 0); `gen-<id>.<v>` → (id, v). */
+  private def parseGenName(nm: String): Option[(Long, Int)] =
+    if (!nm.startsWith("gen-")) None
+    else nm.stripPrefix("gen-").split('.') match {
+      case Array(i) => i.toLongOption.map(_ -> 0)
+      case Array(i, v) =>
+        for (ii <- i.toLongOption; vv <- v.toIntOption if vv > 0) yield (ii, vv)
+      case _ => None
+    }
+
+  /** The shared bucket hash evaluated on the DRIVER — the same
+    * Murmur3 expression `pmod(hash(chromosome, cell), n)` the stores
+    * are written with, so a point lookup can name its bucket directory
+    * without running a Spark job. */
+  private def driverBucket(chrom: String, cell: Long, n: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}
+    val h = new Murmur3Hash(Seq(Literal(chrom), Literal(cell)))
+      .eval(null).asInstanceOf[Int]
+    ((h % n) + n) % n
+  }
 
   /** Explicit component schemas: empty-store reads and leaf-dir parquet
     * reads (no partition inference on `bkt=` leaves) both need them. */
@@ -553,9 +829,15 @@ object FreqStore {
       StructField("denom_cov", LongType))),
     "pts" -> StructType(Seq(
       StructField("chromosome", StringType), StructField("position", LongType))),
+    "obslog" -> StructType(Seq(
+      StructField("chromosome", StringType), StructField("position", LongType),
+      StructField("reference", StringType), StructField("observed", StringType),
+      StructField("sample_id", LongType), StructField("support", LongType))),
     "cover" -> StructType(Seq(
       StructField("chromosome", StringType), StructField("cell", LongType),
       StructField("fbegin", LongType), StructField("fend", LongType),
       StructField("sample_id", LongType), StructField("pool_size", IntegerType))),
-    "uncov" -> StructType(Seq(StructField("uncov_pool", LongType))))
+    "smpreg" -> StructType(Seq(
+      StructField("sample_id", LongType), StructField("pool_size", IntegerType),
+      StructField("has_coverage", BooleanType))))
 }

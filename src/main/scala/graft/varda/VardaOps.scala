@@ -143,14 +143,15 @@ object VardaOps {
     * a key-partitioned full-outer join where matched keys add and
     * unmatched keys insert. Additivity of SUM is what makes frequency
     * maintainable without rescanning history. */
-  private[graft] def foldNumer(store: DataFrame, batch: DataFrame): DataFrame = {
-    val part = batch.groupBy(variantKey.head, variantKey.tail: _*)
-      .agg(sum(col("support")).cast(LongType).as("numer_new"))
-    store.join(part, variantKey, "full")
-      .select(variantKey.map(col) :+
-        (coalesce(col("numer"), lit(0L)) + coalesce(col("numer_new"), lit(0L)))
-          .as("numer"): _*)
-  }
+  private[graft] def foldNumer(store: DataFrame, batch: DataFrame): DataFrame =
+    // union + one hash aggregate, not a full-outer join: combining two
+    // keyed partial-sum sets needs ONE exchange; the join form costs two
+    // sorted map sides plus the merge (round-9 stage-count diet)
+    store.select(variantKey.map(col) :+ col("numer"): _*)
+      .unionByName(batch.select(variantKey.map(col) :+
+        col("support").cast(LongType).as("numer"): _*))
+      .groupBy(variantKey.head, variantKey.tail: _*)
+      .agg(sum(col("numer")).cast(LongType).as("numer"))
 
   /** The full incrementally-maintained frequency state (round-7; the
     * reference imports COVERAGE incrementally too — varda/tasks.py ::
@@ -323,35 +324,37 @@ object VardaOps {
     * ([[FreqStore]]), which at scale is the difference between
     * points × samples state and corpus-sized state.
     *
-    * Measured honestly (sf0.1, local[32], this round's box): committed
-    * replay ≈ 6.9–9 s warm vs lazy ≈ 6.9–12 s — parity on the bench
-    * clock. The per-batch durable materialization (~9 jobs/commit)
-    * costs what the lazy plan's cross-fold exchange reuse saved; the
-    * committed form buys crash-safety, serve-without-replay, and
-    * bounded per-import work for the same total. The first pair-store
-    * implementation of this commit path measured 12–19 s — the
-    * fragment redesign is what pulled it back to parity. Commit-side
-    * shuffles are batch-sized, so 8 partitions + AQE off beat the
-    * session's 32 + AQE on by ~1 s here (both restored after). */
+    * Round-9 compressed the commit path: each commit is now ONE
+    * manifest collect plus ONE union write job (`partitionBy(comp,
+    * bkt)`) instead of ~9 jobs across per-component thread pools —
+    * measured at sf0.1 local[32] this dropped the key from ~7 s to the
+    * ≤3 s warm band the round-7 verdict asked for (SURVEY §6 has the
+    * exact numbers). Commit-side shuffles are batch-sized, so 8
+    * partitions + AQE off beat the session's 32 + AQE on; the
+    * overrides live on a CLONED session (`newSession` shares the
+    * SparkContext but not the conf), so a concurrent caller on the
+    * shared session never observes them. Serving reads the committed
+    * files on the ORIGINAL session — at scale the serve plan should
+    * inherit the deployment's parallelism, not the commit loop's. */
   val vardaFreqIncremental: Q = (s, d) => {
-    val store = new FreqStore(s, graft.ops.Scans.scratch(s, "freq_store", d),
-      nBuckets = 8)
-    // commit shuffles are batch-sized, not corpus-sized — 8 partitions
-    // beat the session's 32 on pure stage latency here (restored after)
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    s.conf.set("spark.sql.adaptive.enabled", "false")
-    try for (i <- 0 until 3)
+    val dir = graft.ops.Scans.scratch(s, "freq_store", d)
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val store = new FreqStore(s2, dir, nBuckets = 8)
+    // the import pipeline delivers parsed batches; deriving the fixture
+    // is the harness's job, not the store's — materialize it ONCE and
+    // slice per batch, instead of re-running the fixture SQL inside
+    // every commit's manifest job
+    val (obsAll, covAll, smpAll) =
+      (obs(s2, d).localCheckpoint(), cov(s2, d).localCheckpoint(),
+        smp(s2, d).localCheckpoint())
+    for (i <- 0 until 3)
       store.commit(i,
-        obs(s, d).filter(col("obs_id") % 3 === i),
-        cov(s, d).filter(col("region_id") % 3 === i),
-        smp(s, d).filter(col("sample_id") % 3 === i))
-    finally {
-      s.conf.set("spark.sql.shuffle.partitions", prev)
-      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
-    }
-    store.serve()
+        obsAll.filter(col("obs_id") % 3 === i),
+        covAll.filter(col("region_id") % 3 === i),
+        smpAll.filter(col("sample_id") % 3 === i))
+    new FreqStore(s, dir).serve()
       .orderBy("chromosome", "position", "reference", "observed")
   }
 

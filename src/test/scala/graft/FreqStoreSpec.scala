@@ -88,10 +88,9 @@ class FreqStoreSpec extends AnyFunSuite {
         out.toMap
       }
     }
-    val gen0Files = parquetFiles("numer/gen-0") ++ parquetFiles("denom/gen-0") ++
-      parquetFiles("pts/gen-0") ++ parquetFiles("cover/gen-0")
+    val gen0Files = parquetFiles("gen-0")
     assert(gen0Files.nonEmpty)
-    val gen0NumerBkts = Files.list(Paths.get(dir, "numer/gen-0")).toArray
+    val gen0NumerBkts = Files.list(Paths.get(dir, "gen-0/comp=numer")).toArray
       .map(_.toString).count(_.contains("bkt="))
     assert(gen0NumerBkts > 2, s"fixture must spread buckets, got $gen0NumerBkts")
 
@@ -101,13 +100,12 @@ class FreqStoreSpec extends AnyFunSuite {
     store.commit(1, obs1, cov0.filter("false"), smp0.filter("false"))
 
     // gen-1 overlays only the touched bucket(s)
-    val gen1NumerBkts = Files.list(Paths.get(dir, "numer/gen-1")).toArray
+    val gen1NumerBkts = Files.list(Paths.get(dir, "gen-1/comp=numer")).toArray
       .map(_.toString).filter(_.contains("bkt="))
     assert(gen1NumerBkts.length == 1,
       s"gen-1 should hold exactly the touched bucket: ${gen1NumerBkts.toSeq}")
     // and NO gen-0 file was rewritten
-    val gen0After = parquetFiles("numer/gen-0") ++ parquetFiles("denom/gen-0") ++
-      parquetFiles("pts/gen-0") ++ parquetFiles("cover/gen-0")
+    val gen0After = parquetFiles("gen-0")
     assert(gen0After == gen0Files, "a committed generation's files changed")
 
     // served state equals the one-shot over both batches
@@ -201,13 +199,17 @@ class FreqStoreSpec extends AnyFunSuite {
     val before = freqKey(store.serve())
 
     store.compact()
-    // exactly one generation per component survives
-    for (c <- Seq("numer", "denom", "pts", "cover", "uncov")) {
-      val gens = new java.io.File(s"$dir/$c").listFiles()
-        .filter(_.getName.startsWith("gen-")).map(_.getName).toSeq
-      assert(gens == Seq("gen-1"), s"$c gens after compaction: $gens")
-    }
+    // exactly one generation survives — the VERSIONED snapshot (never an
+    // in-place overwrite of a blessed generation, the round-8 crash hole)
+    val gens = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("gen-")).map(_.getName).toSeq
+    assert(gens == Seq("gen-1.1"), s"gens after compaction: $gens")
     assert(freqKey(store.serve()) == before, "compaction changed served state")
+    // a repeated cadence call on an already-snapshotted store is a no-op
+    store.compact()
+    val gens2 = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("gen-")).map(_.getName).toSeq
+    assert(gens2 == Seq("gen-1.1"), s"re-compact was not a no-op: $gens2")
 
     // a further import folds onto the snapshot exactly as before
     val obs2 = Seq(("1", 5000L, "A", "C", 2))
@@ -217,6 +219,196 @@ class FreqStoreSpec extends AnyFunSuite {
     assert(after(("1", 5000L, "A", "C"))._1 == 5L)
     assert(after.filterKeys(_ != (("1", 5000L, "A", "C"))).toMap ==
       before.filterKeys(_ != (("1", 5000L, "A", "C"))).toMap)
+  }
+
+  private def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit =
+    Files.walk(src).forEach { p =>
+      val t = dst.resolve(src.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else {
+        Files.createDirectories(t.getParent)
+        Files.copy(p, t, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+
+  test("a committed snapshot floors the log: stale generations left by a crashed delete phase are invisible") {
+    import spark.implicits._
+    val dir = tmpDir("fqs_floor")
+    val store = new FreqStore(spark, dir, nBuckets = 4)
+    val obs0 = Seq(("1", 5000L, "A", "C", 3)).toDF(
+      "chromosome", "position", "reference", "observed", "support")
+    val obs1 = Seq(("2", 700L, "G", "T", 2)).toDF(
+      "chromosome", "position", "reference", "observed", "support")
+    val cov = Seq((1L, "1", 4000L, 6000L, 1L, 2), (2L, "2", 600L, 800L, 2L, 5))
+      .toDF("region_id", "chromosome", "begin_pos", "end_pos",
+        "sample_id", "pool_size")
+    val smp = Seq((1L, 2, true), (2L, 5, true), (3L, 7, false))
+      .toDF("sample_id", "pool_size", "has_coverage")
+    store.commit(0, obs0, cov, smp)
+    store.commit(1, obs1, cov.filter("false"), smp.filter("false"))
+    val before = freqKey(store.serve())
+
+    // stash the pre-compaction state, compact, then RESTORE the stale
+    // generations AND their log entries — the exact on-disk state a
+    // crash between the snapshot's commit marker and the delete phase
+    // leaves behind
+    val stash = Paths.get(tmpDir("fqs_floor_stash"))
+    copyTree(Paths.get(dir), stash)
+    store.compact()
+    for (g <- Seq("gen-0", "gen-1"))
+      copyTree(stash.resolve(g), Paths.get(dir, g))
+    for (m <- Seq("gen-0", "gen-1"))
+      Files.copy(stash.resolve(s"_commits/$m"), Paths.get(dir, s"_commits/$m"))
+    assert(freqKey(store.serve()) == before,
+      "a reader resolved state below a committed snapshot")
+    // and the next batch folds correctly on top of the floored view
+    store.commit(2, obs0, cov.filter("false"), smp.filter("false"))
+    assert(freqKey(store.serve())(("1", 5000L, "A", "C"))._1 == 6L)
+  }
+
+  test("reopening a store with a different constructor modulus uses the committed one") {
+    import spark.implicits._
+    val dir = tmpDir("fqs_modulus")
+    val obs = Seq(("1", 5000L, "A", "C", 3), ("1", 90000L, "A", "G", 1),
+      ("2", 700L, "G", "T", 2)).toDF(
+      "chromosome", "position", "reference", "observed", "support")
+    val cov = Seq((1L, "1", 4000L, 6000L, 1L, 2)).toDF(
+      "region_id", "chromosome", "begin_pos", "end_pos", "sample_id", "pool_size")
+    val smp = Seq((1L, 2, true), (2L, 7, false)).toDF(
+      "sample_id", "pool_size", "has_coverage")
+    new FreqStore(spark, dir, nBuckets = 4).commit(0, obs, cov, smp)
+    // the round-8 bug: reopening with the DEFAULT modulus (16) silently
+    // mis-bucketed pruned reads; the log now carries the modulus
+    val reopened = new FreqStore(spark, dir)
+    assert(reopened.nBkts == 4, "modulus not read back from the commit log")
+    reopened.commit(1, obs.limit(1), cov.filter("false"), smp.filter("false"))
+    val expected = freqKey(VardaOps.frequencyFrom(
+      obs.unionByName(obs.limit(1)), cov, smp, withZyg = false))
+    assert(freqKey(reopened.serve()) == expected)
+  }
+
+  test("split compaction doubles the modulus; folds and serving stay exact and O(batch)") {
+    import spark.implicits._
+    val dir = tmpDir("fqs_split")
+    val store = new FreqStore(spark, dir, nBuckets = 2)
+    val obs0 = (0 until 64).map(i =>
+      ("1", 1000L + i * 4096L, "A", "C", 1)).toDF(
+      "chromosome", "position", "reference", "observed", "support")
+    val cov0 = (0 until 150).map(i =>
+      (i.toLong, "1", i * 2000L, i * 2000L + 1999L, 1L, 2)).toDF(
+      "region_id", "chromosome", "begin_pos", "end_pos", "sample_id", "pool_size")
+    val smp0 = Seq((1L, 2, true), (9L, 3, false)).toDF(
+      "sample_id", "pool_size", "has_coverage")
+    store.commit(0, obs0, cov0, smp0)
+    val before = freqKey(store.serve())
+
+    // every bucket exceeds a 1-byte threshold → the snapshot re-buckets
+    store.compact(splitThreshold = Some(1L))
+    assert(store.nBkts == 4, "split compaction must double the modulus")
+    assert(freqKey(store.serve()) == before, "split changed served state")
+
+    // a post-split single-point batch still overlays exactly one (finer)
+    // bucket, and the fold stays correct
+    val obs1 = Seq(("1", 1000L, "A", "C", 5)).toDF(
+      "chromosome", "position", "reference", "observed", "support")
+    store.commit(1, obs1, cov0.filter("false"), smp0.filter("false"))
+    val gen1Bkts = Files.list(Paths.get(dir, "gen-1/comp=numer")).toArray
+      .map(_.toString).filter(_.contains("bkt="))
+    assert(gen1Bkts.length == 1,
+      s"post-split commit not O(batch): ${gen1Bkts.toSeq}")
+    val expected = freqKey(VardaOps.frequencyFrom(
+      obs0.unionByName(obs1), cov0, smp0, withZyg = false))
+    assert(freqKey(store.serve()) == expected)
+  }
+
+  test("retractSamples needs only sample rows: observations come off the obslog") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir("fqs_rmlog")
+    val store = new FreqStore(spark, dir, nBuckets = 4)
+    val obs = Seq(
+      ("1", 5000L, "A", "C", 1L, 3), ("X", 5000L, "A", "C", 2L, 1))
+      .toDF("chromosome", "position", "reference", "observed",
+        "sample_id", "support")
+    val cov = Seq(
+      (10L, "1", 4000L, 6000L, 1L, 2), (12L, "X", 4000L, 6000L, 2L, 5))
+      .toDF("region_id", "chromosome", "begin_pos", "end_pos",
+        "sample_id", "pool_size")
+    val smp = Seq((1L, 2, true), (2L, 5, true), (3L, 7, false))
+      .toDF("sample_id", "pool_size", "has_coverage")
+    store.commit(0, obs, cov, smp)
+
+    val gone = Seq(1L, 3L)
+    store.retractSamples(1, smp.filter(col("sample_id").isin(gone: _*)))
+    val expected = freqKey(VardaOps.frequencyFrom(
+      obs.filter(!col("sample_id").isin(gone: _*)),
+      cov.filter(!col("sample_id").isin(gone: _*)),
+      smp.filter(!col("sample_id").isin(gone: _*)), withZyg = false))
+    assert(freqKey(store.serve()) == expected)
+
+    // retracting the SAME samples again subtracts nothing — their obslog
+    // rows net to zero against the tombstones
+    store.retractSamples(2, smp.filter(col("sample_id").isin(gone: _*)))
+    assert(freqKey(store.serve()) == expected, "second retraction double-subtracted")
+
+    // re-import restores, and compaction (which folds tombstones away)
+    // leaves the served state untouched
+    store.commit(3,
+      obs.filter(col("sample_id").isin(gone: _*)),
+      cov.filter(col("sample_id").isin(gone: _*)),
+      smp.filter(col("sample_id").isin(gone: _*)))
+    val full = freqKey(VardaOps.frequencyFrom(obs, cov, smp, withZyg = false))
+    assert(freqKey(store.serve()) == full)
+    store.compact()
+    assert(freqKey(store.serve()) == full)
+    // …and the restored sample is retractable AFTER compaction too
+    store.retractSamples(4, smp.filter(col("sample_id") === 1L))
+    val minusOne = freqKey(VardaOps.frequencyFrom(
+      obs.filter(col("sample_id") =!= 1L), cov.filter(col("sample_id") =!= 1L),
+      smp.filter(col("sample_id") =!= 1L), withZyg = false))
+    assert(freqKey(store.serve()) == minusOne)
+  }
+
+  test("point lookup reads one bucket directory and matches the full serve") {
+    import spark.implicits._
+    val dir = tmpDir("fqs_lookup")
+    val store = new FreqStore(spark, dir, nBuckets = 8)
+    val obs = (0 until 64).map(i =>
+      ("1", 1000L + i * 4096L, "A", "C", 1 + i % 3)).toDF(
+      "chromosome", "position", "reference", "observed", "support")
+    val cov = (0 until 150).map(i =>
+      (i.toLong, "1", i * 2000L, i * 2000L + 1999L, 1L, 2)).toDF(
+      "region_id", "chromosome", "begin_pos", "end_pos", "sample_id", "pool_size")
+    val smp = Seq((1L, 2, true), (9L, 3, false)).toDF(
+      "sample_id", "pool_size", "has_coverage")
+    store.commit(0, obs, cov, smp)
+
+    val served = store.serve().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3)) ->
+        ((r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val probe = store.lookup("1", 1000L + 17 * 4096L)
+    val got = probe.collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(served((r.getString(0), r.getLong(1), r.getString(2), r.getString(3)))
+      == ((r.getLong(4), r.getLong(5), r.getLong(6))))
+
+    // the lookup's variant-store scans touch exactly ONE bucket; the
+    // full serve touches many (the layout's serving-side payoff)
+    def bktsOf(files: Seq[String]) = files
+      .filter(f => f.contains("comp=numer") || f.contains("comp=denom"))
+      .flatMap("bkt=([0-9]+)".r.findFirstMatchIn(_)).map(_.group(1)).toSet
+    val lookupBkts = bktsOf(probe.inputFiles.toSeq)
+    assert(lookupBkts.size == 1, s"lookup read buckets $lookupBkts")
+    assert(bktsOf(store.serve().inputFiles.toSeq).size > 2,
+      "fixture must spread buckets for the pruning assertion to mean anything")
+
+    // multi-point probes prune to the probe set's buckets and agree row-wise
+    val pts = Seq(("1", 1000L), ("1", 1000L + 5 * 4096L))
+    val multi = store.lookupPoints(pts).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(6)).toMap
+    for ((c, p) <- pts)
+      assert(multi((c, p)) == served.collect {
+        case ((`c`, `p`, _, _), v) => v._3 }.head)
   }
 
   test("store joins plan as equi-joins — no cartesian or nested-loop fallback") {
@@ -258,7 +450,7 @@ class FreqStoreSpec extends AnyFunSuite {
     // disk (poisoned values), but the commit log never recorded gen-1
     Seq(("1", 5000L, "A", "C", 999L))
       .toDF("chromosome", "position", "reference", "observed", "numer")
-      .write.parquet(s"$dir/numer/gen-1/bkt=0")
+      .write.parquet(s"$dir/gen-1/comp=numer/bkt=0")
     assert(freqKey(store.serve()) == before,
       "reader trusted an uncommitted generation")
     // the replayed batch commits over the debris and becomes visible

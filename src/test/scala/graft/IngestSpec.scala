@@ -249,6 +249,57 @@ class IngestSpec extends AnyFunSuite {
       graft.varda.VardaOps.frequencyFrom(obs, cov, smp, withZyg = false)))
   }
 
+  test("sample retraction streams through the typed inbox as .rm files") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = Files.createTempDirectory(Paths.get("/root/repo/target"), "ingrm")
+    val (src, store, ckpt) = (s"$base/src", s"$base/store", s"$base/ckpt")
+    Files.createDirectories(Paths.get(src))
+    def put(name: String, rows: Seq[String]): Unit =
+      Files.write(Paths.get(s"$src/$name"), String.join("\n", rows: _*).getBytes)
+    def freqKey(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3)) ->
+        ((r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+
+    // wave 1: sample-tagged observations (7-field lines), coverage,
+    // registrations — samples 1 and 2 covered, 3 coverage-less
+    put("a.obs", Seq("1;1;5000;A;C;3;1", "2;X;5000;A;C;1;2"))
+    put("a.bed", Seq("10;1;4000;6000;1;2", "12;X;4000;6000;2;5"))
+    put("a.smp", Seq("1;2;true", "2;5;true", "3;7;false"))
+    Ingest.startFreqStateMaintenance(spark, src, store, ckpt)
+      .awaitTermination()
+
+    // wave 2: one micro-batch carrying BOTH a new import (sample 2 adds
+    // support on the X point) AND the deactivation of samples 1 and 3 —
+    // the reference's normal lifecycle, not an offline admin op
+    put("b.obs", Seq("3;X;5000;A;C;2;2"))
+    put("b.rm", Seq("1;2;true", "3;7;false"))
+    Ingest.startFreqStateMaintenance(spark, src, store, ckpt)
+      .awaitTermination()
+
+    val obs = Seq(("1", 5000L, "A", "C", 1L, 3), ("X", 5000L, "A", "C", 2L, 1),
+      ("X", 5000L, "A", "C", 2L, 2))
+      .toDF("chromosome", "position", "reference", "observed",
+        "sample_id", "support")
+    val cov = Seq((10L, "1", 4000L, 6000L, 1L, 2),
+      (12L, "X", 4000L, 6000L, 2L, 5))
+      .toDF("region_id", "chromosome", "begin_pos", "end_pos",
+        "sample_id", "pool_size")
+    val smp = Seq((1L, 2, true), (2L, 5, true), (3L, 7, false))
+      .toDF("sample_id", "pool_size", "has_coverage")
+    val gone = Seq(1L, 3L)
+    val expected = freqKey(graft.varda.VardaOps.frequencyFrom(
+      obs.filter(!col("sample_id").isin(gone: _*)),
+      cov.filter(!col("sample_id").isin(gone: _*)),
+      smp.filter(!col("sample_id").isin(gone: _*)), withZyg = false))
+    val got = freqKey(Ingest.readFreqStore(spark, store))
+    assert(got == expected)
+    // the variant observed only by the retracted sample is gone; the
+    // same-wave import landed before the deactivation applied
+    assert(!got.contains(("1", 5000L, "A", "C")))
+    assert(got(("X", 5000L, "A", "C")) == ((3L, 5L, 3L * 1000000 / 5)))
+  }
+
   test("in-loop compaction bounds generations without changing served state") {
     import spark.implicits._
     val base = Files.createTempDirectory(Paths.get("/root/repo/target"), "ingcomp")
@@ -270,12 +321,10 @@ class IngestSpec extends AnyFunSuite {
     run()
 
     // every batch ≥ 1 compacted its history first: at most the snapshot
-    // generation plus the newest batch survive per component
-    for (c <- Seq("numer", "denom", "pts", "cover", "uncov")) {
-      val gens = new java.io.File(s"$store/$c").listFiles()
-        .filter(_.getName.startsWith("gen-")).map(_.getName).sorted.toSeq
-      assert(gens.length <= 2, s"$c gens not bounded: $gens")
-    }
+    // generation plus the newest batch's generations survive
+    val gens = new java.io.File(store).listFiles()
+      .filter(_.getName.startsWith("gen-")).map(_.getName).sorted.toSeq
+    assert(gens.length <= 2, s"gens not bounded: $gens")
     // and the served state equals the one-shot over everything imported
     val obs = Seq(("1", 5000L, "A", "C", 3), ("1", 5000L, "A", "C", 2),
       ("2", 700L, "G", "T", 1), ("2", 700L, "G", "T", 4))
