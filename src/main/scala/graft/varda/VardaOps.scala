@@ -324,18 +324,27 @@ object VardaOps {
     * ([[FreqStore]]), which at scale is the difference between
     * points × samples state and corpus-sized state.
     *
-    * Round-9 compressed the commit path: each commit is now ONE
-    * manifest collect plus ONE union write job (`partitionBy(comp,
-    * bkt)`) instead of ~9 jobs across per-component thread pools —
-    * measured at sf0.1 local[32] this dropped the key from ~7 s to the
-    * ≤3 s warm band the round-7 verdict asked for (SURVEY §6 has the
-    * exact numbers). Commit-side shuffles are batch-sized, so 8
-    * partitions + AQE off beat the session's 32 + AQE on; the
-    * overrides live on a CLONED session (`newSession` shares the
-    * SparkContext but not the conf), so a concurrent caller on the
-    * shared session never observes them. Serving reads the committed
-    * files on the ORIGINAL session — at scale the serve plan should
-    * inherit the deployment's parallelism, not the commit loop's. */
+    * Round-9 restructured the commit path (raw-batch manifest, one
+    * materialize job, concurrent component writes, union+agg folds,
+    * one fused containment join — [[FreqStore]] scaladoc) and measured
+    * every variant honestly at sf0.1 local[32]: a single tagged
+    * `partitionBy(comp, bkt)` union write job LOST to concurrent
+    * per-component writes (~15 s vs ~10.5 s warm — one job serializes
+    * driver-side planning/codegen), and the final structure lands at
+    * ~10.5 s warm on the round-9 box, parity with round-8's code
+    * RE-MEASURED on the same box (~10.7-11.4 s; the round-8 round
+    * report's 7 s came from a ~1.5x faster machine) while now also
+    * writing the obslog/smpreg retraction state every commit. The
+    * remaining wall is ~15 sequential stage-latency levels per commit
+    * at ~200 ms each — driver/scheduling bound, not data bound (the
+    * same commits at sf0.01 cost the same). SURVEY §6 has the A/B
+    * table. Commit-side shuffles are batch-sized, so 8 partitions +
+    * AQE off beat the session's 32 + AQE on; the overrides live on a
+    * CLONED session (`newSession` shares the SparkContext but not the
+    * conf), so a concurrent caller on the shared session never
+    * observes them. Serving reads the committed files on the ORIGINAL
+    * session — at scale the serve plan should inherit the deployment's
+    * parallelism, not the commit loop's. */
   val vardaFreqIncremental: Q = (s, d) => {
     val dir = graft.ops.Scans.scratch(s, "freq_store", d)
     val s2 = s.newSession()
