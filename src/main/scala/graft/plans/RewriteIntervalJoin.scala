@@ -38,6 +38,13 @@ import org.apache.spark.sql.types.LongType
   * condition columns never equal a matched tuple — null-point rows are
   * dropped by SEMI and kept by ANTI, exactly the naive behavior.
   *
+  * Round-9 extension — **interval × interval OVERLAP** (inner-join
+  * shape `… AND b1 <= e2 AND b2 <= e1`, the bedtools-intersect join):
+  * both sides explode into their covering fine buckets and each
+  * overlapping pair is emitted exactly once from the bucket holding
+  * `greatest(b1, b2)` — see [[overlapBinned]]. Requires the `maxLength`
+  * promise below (bounded per-side fan-out).
+  *
   * Two round-7 extensions:
   *
   *  - **LEFT OUTER** (the annotation shape — every input variant kept,
@@ -96,9 +103,11 @@ object RewriteIntervalJoin extends Rule[LogicalPlan] {
     if (!enabled(plan)) return plan
     plan.transform {
       case j @ Join(left, right, Inner, Some(cond), hint) =>
-        binned(left, right, cond).map { case (nl, nr, newCond) =>
-          Project(j.output, Join(nl, nr, Inner, Some(newCond), hint))
-        }.getOrElse(j)
+        binned(left, right, cond)
+          .orElse(overlapBinned(left, right, cond))
+          .map { case (nl, nr, newCond) =>
+            Project(j.output, Join(nl, nr, Inner, Some(newCond), hint))
+          }.getOrElse(j)
       case j @ Join(left, right, LeftOuter, Some(cond), hint) =>
         rewriteLeftOuter(j, left, right, cond, hint).getOrElse(j)
       case j @ Join(left, right, LeftSemi, Some(cond), hint) =>
@@ -241,6 +250,85 @@ object RewriteIntervalJoin extends Rule[LogicalPlan] {
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
     case other => Seq(other)
+  }
+
+  /** Round-9: the interval × interval OVERLAP shape (the
+    * bedtools-intersect join `varda_region_intersect` hand-builds via
+    * `bucketedOverlap`):
+    *
+    *   A ⋈ B ON … AND a.begin <= b.end AND b.begin <= a.end
+    *
+    * Both sides explode into every fine bucket their interval covers
+    * (`sequence(begin >> s, end >> s)`), the join becomes equi on the
+    * bucket, and each overlapping pair is emitted EXACTLY ONCE by
+    * keeping only the bucket that holds the overlap's start
+    * (`greatest(a.begin, b.begin) >> s`) — that bucket lies inside both
+    * intervals' ranges precisely when they overlap, so no distinct is
+    * needed. Fires only under `spark.graft.intervalJoin.maxLength`
+    * (per-side fan-out is then ≤ 2 buckets) and extends the opt-in
+    * contract with the well-formedness promise `begin <= end` per
+    * interval — the same caller-knowledge class as the length bound.
+    * Inner-join shape only (the intersect analytics shape). */
+  private def overlapBinned(left: LogicalPlan, right: LogicalPlan,
+      cond: Expression): Option[(LogicalPlan, LogicalPlan, Expression)] = {
+    if (cond.references.exists(_.name.startsWith("__graft_"))) return None
+    val sh = maxLengthShift.getOrElse(return None)
+    val preds = splitConjuncts(cond)
+    def sideOf(e: Expression): Option[Boolean] =
+      if (refsOf(e).subsetOf(left.outputSet)) Some(true)
+      else if (refsOf(e).subsetOf(right.outputSet)) Some(false)
+      else None
+    def integral(e: Expression): Boolean = {
+      import org.apache.spark.sql.types._
+      Seq(ByteType, ShortType, IntegerType, LongType).contains(e.dataType)
+    }
+    // every "x <= y" reading with x and y on opposite sides
+    val leqs = preds.zipWithIndex.flatMap {
+      case (LessThanOrEqual(x, y), i)
+          if sideOf(x).isDefined && sideOf(y).isDefined
+            && sideOf(x) != sideOf(y) && integral(x) && integral(y) =>
+        Seq((x, y, i))
+      case (GreaterThanOrEqual(y, x), i)
+          if sideOf(x).isDefined && sideOf(y).isDefined
+            && sideOf(x) != sideOf(y) && integral(x) && integral(y) =>
+        Seq((x, y, i))
+      case _ => Nil
+    }
+    // a pair of readings with opposite begin sides forms the overlap:
+    // b1 <= e2 (from side S) with b2 <= e1 (from side T)
+    val shapes = for {
+      (x1, y1, i) <- leqs.view
+      (x2, y2, j) <- leqs.view
+      if j != i && sideOf(x1) != sideOf(x2)
+      // skip the containment shape (one side's "interval" degenerates
+      // to a single expression) — [[binned]]'s point-probe plan is
+      // strictly better there and runs first anyway
+      if !x1.semanticEquals(y2) && !x2.semanticEquals(y1)
+    } yield {
+      val (bL, eL, bR, eR) =
+        if (sideOf(x1).contains(true)) (x1, y2, x2, y1) else (x2, y1, x1, y2)
+      // Sequence is TimeZoneAwareExpression: expressions minted inside
+      // the optimizer run AFTER ResolveTimeZone, so the tz must be set
+      // here or the plan turns unresolved
+      def bucketSeq(b: Expression, e: Expression) =
+        Sequence(shr(b, sh), shr(e, sh), None, Some(conf.sessionLocalTimeZone))
+      val lAttr = AttributeReference("__graft_obin_l", LongType)()
+      val lGen = Generate(
+        Explode(bucketSeq(bL, eL)),
+        unrequiredChildIndex = Nil, outer = false, qualifier = None,
+        generatorOutput = Seq(lAttr), child = left)
+      val rAttr = AttributeReference("__graft_obin_r", LongType)()
+      val rGen = Generate(
+        Explode(bucketSeq(bR, eR)),
+        unrequiredChildIndex = Nil, outer = false, qualifier = None,
+        generatorOutput = Seq(rAttr), child = right)
+      val emitOnce = EqualTo(lAttr,
+        ShiftRight(Greatest(Seq(Cast(bL, LongType), Cast(bR, LongType))),
+          Literal(sh)))
+      (lGen: LogicalPlan, rGen: LogicalPlan,
+        And(And(cond, EqualTo(lAttr, rAttr)), emitOnce))
+    }
+    shapes.headOption
   }
 }
 

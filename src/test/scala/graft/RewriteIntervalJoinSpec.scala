@@ -208,6 +208,43 @@ class RewriteIntervalJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("interval-overlap join rewrites to the bucketed emit-once equi-join") {
+    import spark.implicits._
+    val a = (1 to 300).map { i =>
+      val b = rnd.nextLong(1L << 28)
+      (i.toLong, (1 + rnd.nextInt(4)).toString, b, b + rnd.nextLong(1L << 20))
+    }.toDF("a_id", "chromosome", "a_begin", "a_end")
+    val bT = (1 to 300).map { i =>
+      val b = rnd.nextLong(1L << 28)
+      (i.toLong, (1 + rnd.nextInt(4)).toString, b, b + rnd.nextLong(1L << 20))
+    }.toDF("b_id", "chromosome", "b_begin", "b_end")
+    // the naive overlap join: key equality + b1 <= e2 AND b2 <= e1
+    def overlap() = a.join(bT,
+      a("chromosome") === bT("chromosome")
+        && a("a_begin") <= bT("b_end") && bT("b_begin") <= a("a_end"))
+      .select(a("a_id"), bT("b_id"))
+    // MULTISET expectation: emit-once must not dedup genuine duplicates
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(identity).map { case (k, v) => k -> v.length }
+    val expected = key(overlap())
+    assert(expected.nonEmpty)
+    withRule {
+      // inert WITHOUT the length promise: per-side fan-out is unbounded
+      val noLen = overlap().queryExecution.optimizedPlan.toString
+      assert(!noLen.contains("__graft_obin"),
+        s"overlap rewrite fired without maxLength:\n$noLen")
+      spark.conf.set("spark.graft.intervalJoin.maxLength", (1L << 20).toString)
+      try {
+        val fresh = overlap()
+        val after = fresh.queryExecution.optimizedPlan.toString
+        assert(after.contains("__graft_obin_l") && after.contains("__graft_obin_r"),
+          s"overlap rewrite did not fire:\n$after")
+        assert(key(fresh) == expected)
+      } finally spark.conf.unset("spark.graft.intervalJoin.maxLength")
+    }
+  }
+
   test("GraftExtensions injects the rule via the extensions path") {
     import org.apache.spark.sql.SparkSession
     // the cluster deployment path exercised in-JVM: `spark.sql.extensions`
