@@ -84,6 +84,26 @@ class PlanShapeSpec extends AnyFunSuite {
       s"rewritten join still quadratic:\n$p")
   }
 
+  test("join_range_overlap_rewrite: the naive overlap join became the bucketed emit-once equi-join") {
+    val p = plan("join_range_overlap_rewrite")
+    assert(p.contains("__graft_obin"), s"overlap rewrite did not fire:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"rewritten overlap join still quadratic:\n$p")
+  }
+
+  test("varda_freq_lookup reads only its probe points' store buckets") {
+    val df = SparkEntry.queries("varda_freq_lookup")(spark, sf0001)
+    val bkts = df.inputFiles.toSeq
+      .filter(f => f.contains("comp=numer") || f.contains("comp=denom"))
+      .flatMap("bkt=([0-9]+)".r.findFirstMatchIn(_)).map(_.group(1)).toSet
+    val served = graft.varda.VardaOps.queries("varda_freq_incremental")(spark, sf0001)
+    val allBkts = served.inputFiles.toSeq
+      .filter(f => f.contains("comp=numer") || f.contains("comp=denom"))
+      .flatMap("bkt=([0-9]+)".r.findFirstMatchIn(_)).map(_.group(1)).toSet
+    assert(bkts.nonEmpty && bkts.size < allBkts.size,
+      s"lookup did not prune: probes read $bkts of $allBkts")
+  }
+
   test("aggregation does map-side partial aggregation before the shuffle") {
     val p = plan("agg_groupby_sums")
     assert(p.contains("partial_sum") || p.contains("partial_count"),
@@ -136,7 +156,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "graph_pagerank",
       "sim_topk_cosine", "dedup_near_embedding", "varda_frequency",
       "agg_freq_ratio", "varda_sample_expr", "varda_annotate",
-      "source_vcf_file", "varda_freq_incremental", "varda_annotate_multi",
+      "source_vcf_file", "varda_freq_incremental", "varda_freq_lookup",
+      "varda_annotate_multi",
       "stream_late_watermark", "win_global_rank",
       "pack_sequences", "sample_mixture", "sample_temperature",
       "text_perplexity", "varda_sample_retract", "text_line_dedup", "varda_trio_denovo")
