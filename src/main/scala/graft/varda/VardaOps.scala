@@ -815,6 +815,30 @@ object VardaOps {
       .orderBy("chromosome", "position", "reference", "observed")
   }
 
+  /** Annotation against the COMMITTED store (round-9): the reference's
+    * full annotate lifecycle [U varda/tasks.py :: write_annotation] over
+    * durable state — the input "VCF" left-joins the frequencies the
+    * import stream actually committed ([[FreqStore.serve]]), not a
+    * frequency recomputed from raw imports at annotate time. At scale
+    * this is the difference between an annotation job that reads an
+    * O(variants) serving table and one that rescans the observation +
+    * coverage history; the oracle is the SAME one-shot SQL as
+    * `varda_annotate` because the committed replay must converge to
+    * it. Store shared (memoized) with the other serving keys. */
+  val vardaAnnotateStore: Q = (s, d) => {
+    val input = obs(s, d).filter(col("obs_id") % 2 === 0)
+      .select(col("chromosome"),
+        (col("position") + when(col("obs_id") % 4 === 0, 1).otherwise(0)).as("position"),
+        col("reference"), col("observed"))
+      .distinct()
+    val freq = new FreqStore(s, committedFreqStore(s, d)).serve()
+      .select("chromosome", "position", "reference", "observed", "freq_ppm")
+    input.join(freq, Seq("chromosome", "position", "reference", "observed"), "left")
+      .select(col("chromosome"), col("position"), col("reference"), col("observed"),
+        coalesce(col("freq_ppm"), lit(0L)).as("freq_ppm"))
+      .orderBy("chromosome", "position", "reference", "observed")
+  }
+
   /** Named sample expressions for multi-annotation, each with its
     * evaluated id set over samples 0..19 (mirrored literally in the
     * oracle's IN-lists). */
@@ -1052,6 +1076,7 @@ object VardaOps {
     "varda_frequency" -> vardaFrequency,
     "varda_sample_expr" -> vardaSampleExpr,
     "varda_annotate" -> vardaAnnotate,
+    "varda_annotate_store" -> vardaAnnotateStore,
     "varda_annotate_multi" -> vardaAnnotateMulti)
 
   private val sampleWhere =
@@ -1290,6 +1315,20 @@ object VardaOps {
       s"""${frequencySql(withZyg = false, Some(sampleWhere), idivDuck)}
           ORDER BY n.chromosome, n.position, n.reference, n.observed""",
     "varda_annotate" ->
+      s"""WITH freq AS (${frequencySql(withZyg = false, None, idivDuck)}),
+          input AS (SELECT DISTINCT chromosome,
+                      position + CASE WHEN obs_id % 4 = 0 THEN 1 ELSE 0 END AS position,
+                      reference, observed
+                    FROM ($observations) oo WHERE obs_id % 2 = 0)
+          SELECT i.chromosome, i.position, i.reference, i.observed,
+            COALESCE(f.freq_ppm, 0) AS freq_ppm
+          FROM input i LEFT JOIN freq f
+            ON i.chromosome = f.chromosome AND i.position = f.position
+            AND i.reference = f.reference AND i.observed = f.observed
+          ORDER BY i.chromosome, i.position, i.reference, i.observed""",
+    // annotation from the committed store must converge to annotation
+    // from the one-shot computation — identical oracle to varda_annotate
+    "varda_annotate_store" ->
       s"""WITH freq AS (${frequencySql(withZyg = false, None, idivDuck)}),
           input AS (SELECT DISTINCT chromosome,
                       position + CASE WHEN obs_id % 4 = 0 THEN 1 ELSE 0 END AS position,
