@@ -223,12 +223,23 @@ class RewriteIntervalJoinSpec extends AnyFunSuite {
       a("chromosome") === bT("chromosome")
         && a("a_begin") <= bT("b_end") && bT("b_begin") <= a("a_end"))
       .select(a("a_id"), bT("b_id"))
+    // NULL-bound variant: the naive join drops such rows (three-valued
+    // comparison); the rewritten path must too — explode of the null
+    // bucket sequence yields no rows, same verdict
+    val aN = a.withColumn("a_begin",
+      when(a("a_id") % 7 === 0, null).otherwise(a("a_begin")))
+    def overlapN() = aN.join(bT,
+      aN("chromosome") === bT("chromosome")
+        && aN("a_begin") <= bT("b_end") && bT("b_begin") <= aN("a_end"))
+      .select(aN("a_id"), bT("b_id"))
     // MULTISET expectation: emit-once must not dedup genuine duplicates
     def key(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1)))
       .groupBy(identity).map { case (k, v) => k -> v.length }
     val expected = key(overlap())
+    val expectedN = key(overlapN())
     assert(expected.nonEmpty)
+    assert(expectedN.keySet.forall(_._1 % 7 != 0))
     withRule {
       // inert WITHOUT the length promise: per-side fan-out is unbounded
       val noLen = overlap().queryExecution.optimizedPlan.toString
@@ -241,6 +252,7 @@ class RewriteIntervalJoinSpec extends AnyFunSuite {
         assert(after.contains("__graft_obin_l") && after.contains("__graft_obin_r"),
           s"overlap rewrite did not fire:\n$after")
         assert(key(fresh) == expected)
+        assert(key(overlapN()) == expectedN, "null-bound rows diverged")
       } finally spark.conf.unset("spark.graft.intervalJoin.maxLength")
     }
   }
