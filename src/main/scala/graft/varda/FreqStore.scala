@@ -491,19 +491,30 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     lookupPoints(Seq((chromosome, position)))
 
   /** Multi-point lookup for annotation-sized probes: prunes to the
-    * probe set's bucket directories and pushes the point predicate into
-    * the scans. */
+    * probe set's bucket directories, then restricts rows with an
+    * OR-chain predicate for small probe sets (pushable into the parquet
+    * scans) or a broadcast semi-join against the probe frame for large
+    * ones (a thousand-term OR would bloat the plan; the file-level
+    * bucket pruning already happened on the driver either way). */
   def lookupPoints(points: Seq[(String, Long)]): DataFrame = {
     require(points.nonEmpty, "lookupPoints needs at least one point")
     val upTo = live(Long.MaxValue).map(_.id).maxOption
       .map(_ + 1).getOrElse(Long.MaxValue)
     val n = nBkts
     val ks = points.map { case (c, p) => driverBucket(c, p >> CellShift, n) }.toSet
-    val pred = points.map { case (c, p) =>
-      col("chromosome") === c && col("position") === p }.reduce(_ || _)
+    val restrict: DataFrame => DataFrame =
+      if (points.size <= 64) {
+        val pred = points.map { case (c, p) =>
+          col("chromosome") === c && col("position") === p }.reduce(_ || _)
+        df => df.filter(pred)
+      } else {
+        import spark.implicits._
+        val probe = points.toDF("chromosome", "position")
+        df => df.join(broadcast(probe), Seq("chromosome", "position"), "left_semi")
+      }
     VardaOps.serveFrom(
-      mergeRead("numer", upTo, Some(ks)).filter(pred),
-      mergeRead("denom", upTo, Some(ks)).filter(pred),
+      restrict(mergeRead("numer", upTo, Some(ks))),
+      restrict(mergeRead("denom", upTo, Some(ks))),
       uncovFrame(upTo))
   }
 

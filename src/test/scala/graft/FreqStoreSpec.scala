@@ -409,6 +409,16 @@ class FreqStoreSpec extends AnyFunSuite {
     for ((c, p) <- pts)
       assert(multi((c, p)) == served.collect {
         case ((`c`, `p`, _, _), v) => v._3 }.head)
+
+    // a LARGE probe set takes the broadcast semi-join path (> 64 probes;
+    // an OR-chain that long would bloat the plan) and must equal the
+    // full serve over the probed keys
+    val allPts = (0 until 64).map(i => ("1", 1000L + i * 4096L)) ++
+      (0 until 10).map(i => ("2", 5000L + i * 4096L)) // absent points
+    val big = store.lookupPoints(allPts).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3)) ->
+        ((r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(big == served, "large-probe lookup diverged from serve()")
   }
 
   test("store joins plan as equi-joins — no cartesian or nested-loop fallback") {
