@@ -518,6 +518,50 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
       uncovFrame(upTo))
   }
 
+  /** Point lookup restricted to a SAMPLE SUBSET — the reference's
+    * expression-filtered flagship query [U GET /variants?sample_query=…]
+    * over the committed store. The precomputed numer/denom stores cover
+    * the full sample universe only, but the store retains everything a
+    * subset query needs: numerators come off the obslog (sample-tagged
+    * ± rows — tombstones net retracted samples out), denominators from
+    * a containment probe of the points against the sample-filtered
+    * merged cover fragments (each probe opens only its bucket
+    * directories, so the serve-time containment join is probe-sized,
+    * not store-sized), and the coverage-less pool from the sample
+    * registry. `samplePred` is a predicate over `sample_id` — the
+    * evaluated form of a sample expression
+    * ([[VardaOps]]/`ExprLang`). One honest trade: the obslog is
+    * unbucketed (commits write it map-only), so the numerator path
+    * scans it with the probe semi-join pushed down rather than pruning
+    * files — right while filtered lookups are occasional; re-bucket the
+    * obslog if they become the dominant query. Rows with a NULL
+    * sample_id (imports that never carried one) are excluded from
+    * subset queries — they cannot be attributed. */
+  def lookupPointsFiltered(points: Seq[(String, Long)],
+      samplePred: Column): DataFrame = {
+    require(points.nonEmpty, "lookupPointsFiltered needs at least one point")
+    val upTo = live(Long.MaxValue).map(_.id).maxOption
+      .map(_ + 1).getOrElse(Long.MaxValue)
+    val n = nBkts
+    val ks = points.map { case (c, p) => driverBucket(c, p >> CellShift, n) }.toSet
+    import spark.implicits._
+    val probe = broadcast(points.toDF("chromosome", "position"))
+    val numerF = appendRead("obslog", upTo, None)
+      .join(probe, Seq("chromosome", "position"), "left_semi")
+      .filter(samplePred)
+      .groupBy("chromosome", "position", "reference", "observed")
+      .agg(sum(col("support")).cast(LongType).as("numer"))
+      .filter(col("numer") =!= 0)
+    val coverF = mergeRead("cover", upTo, Some(ks)).filter(samplePred)
+    val denomF = containSamples(probe, coverF)
+      .groupBy("chromosome", "position")
+      .agg(sum(col("pool_size") * VardaOps.ploidy).cast(LongType).as("denom_cov"))
+    val uncovF = appendRead("smpreg", upTo, None)
+      .filter(samplePred && !col("has_coverage"))
+      .agg(coalesce(sum(col("pool_size")), lit(0L)).cast(LongType).as("uncov_pool"))
+    VardaOps.serveFrom(numerF, denomF, uncovF)
+  }
+
   // ---- commit log -------------------------------------------------------
 
   private def fs =

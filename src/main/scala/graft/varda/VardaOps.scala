@@ -798,6 +798,27 @@ object VardaOps {
       .orderBy("chromosome", "position", "reference", "observed")
   }
 
+  /** Expression-filtered point lookup from the COMMITTED store — the
+    * reference's flagship query in its full form [U GET /variants?
+    * sample_query=…]: the same boolean sample expression
+    * `varda_sample_expr` evaluates against raw fixtures is answered
+    * here from the store's retained per-sample components (obslog
+    * numerators with tombstone netting, sample-filtered cover
+    * fragments probed per bucket, registry-net coverage-less pool) —
+    * no import-history rescan, probe-sized serve-time work
+    * ([[FreqStore.lookupPointsFiltered]]). Oracle: the one-shot
+    * frequency SQL under the expression's evaluated sample set,
+    * restricted to the probe points. */
+  val vardaFreqLookupExpr: Q = (s, d) => {
+    val dir = committedFreqStore(s, d)
+    val pts = obs(s, d).filter(col("obs_id") % 2999 === 1)
+      .select("chromosome", "position").distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    new FreqStore(s, dir).lookupPointsFiltered(pts,
+        ExprLang.parse(sampleExprInput, sampleTags))
+      .orderBy("chromosome", "position", "reference", "observed")
+  }
+
   /** Annotation write-back: left-join input variants (some deliberately
     * unknown via a +1 position shift) against the frequency table,
     * null -> 0 (varda/tasks.py :: write_annotation [U]). */
@@ -1066,6 +1087,7 @@ object VardaOps {
     "agg_freq_ratio" -> aggFreqRatio,
     "varda_freq_incremental" -> vardaFreqIncremental,
     "varda_freq_lookup" -> vardaFreqLookup,
+    "varda_freq_lookup_expr" -> vardaFreqLookupExpr,
     "varda_sample_retract" -> vardaSampleRetract,
     "varda_normalize_variant" -> vardaNormalizeVariant,
     "varda_region_bins" -> vardaRegionBins,
@@ -1237,6 +1259,14 @@ object VardaOps {
     // frequency computation restricted to the probe points
     "varda_freq_lookup" ->
       s"""SELECT * FROM (${frequencySql(withZyg = false, None, idivDuck)}) q
+          WHERE EXISTS (SELECT 1 FROM ($observations) oo
+            WHERE oo.obs_id % 2999 = 1 AND oo.chromosome = q.chromosome
+              AND oo.position = q.position)
+          ORDER BY q.chromosome, q.position, q.reference, q.observed""",
+    // the expression-filtered store lookup must equal the one-shot
+    // frequency under the evaluated sample set, restricted to the probes
+    "varda_freq_lookup_expr" ->
+      s"""SELECT * FROM (${frequencySql(withZyg = false, Some(sampleWhere), idivDuck)}) q
           WHERE EXISTS (SELECT 1 FROM ($observations) oo
             WHERE oo.obs_id % 2999 = 1 AND oo.chromosome = q.chromosome
               AND oo.position = q.position)

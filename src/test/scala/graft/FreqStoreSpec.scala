@@ -421,6 +421,43 @@ class FreqStoreSpec extends AnyFunSuite {
     assert(big == served, "large-probe lookup diverged from serve()")
   }
 
+  test("expression-filtered lookup equals the one-shot over the sample subset") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir("fqs_flt")
+    val store = new FreqStore(spark, dir, nBuckets = 4)
+    // sample 1 covers chr1, sample 2 covers X, sample 3 coverage-less;
+    // chr1:5000 observed by samples 1 AND 2 (2 is uncovered there)
+    val obs = Seq(
+      ("1", 5000L, "A", "C", 1L, 3), ("1", 5000L, "A", "C", 2L, 2),
+      ("X", 5000L, "A", "C", 2L, 1))
+      .toDF("chromosome", "position", "reference", "observed",
+        "sample_id", "support")
+    val cov = Seq(
+      (10L, "1", 4000L, 6000L, 1L, 2), (12L, "X", 4000L, 6000L, 2L, 5))
+      .toDF("region_id", "chromosome", "begin_pos", "end_pos",
+        "sample_id", "pool_size")
+    val smp = Seq((1L, 2, true), (2L, 5, true), (3L, 7, false))
+      .toDF("sample_id", "pool_size", "has_coverage")
+    store.commit(0, obs, cov, smp)
+
+    val pts = Seq(("1", 5000L), ("X", 5000L), ("2", 999L)) // last: absent
+    def filteredOneShot(pred: Long => Boolean) = freqKey(
+      VardaOps.frequencyFrom(
+        obs.filter(col("sample_id").isin(Seq(1L, 2L, 3L).filter(pred): _*)),
+        cov.filter(col("sample_id").isin(Seq(1L, 2L, 3L).filter(pred): _*)),
+        smp.filter(col("sample_id").isin(Seq(1L, 2L, 3L).filter(pred): _*)),
+        withZyg = false))
+    // subset {1, 3}: drops sample 2's observations and X coverage
+    val got = freqKey(store.lookupPointsFiltered(pts,
+      col("sample_id").isin(1L, 3L)))
+    assert(got == filteredOneShot(Set(1L, 3L)))
+    // a retraction's tombstones must net out of the filtered numerators
+    store.retractSamples(1, smp.filter(col("sample_id") === 1L))
+    val got2 = freqKey(store.lookupPointsFiltered(pts,
+      col("sample_id").isin(1L, 3L)))
+    assert(got2 == filteredOneShot(Set(3L)))
+  }
+
   test("store joins plan as equi-joins — no cartesian or nested-loop fallback") {
     val store = new FreqStore(spark, tmpDir("fqs_plan"), nBuckets = 4)
     val pts = Seq(("1", 5000L)).toDF("chromosome", "position")
