@@ -461,10 +461,15 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
         fs.delete(st.getPath, true)
     val logDir = new Path(s"$dir/_commits")
     if (fs.exists(logDir))
-      for (st <- fs.listStatus(logDir).toSeq;
-           (id, v) <- parseGenName(st.getPath.getName))
-        if (id < before && (id, v) != ((maxGen, newV)))
-          fs.delete(st.getPath, false)
+      for (st <- fs.listStatus(logDir).toSeq) {
+        val nm = st.getPath.getName
+        // .tmp-* = a marker write that crashed between create and the
+        // atomic rename; single-writer means none can be in flight here
+        if (nm.startsWith(".tmp-")) fs.delete(st.getPath, false)
+        else for ((id, v) <- parseGenName(nm))
+          if (id < before && (id, v) != ((maxGen, newV)))
+            fs.delete(st.getPath, false)
+      }
   }
 
   /** Serve ppm frequencies from the committed stores alone — the same

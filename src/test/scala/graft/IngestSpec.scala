@@ -310,14 +310,20 @@ class IngestSpec extends AnyFunSuite {
     def run() = Ingest.startFreqStateMaintenance(spark, src, store, ckpt,
       compactEvery = Some(1)).awaitTermination()
 
-    put("a.obs", Seq("1;1;5000;A;C;3"))
+    put("a.obs", Seq("1;1;5000;A;C;3;1"))
     put("a.bed", Seq("10;1;4000;6000;1;2"))
-    put("a.smp", Seq("1;2;true", "2;7;false"))
+    put("a.smp", Seq("1;2;true", "2;7;false", "4;3;false"))
     run()
-    put("b.obs", Seq("2;1;5000;A;C;2", "3;2;700;G;T;1"))
+    put("b.obs", Seq("2;1;5000;A;C;2;1", "3;2;700;G;T;1;1"))
     put("b.bed", Seq("11;2;600;800;1;2"))
     run()
-    put("c.obs", Seq("4;2;700;G;T;4"))
+    // a retraction wave interleaved with the compaction cadence: the
+    // coverage-less sample 4 deactivates; its registry tombstone must
+    // survive (then fold away through) the in-loop snapshots
+    put("c.obs", Seq("4;2;700;G;T;4;1"))
+    put("c.rm", Seq("4;3;false"))
+    run()
+    put("d.obs", Seq("5;2;700;G;T;1;1"))
     run()
 
     // every batch ≥ 1 compacted its history first: at most the snapshot
@@ -326,8 +332,10 @@ class IngestSpec extends AnyFunSuite {
       .filter(_.getName.startsWith("gen-")).map(_.getName).sorted.toSeq
     assert(gens.length <= 2, s"gens not bounded: $gens")
     // and the served state equals the one-shot over everything imported
+    // minus the retracted sample 4
     val obs = Seq(("1", 5000L, "A", "C", 3), ("1", 5000L, "A", "C", 2),
-      ("2", 700L, "G", "T", 1), ("2", 700L, "G", "T", 4))
+      ("2", 700L, "G", "T", 1), ("2", 700L, "G", "T", 4),
+      ("2", 700L, "G", "T", 1))
       .toDF("chromosome", "position", "reference", "observed", "support")
     val cov = Seq((10L, "1", 4000L, 6000L, 1L, 2), (11L, "2", 600L, 800L, 1L, 2))
       .toDF("region_id", "chromosome", "begin_pos", "end_pos",
