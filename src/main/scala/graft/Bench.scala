@@ -50,6 +50,12 @@ object Bench {
       // bench lines non-comparable (round-8 verdict): its line paid the
       // one-time shingle/signature build the others had amortized.
       SparkEntry.queries.get("dedup_near_minhash").foreach(_(spark, sfDir).count())
+      // … and the serving keys' shared committed FreqStore (memoized per
+      // session × sfDir): the import is their amortized offline step, so
+      // their timed lines measure the SERVE path. varda_freq_incremental
+      // is untouched by this — it rebuilds its own store inside the
+      // timed run, because the import replay IS that key's semantics.
+      SparkEntry.queries.get("varda_freq_lookup").foreach(_(spark, sfDir).count())
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup aborted: $e")
     }

@@ -346,39 +346,47 @@ object VardaOps {
     * session — at scale the serve plan should inherit the deployment's
     * parallelism, not the commit loop's. */
   val vardaFreqIncremental: Q = (s, d) => {
-    new FreqStore(s, committedFreqStore(s, d)).serve()
+    // this key's declared semantics IS the import replay — it rebuilds
+    // its own store on every call (never the serving keys' memoized
+    // one), so its bench line measures the commit path honestly
+    new FreqStore(s, buildFreqStore(s, d, "freq_store_replay")).serve()
       .orderBy("chromosome", "position", "reference", "observed")
   }
 
-  /** Build — once per (session, sfDir), the ANN-fit memoization
-    * contract — the committed [[FreqStore]] by replaying the fixture in
-    * 3 import batches. Commits run on a CLONED session (batch-sized
-    * shuffles want 8 partitions + AQE off; `newSession` keeps the
-    * overrides invisible to concurrent callers), and the fixture is
-    * materialized ONCE and sliced per batch — deriving it is the
-    * harness's job, not the store's. Memoization means the serving
-    * keys (`varda_freq_lookup`) measure the SERVE path, with the build
-    * paid by whichever store key runs first — exactly how a deployment
-    * amortizes imports across queries. */
+  /** Replay the fixture into a committed [[FreqStore]] in 3 import
+    * batches. Commits run on a CLONED session (batch-sized shuffles
+    * want 8 partitions + AQE off; `newSession` keeps the overrides
+    * invisible to concurrent callers), and the fixture is materialized
+    * ONCE and sliced per batch — deriving it is the harness's job, not
+    * the store's. */
+  private def buildFreqStore(s: SparkSession, d: String, name: String): String = {
+    val dir = graft.ops.Scans.scratch(s, name, d)
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val store = new FreqStore(s2, dir, nBuckets = 8)
+    val (obsAll, covAll, smpAll) =
+      (obs(s2, d).localCheckpoint(), cov(s2, d).localCheckpoint(),
+        smp(s2, d).localCheckpoint())
+    for (i <- 0 until 3)
+      store.commit(i,
+        obsAll.filter(col("obs_id") % 3 === i),
+        covAll.filter(col("region_id") % 3 === i),
+        smpAll.filter(col("sample_id") % 3 === i))
+    dir
+  }
+
+  /** The SERVING keys' shared store, built once per (session, sfDir) —
+    * the ANN-index memoization contract: the import is the amortized
+    * offline step (Bench warms it like the LSH/IVF fits), so
+    * `varda_freq_lookup` / `varda_freq_lookup_expr` /
+    * `varda_annotate_store` measure the serving path. The import-replay
+    * key itself ([[vardaFreqIncremental]]) deliberately does NOT use
+    * this memo. */
   private val builtStores =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
   private def committedFreqStore(s: SparkSession, d: String): String =
-    builtStores.computeIfAbsent((s, d), _ => {
-      val dir = graft.ops.Scans.scratch(s, "freq_store", d)
-      val s2 = s.newSession()
-      s2.conf.set("spark.sql.shuffle.partitions", "8")
-      s2.conf.set("spark.sql.adaptive.enabled", "false")
-      val store = new FreqStore(s2, dir, nBuckets = 8)
-      val (obsAll, covAll, smpAll) =
-        (obs(s2, d).localCheckpoint(), cov(s2, d).localCheckpoint(),
-          smp(s2, d).localCheckpoint())
-      for (i <- 0 until 3)
-        store.commit(i,
-          obsAll.filter(col("obs_id") % 3 === i),
-          covAll.filter(col("region_id") % 3 === i),
-          smpAll.filter(col("sample_id") % 3 === i))
-      dir
-    })
+    builtStores.computeIfAbsent((s, d), _ => buildFreqStore(s, d, "freq_store"))
 
   /** The reference's FLAGSHIP query [U GET /variants]: serve a handful
     * of variant points from the committed store through the pruned
