@@ -295,11 +295,16 @@ object RewriteIntervalJoin extends Rule[LogicalPlan] {
       case _ => Nil
     }
     // a pair of readings with opposite begin sides forms the overlap:
-    // b1 <= e2 (from side S) with b2 <= e1 (from side T)
+    // b1 <= e2 (from side S) with b2 <= e1 (from side T). Require
+    // EXACTLY two cross-side readings: with a third (say a.score <=
+    // b.score), which two form the interval bounds is ambiguous from
+    // the plan, and a mispairing like (score, end) would explode a
+    // bucket sequence the maxLength promise never covered — predicate
+    // sets beyond the canonical shape keep the naive plan
     val shapes = for {
       (x1, y1, i) <- leqs.view
       (x2, y2, j) <- leqs.view
-      if j != i && sideOf(x1) != sideOf(x2)
+      if leqs.size == 2 && j != i && sideOf(x1) != sideOf(x2)
       // skip the containment shape (one side's "interval" degenerates
       // to a single expression) — [[binned]]'s point-probe plan is
       // strictly better there and runs first anyway

@@ -173,21 +173,23 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     // merge, subtraction) materialize together in the next level's one
     // job
     val manifest = obsB0
-      .select(pointBkt(n).as("bkt"), lit(0).as("kind"))
+      .select(pointBkt(n).cast(LongType).as("bkt"), lit(0).as("kind"))
       .unionByName(covB.select(explode(sequence(
           shiftright(col("begin_pos"), CellShift),
           shiftright(col("end_pos"), CellShift))).as("cell"),
           col("chromosome"))
-        .select(bktOf(col("chromosome"), col("cell"), n).as("bkt"),
+        .select(bktOf(col("chromosome"), col("cell"), n).cast(LongType).as("bkt"),
           lit(1).as("kind")))
       .distinct()
+      // the pool delta rides the manifest's LONG column — an Int would
+      // silently wrap on a large batch's coverage-less pool sum
       .unionByName(smpB.filter(!col("has_coverage"))
-        .agg(coalesce(sum(col("pool_size")), lit(0)).cast(IntegerType).as("bkt"),
+        .agg(coalesce(sum(col("pool_size")), lit(0)).cast(LongType).as("bkt"),
           lit(2).as("kind")))
       .collect()
-    val oBkts = manifest.filter(_.getInt(1) == 0).map(_.getInt(0)).toSet
-    val cBkts = manifest.filter(_.getInt(1) == 1).map(_.getInt(0)).toSet
-    val uncovDelta = manifest.filter(_.getInt(1) == 2).map(_.getInt(0).toLong).sum
+    val oBkts = manifest.filter(_.getInt(1) == 0).map(_.getLong(0).toInt).toSet
+    val cBkts = manifest.filter(_.getInt(1) == 1).map(_.getLong(0).toInt).toSet
+    val uncovDelta = manifest.filter(_.getInt(1) == 2).map(_.getLong(0)).sum
     mark("manifest")
 
     // checkpoint the batch ONCE: every downstream write job reads the
@@ -275,6 +277,11 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
       col("pool_size").cast(IntegerType).as("pool_size"), col("has_coverage"))
 
     mark("plans-built")
+    // a replay rewrites an already-committed generation: withdraw its
+    // marker BEFORE touching its data, so a crash mid-rewrite leaves an
+    // uncommitted (invisible) generation, never a blessed marker over
+    // missing or torn files — markCommitted restores it after the write
+    unmark(batchId, 0)
     writeGen(genPath(batchId, 0), n, Seq(
       ("numer", numerNew, Some(pointBkt(n))),
       ("denom", denomNew, Some(pointBkt(n))),
@@ -339,17 +346,18 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     // the one manifest job: touched buckets + the retracted coverage-less
     // pool, materializing all three checkpoints as a side effect
     val manifest = obsN.select("chromosome", "position").distinct()
-      .select(pointBkt(n).as("bkt"), lit(0).as("kind"))
+      .select(pointBkt(n).cast(LongType).as("bkt"), lit(0).as("kind"))
       .unionByName(fragsGone.select(
-        bktOf(col("chromosome"), col("cell"), n).as("bkt"), lit(1).as("kind")))
+        bktOf(col("chromosome"), col("cell"), n).cast(LongType).as("bkt"),
+        lit(1).as("kind")))
       .distinct()
       .unionByName(regNet.filter(!col("has_coverage"))
-        .agg(coalesce(sum(col("pool_size")), lit(0)).cast(IntegerType).as("bkt"),
+        .agg(coalesce(sum(col("pool_size")), lit(0)).cast(LongType).as("bkt"),
           lit(2).as("kind")))
       .collect()
-    val oBkts = manifest.filter(_.getInt(1) == 0).map(_.getInt(0)).toSet
-    val cBkts = manifest.filter(_.getInt(1) == 1).map(_.getInt(0)).toSet
-    val uncovGone = manifest.filter(_.getInt(1) == 2).map(_.getInt(0).toLong).sum
+    val oBkts = manifest.filter(_.getInt(1) == 0).map(_.getLong(0).toInt).toSet
+    val cBkts = manifest.filter(_.getInt(1) == 1).map(_.getLong(0).toInt).toSet
+    val uncovGone = manifest.filter(_.getInt(1) == 2).map(_.getLong(0)).sum
 
     val denomGone = containSamples(
       appendRead("pts", batchId, Some(cBkts)), broadcast(fragsGone))
@@ -368,6 +376,7 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     val smpregTomb = regNet.select(col("sample_id"),
       (-col("pool_size")).cast(IntegerType).as("pool_size"), col("has_coverage"))
 
+    unmark(batchId, 0) // see commit(): no blessed marker over torn files
     writeGen(genPath(batchId, 0), n, Seq(
       ("numer", numerNew, Some(pointBkt(n))),
       ("denom", denomNew, Some(pointBkt(n))),
@@ -425,7 +434,13 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
       case Seq(one) => one
       case more => sys.error(s"mixed bucket moduli in live commits: $more")
     }
-    val doSplit = splitThreshold.exists(t => maxBucketBytes(lv) > t)
+    // splitting rewrites the whole store under a doubled modulus, which
+    // is only legal when the snapshot consolidates EVERY committed
+    // generation (no committed gen >= before may survive with the old
+    // modulus), and is capped so a single hot 2^11 cell — which no
+    // modulus can subdivide — cannot drive unbounded doubling
+    val doSplit = splitThreshold.exists(t => maxBucketBytes(lv) > t) &&
+      committed().forall(_.id < before) && n < MaxBuckets
     if (lv.size == 1 && lv.head.v > 0 && !doSplit) return
     val newN = if (doSplit) n * 2 else n
     val maxGen = lv.map(_.id).max
@@ -580,19 +595,33 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     * replayed batch overwrites them. Markers are staged and renamed so
     * a crash can never leave a committed-looking marker with torn
     * content. */
-  private def committed(): Seq[Marker] = {
+  /** Per-instance log cache: one public operation re-reads the log many
+    * times (nBkts, uncovPool, every store read); under the single-writer
+    * same-process contract the log only changes through this instance's
+    * own [[markCommitted]]/[[unmark]]/[[compact]], which invalidate. A
+    * fresh instance (the streaming loop builds one per batch) always
+    * re-reads. */
+  @volatile private var logCache: Option[Seq[Marker]] = None
+
+  private def committed(): Seq[Marker] = logCache.getOrElse {
     val p = new Path(s"$dir/_commits")
-    if (!fs.exists(p)) Nil
-    else fs.listStatus(p).toSeq.flatMap { st =>
-      parseGenName(st.getPath.getName).map { case (id, v) =>
-        val in = fs.open(st.getPath)
-        val body = try scala.io.Source.fromInputStream(in).mkString.trim
-        finally in.close()
-        val parts = body.split("\\s+")
-        Marker(id, v, parts(0).toInt,
-          if (parts.length > 1) parts(1).toLong else 0L)
+    val read =
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).toSeq.flatMap { st =>
+        parseGenName(st.getPath.getName).map { case (id, v) =>
+          val in = fs.open(st.getPath)
+          val body = try scala.io.Source.fromInputStream(in).mkString.trim
+          finally in.close()
+          val parts = body.split("\\s+")
+          require(parts.nonEmpty && parts(0).toIntOption.isDefined,
+            s"unreadable commit marker ${st.getPath} (content '$body') — " +
+              "not a store written by this format")
+          Marker(id, v, parts(0).toInt,
+            if (parts.length > 1) parts(1).toLong else 0L)
+        }
       }
-    }
+    logCache = Some(read)
+    read
   }
 
   private def markCommitted(batchId: Long, v: Int, n: Int, uncov: Long): Unit = {
@@ -603,7 +632,20 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     val out = fs.create(tmp, true)
     try out.write(s"$n $uncov".getBytes("UTF-8")) finally out.close()
     fs.delete(new Path(d, name), false)
-    fs.rename(tmp, new Path(d, name))
+    // rename failures RETURN false rather than throw; a silently
+    // unblessed generation must abort the caller (in compact, before
+    // the delete phase destroys the superseded history)
+    require(fs.rename(tmp, new Path(d, name)),
+      s"commit-log rename failed for $name — generation left uncommitted")
+    logCache = None
+  }
+
+  /** Withdraw a generation's marker (replay is about to rewrite its
+    * data). Absent marker = no-op. */
+  private def unmark(batchId: Long, v: Int): Unit = {
+    val name = if (v == 0) s"gen-$batchId" else s"gen-$batchId.$v"
+    fs.delete(new Path(s"$dir/_commits/$name"), false)
+    logCache = None
   }
 
   /** The LIVE view below `before`: each generation id resolved to its
@@ -852,6 +894,13 @@ object FreqStore {
   /** 2^11 cell: the shared containment granule ([[VardaOps
     * .bucketedContainment]] uses the same shift). */
   private val CellShift = 11
+
+  /** Split-compaction modulus ceiling: beyond this, an over-threshold
+    * bucket is dominated by content no modulus can subdivide (a single
+    * hot 2^11 cell) and further doubling would just rewrite the store
+    * forever. 2^16 buckets × a multi-GB threshold covers any realistic
+    * single-store deployment; shard above that. */
+  private val MaxBuckets = 1 << 16
   private val CellSize = 2048L
 
   private case class Marker(id: Long, v: Int, n: Int, uncov: Long)

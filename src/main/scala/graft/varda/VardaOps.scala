@@ -383,10 +383,17 @@ object VardaOps {
     * `varda_annotate_store` measure the serving path. The import-replay
     * key itself ([[vardaFreqIncremental]]) deliberately does NOT use
     * this memo. */
+  // weak keys: a memo entry must not pin a retired SparkSession (and
+  // its SessionState) for the JVM's lifetime — same liveness discipline
+  // as the graph edge cache
   private val builtStores =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, String]]
   private def committedFreqStore(s: SparkSession, d: String): String =
-    builtStores.computeIfAbsent((s, d), _ => buildFreqStore(s, d, "freq_store"))
+    builtStores.synchronized {
+      builtStores.computeIfAbsent(s,
+          _ => scala.collection.mutable.Map.empty[String, String])
+        .getOrElseUpdate(d, buildFreqStore(s, d, "freq_store"))
+    }
 
   /** The reference's FLAGSHIP query [U GET /variants]: serve a handful
     * of variant points from the committed store through the pruned
