@@ -294,17 +294,19 @@ object RewriteIntervalJoin extends Rule[LogicalPlan] {
         Seq((x, y, i))
       case _ => Nil
     }
+    // Require EXACTLY two cross-side readings: with a third (say
+    // a.score <= b.score), which two form the interval bounds is
+    // ambiguous from the plan, and a mispairing like (score, end)
+    // would explode a bucket sequence the maxLength promise never
+    // covered — predicate sets beyond the canonical shape keep the
+    // naive plan
+    if (leqs.size != 2) return None
     // a pair of readings with opposite begin sides forms the overlap:
-    // b1 <= e2 (from side S) with b2 <= e1 (from side T). Require
-    // EXACTLY two cross-side readings: with a third (say a.score <=
-    // b.score), which two form the interval bounds is ambiguous from
-    // the plan, and a mispairing like (score, end) would explode a
-    // bucket sequence the maxLength promise never covered — predicate
-    // sets beyond the canonical shape keep the naive plan
+    // b1 <= e2 (from side S) with b2 <= e1 (from side T)
     val shapes = for {
       (x1, y1, i) <- leqs.view
       (x2, y2, j) <- leqs.view
-      if leqs.size == 2 && j != i && sideOf(x1) != sideOf(x2)
+      if j != i && sideOf(x1) != sideOf(x2)
       // skip the containment shape (one side's "interval" degenerates
       // to a single expression) — [[binned]]'s point-probe plan is
       // strictly better there and runs first anyway

@@ -143,6 +143,9 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     pmod(hash(chrom, cell), lit(n))
   private def pointBkt(n: Int): Column =
     bktOf(col("chromosome"), shiftright(col("position"), CellShift), n)
+  /** Every 2^11 cell the [begin, end] interval touches. */
+  private def cellSeq: Column = sequence(
+    shiftright(col("begin_pos"), CellShift), shiftright(col("end_pos"), CellShift))
 
   /** Fold one import batch into the committed stores. `obsB0` carries
     * (chromosome, position, reference, observed, support) and — when
@@ -154,13 +157,6 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     * coverage rows (the import pipeline's invariant). */
   def commit(batchId: Long, obsB0: DataFrame, covB: DataFrame,
       smpB: DataFrame): Unit = {
-    val dbg = sys.props.contains("graft.freqstore.debug")
-    var tMark = System.nanoTime()
-    def mark(what: String): Unit = if (dbg) {
-      val now = System.nanoTime()
-      println(f"[freqstore] commit$batchId $what: ${(now - tMark) / 1e9}%.2f s")
-      tMark = now
-    }
     val n = nBkts
     val sid = if (obsB0.columns.contains("sample_id"))
       col("sample_id").cast(LongType) else lit(null).cast(LongType)
@@ -174,10 +170,7 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     // job
     val manifest = obsB0
       .select(pointBkt(n).cast(LongType).as("bkt"), lit(0).as("kind"))
-      .unionByName(covB.select(explode(sequence(
-          shiftright(col("begin_pos"), CellShift),
-          shiftright(col("end_pos"), CellShift))).as("cell"),
-          col("chromosome"))
+      .unionByName(covB.select(explode(cellSeq).as("cell"), col("chromosome"))
         .select(bktOf(col("chromosome"), col("cell"), n).cast(LongType).as("bkt"),
           lit(1).as("kind")))
       .distinct()
@@ -190,7 +183,6 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     val oBkts = manifest.filter(_.getInt(1) == 0).map(_.getLong(0).toInt).toSet
     val cBkts = manifest.filter(_.getInt(1) == 1).map(_.getLong(0).toInt).toSet
     val uncovDelta = manifest.filter(_.getInt(1) == 2).map(_.getLong(0)).sum
-    mark("manifest")
 
     // checkpoint the batch ONCE: every downstream write job reads the
     // materialized batch through a TRUNCATED lineage instead of
@@ -204,8 +196,7 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     // per (sample, chromosome, cell) so batch-internal overlaps
     // collapse before they meet the store
     val covF = mergeFragments(covB.select(col("chromosome"),
-        explode(sequence(shiftright(col("begin_pos"), CellShift),
-          shiftright(col("end_pos"), CellShift))).as("cell"),
+        explode(cellSeq).as("cell"),
         col("begin_pos"), col("end_pos"), col("sample_id"), col("pool_size"))
       .select(col("chromosome"), col("cell"),
         greatest(col("begin_pos"), col("cell") * CellSize).as("fbegin"),
@@ -234,7 +225,6 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     // read blocks instead of racing to compute them
     newPts.select(lit(1).as("one"))
       .unionByName(segsNew.select(lit(1).as("one"))).count()
-    mark("materialize")
 
     // denominator deltas — ONE tagged containment join (round-9; was
     // three). The pairs newly counted this commit are exactly those
@@ -276,7 +266,6 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     val smpregNew = smpB.select(col("sample_id").cast(LongType).as("sample_id"),
       col("pool_size").cast(IntegerType).as("pool_size"), col("has_coverage"))
 
-    mark("plans-built")
     // a replay rewrites an already-committed generation: withdraw its
     // marker BEFORE touching its data, so a crash mid-rewrite leaves an
     // uncommitted (invisible) generation, never a blessed marker over
@@ -290,7 +279,6 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
       ("cover", coverNew, Some(bktOf(col("chromosome"), col("cell"), n))),
       ("smpreg", smpregNew, None)),
       Map("numer" -> oBkts, "denom" -> (oBkts ++ cBkts), "cover" -> cBkts))
-    mark("write")
     markCommitted(batchId, 0, n, uncovPool(batchId) + uncovDelta)
   }
 
@@ -494,8 +482,7 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     * commit landing mid-serve cannot skew one component ahead of
     * another: readers get snapshot consistency from the log bound. */
   def serve(): DataFrame = {
-    val upTo = live(Long.MaxValue).map(_.id).maxOption
-      .map(_ + 1).getOrElse(Long.MaxValue)
+    val upTo = highWater
     VardaOps.serveFrom(
       mergeRead("numer", upTo, None),
       mergeRead("denom", upTo, None),
@@ -518,8 +505,7 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     * bucket pruning already happened on the driver either way). */
   def lookupPoints(points: Seq[(String, Long)]): DataFrame = {
     require(points.nonEmpty, "lookupPoints needs at least one point")
-    val upTo = live(Long.MaxValue).map(_.id).maxOption
-      .map(_ + 1).getOrElse(Long.MaxValue)
+    val upTo = highWater
     val n = nBkts
     val ks = points.map { case (c, p) => driverBucket(c, p >> CellShift, n) }.toSet
     val restrict: DataFrame => DataFrame =
@@ -560,8 +546,7 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
   def lookupPointsFiltered(points: Seq[(String, Long)],
       samplePred: Column): DataFrame = {
     require(points.nonEmpty, "lookupPointsFiltered needs at least one point")
-    val upTo = live(Long.MaxValue).map(_.id).maxOption
-      .map(_ + 1).getOrElse(Long.MaxValue)
+    val upTo = highWater
     val n = nBkts
     val ks = points.map { case (c, p) => driverBucket(c, p >> CellShift, n) }.toSet
     import spark.implicits._
@@ -627,7 +612,7 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
   private def markCommitted(batchId: Long, v: Int, n: Int, uncov: Long): Unit = {
     val d = new Path(s"$dir/_commits")
     fs.mkdirs(d)
-    val name = if (v == 0) s"gen-$batchId" else s"gen-$batchId.$v"
+    val name = genName(batchId, v)
     val tmp = new Path(d, s".tmp-$name")
     val out = fs.create(tmp, true)
     try out.write(s"$n $uncov".getBytes("UTF-8")) finally out.close()
@@ -643,8 +628,7 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
   /** Withdraw a generation's marker (replay is about to rewrite its
     * data). Absent marker = no-op. */
   private def unmark(batchId: Long, v: Int): Unit = {
-    val name = if (v == 0) s"gen-$batchId" else s"gen-$batchId.$v"
-    fs.delete(new Path(s"$dir/_commits/$name"), false)
+    fs.delete(new Path(s"$dir/_commits/${genName(batchId, v)}"), false)
     logCache = None
   }
 
@@ -652,6 +636,12 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     * highest committed version, floored at the newest committed
     * snapshot (v >= 1) — generations below a snapshot are unreachable
     * even if their files still exist (the crash-window guarantee). */
+  /** Serve-time read bound: one past the newest live generation,
+    * pinned once so a commit landing mid-read cannot skew one
+    * component ahead of another. */
+  private def highWater: Long =
+    live(Long.MaxValue).map(_.id).maxOption.map(_ + 1).getOrElse(Long.MaxValue)
+
   private def live(before: Long): Seq[Marker] = {
     val perId = committed().filter(_.id < before)
       .groupBy(_.id).map { case (_, ms) => ms.maxBy(_.v) }.toSeq.sortBy(_.id)
@@ -672,8 +662,9 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     }
   }
 
-  private def genPath(id: Long, v: Int): String =
-    if (v == 0) s"$dir/gen-$id" else s"$dir/gen-$id.$v"
+  private def genName(id: Long, v: Int): String =
+    if (v == 0) s"gen-$id" else s"gen-$id.$v"
+  private def genPath(id: Long, v: Int): String = s"$dir/${genName(id, v)}"
 
   private def compPath(m: Marker, comp: String): Path =
     new Path(s"${genPath(m.id, m.v)}/comp=$comp")
