@@ -140,7 +140,8 @@ object Ingest {
   def startFreqStateMaintenance(spark: SparkSession, srcDir: String,
       storeDir: String, checkpointDir: String,
       maxFilesPerTrigger: Option[Int] = None,
-      compactEvery: Option[Int] = None): StreamingQuery = {
+      compactEvery: Option[Int] = None,
+      splitThreshold: Option[Long] = None): StreamingQuery = {
     val reader = spark.readStream
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     reader.text(srcDir)
@@ -155,9 +156,12 @@ object Ingest {
         // replay of batch `batchId` still finds its full history (as
         // the snapshot) and refolds identically — in-loop compaction
         // stays replay-safe
+        // splitThreshold lets the cadence compaction also RE-BUCKET the
+        // store (double the modulus) once any bucket outgrows the
+        // threshold — the growth path a long-lived deployment needs
         compactEvery.foreach(n =>
           if (batchId > 0 && batchId % n == 0)
-            store.compact(before = 2 * batchId))
+            store.compact(before = 2 * batchId, splitThreshold))
         store.commit(
           2 * batchId,
           parseObservationLines(slice(".obs")),

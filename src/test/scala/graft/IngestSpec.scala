@@ -307,8 +307,11 @@ class IngestSpec extends AnyFunSuite {
     Files.createDirectories(Paths.get(src))
     def put(name: String, rows: Seq[String]): Unit =
       Files.write(Paths.get(s"$src/$name"), String.join("\n", rows: _*).getBytes)
+    // splitThreshold=1 byte: every cadence snapshot also doubles the
+    // bucket modulus — the in-loop re-bucketing path must leave served
+    // state exact through repeated splits
     def run() = Ingest.startFreqStateMaintenance(spark, src, store, ckpt,
-      compactEvery = Some(1)).awaitTermination()
+      compactEvery = Some(1), splitThreshold = Some(1L)).awaitTermination()
 
     put("a.obs", Seq("1;1;5000;A;C;3;1"))
     put("a.bed", Seq("10;1;4000;6000;1;2"))
