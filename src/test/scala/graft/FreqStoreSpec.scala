@@ -550,8 +550,10 @@ class FreqStoreSpec extends AnyFunSuite {
     val nSmp = 6
     val obs = (1 to 120).map { i =>
       (chroms(rnd.nextInt(4)), (rnd.nextInt(50) * 997L) % 40000L,
-        "A", if (rnd.nextBoolean()) "C" else "G", 1 + rnd.nextInt(3))
-    }.toDF("chromosome", "position", "reference", "observed", "support")
+        "A", if (rnd.nextBoolean()) "C" else "G", 1 + rnd.nextInt(3),
+        1L + rnd.nextInt(nSmp))
+    }.toDF("chromosome", "position", "reference", "observed", "support",
+        "sample_id")
       .withColumn("obs_id", org.apache.spark.sql.functions
         .monotonically_increasing_id())
     val cov = (1 to 60).map { i =>
@@ -574,9 +576,34 @@ class FreqStoreSpec extends AnyFunSuite {
         cov.filter(s"region_id % 4 = $i"),
         smp.filter(s"sample_id % 4 = $i"))
     val expected = freqKey(VardaOps.frequencyFrom(
-      obs.withColumn("sample_id", org.apache.spark.sql.functions.lit(0L)),
-      cov, smp, withZyg = false))
+      obs, cov, smp, withZyg = false))
     assert(expected.nonEmpty)
     assert(freqKey(store.serve()) == expected)
+
+    // the round-9 serving surfaces over the same randomized store:
+    // expression-filtered lookup against the one-shot over the subset,
+    // then a store-derived retraction against the one-shot over the
+    // survivors (obs are sample-tagged, so both cut numerators too)
+    import org.apache.spark.sql.functions.col
+    val somePts = obs.select("chromosome", "position").distinct().limit(24)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val sub = Seq(1L, 3L, 4L)
+    def oneShot(smpPred: Long => Boolean) = freqKey(VardaOps.frequencyFrom(
+      obs.filter(col("sample_id").isin((1L to nSmp).filter(smpPred): _*)),
+      cov.filter(col("sample_id").isin((1L to nSmp).filter(smpPred): _*)),
+      smp.filter(col("sample_id").isin((1L to nSmp).filter(smpPred): _*)),
+      withZyg = false))
+    val lookedUp = freqKey(
+      store.lookupPointsFiltered(somePts, col("sample_id").isin(sub: _*)))
+    val expectSub = oneShot(sub.contains).filter { case ((c, p, _, _), _) =>
+      somePts.contains((c, p)) }
+    assert(lookedUp == expectSub,
+      "randomized store: filtered lookup diverged from the one-shot subset")
+
+    store.retractSamples(4, smp.filter(col("sample_id").isin(2L, 5L)))
+    val afterRm = freqKey(store.serve())
+    val expectedRm = oneShot(id => id != 2L && id != 5L)
+    assert(afterRm == expectedRm,
+      "randomized store: retraction diverged from the one-shot over survivors")
   }
 }
