@@ -910,7 +910,7 @@ object FreqStore {
     * Murmur3 expression `pmod(hash(chromosome, cell), n)` the stores
     * are written with, so a point lookup can name its bucket directory
     * without running a Spark job. */
-  private def driverBucket(chrom: String, cell: Long, n: Int): Int = {
+  private[graft] def driverBucket(chrom: String, cell: Long, n: Int): Int = {
     import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}
     val h = new Murmur3Hash(Seq(Literal(chrom), Literal(cell)))
       .eval(null).asInstanceOf[Int]

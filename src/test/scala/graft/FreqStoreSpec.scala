@@ -458,6 +458,29 @@ class FreqStoreSpec extends AnyFunSuite {
     assert(got2 == filteredOneShot(Set(3L)))
   }
 
+  test("driver-evaluated bucket hash equals Spark's hash() for random keys") {
+    // lookup pruning names bucket directories WITHOUT a Spark job; that
+    // is only sound if the driver-side Murmur3 agrees with the hash()
+    // expression the store was written with, bit for bit
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod, shiftright}
+    val rnd = new Random(23)
+    val rows = (1 to 200).map { _ =>
+      (Seq("1", "2", "10", "X", "Y", "MT", "chr7")(rnd.nextInt(7)),
+        rnd.nextLong(1L << 40))
+    }
+    for (n <- Seq(1, 4, 8, 16, 1 << 16)) {
+      import spark.implicits._
+      val viaSpark = rows.toDF("chromosome", "position")
+        .select(col("chromosome"), col("position"),
+          pmod(hash(col("chromosome"), shiftright(col("position"), 11)),
+            lit(n)).as("bkt"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+      for ((c, p) <- rows)
+        assert(FreqStore.driverBucket(c, p >> 11, n) == viaSpark((c, p)),
+          s"driver bucket diverged for ($c, $p, n=$n)")
+    }
+  }
+
   test("store joins plan as equi-joins — no cartesian or nested-loop fallback") {
     val store = new FreqStore(spark, tmpDir("fqs_plan"), nBuckets = 4)
     val pts = Seq(("1", 5000L)).toDF("chromosome", "position")
