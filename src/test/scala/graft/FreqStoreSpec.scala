@@ -458,6 +458,50 @@ class FreqStoreSpec extends AnyFunSuite {
     assert(got2 == filteredOneShot(Set(3L)))
   }
 
+  test("fragment algebra: merge preserves coverage disjointly, subtract yields exactly the uncovered remainder") {
+    // the whole store design rests on two algebraic facts — merged
+    // fragments are disjoint per (sample, cell) and cover the same
+    // positions, and batch \ store is exactly the positions the store
+    // does not cover — brute-force them on randomized small domains
+    val rnd2 = new Random(42)
+    val store = new FreqStore(spark, tmpDir("fqs_alg"), nBuckets = 2)
+    def randFrags(n: Int) = (1 to n).map { _ =>
+      val cell = rnd2.nextInt(3).toLong
+      val b = cell * 2048 + rnd2.nextInt(2048)
+      val e = math.min(cell * 2048 + 2047, b + rnd2.nextInt(600))
+      ("1", cell, b, e, 1L + rnd2.nextInt(2), 2)
+    }
+    def df(fr: Seq[(String, Long, Long, Long, Long, Int)]) =
+      fr.toDF("chromosome", "cell", "fbegin", "fend", "sample_id", "pool_size")
+    def covered(fr: Seq[(String, Long, Long, Long, Long, Int)]): Map[Long, Set[Long]] =
+      fr.groupBy(_._5).view.mapValues(_.flatMap(f => f._3 to f._4).toSet).toMap
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getInt(5))).toSeq
+    for (_ <- 1 to 5) {
+      val raw = randFrags(12)
+      val merged = rows(store.mergeFragments(df(raw))
+        .select("chromosome", "cell", "fbegin", "fend", "sample_id", "pool_size"))
+      assert(covered(merged) == covered(raw), "merge changed coverage")
+      for (Seq(a, b) <- merged.groupBy(f => (f._5, f._2)).values
+             .flatMap(_.sortBy(_._3).sliding(2)) if a != b)
+        assert(a._4 + 1 < b._3, s"merged fragments not disjoint-with-gap: $a $b")
+
+      val base = rows(store.mergeFragments(df(randFrags(10)))
+        .select("chromosome", "cell", "fbegin", "fend", "sample_id", "pool_size"))
+      val batch = rows(store.mergeFragments(df(randFrags(8)))
+        .select("chromosome", "cell", "fbegin", "fend", "sample_id", "pool_size"))
+      val sub = rows(store.subtractFragments(df(batch), df(base))
+        .select("chromosome", "cell", "fbegin", "fend", "sample_id", "pool_size"))
+      val want = (covered(batch).keySet ++ covered(base).keySet).map { s =>
+        s -> (covered(batch).getOrElse(s, Set.empty) --
+          covered(base).getOrElse(s, Set.empty))
+      }.filter(_._2.nonEmpty).toMap
+      assert(covered(sub).filter(_._2.nonEmpty) == want,
+        "subtract is not exactly batch-minus-store")
+    }
+  }
+
   test("driver-evaluated bucket hash equals Spark's hash() for random keys") {
     // lookup pruning names bucket directories WITHOUT a Spark job; that
     // is only sound if the driver-side Murmur3 agrees with the hash()
