@@ -26,12 +26,28 @@ object Tables {
   // sessions are swept on the next miss.
   private val cache = TrieMap.empty[(SparkSession, String, String), DataFrame]
 
+  /** Footer schemas keyed by (sfDir, table) — SESSION-free: the files
+    * don't change, so a cloned session (`newSession`, used by the
+    * FreqStore commit path for its conf overrides) resolves its reads
+    * through `spark.read.schema(...)` instead of re-running the footer
+    * schema-inference job per table (round-10: ~0.5 s of sequential
+    * one-task jobs at the head of every store replay). */
+  private val schemaCache =
+    TrieMap.empty[(String, String), org.apache.spark.sql.types.StructType]
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     cache.getOrElseUpdate(
       (spark, sfDir, name), {
         cache.filterInPlace { case ((sess, _, _), _) =>
           !sess.sparkContext.isStopped }
-        spark.read.parquet(s"$sfDir/$name.parquet")
+        val path = s"$sfDir/$name.parquet"
+        schemaCache.get((sfDir, name)) match {
+          case Some(sch) => spark.read.schema(sch).parquet(path)
+          case None =>
+            val df = spark.read.parquet(path)
+            schemaCache.put((sfDir, name), df.schema)
+            df
+        }
       })
 
   def region(spark: SparkSession, d: String): DataFrame = table(spark, d, "region")

@@ -162,6 +162,11 @@ object Ingest {
         compactEvery.foreach(n =>
           if (batchId > 0 && batchId % n == 0)
             store.compact(before = 2 * batchId, splitThreshold))
+        // a replayed wave rewrites BOTH its generations; withdraw the
+        // dependent retraction marker (2b+1) before refolding 2b so no
+        // reader window pairs 2b+1's folds with pre-2b bucket content
+        // (round-10 ADVICE — the cross-generation crash window)
+        store.unmarkGeneration(2 * batchId + 1)
         store.commit(
           2 * batchId,
           parseObservationLines(slice(".obs")),

@@ -123,12 +123,19 @@ import org.apache.spark.sql.types._
   * double-counting.
   *
   * Concurrency contract: ONE writer process; readers in the same
-  * process. [[compact]] deletes superseded generation directories, so a
-  * cross-process reader holding an already-planned DataFrame over the
-  * old file listing can hit FileNotFoundException mid-scan — multi-
-  * process serving would need a retention grace period on the delete
-  * phase (the snapshot-then-delete split makes that a one-line policy
-  * change; single-process is the declared scope here).
+  * process by default. [[compact]]'s delete phase removes superseded
+  * generation directories, so a cross-process reader holding an
+  * already-planned DataFrame over the old file listing could hit
+  * FileNotFoundException mid-scan — `compact(retainGens = k)`
+  * (round-10) is the retention grace that closes this: the newest k
+  * superseded generations survive each sweep (invisible to new reads —
+  * the snapshot still floors the log — but their files stay for
+  * readers that listed them), and later sweeps age them out. Size k to
+  * the serving fleet's maximum query lifetime over the compaction
+  * cadence. One cross-WAVE caveat for the streamed ingest: a replayed
+  * import+retraction wave withdraws both its markers up front
+  * ([[unmarkGeneration]]), so readers never pair a retraction's folds
+  * with pre-import bucket content.
   *
   * Semantics MATCH [[VardaOps.foldFreqState]]'s served state — a
   * sample's overlapping regions arriving in any batch order still
@@ -160,34 +167,13 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     val n = nBkts
     val sid = if (obsB0.columns.contains("sample_id"))
       col("sample_id").cast(LongType) else lit(null).cast(LongType)
-    // the commit manifest (which buckets can this batch touch, plus the
-    // batch's coverage-less pool delta): ONE driver job over the RAW
-    // batch, O(nBuckets) scalars. Raw is enough — a point set and its
-    // distinct projection hit the same buckets, and merging coverage
-    // fragments never changes which cells they touch — so this level
-    // stays a cheap scan and all the expensive shapes (dedup, fragment
-    // merge, subtraction) materialize together in the next level's one
-    // job
-    val manifest = obsB0
-      .select(pointBkt(n).cast(LongType).as("bkt"), lit(0).as("kind"))
-      .unionByName(covB.select(explode(cellSeq).as("cell"), col("chromosome"))
-        .select(bktOf(col("chromosome"), col("cell"), n).cast(LongType).as("bkt"),
-          lit(1).as("kind")))
-      .distinct()
-      // the pool delta rides the manifest's LONG column — an Int would
-      // silently wrap on a large batch's coverage-less pool sum
-      .unionByName(smpB.filter(!col("has_coverage"))
-        .agg(coalesce(sum(col("pool_size")), lit(0)).cast(LongType).as("bkt"),
-          lit(2).as("kind")))
-      .collect()
-    val oBkts = manifest.filter(_.getInt(1) == 0).map(_.getLong(0).toInt).toSet
-    val cBkts = manifest.filter(_.getInt(1) == 1).map(_.getLong(0).toInt).toSet
-    val uncovDelta = manifest.filter(_.getInt(1) == 2).map(_.getLong(0)).sum
 
     // checkpoint the batch ONCE: every downstream write job reads the
     // materialized batch through a TRUNCATED lineage instead of
-    // re-deriving it from its source plan
-    val obsB = obsB0.select(col("chromosome"), col("position"),
+    // re-deriving it from its source plan. All three are LAZY vals so
+    // even their construction (analysis) happens on the materialize
+    // thread, concurrent with the manifest collect.
+    lazy val obsB = obsB0.select(col("chromosome"), col("position"),
         col("reference"), col("observed"),
         col("support").cast(LongType).as("support"), sid.as("sample_id"))
       .localCheckpoint(eager = false)
@@ -195,7 +181,7 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     // covered 2^11 cell, clipped to the cell's range — then merged
     // per (sample, chromosome, cell) so batch-internal overlaps
     // collapse before they meet the store
-    val covF = mergeFragments(covB.select(col("chromosome"),
+    lazy val covF = mergeFragments(covB.select(col("chromosome"),
         explode(cellSeq).as("cell"),
         col("begin_pos"), col("end_pos"), col("sample_id"), col("pool_size"))
       .select(col("chromosome"), col("cell"),
@@ -203,28 +189,78 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
         least(col("end_pos"), col("cell") * CellSize + (CellSize - 1)).as("fend"),
         col("sample_id"), col("pool_size")))
       .localCheckpoint(eager = false)
-    val obsPts = obsB.select("chromosome", "position").distinct()
+    // distinct points, bucketized UP FRONT: the one exchange (on bkt)
+    // serves the distinct, the new-point anti-join, and the pts write —
+    // bkt rides as a column and every downstream key set includes it
+    lazy val obsPts = bucketize(obsB.select("chromosome", "position"),
+        pointBkt(n), n).distinct()
       .localCheckpoint(eager = false)
+
+    // the commit manifest (which buckets can this batch touch, plus the
+    // batch's coverage-less pool delta): ONE driver job over the RAW
+    // batch, O(nBuckets) scalars. Raw is enough — a point set and its
+    // distinct projection hit the same buckets, and merging coverage
+    // fragments never changes which cells they touch. The collect
+    // OVERLAPS the checkpoint-materialize job (round-10): neither
+    // depends on the other, so the manifest's two stage levels hide
+    // under the materialization instead of preceding it.
+    val manifestF = inPool("freq-manifest") { () =>
+      obsB0
+        .select(pointBkt(n).cast(LongType).as("bkt"), lit(0).as("kind"))
+        .unionByName(covB.select(explode(cellSeq).as("cell"), col("chromosome"))
+          .select(bktOf(col("chromosome"), col("cell"), n).cast(LongType).as("bkt"),
+            lit(1).as("kind")))
+        .distinct()
+        // the pool delta rides the manifest's LONG column — an Int would
+        // silently wrap on a large batch's coverage-less pool sum
+        .unionByName(smpB.filter(!col("has_coverage"))
+          .agg(coalesce(sum(col("pool_size")), lit(0)).cast(LongType).as("bkt"),
+            lit(2).as("kind")))
+        .collect()
+    }
+    // materialize the batch-only checkpoints while the manifest runs
+    // (obsPts pulls obsB through; covF is independent). NOT awaited
+    // before the writes: a write thread needing a block another thread
+    // is computing BLOCKS on that block and reuses it (BlockManager
+    // per-block locks), so the write phase overlaps the tail of the
+    // materialization instead of queueing behind it.
+    val matF = inPool("freq-mat") { () =>
+      obsPts.select(lit(1).as("one"))
+        .unionByName(covF.select(lit(1).as("one"))).count(); () }
+    val manifest = scala.concurrent.Await.result(
+      manifestF, scala.concurrent.duration.Duration.Inf)
+    val oBkts = manifest.filter(_.getInt(1) == 0).map(_.getLong(0).toInt).toSet
+    val cBkts = manifest.filter(_.getInt(1) == 1).map(_.getLong(0).toInt).toSet
+    val uncovDelta = manifest.filter(_.getInt(1) == 2).map(_.getLong(0)).sum
+
+    // Everything below is LAZY (round-10): the component frames'
+    // construction — store-file listing, union building, analysis —
+    // runs inside the concurrent write threads instead of serializing
+    // on this thread before any write job can start (the profiled
+    // pre-write driver-only gap was ~0.5 s/commit). Shared
+    // intermediates are lazy vals, so exactly one thread builds each
+    // and the rest reuse the object.
 
     // cover fragments of every touched bucket, read ONCE: the coverage
     // buckets feed subtraction + the re-merge write, the obs buckets
     // feed the new-point probe (extra rows fall out of each join's
     // equi-keys, so sharing the wider read is free)
-    val coverOld = mergeRead("cover", batchId, Some(oBkts ++ cBkts))
+    lazy val coverOld = mergeRead("cover", batchId, Some(oBkts ++ cBkts))
     // points first seen in this batch (anti vs the committed point set)
     // and the batch's NEWLY-covered segments (per-cell interval
     // subtraction batch \ store — batch-sized, no pair blowup); lazily
     // checkpointed: whichever write-job branch (or broadcast build)
-    // computes a partition first stores it, the rest read it
-    val newPts = obsPts.join(appendRead("pts", batchId, Some(oBkts)),
-        Seq("chromosome", "position"), "left_anti")
+    // computes a partition first stores it, the rest read it (block
+    // races are per-partition, handled by the BlockManager — the
+    // round-9 eager barrier job here cost a full stage level per
+    // commit and was dropped in round 10's A/B)
+    lazy val newPts = obsPts.join(
+        appendRead("pts", batchId, Some(oBkts))
+          .withColumn("bkt", pointBkt(n).cast(IntegerType)),
+        Seq("bkt", "chromosome", "position"), "left_anti")
       .localCheckpoint(eager = false)
-    val segsNew = subtractFragments(covF, coverOld)
+    lazy val segsNew = subtractFragments(covF, coverOld)
       .localCheckpoint(eager = false)
-    // one job materializes both, so the concurrent component writes
-    // read blocks instead of racing to compute them
-    newPts.select(lit(1).as("one"))
-      .unionByName(segsNew.select(lit(1).as("one"))).count()
 
     // denominator deltas — ONE tagged containment join (round-9; was
     // three). The pairs newly counted this commit are exactly those
@@ -236,34 +272,47 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     // Every pair still appears at most once BY CONSTRUCTION (fragments
     // disjoint per sample within a cell; new segments disjoint from
     // stored coverage) — no distinct anywhere.
-    val ptsTagged = appendRead("pts", batchId, Some(cBkts))
+    def ptsTagged = appendRead("pts", batchId, Some(cBkts))
       .withColumn("p_new", lit(false))
-      .unionByName(newPts.withColumn("p_new", lit(true)))
-    val fragsTagged = coverOld.withColumn("f_new", lit(false))
+      .unionByName(newPts.drop("bkt").withColumn("p_new", lit(true)))
+    def fragsTagged = coverOld.withColumn("f_new", lit(false))
       .unionByName(segsNew.withColumn("f_new", lit(true)))
-    val denomDelta = containSamples(ptsTagged, fragsTagged,
+    // delta pairs flow UNAGGREGATED into the overlay's one hash
+    // aggregate below (round-10): both grouped on the same key, so the
+    // intermediate per-point agg was a pure extra shuffle level on the
+    // deepest write path
+    def denomDelta = containSamples(ptsTagged, fragsTagged,
         extraPred = Some(col("p_new") || col("f_new")))
-      .groupBy("chromosome", "position")
-      .agg(sum(col("pool_size") * VardaOps.ploidy).cast(LongType).as("denom_cov"))
+      .select(col("chromosome"), col("position"),
+        (col("pool_size") * VardaOps.ploidy).cast(LongType).as("denom_cov"))
 
-    val numerNew = VardaOps.foldNumer(
-      mergeRead("numer", batchId, Some(oBkts)), obsB)
+    // merge folds with `bkt` leading the grouping keys over a
+    // bucketized child (see [[bucketize]]): union + ONE exchange + one
+    // hash aggregate + the bucketed write, no second exchange
+    def numerNew = bucketize(mergeRead("numer", batchId, Some(oBkts))
+        .unionByName(obsB.select(col("chromosome"), col("position"),
+          col("reference"), col("observed"), col("support").as("numer"))),
+        pointBkt(n), n)
+      .groupBy("bkt", "chromosome", "position", "reference", "observed")
+      .agg(sum(col("numer")).cast(LongType).as("numer"))
     // overlay = old content + delta: union + ONE hash aggregate (the
     // full-outer-join form costs two sorted map sides for the same sum)
-    val denomNew = mergeRead("denom", batchId, Some(oBkts ++ cBkts))
-      .unionByName(denomDelta)
-      .groupBy("chromosome", "position")
+    def denomNew = bucketize(mergeRead("denom", batchId, Some(oBkts ++ cBkts))
+        .unionByName(denomDelta), pointBkt(n), n)
+      .groupBy("bkt", "chromosome", "position")
       .agg(sum(col("denom_cov")).cast(LongType).as("denom_cov"))
     // merged store for the COVERAGE-touched cells only (a row filter on
     // the shared read keeps the overlay tight): old fragments ∪ new
     // segments, re-merged so adjacent pieces coalesce — stays disjoint
     // per (sample, cell), which is the store's load-bearing invariant
-    val coverNew = mergeFragments(
-      coverOld.filter(bktOf(col("chromosome"), col("cell"), n)
-        .isin(cBkts.toSeq: _*)).unionByName(segsNew))
-    val obslogNew = obsB.select("chromosome", "position", "reference",
+    def coverNew = mergeFragments(
+      bucketize(coverOld.filter(bktOf(col("chromosome"), col("cell"), n)
+          .isin(cBkts.toSeq: _*)).unionByName(segsNew),
+        bktOf(col("chromosome"), col("cell"), n), n),
+      bucketed = true)
+    def obslogNew = obsB.select("chromosome", "position", "reference",
       "observed", "sample_id", "support")
-    val smpregNew = smpB.select(col("sample_id").cast(LongType).as("sample_id"),
+    def smpregNew = smpB.select(col("sample_id").cast(LongType).as("sample_id"),
       col("pool_size").cast(IntegerType).as("pool_size"), col("has_coverage"))
 
     // a replay rewrites an already-committed generation: withdraw its
@@ -272,13 +321,14 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     // missing or torn files — markCommitted restores it after the write
     unmark(batchId, 0)
     writeGen(genPath(batchId, 0), n, Seq(
-      ("numer", numerNew, Some(pointBkt(n))),
-      ("denom", denomNew, Some(pointBkt(n))),
-      ("pts", newPts, Some(pointBkt(n))),
-      ("obslog", obslogNew, None),
-      ("cover", coverNew, Some(bktOf(col("chromosome"), col("cell"), n))),
-      ("smpreg", smpregNew, None)),
+      ("numer", () => numerNew, true),
+      ("denom", () => denomNew, true),
+      ("pts", () => newPts, true),
+      ("obslog", () => obslogNew, false),
+      ("cover", () => coverNew, true),
+      ("smpreg", () => smpregNew, false)),
       Map("numer" -> oBkts, "denom" -> (oBkts ++ cBkts), "cover" -> cBkts))
+    awaitAll(Seq(matF)) // a no-op by now; don't leak the thread past commit
     markCommitted(batchId, 0, n, uncovPool(batchId) + uncovDelta)
   }
 
@@ -307,6 +357,16 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     * [[retractSamples]] derives `obsR` from the obslog store, so the
     * stream needs only the sample rows. */
   def retract(batchId: Long, obsR: DataFrame, smpR: DataFrame): Unit = {
+    // a retraction's obslog tombstones MUST be sample-tagged: a
+    // null-sample_id tombstone can never net against the sample-tagged
+    // +rows, so a later retractSamples() for the same samples would
+    // re-read their (still-positive) net observations and subtract the
+    // numerators a second time (round-9 ADVICE). Fail loudly instead.
+    require(obsR.columns.contains("sample_id"),
+      "retract() needs a sample_id column on obsR — without it the " +
+        "appended tombstones cannot net against the samples' observations " +
+        "and a repeated retraction double-subtracts; use retractSamples() " +
+        "to derive the observations from the store's obslog")
     val n = nBkts
     val sids = smpR.select("sample_id")
     val coverAll = mergeRead("cover", batchId, None)
@@ -314,8 +374,7 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
       .join(broadcast(sids), Seq("sample_id"), "left_semi")
       .select("chromosome", "cell", "fbegin", "fend", "sample_id", "pool_size")
       .localCheckpoint(eager = false)
-    val rsid = if (obsR.columns.contains("sample_id"))
-      col("sample_id").cast(LongType) else lit(null).cast(LongType)
+    val rsid = col("sample_id").cast(LongType)
     val obsN = obsR
       .select(col("chromosome"), col("position"), col("reference"),
         col("observed"), (-col("support")).cast(LongType).as("support"),
@@ -366,11 +425,12 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
 
     unmark(batchId, 0) // see commit(): no blessed marker over torn files
     writeGen(genPath(batchId, 0), n, Seq(
-      ("numer", numerNew, Some(pointBkt(n))),
-      ("denom", denomNew, Some(pointBkt(n))),
-      ("obslog", obsN, None),
-      ("cover", coverNew, Some(bktOf(col("chromosome"), col("cell"), n))),
-      ("smpreg", smpregTomb, None)),
+      ("numer", () => bucketize(numerNew, pointBkt(n), n), true),
+      ("denom", () => bucketize(denomNew, pointBkt(n), n), true),
+      ("obslog", () => obsN, false),
+      ("cover", () => bucketize(coverNew,
+        bktOf(col("chromosome"), col("cell"), n), n), true),
+      ("smpreg", () => smpregTomb, false)),
       Map("numer" -> oBkts, "denom" -> cBkts, "cover" -> cBkts))
     markCommitted(batchId, 0, n, uncovPool(batchId) - uncovGone)
   }
@@ -413,11 +473,23 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     * that keeps per-bucket overlay rewrites bounded as the store grows
     * 1000×. Splitting is only legal here because the snapshot
     * consolidates every live generation, so no mixed-modulus store can
-    * exist. */
+    * exist.
+    *
+    * `retainGens` (round-10): keep the newest k SUPERSEDED generations
+    * (data dirs and markers) through the delete phase — the retention
+    * grace that makes CROSS-PROCESS serving safe: a reader in another
+    * process holding a DataFrame planned before this compact still
+    * finds every file it listed, because a committed snapshot FLOORS
+    * the log (retained generations are invisible to any new read)
+    * while their files survive k more compactions. Each later
+    * [[compact]] re-applies the policy, so retained generations age
+    * out and a final `compact(retainGens = 0)` (the default) reclaims
+    * everything — including when the store is already one snapshot. */
   def compact(before: Long = Long.MaxValue,
-      splitThreshold: Option[Long] = None): Unit = {
+      splitThreshold: Option[Long] = None,
+      retainGens: Int = 0): Unit = {
     val lv = live(before)
-    if (lv.isEmpty) return
+    if (lv.isEmpty) { sweepSuperseded(before, retainGens); return }
     val n = lv.map(_.n).distinct match {
       case Seq(one) => one
       case more => sys.error(s"mixed bucket moduli in live commits: $more")
@@ -429,7 +501,12 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     // modulus can subdivide — cannot drive unbounded doubling
     val doSplit = splitThreshold.exists(t => maxBucketBytes(lv) > t) &&
       committed().forall(_.id < before) && n < MaxBuckets
-    if (lv.size == 1 && lv.head.v > 0 && !doSplit) return
+    if (lv.size == 1 && lv.head.v > 0 && !doSplit) {
+      // nothing to consolidate, but the retention policy still applies:
+      // previously-retained generations past the grace window reclaim
+      sweepSuperseded(before, retainGens)
+      return
+    }
     val newN = if (doSplit) n * 2 else n
     val maxGen = lv.map(_.id).max
     val newV = committed().filter(_.id == maxGen).map(_.v).max + 1
@@ -447,32 +524,54 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
       .filter(col("pool_size") =!= 0)
       .select("sample_id", "pool_size", "has_coverage")
     writeGen(genPath(maxGen, newV), newN, Seq(
-      ("numer", mergeRead("numer", before, None), Some(pointBkt(newN))),
-      ("denom", mergeRead("denom", before, None), Some(pointBkt(newN))),
-      ("pts", appendRead("pts", before, None), Some(pointBkt(newN))),
-      ("obslog", obslogSnap, None),
-      ("cover", mergeRead("cover", before, None),
-        Some(bktOf(col("chromosome"), col("cell"), newN))),
-      ("smpreg", smpregSnap, None)), Map.empty)
+      ("numer", () => bucketize(mergeRead("numer", before, None),
+        pointBkt(newN), newN), true),
+      ("denom", () => bucketize(mergeRead("denom", before, None),
+        pointBkt(newN), newN), true),
+      ("pts", () => bucketize(appendRead("pts", before, None),
+        pointBkt(newN), newN), true),
+      ("obslog", () => obslogSnap, false),
+      ("cover", () => bucketize(mergeRead("cover", before, None),
+        bktOf(col("chromosome"), col("cell"), newN), newN), true),
+      ("smpreg", () => smpregSnap, false)), Map.empty)
     markCommitted(maxGen, newV, newN, uncovPool(before))
-    // the snapshot is committed and floors the log — everything below
-    // the bound except it is now unreachable: delete data dirs, crash
-    // debris (dirs no marker ever blessed), and superseded log entries
-    for (st <- fs.listStatus(new Path(dir)).toSeq if st.isDirectory;
-         (id, v) <- parseGenName(st.getPath.getName))
-      if (id < before && (id, v) != ((maxGen, newV)))
-        fs.delete(st.getPath, true)
-    val logDir = new Path(s"$dir/_commits")
-    if (fs.exists(logDir))
-      for (st <- fs.listStatus(logDir).toSeq) {
-        val nm = st.getPath.getName
-        // .tmp-* = a marker write that crashed between create and the
-        // atomic rename; single-writer means none can be in flight here
-        if (nm.startsWith(".tmp-")) fs.delete(st.getPath, false)
-        else for ((id, v) <- parseGenName(nm))
-          if (id < before && (id, v) != ((maxGen, newV)))
-            fs.delete(st.getPath, false)
-      }
+    sweepSuperseded(before, retainGens)
+  }
+
+  /** The compact delete phase: a committed snapshot floors the log, so
+    * everything below `before` except the floor is unreachable by any
+    * NEW read — delete data dirs, crash debris (dirs no marker ever
+    * blessed), and superseded log entries, KEEPING the newest
+    * `retain` superseded committed generations as the cross-process
+    * grace window (their markers stay too, so a later sweep can still
+    * tell them from crash debris and age them out in order). */
+  private def sweepSuperseded(before: Long, retain: Int): Unit = {
+    // the floor: the newest committed snapshot below the bound (absent
+    // when the store has never compacted — nothing is superseded then)
+    val perId = committed().filter(_.id < before)
+      .groupBy(_.id).map { case (_, ms) => ms.maxBy(_.v) }.toSeq
+    val floor = perId.filter(_.v > 0).sortBy(m => (m.id, m.v)).lastOption
+    for (fl <- floor) {
+      val keepGens: Set[(Long, Int)] = committed().filter(m => m.id < before)
+        .map(m => (m.id, m.v)).filter(_ != ((fl.id, fl.v)))
+        .sorted.takeRight(retain).toSet + ((fl.id, fl.v))
+      for (st <- fs.listStatus(new Path(dir)).toSeq if st.isDirectory;
+           (id, v) <- parseGenName(st.getPath.getName))
+        if (id < before && !keepGens.contains((id, v)))
+          fs.delete(st.getPath, true)
+      val logDir = new Path(s"$dir/_commits")
+      if (fs.exists(logDir))
+        for (st <- fs.listStatus(logDir).toSeq) {
+          val nm = st.getPath.getName
+          // .tmp-* = a marker write that crashed between create and the
+          // atomic rename; single-writer means none can be in flight here
+          if (nm.startsWith(".tmp-")) fs.delete(st.getPath, false)
+          else for ((id, v) <- parseGenName(nm))
+            if (id < before && !keepGens.contains((id, v)))
+              fs.delete(st.getPath, false)
+        }
+      logCache = None
+    }
   }
 
   /** Serve ppm frequencies from the committed stores alone — the same
@@ -632,6 +731,15 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     logCache = None
   }
 
+  /** Withdraw a generation AHEAD of a dependent replay (round-10,
+    * ADVICE): when a crash-replayed WAVE rewrites generation `2b` while
+    * its dependent retraction `2b+1` from the earlier attempt is still
+    * committed, a reader in that window would see `2b+1`'s folds over
+    * pre-`2b` bucket content. The ingest loop withdraws BOTH wave
+    * markers before refolding, so readers see a consistent pre-wave
+    * state throughout the replay. No-op when the marker is absent. */
+  private[graft] def unmarkGeneration(batchId: Long): Unit = unmark(batchId, 0)
+
   /** The LIVE view below `before`: each generation id resolved to its
     * highest committed version, floored at the newest committed
     * snapshot (v >= 1) — generations below a snapshot are unreachable
@@ -755,26 +863,41 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     * nothing" (how merge stores delete), and partitionBy writes no dir
     * for it — an empty `bkt=k` dir pins the distinction from
     * "untouched". */
+  /** Attach the bucket column and hash-partition on IT ALONE. Because
+    * `bkt` is a pure function of the component's grouping/join keys,
+    * a downstream groupBy/window/join that INCLUDES `bkt` in its keys
+    * is satisfied by this partitioning (Catalyst's subset rule) — so
+    * the component pipelines exchange ONCE on bkt instead of once on
+    * their natural keys plus once more for the bucketed write
+    * (round-10: one sequential stage level per merge component per
+    * commit). Each bucket still lands wholly in one partition → one
+    * file per bucket directory, the at-scale layout. */
+  private def bucketize(df: DataFrame, bkt: Column, n: Int): DataFrame =
+    df.withColumn("bkt", bkt.cast(IntegerType)).repartition(n, col("bkt"))
+
   private def writeGen(genDir: String, n: Int,
-      parts: Seq[(String, DataFrame, Option[Column])],
+      parts: Seq[(String, () => DataFrame, Boolean)],
       ensure: Map[String, Set[Int]]): Unit = {
     // a replayed generation must not inherit debris from a crashed
     // earlier attempt in components this write doesn't touch
     val gp = new Path(genDir)
     if (fs.exists(gp)) fs.delete(gp, true)
-    runConcurrently(parts.map { case (c, df, b) => () =>
-      b match {
-        case Some(bkt) =>
-          df.withColumn("bkt", bkt.cast(IntegerType))
-            .repartition(n, col("bkt"))
-            .write.mode("overwrite").partitionBy("bkt")
-            .parquet(s"$genDir/comp=$c")
-        case None =>
-          // unbucketed append component (obslog, smpreg): read only by
-          // the rare full-scan retraction path, so a map-only write
-          // with no exchange beats a bucket shuffle every commit
-          df.write.mode("overwrite").parquet(s"$genDir/comp=$c")
-      }
+    runConcurrently(parts.map { case (c, mkDf, bucketed) => () =>
+      // the thunk defers frame CONSTRUCTION (store-file listing, union
+      // building, analysis) into this thread too — round-10: building
+      // all six frames on the caller's thread was ~0.5 s/commit of
+      // driver-only wall before the first write job could start
+      val df = mkDf()
+      if (bucketed)
+        // frame already carries `bkt` (see [[bucketize]]) with every
+        // bucket confined to one partition
+        df.write.mode("overwrite").partitionBy("bkt")
+          .parquet(s"$genDir/comp=$c")
+      else
+        // unbucketed append component (obslog, smpreg): read only by
+        // the rare full-scan retraction path, so a map-only write
+        // with no exchange beats a bucket shuffle every commit
+        df.write.mode("overwrite").parquet(s"$genDir/comp=$c")
     })
     for ((c, ks) <- ensure; k <- ks) {
       val p = new Path(s"$genDir/comp=$c/bkt=$k")
@@ -784,14 +907,36 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
 
   /** Run independent Spark write jobs on concurrent driver threads —
     * the scheduler interleaves their stages, and their planning/codegen
-    * overlaps too. */
-  private def runConcurrently(work: Seq[() => Unit]): Unit = {
-    import scala.concurrent.{Await, ExecutionContext, Future}
+    * overlaps too. Each job runs in its own scheduler pool: under
+    * `spark.scheduler.mode=FAIR` (set by the entry points) the pools
+    * round-robin task slots, so one job's wide stage cannot queue every
+    * other job's short stages behind it; under the default FIFO mode
+    * the pool property is inert and the behavior is round-9's. */
+  private def runConcurrently(work: Seq[() => Unit]): Unit =
+    awaitAll(work.zipWithIndex.map { case (w, i) =>
+      inPool(s"freq-write-$i") { () => w(); () }
+    })
+
+  /** Start `body` on its own driver thread inside scheduler pool
+    * `pool` (a local property — thread-confined, so each concurrent
+    * job names its pool without clobbering the others'). */
+  private def inPool[T](pool: String)(body: () => T): scala.concurrent.Future[T] = {
+    import scala.concurrent.{ExecutionContext, Future, Promise}
+    val p = Promise[T]()
+    val t = new Thread(() => {
+      spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool)
+      try p.success(body())
+      catch { case e: Throwable => p.failure(e) }
+    }, s"freqstore-$pool")
+    t.setDaemon(true)
+    t.start()
+    p.future
+  }
+
+  private def awaitAll(fs: Seq[scala.concurrent.Future[_]]): Unit = {
+    import scala.concurrent.Await
     import scala.concurrent.duration.Duration
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(work.size)
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
-    try Await.result(Future.sequence(work.map(w => Future(w()))), Duration.Inf)
-    finally pool.shutdown()
+    fs.foreach(f => Await.result(f, Duration.Inf))
   }
 
   // ---- the fragment algebra ---------------------------------------------
@@ -815,10 +960,19 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     * (sample, chromosome, cell): the classic interval-union via a
     * running-max window — new segment starts where a fragment begins
     * past every previous end + 1. Strictly local to each cell, so
-    * bucket-restricted merges never need rows from other buckets. */
-  private[graft] def mergeFragments(frags: DataFrame): DataFrame = {
+    * bucket-restricted merges never need rows from other buckets.
+    *
+    * With `bucketed = true` the input must come through [[bucketize]]:
+    * `bkt` (a function of (chromosome, cell)) leads every partition
+    * key, so the window and the aggregate reuse the one bkt exchange
+    * and the output stays write-ready for `partitionBy("bkt")`. */
+  private[graft] def mergeFragments(frags: DataFrame,
+      bucketed: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val key = Seq("sample_id", "chromosome", "cell")
+    val key = (if (bucketed) Seq("bkt") else Nil) ++
+      Seq("sample_id", "chromosome", "cell")
+    val out = (if (bucketed) Seq("bkt") else Nil) ++
+      Seq("chromosome", "cell", "fbegin", "fend", "sample_id", "pool_size")
     val ord = Window.partitionBy(key.map(col): _*).orderBy("fbegin", "fend")
     val prev = ord.rowsBetween(Window.unboundedPreceding, -1)
     frags
@@ -830,7 +984,7 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
       .groupBy((key.map(col) :+ col("__seg")): _*)
       .agg(min(col("fbegin")).as("fbegin"), max(col("fend")).as("fend"),
         max(col("pool_size")).as("pool_size"))
-      .select("chromosome", "cell", "fbegin", "fend", "sample_id", "pool_size")
+      .select(out.head, out.tail: _*)
   }
 
   /** Per-cell interval subtraction `batch \ store`: for each batch

@@ -365,9 +365,20 @@ object VardaOps {
     s2.conf.set("spark.sql.shuffle.partitions", "8")
     s2.conf.set("spark.sql.adaptive.enabled", "false")
     val store = new FreqStore(s2, dir, nBuckets = 8)
-    val (obsAll, covAll, smpAll) =
-      (obs(s2, d).localCheckpoint(), cov(s2, d).localCheckpoint(),
-        smp(s2, d).localCheckpoint())
+    // materialize the three fixture checkpoints CONCURRENTLY (round-10:
+    // the sequential eager checkpoints were ~0.4 s of the replay's head;
+    // view registration runs once on this thread first so the racing
+    // threads only plan + execute)
+    Tables.registerViews(s2, d)
+    val (obsAll, covAll, smpAll) = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fs = Seq(() => obs(s2, d), () => cov(s2, d), () => smp(s2, d))
+        .map(f => Future(f().localCheckpoint()))
+      (Await.result(fs(0), Duration.Inf), Await.result(fs(1), Duration.Inf),
+        Await.result(fs(2), Duration.Inf))
+    }
     for (i <- 0 until 3)
       store.commit(i,
         obsAll.filter(col("obs_id") % 3 === i),
@@ -568,16 +579,21 @@ object VardaOps {
     * preserves integer containment exactly, so the output id pairs — and
     * therefore the oracle — are identical to the unscaled join. */
   val joinRangeRewrite: Q = (s, d) => {
-    if (!s.experimental.extraOptimizations.contains(graft.plans.RewriteIntervalJoin))
-      s.experimental.extraOptimizations =
-        s.experimental.extraOptimizations :+ graft.plans.RewriteIntervalJoin
+    // the rule + enabling conf live on a CLONED session (round-10,
+    // ADVICE): `newSession` shares the SparkContext but not the conf or
+    // the optimizer extensions, so a query planned concurrently on the
+    // shared session can never inherit the rewrite toggle
+    val s2 = s.newSession()
+    s2.experimental.extraOptimizations =
+      s2.experimental.extraOptimizations :+ graft.plans.RewriteIntervalJoin
+    s2.conf.set("spark.graft.rewriteIntervalJoin", "true")
     // quarter subsets: the declared key demonstrates the rule firing and
     // its semantics; the full-corpus pair volume (the fixture's regions
     // overlap ~46 deep) is already paid by join_range_interval
-    val o = obs(s, d).filter(col("obs_id") % 4 === 0)
+    val o = obs(s2, d).filter(col("obs_id") % 4 === 0)
       .select(col("obs_id"), col("chromosome"),
         (col("position") * 512).as("position"))
-    val c = cov(s, d).filter(col("region_id") % 4 === 0)
+    val c = cov(s2, d).filter(col("region_id") % 4 === 0)
       .select(col("region_id"), col("chromosome"),
         (col("begin_pos") * 512).as("begin_pos"),
         (col("end_pos") * 512).as("end_pos"))
@@ -585,21 +601,14 @@ object VardaOps {
       o("chromosome") === c("chromosome")
         && o("position") >= c("begin_pos") && o("position") <= c("end_pos"))
       .select(o("obs_id"), c("region_id"))
-    val prev = s.conf.getOption("spark.graft.rewriteIntervalJoin")
-    s.conf.set("spark.graft.rewriteIntervalJoin", "true")
-    try {
-      val optimized = naive.queryExecution.optimizedPlan
-      // aggregate per point (the coverage-join shape): the JOIN is the
-      // thing under test; dumping every matched pair would re-pay the
-      // 4.6M-row sort join_range_interval already covers
-      org.apache.spark.sql.GraftPlanBridge.ofRows(s, optimized)
-        .groupBy("obs_id")
-        .agg(count(lit(1)).as("n_regions"))
-        .orderBy("obs_id")
-    } finally prev match {
-      case Some(v) => s.conf.set("spark.graft.rewriteIntervalJoin", v)
-      case None => s.conf.unset("spark.graft.rewriteIntervalJoin")
-    }
+    val optimized = naive.queryExecution.optimizedPlan
+    // aggregate per point (the coverage-join shape): the JOIN is the
+    // thing under test; dumping every matched pair would re-pay the
+    // 4.6M-row sort join_range_interval already covers
+    org.apache.spark.sql.GraftPlanBridge.ofRows(s2, optimized)
+      .groupBy("obs_id")
+      .agg(count(lit(1)).as("n_regions"))
+      .orderBy("obs_id")
   }
 
   /** Declared form of the round-9 interval-OVERLAP rewrite tier: the
@@ -615,10 +624,17 @@ object VardaOps {
     * pair volume modest; `varda_region_intersect` already pays the
     * half-corpus overlap through the hand-built `bucketedOverlap`. */
   val joinRangeOverlapRewrite: Q = (s, d) => {
-    if (!s.experimental.extraOptimizations.contains(graft.plans.RewriteIntervalJoin))
-      s.experimental.extraOptimizations =
-        s.experimental.extraOptimizations :+ graft.plans.RewriteIntervalJoin
-    val c = cov(s, d)
+    // CLONED session (round-10, ADVICE): the maxLength conf is a
+    // fixture-specific SEMANTIC promise — on the shared session any
+    // query planned concurrently in the set→unset window would inherit
+    // it and could silently drop matches; the clone confines both confs
+    // and the rule to this query's plan
+    val s2 = s.newSession()
+    s2.experimental.extraOptimizations =
+      s2.experimental.extraOptimizations :+ graft.plans.RewriteIntervalJoin
+    s2.conf.set("spark.graft.rewriteIntervalJoin", "true")
+    s2.conf.set("spark.graft.intervalJoin.maxLength", "1100") // fixture bound
+    val c = cov(s2, d)
     val a = c.filter(col("region_id") % 4 === 0).select(col("chromosome"),
       col("region_id").as("region_a"),
       col("begin_pos").as("ba"), col("end_pos").as("ea"))
@@ -630,27 +646,12 @@ object VardaOps {
         && a("ba") <= b("eb") && b("bb") <= a("ea"))
       .select(a("region_a"), b("region_b"),
         (least(a("ea"), b("eb")) - greatest(a("ba"), b("bb")) + 1).as("ov_len"))
-    val prevOn = s.conf.getOption("spark.graft.rewriteIntervalJoin")
-    val prevLen = s.conf.getOption("spark.graft.intervalJoin.maxLength")
-    s.conf.set("spark.graft.rewriteIntervalJoin", "true")
-    s.conf.set("spark.graft.intervalJoin.maxLength", "1100") // fixture bound
-    try {
-      val optimized = naive.queryExecution.optimizedPlan
-      org.apache.spark.sql.GraftPlanBridge.ofRows(s, optimized)
-        .groupBy("region_a")
-        .agg(count(lit(1)).as("n_overlaps"),
-          sum(col("ov_len")).cast(LongType).as("sum_ov_len"))
-        .orderBy("region_a")
-    } finally {
-      prevOn match {
-        case Some(v) => s.conf.set("spark.graft.rewriteIntervalJoin", v)
-        case None => s.conf.unset("spark.graft.rewriteIntervalJoin")
-      }
-      prevLen match {
-        case Some(v) => s.conf.set("spark.graft.intervalJoin.maxLength", v)
-        case None => s.conf.unset("spark.graft.intervalJoin.maxLength")
-      }
-    }
+    val optimized = naive.queryExecution.optimizedPlan
+    org.apache.spark.sql.GraftPlanBridge.ofRows(s2, optimized)
+      .groupBy("region_a")
+      .agg(count(lit(1)).as("n_overlaps"),
+        sum(col("ov_len")).cast(LongType).as("sum_ov_len"))
+      .orderBy("region_a")
   }
 
   /** Frequency as a plain grouped-sums ratio (no zygosity split). */

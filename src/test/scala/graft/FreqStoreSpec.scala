@@ -221,6 +221,50 @@ class FreqStoreSpec extends AnyFunSuite {
       before.filterKeys(_ != (("1", 5000L, "A", "C"))).toMap)
   }
 
+  test("retention grace: a frame planned before compact still executes; a later sweep reclaims") {
+    val dir = tmpDir("fqs_grace")
+    val store = new FreqStore(spark, dir, nBuckets = 4)
+    val obsB = Seq(
+      Seq(("1", 5000L, "A", "C", 3), ("X", 5000L, "A", "C", 1)),
+      Seq(("2", 700L, "G", "T", 2)))
+      .map(_.toDF("chromosome", "position", "reference", "observed", "support"))
+    val covB = Seq(
+      Seq((10L, "1", 4000L, 6000L, 1L, 2), (14L, "2", 600L, 800L, 2L, 5)),
+      Seq((11L, "1", 4500L, 5500L, 1L, 2), (12L, "X", 4000L, 6000L, 2L, 5)))
+      .map(_.toDF("region_id", "chromosome", "begin_pos", "end_pos",
+        "sample_id", "pool_size"))
+    val smpB = Seq(Seq((1L, 2, true), (3L, 7, false)), Seq((2L, 5, true)))
+      .map(_.toDF("sample_id", "pool_size", "has_coverage"))
+    store.commit(0, obsB(0), covB(0), smpB(0))
+    store.commit(1, obsB(1), covB(1), smpB(1))
+
+    // the cross-process serving scenario: this frame's file listing is
+    // pinned at PLAN time (another process's API server would hold the
+    // same), so compact's delete phase racing it is the crash. It is
+    // NOT executed until after the compact; `expected` comes from a
+    // separate pre-compact frame.
+    val planned = store.serve()
+    val expected = freqKey(store.serve())
+
+    store.compact(retainGens = 2)
+    def gens = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("gen-")).map(_.getName).toSeq.sorted
+    assert(gens == Seq("gen-0", "gen-1", "gen-1.1"),
+      s"retention kept the wrong set: $gens")
+    // the pre-compact plan executes correctly AFTER the compact — its
+    // listed files all survived the grace window
+    assert(freqKey(planned) == expected)
+    // new reads resolve through the snapshot floor only
+    assert(freqKey(store.serve()) == expected)
+    // reopening cold sees the floored view too
+    assert(freqKey(new FreqStore(spark, dir).serve()) == expected)
+
+    // the next sweep (default retention) reclaims the expired grace
+    store.compact()
+    assert(gens == Seq("gen-1.1"), s"sweep left expired generations: $gens")
+    assert(freqKey(store.serve()) == expected)
+  }
+
   private def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit =
     Files.walk(src).forEach { p =>
       val t = dst.resolve(src.relativize(p))
