@@ -89,12 +89,11 @@ object Graph {
         e
     }
 
-  /** Per-vertex triangle counts over an undirected edge list (u < v).
-    * Returns (node, n_tri) for every vertex in ≥ 1 triangle. The result
-    * is orientation-invariant, so the degree-oriented plan is
-    * result-identical to the oracle's naive id-oriented 3-way join
-    * (GraphSpec asserts equality on crafted graphs). */
-  private[graft] def trianglesPerNode(edges: DataFrame): DataFrame = {
+  /** Degree-orient an undirected edge list (u < v): every edge directed
+    * from its lower-(degree, id) endpoint to its higher one, with the
+    * packed (deg·2^32 + id) ranks carried for wedge canonicalization.
+    * One degree aggregate + two vertex-keyed joins. */
+  private[graft] def orient(edges: DataFrame): DataFrame = {
     // degree per vertex, then a total order (degree, id) packed into one
     // BIGINT rank: deg * 2^32 + id (ids and degrees both < 2^31).
     val deg = edges.select(col("u").as("n"))
@@ -104,15 +103,45 @@ object Graph {
     val ranked = deg.select(col("n"), rank)
 
     // orient each edge low-rank → high-rank, keeping original ids
-    val e = edges
+    edges
       .join(ranked.select(col("n").as("u"), col("r").as("ru")), "u")
       .join(ranked.select(col("n").as("v"), col("r").as("rv")), "v")
-    val oriented = e.select(
-      when(col("ru") < col("rv"), col("u")).otherwise(col("v")).as("lo"),
-      when(col("ru") < col("rv"), col("v")).otherwise(col("u")).as("hi"),
-      least(col("ru"), col("rv")).as("rlo"),
-      greatest(col("ru"), col("rv")).as("rhi"))
+      .select(
+        when(col("ru") < col("rv"), col("u")).otherwise(col("v")).as("lo"),
+        when(col("ru") < col("rv"), col("v")).otherwise(col("u")).as("hi"),
+        least(col("ru"), col("rv")).as("rlo"),
+        greatest(col("ru"), col("rv")).as("rhi"))
+  }
 
+  /** Per-(session, sfDir) memo of the MATERIALIZED oriented frame for
+    * the declared triangles key (round-10): the orientation (degree agg
+    * + 2 joins) is a pure function of the cached edge list, and the
+    * wedge enumeration references it THREE times (two wedge sides + the
+    * closing set) — re-deriving it per call made graph_triangles the
+    * second-slowest warm key. Same persist-with-lineage and
+    * sweep-on-miss discipline as [[edgeCache]]. */
+  private val orientedCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String, Int), DataFrame]
+
+  private def orientedSupplierEdges(s: org.apache.spark.sql.SparkSession,
+      d: String, minSupport: Int = MinSupport): DataFrame =
+    orientedCache.get((s, d, minSupport)) match {
+      case Some(o) => o
+      case None =>
+        orientedCache.filterInPlace { case ((sess, _, _), o) =>
+          val live = !sess.sparkContext.isStopped
+          if (!live) scala.util.Try(o.unpersist(false))
+          live }
+        val o = orient(supplierEdges(s, d, minSupport))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        orientedCache.put((s, d, minSupport), o)
+        o
+    }
+
+  /** Per-vertex triangle counts over a degree-oriented edge frame
+    * (see [[orient]]). Returns (node, n_tri) for every vertex in ≥ 1
+    * triangle. */
+  private[graft] def trianglesFromOriented(oriented: DataFrame): DataFrame = {
     // wedges at each low vertex: unordered pairs of out-neighbors,
     // canonicalized by rank so each wedge appears once
     val o1 = oriented.select(col("lo").as("x"), col("hi").as("y1"),
@@ -131,9 +160,18 @@ object Graph {
       .orderBy("node")
   }
 
+  /** Per-vertex triangle counts over an undirected edge list (u < v).
+    * The result is orientation-invariant, so the degree-oriented plan is
+    * result-identical to the oracle's naive id-oriented 3-way join
+    * (GraphSpec asserts equality on crafted graphs). */
+  private[graft] def trianglesPerNode(edges: DataFrame): DataFrame =
+    trianglesFromOriented(orient(edges))
+
   /** Declared graph_triangles: per-supplier triangle counts of the
-    * order-co-occurrence graph. */
-  val graphTriangles: Q = (s, d) => trianglesPerNode(supplierEdges(s, d))
+    * order-co-occurrence graph, wedge-joined over the memoized
+    * materialized oriented frame. */
+  val graphTriangles: Q = (s, d) =>
+    trianglesFromOriented(orientedSupplierEdges(s, d))
 
   /** Fixed-point PageRank over an undirected edge list — `iters` rounds
     * of pr'(v) = 0.15/n + 0.85·Σ_{u∈N(v)} pr(u)/deg(u), carried out

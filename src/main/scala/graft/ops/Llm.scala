@@ -343,10 +343,28 @@ object Llm {
   }
 
   /** All-pairs variant for [[Analysis.dedupNearEmbedding]]. `minCos`
-    * prunes inside the tile kernel (default: emit everything). */
+    * prunes inside the tile kernel (default: emit everything).
+    *
+    * GUARDED (round-10): this is the exact QUADRATIC ground-truth tier —
+    * O(n²) dot products however tight the tile kernel — and the one
+    * library entry point a caller could silently aim at a large corpus.
+    * It fails loudly above `maxRows` (the corpus count is one
+    * metadata-cheap job) and the error names the scale path:
+    * [[Analysis.dedupNearEmbeddingLsh]]'s banded candidates + exact
+    * verify, which keeps precision structural at any size. The default
+    * bound (100k rows ≈ 10^10 pairs) is already past what any single
+    * box should brute-force; raise it only with a measured reason. */
   private[graft] def allPairsCosine(s: org.apache.spark.sql.SparkSession,
-      e: DataFrame, minCos: Double = Double.NegativeInfinity): DataFrame =
+      e: DataFrame, minCos: Double = Double.NegativeInfinity,
+      maxRows: Long = 100000L): DataFrame = {
+    val n = e.count()
+    require(n <= maxRows,
+      s"allPairsCosine is the exact all-pairs (quadratic) tier: corpus has " +
+        s"$n rows > guard $maxRows. Use the LSH-bucketed near-dup " +
+        "(dedup_near_embedding_lsh / Analysis.nearIdenticalLsh) for large " +
+        "corpora, or raise maxRows explicitly if you really mean it.")
     pairwiseCosine(s, e, e, allPairs = true, minCos = minCos)
+  }
 
   /** Approximate nearest neighbors via bucketed random projection LSH on
     * L2-normalized vectors (unit-sphere euclidean ≡ cosine ordering).
