@@ -42,6 +42,19 @@ class TiledCosineSpec extends AnyFunSuite {
     }
   }
 
+  test("the quadratic tier fails loudly past its row guard (round-10)") {
+    import spark.implicits._
+    val df = (0L until 8L).map(i => (i, Array.fill(4)(i.toFloat + 1)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      ops.Llm.allPairsCosine(spark, df, maxRows = 5).count()
+    }
+    assert(e.getMessage.contains("dedup_near_embedding_lsh"),
+      "the guard's error must name the scale path")
+    // under the bound the kernel still runs
+    assert(ops.Llm.allPairsCosine(spark, df, maxRows = 8).count() == 28)
+  }
+
   test("no driver collect in the Llm hot path (round-1 scale-killer)") {
     val code = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/root/repo/src/main/scala/graft/ops/Llm.scala")),
