@@ -1,0 +1,226 @@
+package graft.sources
+
+import java.util
+
+import graft.varda.FreqStore
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{And => FAnd, DataSourceRegister, EqualTo, Filter, In, Or => FOr}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 READ surface over the committed [[FreqStore]] —
+  * `spark.read.format("freqstore").load(dir)` — so the reference's
+  * flagship point query [U GET /variants] composes from `spark.sql`
+  * instead of the bespoke Scala API, with the SAME driver-side hash
+  * pruning the API lookup does:
+  *
+  *  - one [[InputPartition]] per live bucket; numer and denom share the
+  *    store's bucket function, so the serving join (numer ⟕ denom on the
+  *    point key) is BUCKET-LOCAL by construction — each reader hash-joins
+  *    its own bucket's files, no shuffle anywhere in the scan;
+  *  - point equality predicates (`chromosome = c AND position = p`, or an
+  *    OR of such conjunctions, or `chromosome = c AND position IN (...)`)
+  *    push down ([[SupportsPushDownFilters]]) and prune the partition
+  *    list to the probes' buckets via the same driver-evaluated Murmur3
+  *    hash the store writes with — a point query plans O(probes/nBuckets)
+  *    of the store. All filters are ALSO left residual (pushedFilters
+  *    stays empty), so pruning is a pure optimization and Spark's own
+  *    evaluation keeps the semantics airtight;
+  *  - the generation resolution (newest live generation per bucket,
+  *    snapshot floor, commit-log modulus, coverage-less pool scalar) is
+  *    the store's own — the scan plans against [[FreqStore.serveFileManifest]]
+  *    and can never see a torn or superseded generation.
+  *
+  * Rows are exactly `FreqStore.serve()`'s: (chromosome, position,
+  * reference, observed, numer, denom, freq_ppm), with denom =
+  * denom_cov + uncovPool × ploidy(chromosome) and freq_ppm =
+  * floor(numer·10⁶ / denom) (null when denom = 0) — spec-pinned equal to
+  * the DataFrame serving path. Executor-side reading uses parquet-hadoop
+  * directly (the component schemas are fixed and tiny), so no Spark
+  * internals are touched. Batch read only — writes go through the
+  * store's transactional [[FreqStore.commit]], never through SQL inserts. */
+class FreqStoreDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "freqstore"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    FreqStoreDataSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val dir = Option(properties.get("path")).getOrElse(
+      sys.error("freqstore source needs a path: spark.read.format(\"freqstore\").load(dir)"))
+    new FreqStoreTable(dir)
+  }
+}
+
+object FreqStoreDataSource {
+  val schema: StructType = StructType(Seq(
+    StructField("chromosome", StringType), StructField("position", LongType),
+    StructField("reference", StringType), StructField("observed", StringType),
+    StructField("numer", LongType), StructField("denom", LongType),
+    StructField("freq_ppm", LongType)))
+
+  /** Test hook: the bucket set the most recent scan planned with
+    * (None = unpruned). Driver-side only. */
+  @volatile private[graft] var lastPlannedBuckets: Option[Set[Int]] = None
+}
+
+class FreqStoreTable(dir: String) extends Table with SupportsRead {
+  override def name(): String = s"freqstore:$dir"
+  override def schema(): StructType = FreqStoreDataSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new FreqStoreScanBuilder(dir)
+}
+
+class FreqStoreScanBuilder(dir: String)
+    extends ScanBuilder with SupportsPushDownFilters {
+  private var probes: Option[Set[(String, Long)]] = None
+
+  /** Derive, when possible, a point set S with `filter ⇒ (chromosome,
+    * position) ∈ S`. Recognized: top-level chromosome=/position= (or
+    * position IN) conjuncts, and a single OR-tree of such conjunctions.
+    * Anything else → no pruning (scan every live bucket). */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    probes = FreqStoreScanBuilder.pointSet(filters)
+    filters // everything stays residual: pruning is a pure optimization
+  }
+  override def pushedFilters(): Array[Filter] = Array.empty
+
+  override def build(): Scan = {
+    val store = new FreqStore(SparkSession.active, dir)
+    val buckets = probes.map { ps =>
+      val n = store.nBkts
+      ps.map { case (c, p) => FreqStore.driverBucket(c, p >> 11, n) }
+    }
+    FreqStoreDataSource.lastPlannedBuckets = buckets
+    val (perBucket, uncov) = store.serveFileManifest(buckets)
+    new FreqStoreScan(perBucket, uncov)
+  }
+}
+
+object FreqStoreScanBuilder {
+  private def asLong(v: Any): Option[Long] = v match {
+    case n: java.lang.Number => Some(n.longValue())
+    case _ => None
+  }
+  /** Flatten an AND tree to conjuncts. */
+  private def conjuncts(f: Filter): Seq[Filter] = f match {
+    case FAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+  /** A conjunction → its implied point set, if fully determined. */
+  private def pointsOfConj(fs: Seq[Filter]): Option[Set[(String, Long)]] = {
+    val chrom = fs.collectFirst { case EqualTo("chromosome", c: String) => c }
+    val pos = fs.collectFirst { case EqualTo("position", v) => asLong(v) }.flatten
+    val posIn = fs.collectFirst { case In("position", vs) =>
+      val ls = vs.toSeq.map(asLong)
+      if (ls.forall(_.isDefined)) Some(ls.flatten) else None
+    }.flatten
+    (chrom, pos, posIn) match {
+      case (Some(c), Some(p), _) => Some(Set((c, p)))
+      case (Some(c), None, Some(ps)) => Some(ps.map(p => (c, p)).toSet)
+      case _ => None
+    }
+  }
+  private def pointsOf(f: Filter): Option[Set[(String, Long)]] = f match {
+    case FOr(l, r) => for (a <- pointsOf(l); b <- pointsOf(r)) yield a ++ b
+    case other => pointsOfConj(conjuncts(other))
+  }
+  private[graft] def pointSet(filters: Array[Filter]): Option[Set[(String, Long)]] = {
+    // whole-array conjunction first (chromosome= and position= arrive as
+    // separate top-level conjuncts), then any single OR-tree conjunct
+    pointsOfConj(filters.toSeq.flatMap(conjuncts))
+      .orElse(filters.toSeq.flatMap(conjuncts).iterator
+        .map(pointsOf).collectFirst { case Some(s) => s })
+  }
+}
+
+/** One partition per live bucket: the bucket's newest-generation numer
+  * and denom file lists plus the commit-log pool scalar. */
+case class FreqStorePartition(bkt: Int, numerFiles: Seq[String],
+    denomFiles: Seq[String], uncov: Long) extends InputPartition
+
+class FreqStoreScan(perBucket: Map[Int, (Seq[String], Seq[String])], uncov: Long)
+    extends Scan with Batch {
+  override def readSchema(): StructType = FreqStoreDataSource.schema
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    perBucket.toSeq.sortBy(_._1).map { case (k, (nf, df)) =>
+      FreqStorePartition(k, nf, df, uncov): InputPartition
+    }.toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FreqStoreReaderFactory
+  override def description(): String =
+    s"FreqStoreScan(buckets=${perBucket.keySet.toSeq.sorted.mkString(",")})"
+}
+
+class FreqStoreReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new FreqStorePartitionReader(p.asInstanceOf[FreqStorePartition])
+}
+
+/** Bucket-local serving join: hash the bucket's denom rows by point,
+  * stream the numer rows against it. Both components were written under
+  * one bucket function, so this partition sees every row it needs. */
+class FreqStorePartitionReader(p: FreqStorePartition)
+    extends PartitionReader[InternalRow] {
+  private val conf = new Configuration()
+
+  private def readGroups(files: Seq[String])(
+      f: org.apache.parquet.example.data.Group => Unit): Unit =
+    files.foreach { file =>
+      val r = ParquetReader.builder(new GroupReadSupport(), new Path(file))
+        .withConf(conf).build()
+      try {
+        var g = r.read()
+        while (g != null) { f(g); g = r.read() }
+      } finally r.close()
+    }
+
+  private val denomByPoint: java.util.HashMap[(String, Long), Long] = {
+    val m = new java.util.HashMap[(String, Long), Long]()
+    readGroups(p.denomFiles) { g =>
+      m.put((g.getBinary("chromosome", 0).toStringUsingUTF8,
+        g.getLong("position", 0)), g.getLong("denom_cov", 0))
+    }
+    m
+  }
+
+  private val rows: Iterator[InternalRow] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    readGroups(p.numerFiles) { g =>
+      val chrom = g.getBinary("chromosome", 0).toStringUsingUTF8
+      val pos = g.getLong("position", 0)
+      val numer = g.getLong("numer", 0)
+      val ploidy = if (chrom == "X" || chrom == "Y" || chrom == "MT") 1L else 2L
+      val denomCov = denomByPoint.getOrDefault((chrom, pos), 0L)
+      val denom = denomCov + p.uncov * ploidy
+      val ppm: Any = if (denom == 0L) null
+        else java.lang.Long.valueOf(Math.floorDiv(numer * 1000000L, denom))
+      buf += new GenericInternalRow(Array[Any](
+        UTF8String.fromString(chrom), pos,
+        UTF8String.fromString(g.getBinary("reference", 0).toStringUsingUTF8),
+        UTF8String.fromString(g.getBinary("observed", 0).toStringUsingUTF8),
+        numer, denom, ppm))
+    }
+    buf.iterator
+  }
+
+  private var cur: InternalRow = _
+  override def next(): Boolean =
+    if (rows.hasNext) { cur = rows.next(); true } else false
+  override def get(): InternalRow = cur
+  override def close(): Unit = ()
+}

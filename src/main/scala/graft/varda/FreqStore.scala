@@ -666,6 +666,100 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     VardaOps.serveFrom(numerF, denomF, uncovF)
   }
 
+  /** Multi-expression point lookup — the reference's single-pass
+    * multi-query annotation [U varda/tasks.py :: write_annotation
+    * annotates one INFO field per CONFIGURED sample query in one pass]
+    * served from the committed store (round-10): N named sample
+    * expressions answered with ONE obslog aggregation, ONE containment
+    * probe against the full-universe cover fragments of the probes'
+    * buckets, and ONE registry aggregate — each expression is an
+    * aggregate FILTER (`sum(when(pred, …))`), never its own scan or
+    * join, so serving N expressions costs one expression's data
+    * motion. Emits one row per net variant at the probe points with a
+    * `freq_ppm_<name>` column per expression (0 when the expression's
+    * sample set never observed the variant — matching the annotate
+    * convention). Spec-pinned equal to N independent
+    * [[lookupPointsFiltered]] calls. */
+  def lookupPointsMulti(points: Seq[(String, Long)],
+      exprs: Seq[(String, Column)]): DataFrame = {
+    require(points.nonEmpty, "lookupPointsMulti needs at least one point")
+    require(exprs.nonEmpty, "lookupPointsMulti needs at least one expression")
+    val upTo = highWater
+    val n = nBkts
+    val ks = points.map { case (c, p) => driverBucket(c, p >> CellShift, n) }.toSet
+    import spark.implicits._
+    val probe = broadcast(points.toDF("chromosome", "position"))
+    // one obslog pass: net support per variant overall (the row-set
+    // gate — tombstones net retracted samples out) plus one filtered
+    // numerator per expression
+    val numerAggs = sum(col("support")).cast(LongType).as("__numer_net") +:
+      exprs.map { case (nm, pred) =>
+        sum(when(pred, col("support")).otherwise(0L)).cast(LongType)
+          .as(s"numer_$nm") }
+    val numers = appendRead("obslog", upTo, None)
+      .join(probe, Seq("chromosome", "position"), "left_semi")
+      .groupBy("chromosome", "position", "reference", "observed")
+      .agg(numerAggs.head, numerAggs.tail: _*)
+      .filter(col("__numer_net") =!= 0)
+    // one containment probe over the FULL sample universe; expressions
+    // select inside the aggregate
+    val denomAggs = exprs.map { case (nm, pred) =>
+      sum(when(pred, col("pool_size") * VardaOps.ploidy).otherwise(0L))
+        .cast(LongType).as(s"denomcov_$nm") }
+    val denoms = containSamples(probe, mergeRead("cover", upTo, Some(ks)))
+      .groupBy("chromosome", "position")
+      .agg(denomAggs.head, denomAggs.tail: _*)
+    // one registry pass: per-expression coverage-less pool (net of
+    // registration tombstones)
+    val uncovAggs = exprs.map { case (nm, pred) =>
+      coalesce(sum(when(pred && !col("has_coverage"), col("pool_size"))),
+        lit(0L)).cast(LongType).as(s"uncov_$nm") }
+    val uncovRow = appendRead("smpreg", upTo, None)
+      .agg(uncovAggs.head, uncovAggs.tail: _*)
+    val outPpm = exprs.map { case (nm, _) =>
+      coalesce(
+        expr(s"cast((numer_$nm * 1000000) div " +
+          s"nullif(coalesce(denomcov_$nm, 0L) + uncov_$nm * " +
+          s"(CASE WHEN chromosome IN ('X','Y','MT') THEN 1 ELSE 2 END), 0) " +
+          "as bigint)"),
+        lit(0L)).as(s"freq_ppm_$nm") }
+    numers
+      .join(denoms, Seq("chromosome", "position"), "left")
+      .crossJoin(broadcast(uncovRow))
+      .select(Seq("chromosome", "position", "reference", "observed")
+        .map(col) ++ outPpm: _*)
+  }
+
+  /** Driver-side file manifest for the serving scan — the DataSource V2
+    * surface ([[graft.sources.FreqStoreDataSource]]) plans from this:
+    * per live bucket (optionally restricted), the newest-generation
+    * numer and denom parquet files (merge-store resolution, snapshot
+    * floor and commit-log modulus included), plus the coverage-less
+    * pool scalar. Numer and denom share the bucket function, so a
+    * reader holding one bucket's files of BOTH components can compute
+    * that bucket's served rows with a purely local join. */
+  private[graft] def serveFileManifest(buckets: Option[Set[Int]])
+      : (Map[Int, (Seq[String], Seq[String])], Long) = {
+    val upTo = highWater
+    def files(comp: String): Map[Int, Seq[String]] = {
+      val latest = scala.collection.mutable.Map.empty[Int, Path]
+      for (m <- live(upTo);
+           (k, bp) <- bucketDirs(compPath(m, comp))
+           if buckets.forall(_.contains(k)))
+        latest(k) = bp
+      latest.toMap.map { case (k, bp) =>
+        k -> fs.listStatus(bp).toSeq
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath.toString)
+      }
+    }
+    val nf = files("numer")
+    val df = files("denom")
+    // served rows come from numer (left side); denom-only buckets have
+    // nothing to serve
+    (nf.map { case (k, n) => k -> (n, df.getOrElse(k, Nil)) }, uncovPool(upTo))
+  }
+
   // ---- commit log -------------------------------------------------------
 
   private def fs =

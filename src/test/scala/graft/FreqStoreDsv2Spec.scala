@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.varda.{FreqStore, VardaOps}
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The DataSource V2 serving surface: `spark.read.format("freqstore")`
+  * must be row-identical to `FreqStore.serve()`, and point predicates
+  * from plain `spark.sql` must prune the scan to the probes' buckets
+  * via the same driver-side hash the API lookup uses. */
+class FreqStoreDsv2Spec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(Paths.get("/root/repo/target"), prefix).toString
+
+  private def rowSet(df: DataFrame) = df.collect()
+    .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3),
+      r.getLong(4), r.getLong(5),
+      if (r.isNullAt(6)) Long.MinValue else r.getLong(6))).toSet
+
+  private def builtStore(): (FreqStore, String) = {
+    val dir = tmpDir("fqs_dsv2")
+    val store = new FreqStore(spark, dir, nBuckets = 4)
+    val obs = Seq(
+      ("1", 5000L, "A", "C", 3), ("X", 5000L, "A", "C", 1),
+      ("2", 700L, "G", "T", 2), ("7", 91000L, "T", "G", 4))
+      .toDF("chromosome", "position", "reference", "observed", "support")
+    val cov = Seq(
+      (10L, "1", 4000L, 6000L, 1L, 2), (14L, "2", 600L, 800L, 2L, 5),
+      (11L, "1", 4500L, 5500L, 1L, 2), (12L, "X", 4000L, 6000L, 2L, 5),
+      (15L, "7", 90000L, 95000L, 1L, 2))
+      .toDF("region_id", "chromosome", "begin_pos", "end_pos",
+        "sample_id", "pool_size")
+    val smp = Seq((1L, 2, true), (2L, 5, true), (3L, 7, false))
+      .toDF("sample_id", "pool_size", "has_coverage")
+    store.commit(0, obs, cov, smp)
+    // a second generation so the scan exercises newest-gen resolution
+    store.commit(1,
+      Seq(("1", 5000L, "A", "C", 2)).toDF(
+        "chromosome", "position", "reference", "observed", "support"),
+      cov.filter("false"), smp.filter("false"))
+    (store, dir)
+  }
+
+  test("full freqstore read is row-identical to serve()") {
+    val (store, dir) = builtStore()
+    val viaSql = spark.read.format("freqstore").load(dir)
+    assert(viaSql.schema.fieldNames.toSeq ==
+      Seq("chromosome", "position", "reference", "observed",
+        "numer", "denom", "freq_ppm"))
+    assert(rowSet(viaSql) == rowSet(store.serve()))
+    assert(graft.sources.FreqStoreDataSource.lastPlannedBuckets.isEmpty,
+      "an unfiltered scan must not prune")
+  }
+
+  test("a spark.sql point predicate prunes the scan to one bucket") {
+    val (store, dir) = builtStore()
+    spark.read.format("freqstore").load(dir).createOrReplaceTempView("freq")
+    val got = spark.sql(
+      "SELECT * FROM freq WHERE chromosome = '1' AND position = 5000")
+    val expected = store.serve()
+      .filter("chromosome = '1' AND position = 5000")
+    assert(rowSet(got) == rowSet(expected))
+    assert(got.count() == 1)
+    val pruned = graft.sources.FreqStoreDataSource.lastPlannedBuckets
+    assert(pruned.exists(_.size == 1),
+      s"point predicate must prune to one bucket, planned: $pruned")
+
+    // an OR of two probes prunes to (at most) their two buckets
+    val got2 = spark.sql(
+      """SELECT * FROM freq WHERE (chromosome = '1' AND position = 5000)
+           OR (chromosome = '7' AND position = 91000)""")
+    assert(rowSet(got2) == rowSet(store.serve()
+      .filter("(chromosome = '1' AND position = 5000) OR (chromosome = '7' AND position = 91000)")))
+    assert(graft.sources.FreqStoreDataSource.lastPlannedBuckets.exists(_.size <= 2))
+
+    // position IN (...) with one chromosome prunes too
+    val got3 = spark.sql(
+      "SELECT * FROM freq WHERE chromosome = '1' AND position IN (5000, 5001)")
+    assert(rowSet(got3) == rowSet(store.serve()
+      .filter("chromosome = '1' AND position IN (5000, 5001)")))
+    assert(graft.sources.FreqStoreDataSource.lastPlannedBuckets.exists(_.size <= 2))
+
+    // a predicate that does NOT determine the point set must not prune
+    val got4 = spark.sql("SELECT * FROM freq WHERE chromosome = '1'")
+    assert(rowSet(got4) == rowSet(store.serve().filter("chromosome = '1'")))
+    assert(graft.sources.FreqStoreDataSource.lastPlannedBuckets.isEmpty,
+      "chromosome alone cannot name a bucket — no pruning allowed")
+  }
+
+  test("the scan tracks the store through retraction and compaction") {
+    val (store, dir) = builtStore()
+    store.retractSamples(2, Seq((2L, 5, true))
+      .toDF("sample_id", "pool_size", "has_coverage"))
+    assert(rowSet(spark.read.format("freqstore").load(dir)) ==
+      rowSet(store.serve()))
+    store.compact()
+    assert(rowSet(spark.read.format("freqstore").load(dir)) ==
+      rowSet(store.serve()))
+  }
+}
