@@ -835,6 +835,25 @@ object VardaOps {
       .orderBy("chromosome", "position", "reference", "observed")
   }
 
+  /** Multi-expression point lookup from the COMMITTED store (round-10):
+    * the [[vardaAnnotateMulti]] shape — N named sample expressions in
+    * ONE pass — served from the store's retained components instead of
+    * recomputing from raw imports ([[FreqStore.lookupPointsMulti]]).
+    * The probe set is the flagship fixture slice; the oracle computes
+    * each expression's one-shot frequency CTE restricted to the probes
+    * and left-joins them, so the store-served single-pass answer must
+    * be bit-identical to N independent one-shot computations. */
+  val vardaFreqLookupMulti: Q = (s, d) => {
+    val dir = committedFreqStore(s, d)
+    val pts = obs(s, d).filter(col("obs_id") % 2999 === 1)
+      .select("chromosome", "position").distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val preds = multiExprs.map { case (n, e, _) =>
+      n -> ExprLang.parse(e, sampleTags) }
+    new FreqStore(s, dir).lookupPointsMulti(pts, preds)
+      .orderBy("chromosome", "position", "reference", "observed")
+  }
+
   /** Annotation write-back: left-join input variants (some deliberately
     * unknown via a +1 position shift) against the frequency table,
     * null -> 0 (varda/tasks.py :: write_annotation [U]). */
@@ -1104,6 +1123,7 @@ object VardaOps {
     "varda_freq_incremental" -> vardaFreqIncremental,
     "varda_freq_lookup" -> vardaFreqLookup,
     "varda_freq_lookup_expr" -> vardaFreqLookupExpr,
+    "varda_freq_lookup_multi" -> vardaFreqLookupMulti,
     "varda_sample_retract" -> vardaSampleRetract,
     "varda_normalize_variant" -> vardaNormalizeVariant,
     "varda_region_bins" -> vardaRegionBins,
@@ -1287,6 +1307,35 @@ object VardaOps {
             WHERE oo.obs_id % 2999 = 1 AND oo.chromosome = q.chromosome
               AND oo.position = q.position)
           ORDER BY q.chromosome, q.position, q.reference, q.observed""",
+    // the single-pass multi-expression store lookup must equal N
+    // independent one-shot frequency computations at the probe points
+    "varda_freq_lookup_multi" -> {
+      val ctes = multiExprs.map { case (n, _, ids) =>
+        s"""freq_$n AS (${frequencySql(withZyg = false,
+          Some(s"sample_id IN (${ids.mkString(", ")})"), idivDuck)})"""
+      }.mkString(",\n          ")
+      val joins = multiExprs.map { case (n, _, _) =>
+        s"""LEFT JOIN freq_$n ON i.chromosome = freq_$n.chromosome
+            AND i.position = freq_$n.position
+            AND i.reference = freq_$n.reference
+            AND i.observed = freq_$n.observed"""
+      }.mkString("\n          ")
+      val outs = multiExprs.map { case (n, _, _) =>
+        s"COALESCE(freq_$n.freq_ppm, 0) AS freq_ppm_$n"
+      }.mkString(", ")
+      s"""WITH $ctes,
+          probes AS (SELECT DISTINCT chromosome, position
+                     FROM ($observations) oo WHERE oo.obs_id % 2999 = 1),
+          input AS (SELECT DISTINCT o.chromosome, o.position,
+                      o.reference, o.observed
+                    FROM ($observations) o
+                    JOIN probes p ON o.chromosome = p.chromosome
+                      AND o.position = p.position)
+          SELECT i.chromosome, i.position, i.reference, i.observed, $outs
+          FROM input i
+          $joins
+          ORDER BY i.chromosome, i.position, i.reference, i.observed"""
+    },
     "agg_freq_ratio" ->
       s"""${frequencySql(withZyg = false, None, idivDuck)}
           ORDER BY n.chromosome, n.position, n.reference, n.observed""",

@@ -502,6 +502,51 @@ class FreqStoreSpec extends AnyFunSuite {
     assert(got2 == filteredOneShot(Set(3L)))
   }
 
+  test("multi-expression lookup equals N independent filtered lookups") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir("fqs_multi")
+    val store = new FreqStore(spark, dir, nBuckets = 4)
+    val obs = Seq(
+      ("1", 5000L, "A", "C", 1L, 3), ("X", 5000L, "A", "C", 2L, 1),
+      ("2", 700L, "G", "T", 3L, 2), ("1", 5000L, "A", "G", 2L, 4))
+      .toDF("chromosome", "position", "reference", "observed",
+        "sample_id", "support")
+    val cov = Seq(
+      (10L, "1", 4000L, 6000L, 1L, 2), (11L, "X", 4000L, 6000L, 2L, 5),
+      (12L, "2", 600L, 800L, 2L, 5))
+      .toDF("region_id", "chromosome", "begin_pos", "end_pos",
+        "sample_id", "pool_size")
+    val smp = Seq((1L, 2, true), (2L, 5, true), (3L, 7, false))
+      .toDF("sample_id", "pool_size", "has_coverage")
+    store.commit(0, obs, cov, smp)
+
+    val pts = Seq(("1", 5000L), ("X", 5000L), ("2", 700L))
+    val exprs = Seq(
+      "odd" -> (col("sample_id") % 2 === 1),
+      "all" -> col("sample_id").isNotNull,
+      "none" -> (col("sample_id") > 100))
+    val multi = store.lookupPointsMulti(pts, exprs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3)) ->
+        (r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+
+    // variant rows = the store's net variants at the probes
+    assert(multi.keySet == Set(
+      ("1", 5000L, "A", "C"), ("1", 5000L, "A", "G"),
+      ("X", 5000L, "A", "C"), ("2", 700L, "G", "T")))
+
+    // per-expression parity vs the single-expression serving path
+    for (((nm, pred), idx) <- exprs.zipWithIndex) {
+      val single = store.lookupPointsFiltered(pts, pred).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3)) ->
+          (if (r.isNullAt(6)) 0L else r.getLong(6))).toMap
+      for ((k, ppms) <- multi) {
+        val got = ppms.productElement(idx).asInstanceOf[Long]
+        assert(got == single.getOrElse(k, 0L),
+          s"expr $nm variant $k: multi=$got single=${single.get(k)}")
+      }
+    }
+  }
+
   test("fragment algebra: merge preserves coverage disjointly, subtract yields exactly the uncovered remainder") {
     // the whole store design rests on two algebraic facts — merged
     // fragments are disjoint per (sample, cell) and cover the same
