@@ -1021,38 +1021,56 @@ object VardaOps {
     * closest interval starting after it), −1 when the chromosome has no
     * interval at all.
     *
-    * Scale shape: covered points come from the bucketed containment
-    * equi-join; each sweep side is a union of interval endpoints and
-    * points run through [[graft.ops.GlobalRank.withGroupedRunningMax]] —
-    * per-chromosome arithmetic chunks, so 22 chromosomes never serialize
-    * into 22 sort tasks and the shuffle carries (chromosome, coord,
-    * kind, value) rows, never point × interval pairs. The next-begin
-    * side is the same running max over negated coordinates. Equality
+    * Scale shape (round-10: ALL-sweep, zero pair enumeration): every
+    * tier is a union of interval endpoints and points run through
+    * [[graft.ops.GlobalRank.withGroupedRunningMax]] — per-chromosome
+    * arithmetic chunks, so 22 chromosomes never serialize into 22 sort
+    * tasks and every shuffle carries (chromosome, coord, kind, value)
+    * rows, never point × interval pairs. Covered-ness itself is the
+    * begin-ordered sweep: a point is covered iff the running max of
+    * `end_pos` over intervals with `begin_pos <= p` reaches p — the
+    * round-9 bucketed-containment tier enumerated (point, region) pairs
+    * per cell, which the fixture's bounded position space turns
+    * quadratic in sf (measured 12.7x at the sf1 decade; the sweep form
+    * is ~linear). The prev-end and next-begin distances are the same
+    * max over end-ordered / negated-begin-ordered events. Equality
     * ties with endpoints cannot occur for uncovered points (an endpoint
     * at the point's position implies containment), so the strict-side
     * semantics match the oracle's `<` / `>` predicates exactly. */
   private[graft] def nearestRegionFrom(ptsIn: DataFrame,
       covDf: DataFrame): DataFrame = {
-    // The downstream DAG fans out: pts feeds the containment join, the
-    // anti-join and the final union; covDf feeds containment plus BOTH
-    // sweeps; and each sweep evaluates its input twice (local window +
-    // chunk offsets). Unchecked, that re-runs the upstream scan+distinct
-    // up to 8x. These frames are points/regions-sized — narrow keys,
-    // orders of magnitude smaller than the raw tables they derive from —
-    // so materializing them once is the right trade at any scale (the
-    // full-width-table checkpoint this codebase removed from GlobalRank
-    // was the opposite case).
+    // The downstream DAG fans out: pts feeds the coverage sweep and both
+    // distance sweeps; covDf feeds all three; and each sweep evaluates
+    // its input twice (local window + chunk offsets). Unchecked, that
+    // re-runs the upstream scan+distinct up to 8x. These frames are
+    // points/regions-sized — narrow keys, orders of magnitude smaller
+    // than the raw tables they derive from — so materializing them once
+    // is the right trade at any scale (the full-width-table checkpoint
+    // this codebase removed from GlobalRank was the opposite case).
     val pts = ptsIn.select("chromosome", "position").distinct()
       .localCheckpoint()
     val cov = covDf.localCheckpoint()
-    val covered = bucketedContainment(pts, cov)
-      .select("chromosome", "position").distinct().localCheckpoint()
-    val uncovered = pts.join(covered, Seq("chromosome", "position"), "left_anti")
-      .localCheckpoint()
     def sweep(ev: DataFrame, outCol: String): DataFrame =
       graft.ops.GlobalRank.withGroupedRunningMax(ev, Seq("chromosome"),
           Seq(col("coord"), col("kind")), col("v"), outCol)
         .filter(col("kind") === 1)
+    // coverage sweep: at each point, the max end_pos over intervals
+    // whose begin_pos <= position (kind 0 sorts before 1, so an
+    // interval STARTING at the point is included — begin == p covers)
+    val covFlag = sweep(
+      cov.select(col("chromosome"), col("begin_pos").as("coord"),
+          lit(0).as("kind"), col("end_pos").as("v"))
+        .unionByName(pts.select(col("chromosome"),
+          col("position").as("coord"), lit(1).as("kind"),
+          lit(null).cast(LongType).as("v"))), "maxend")
+      .select(col("chromosome"), col("coord").as("position"),
+        (col("maxend").isNotNull && col("maxend") >= col("coord"))
+          .as("is_cov"))
+      .localCheckpoint()
+    val covered = covFlag.filter(col("is_cov"))
+      .select("chromosome", "position")
+    val uncovered = covFlag.filter(!col("is_cov"))
+      .select("chromosome", "position")
     val prev = sweep(
       cov.select(col("chromosome"), col("end_pos").as("coord"),
           lit(0).as("kind"), col("end_pos").as("v"))
