@@ -502,6 +502,37 @@ class FreqStoreSpec extends AnyFunSuite {
     assert(got2 == filteredOneShot(Set(3L)))
   }
 
+  test("withdrawing a wave's dependent generation hides its folds until the replay recommits") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir("fqs_wave")
+    val store = new FreqStore(spark, dir, nBuckets = 4)
+    val obs = Seq(("1", 5000L, "A", "C", 1L, 3), ("X", 5000L, "A", "C", 2L, 1))
+      .toDF("chromosome", "position", "reference", "observed",
+        "sample_id", "support")
+    val cov = Seq((10L, "1", 4000L, 6000L, 1L, 2), (11L, "X", 4000L, 6000L, 2L, 5))
+      .toDF("region_id", "chromosome", "begin_pos", "end_pos",
+        "sample_id", "pool_size")
+    val smp = Seq((1L, 2, true), (2L, 5, true))
+      .toDF("sample_id", "pool_size", "has_coverage")
+    // wave: import as gen 0, dependent retraction as gen 1
+    store.commit(0, obs, cov, smp)
+    val preWave1 = freqKey(store.serve())
+    store.retractSamples(1, smp.filter(col("sample_id") === 1))
+    val postWave = freqKey(store.serve())
+    assert(postWave != preWave1)
+
+    // the replay protocol: withdraw the dependent retraction BEFORE
+    // refolding gen 0 — readers in the window see the consistent
+    // pre-retraction state, never gen 1's folds over older buckets
+    store.unmarkGeneration(1)
+    assert(freqKey(store.serve()) == preWave1,
+      "withdrawn dependent generation must be invisible")
+    // the replayed wave reconverges
+    store.commit(0, obs, cov, smp)
+    store.retractSamples(1, smp.filter(col("sample_id") === 1))
+    assert(freqKey(store.serve()) == postWave)
+  }
+
   test("multi-expression lookup equals N independent filtered lookups") {
     import org.apache.spark.sql.functions.col
     val dir = tmpDir("fqs_multi")
