@@ -92,6 +92,24 @@ class FreqStoreDsv2Spec extends AnyFunSuite {
       "chromosome alone cannot name a bucket — no pruning allowed")
   }
 
+  test("an empty or never-committed store reads as an empty, well-typed frame") {
+    val dir = tmpDir("fqs_dsv2_empty")
+    val df = spark.read.format("freqstore").load(dir)
+    assert(df.schema == graft.sources.FreqStoreDataSource.schema)
+    assert(df.count() == 0)
+    // a generation without a commit marker stays invisible through SQL too
+    val store = new FreqStore(spark, dir, nBuckets = 4)
+    store.commit(0, Seq(("1", 5000L, "A", "C", 3)).toDF(
+        "chromosome", "position", "reference", "observed", "support"),
+      Seq.empty[(Long, String, Long, Long, Long, Int)].toDF(
+        "region_id", "chromosome", "begin_pos", "end_pos",
+        "sample_id", "pool_size"),
+      Seq((3L, 7, false)).toDF("sample_id", "pool_size", "has_coverage"))
+    new java.io.File(s"$dir/_commits/gen-0").delete()
+    assert(spark.read.format("freqstore").load(dir).count() == 0,
+      "an unblessed generation leaked into the SQL read")
+  }
+
   test("the scan tracks the store through retraction and compaction") {
     val (store, dir) = builtStore()
     store.retractSamples(2, Seq((2L, 5, true))
