@@ -76,6 +76,19 @@ object Tables {
   def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")
 
+  /** Drop a session's memoized frames and view registration. For
+    * short-lived CLONED sessions (`newSession` — the FreqStore replay,
+    * the rewrite keys): clones share the live SparkContext, so the
+    * stopped-context sweep can never evict them and a long-lived
+    * process repeatedly running those keys would accumulate
+    * SessionStates and analyzed plans without bound (round-10 review).
+    * Safe to call as soon as the frames are built — eviction only
+    * forgets the memo, it does not touch existing DataFrames. */
+  def releaseSession(spark: SparkSession): Unit = {
+    cache.filterInPlace { case ((sess, _, _), _) => sess ne spark }
+    viewDir.remove(spark)
+  }
+
   /** Register every table as a temp view so shared fixture SQL
     * (FIXTURES.md §2, referenced by bare table name on both engines) runs
     * identically through `spark.sql`. Idempotent per (session, sfDir).

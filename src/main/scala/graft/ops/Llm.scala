@@ -357,10 +357,12 @@ object Llm {
   private[graft] def allPairsCosine(s: org.apache.spark.sql.SparkSession,
       e: DataFrame, minCos: Double = Double.NegativeInfinity,
       maxRows: Long = 100000L): DataFrame = {
-    val n = e.count()
-    require(n <= maxRows,
-      s"allPairsCosine is the exact all-pairs (quadratic) tier: corpus has " +
-        s"$n rows > guard $maxRows. Use the LSH-bucketed near-dup " +
+    // limit+count answers "n > maxRows" after at most maxRows+1 rows —
+    // a full count() here would scan the whole corpus just to check
+    val bound = math.min(maxRows, Int.MaxValue - 1L).toInt
+    require(e.limit(bound + 1).count() <= maxRows,
+      s"allPairsCosine is the exact all-pairs (quadratic) tier: corpus " +
+        s"exceeds the $maxRows-row guard. Use the LSH-bucketed near-dup " +
         "(dedup_near_embedding_lsh / Analysis.nearIdenticalLsh) for large " +
         "corpora, or raise maxRows explicitly if you really mean it.")
     pairwiseCosine(s, e, e, allPairs = true, minCos = minCos)

@@ -99,14 +99,24 @@ class FreqStoreScanBuilder(dir: String)
   override def pushedFilters(): Array[Filter] = Array.empty
 
   override def build(): Scan = {
-    val store = new FreqStore(SparkSession.active, dir)
+    val spark = SparkSession.active
+    val store = new FreqStore(spark, dir)
     val buckets = probes.map { ps =>
       val n = store.nBkts
-      ps.map { case (c, p) => FreqStore.driverBucket(c, p >> 11, n) }
+      // the store's own point-bucket helper — never re-derive the cell
+      // shift here: with residual-only filters a mismatched bucket
+      // would silently drop rows, not just slow the scan
+      ps.map { case (c, p) => FreqStore.pointBucket(c, p, n) }
     }
     FreqStoreDataSource.lastPlannedBuckets = buckets
     val (perBucket, uncov) = store.serveFileManifest(buckets)
-    new FreqStoreScan(perBucket, uncov)
+    // the session's Hadoop conf must reach the executor-side parquet
+    // readers (filesystem credentials, custom schemes); Configuration
+    // itself is not serializable, so ship the key-value pairs
+    import scala.jdk.CollectionConverters._
+    val confMap = spark.sparkContext.hadoopConfiguration.iterator().asScala
+      .map(e => e.getKey -> e.getValue).toMap
+    new FreqStoreScan(perBucket, uncov, confMap)
   }
 }
 
@@ -148,17 +158,20 @@ object FreqStoreScanBuilder {
 }
 
 /** One partition per live bucket: the bucket's newest-generation numer
-  * and denom file lists plus the commit-log pool scalar. */
+  * and denom file lists, the commit-log pool scalar, and the session's
+  * Hadoop configuration as serializable pairs. */
 case class FreqStorePartition(bkt: Int, numerFiles: Seq[String],
-    denomFiles: Seq[String], uncov: Long) extends InputPartition
+    denomFiles: Seq[String], uncov: Long,
+    hadoopConf: Map[String, String]) extends InputPartition
 
-class FreqStoreScan(perBucket: Map[Int, (Seq[String], Seq[String])], uncov: Long)
+class FreqStoreScan(perBucket: Map[Int, (Seq[String], Seq[String])],
+    uncov: Long, hadoopConf: Map[String, String])
     extends Scan with Batch {
   override def readSchema(): StructType = FreqStoreDataSource.schema
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     perBucket.toSeq.sortBy(_._1).map { case (k, (nf, df)) =>
-      FreqStorePartition(k, nf, df, uncov): InputPartition
+      FreqStorePartition(k, nf, df, uncov, hadoopConf): InputPartition
     }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new FreqStoreReaderFactory
@@ -171,56 +184,71 @@ class FreqStoreReaderFactory extends PartitionReaderFactory {
     new FreqStorePartitionReader(p.asInstanceOf[FreqStorePartition])
 }
 
-/** Bucket-local serving join: hash the bucket's denom rows by point,
-  * stream the numer rows against it. Both components were written under
-  * one bucket function, so this partition sees every row it needs. */
+/** Bucket-local serving join: hash the bucket's denom rows by point
+  * (the map is the bounded working set), then STREAM the numer rows
+  * against it — one file open at a time, one output row per next().
+  * Both components were written under one bucket function, so this
+  * partition sees every row it needs. */
 class FreqStorePartitionReader(p: FreqStorePartition)
     extends PartitionReader[InternalRow] {
-  private val conf = new Configuration()
+  private val conf = {
+    val c = new Configuration()
+    p.hadoopConf.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
 
-  private def readGroups(files: Seq[String])(
-      f: org.apache.parquet.example.data.Group => Unit): Unit =
-    files.foreach { file =>
+  private val denomByPoint: java.util.HashMap[(String, Long), Long] = {
+    val m = new java.util.HashMap[(String, Long), Long]()
+    p.denomFiles.foreach { file =>
       val r = ParquetReader.builder(new GroupReadSupport(), new Path(file))
         .withConf(conf).build()
       try {
         var g = r.read()
-        while (g != null) { f(g); g = r.read() }
+        while (g != null) {
+          m.put((g.getBinary("chromosome", 0).toStringUsingUTF8,
+            g.getLong("position", 0)), g.getLong("denom_cov", 0))
+          g = r.read()
+        }
       } finally r.close()
-    }
-
-  private val denomByPoint: java.util.HashMap[(String, Long), Long] = {
-    val m = new java.util.HashMap[(String, Long), Long]()
-    readGroups(p.denomFiles) { g =>
-      m.put((g.getBinary("chromosome", 0).toStringUsingUTF8,
-        g.getLong("position", 0)), g.getLong("denom_cov", 0))
     }
     m
   }
 
-  private val rows: Iterator[InternalRow] = {
-    val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-    readGroups(p.numerFiles) { g =>
-      val chrom = g.getBinary("chromosome", 0).toStringUsingUTF8
-      val pos = g.getLong("position", 0)
-      val numer = g.getLong("numer", 0)
-      val ploidy = if (chrom == "X" || chrom == "Y" || chrom == "MT") 1L else 2L
-      val denomCov = denomByPoint.getOrDefault((chrom, pos), 0L)
-      val denom = denomCov + p.uncov * ploidy
-      val ppm: Any = if (denom == 0L) null
-        else java.lang.Long.valueOf(Math.floorDiv(numer * 1000000L, denom))
-      buf += new GenericInternalRow(Array[Any](
-        UTF8String.fromString(chrom), pos,
-        UTF8String.fromString(g.getBinary("reference", 0).toStringUsingUTF8),
-        UTF8String.fromString(g.getBinary("observed", 0).toStringUsingUTF8),
-        numer, denom, ppm))
+  private val fileIter = p.numerFiles.iterator
+  private var reader: ParquetReader[org.apache.parquet.example.data.Group] = _
+  private var cur: InternalRow = _
+
+  private def nextGroup(): org.apache.parquet.example.data.Group = {
+    while (true) {
+      if (reader == null) {
+        if (!fileIter.hasNext) return null
+        reader = ParquetReader.builder(new GroupReadSupport(),
+          new Path(fileIter.next())).withConf(conf).build()
+      }
+      val g = reader.read()
+      if (g != null) return g
+      reader.close(); reader = null
     }
-    buf.iterator
+    null // unreachable
   }
 
-  private var cur: InternalRow = _
-  override def next(): Boolean =
-    if (rows.hasNext) { cur = rows.next(); true } else false
+  override def next(): Boolean = {
+    val g = nextGroup()
+    if (g == null) { cur = null; return false }
+    val chrom = g.getBinary("chromosome", 0).toStringUsingUTF8
+    val pos = g.getLong("position", 0)
+    val numer = g.getLong("numer", 0)
+    val ploidy = if (chrom == "X" || chrom == "Y" || chrom == "MT") 1L else 2L
+    val denom = denomByPoint.getOrDefault((chrom, pos), 0L) + p.uncov * ploidy
+    val ppm: Any = if (denom == 0L) null
+      else java.lang.Long.valueOf(Math.floorDiv(numer * 1000000L, denom))
+    cur = new GenericInternalRow(Array[Any](
+      UTF8String.fromString(chrom), pos,
+      UTF8String.fromString(g.getBinary("reference", 0).toStringUsingUTF8),
+      UTF8String.fromString(g.getBinary("observed", 0).toStringUsingUTF8),
+      numer, denom, ppm))
+    true
+  }
   override def get(): InternalRow = cur
-  override def close(): Unit = ()
+  override def close(): Unit = if (reader != null) { reader.close(); reader = null }
 }

@@ -475,21 +475,24 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     * consolidates every live generation, so no mixed-modulus store can
     * exist.
     *
-    * `retainGens` (round-10): keep the newest k SUPERSEDED generations
-    * (data dirs and markers) through the delete phase — the retention
-    * grace that makes CROSS-PROCESS serving safe: a reader in another
-    * process holding a DataFrame planned before this compact still
-    * finds every file it listed, because a committed snapshot FLOORS
-    * the log (retained generations are invisible to any new read)
-    * while their files survive k more compactions. Each later
-    * [[compact]] re-applies the policy, so retained generations age
-    * out and a final `compact(retainGens = 0)` (the default) reclaims
-    * everything — including when the store is already one snapshot. */
+    * `retainGens` (round-10): retention grace for CROSS-PROCESS
+    * serving. With `retainGens > 0` the delete phase keeps (a) EVERY
+    * generation superseded by THIS compact — unconditionally, so a
+    * reader in another process holding a DataFrame planned any time
+    * before this compact still finds every file it listed, however
+    * many generations the sweep consolidated — plus (b) the newest
+    * `retainGens` generations superseded by EARLIER sweeps, which is
+    * how old grace ages out. A committed snapshot FLOORS the log, so
+    * retained generations are invisible to any new read; they only
+    * keep old plans executable. Each later [[compact]] re-applies the
+    * policy and a final `compact(retainGens = 0)` (the default)
+    * reclaims everything — including when the store is already one
+    * snapshot. */
   def compact(before: Long = Long.MaxValue,
       splitThreshold: Option[Long] = None,
       retainGens: Int = 0): Unit = {
     val lv = live(before)
-    if (lv.isEmpty) { sweepSuperseded(before, retainGens); return }
+    if (lv.isEmpty) { sweepSuperseded(before, retainGens, Set.empty); return }
     val n = lv.map(_.n).distinct match {
       case Seq(one) => one
       case more => sys.error(s"mixed bucket moduli in live commits: $more")
@@ -504,7 +507,7 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     if (lv.size == 1 && lv.head.v > 0 && !doSplit) {
       // nothing to consolidate, but the retention policy still applies:
       // previously-retained generations past the grace window reclaim
-      sweepSuperseded(before, retainGens)
+      sweepSuperseded(before, retainGens, Set.empty)
       return
     }
     val newN = if (doSplit) n * 2 else n
@@ -535,17 +538,25 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
         bktOf(col("chromosome"), col("cell"), newN), newN), true),
       ("smpreg", () => smpregSnap, false)), Map.empty)
     markCommitted(maxGen, newV, newN, uncovPool(before))
-    sweepSuperseded(before, retainGens)
+    // this sweep's victims — the generations the snapshot just
+    // consolidated — are protected UNCONDITIONALLY under a grace
+    // policy, so the cross-process promise holds however many
+    // generations one compact supersedes (a gen-count quota alone
+    // breaks it the first time a sweep eats more than the quota)
+    sweepSuperseded(before, retainGens,
+      if (retainGens > 0) lv.map(m => (m.id, m.v)).toSet else Set.empty)
   }
 
   /** The compact delete phase: a committed snapshot floors the log, so
     * everything below `before` except the floor is unreachable by any
     * NEW read — delete data dirs, crash debris (dirs no marker ever
-    * blessed), and superseded log entries, KEEPING the newest
-    * `retain` superseded committed generations as the cross-process
-    * grace window (their markers stay too, so a later sweep can still
-    * tell them from crash debris and age them out in order). */
-  private def sweepSuperseded(before: Long, retain: Int): Unit = {
+    * blessed), and superseded log entries, KEEPING `protectNow` (the
+    * calling sweep's own victims) plus the newest `retain` other
+    * superseded committed generations as the cross-process grace
+    * window (their markers stay too, so a later sweep can still tell
+    * them from crash debris and age them out in order). */
+  private def sweepSuperseded(before: Long, retain: Int,
+      protectNow: Set[(Long, Int)]): Unit = {
     // the floor: the newest committed snapshot below the bound (absent
     // when the store has never compacted — nothing is superseded then)
     val perId = committed().filter(_.id < before)
@@ -553,8 +564,9 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     val floor = perId.filter(_.v > 0).sortBy(m => (m.id, m.v)).lastOption
     for (fl <- floor) {
       val keepGens: Set[(Long, Int)] = committed().filter(m => m.id < before)
-        .map(m => (m.id, m.v)).filter(_ != ((fl.id, fl.v)))
-        .sorted.takeRight(retain).toSet + ((fl.id, fl.v))
+        .map(m => (m.id, m.v))
+        .filter(g => g != ((fl.id, fl.v)) && !protectNow.contains(g))
+        .sorted.takeRight(retain).toSet ++ protectNow + ((fl.id, fl.v))
       for (st <- fs.listStatus(new Path(dir)).toSeq if st.isDirectory;
            (id, v) <- parseGenName(st.getPath.getName))
         if (id < before && !keepGens.contains((id, v)))
@@ -1158,6 +1170,13 @@ object FreqStore {
     * Murmur3 expression `pmod(hash(chromosome, cell), n)` the stores
     * are written with, so a point lookup can name its bucket directory
     * without running a Spark job. */
+  /** Driver-side bucket of a POINT — the one authority on the cell
+    * granule for external callers (the DSv2 scan must never re-derive
+    * the shift: a mismatch would prune to the wrong bucket and, with
+    * residual-only filters, silently drop rows). */
+  private[graft] def pointBucket(chrom: String, position: Long, n: Int): Int =
+    driverBucket(chrom, position >> CellShift, n)
+
   private[graft] def driverBucket(chrom: String, cell: Long, n: Int): Int = {
     import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}
     val h = new Murmur3Hash(Seq(Literal(chrom), Literal(cell)))

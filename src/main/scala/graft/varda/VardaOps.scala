@@ -384,6 +384,10 @@ object VardaOps {
         obsAll.filter(col("obs_id") % 3 === i),
         covAll.filter(col("region_id") % 3 === i),
         smpAll.filter(col("sample_id") % 3 === i))
+    // the clone is done (commits ran eagerly): release its memoized
+    // frames so repeated replays don't accumulate per-clone cache
+    // entries the stopped-context sweep can never evict
+    Tables.releaseSession(s2)
     dir
   }
 
@@ -602,6 +606,10 @@ object VardaOps {
         && o("position") >= c("begin_pos") && o("position") <= c("end_pos"))
       .select(o("obs_id"), c("region_id"))
     val optimized = naive.queryExecution.optimizedPlan
+    // the clone's memoized frames are no longer needed once the plan is
+    // built (round-10 review: per-call clones otherwise accumulate
+    // cache entries forever — the shared context never stops)
+    Tables.releaseSession(s2)
     // aggregate per point (the coverage-join shape): the JOIN is the
     // thing under test; dumping every matched pair would re-pay the
     // 4.6M-row sort join_range_interval already covers
@@ -647,6 +655,7 @@ object VardaOps {
       .select(a("region_a"), b("region_b"),
         (least(a("ea"), b("eb")) - greatest(a("ba"), b("bb")) + 1).as("ov_len"))
     val optimized = naive.queryExecution.optimizedPlan
+    Tables.releaseSession(s2) // see joinRangeRewrite
     org.apache.spark.sql.GraftPlanBridge.ofRows(s2, optimized)
       .groupBy("region_a")
       .agg(count(lit(1)).as("n_overlaps"),

@@ -246,7 +246,11 @@ class FreqStoreSpec extends AnyFunSuite {
     val planned = store.serve()
     val expected = freqKey(store.serve())
 
-    store.compact(retainGens = 2)
+    // retainGens SMALLER than the number of generations this compact
+    // supersedes (2): the sweep's own victims are protected
+    // unconditionally — a quota-only policy would delete gen-0 here and
+    // break the planned frame (round-10 review finding)
+    store.compact(retainGens = 1)
     def gens = new java.io.File(dir).listFiles()
       .filter(_.getName.startsWith("gen-")).map(_.getName).toSeq.sorted
     assert(gens == Seq("gen-0", "gen-1", "gen-1.1"),
@@ -259,7 +263,11 @@ class FreqStoreSpec extends AnyFunSuite {
     // reopening cold sees the floored view too
     assert(freqKey(new FreqStore(spark, dir).serve()) == expected)
 
-    // the next sweep (default retention) reclaims the expired grace
+    // a later sweep ages the grace out: no new victims, so the quota
+    // (1) applies to the previously-retained pair — oldest goes first
+    store.compact(retainGens = 1)
+    assert(gens == Seq("gen-1", "gen-1.1"), s"aging kept the wrong set: $gens")
+    // and the default sweep reclaims everything
     store.compact()
     assert(gens == Seq("gen-1.1"), s"sweep left expired generations: $gens")
     assert(freqKey(store.serve()) == expected)
