@@ -70,9 +70,10 @@ object FreqStoreDataSource {
     StructField("numer", LongType), StructField("denom", LongType),
     StructField("freq_ppm", LongType)))
 
-  /** Test hook: the bucket set the most recent scan planned with
-    * (None = unpruned). Driver-side only. */
+  /** Test hooks: the bucket set (None = unpruned) and the projected
+    * columns the most recent scan planned with. Driver-side only. */
   @volatile private[graft] var lastPlannedBuckets: Option[Set[Int]] = None
+  @volatile private[graft] var lastPlannedColumns: Seq[String] = Nil
 }
 
 class FreqStoreTable(dir: String) extends Table with SupportsRead {
@@ -85,8 +86,16 @@ class FreqStoreTable(dir: String) extends Table with SupportsRead {
 }
 
 class FreqStoreScanBuilder(dir: String)
-    extends ScanBuilder with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
   private var probes: Option[Set[(String, Long)]] = None
+  private var required: StructType = FreqStoreDataSource.schema
+
+  /** Column pruning: a projection that touches neither `denom` nor
+    * `freq_ppm` lets every partition skip its denom files entirely —
+    * the numer side alone carries the remaining five columns. */
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
 
   /** Derive, when possible, a point set S with `filter ⇒ (chromosome,
     * position) ∈ S`. Recognized: top-level chromosome=/position= (or
@@ -109,6 +118,7 @@ class FreqStoreScanBuilder(dir: String)
       ps.map { case (c, p) => FreqStore.pointBucket(c, p, n) }
     }
     FreqStoreDataSource.lastPlannedBuckets = buckets
+    FreqStoreDataSource.lastPlannedColumns = required.fieldNames.toSeq
     val (perBucket, uncov) = store.serveFileManifest(buckets)
     // the session's Hadoop conf must reach the executor-side parquet
     // readers (filesystem credentials, custom schemes); Configuration
@@ -116,7 +126,7 @@ class FreqStoreScanBuilder(dir: String)
     import scala.jdk.CollectionConverters._
     val confMap = spark.sparkContext.hadoopConfiguration.iterator().asScala
       .map(e => e.getKey -> e.getValue).toMap
-    new FreqStoreScan(perBucket, uncov, confMap)
+    new FreqStoreScan(perBucket, uncov, confMap, required)
   }
 }
 
@@ -162,21 +172,26 @@ object FreqStoreScanBuilder {
   * Hadoop configuration as serializable pairs. */
 case class FreqStorePartition(bkt: Int, numerFiles: Seq[String],
     denomFiles: Seq[String], uncov: Long,
-    hadoopConf: Map[String, String]) extends InputPartition
+    hadoopConf: Map[String, String], columns: Seq[String]) extends InputPartition
 
 class FreqStoreScan(perBucket: Map[Int, (Seq[String], Seq[String])],
-    uncov: Long, hadoopConf: Map[String, String])
+    uncov: Long, hadoopConf: Map[String, String], required: StructType)
     extends Scan with Batch {
-  override def readSchema(): StructType = FreqStoreDataSource.schema
+  private def needsDenom =
+    required.fieldNames.exists(f => f == "denom" || f == "freq_ppm")
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     perBucket.toSeq.sortBy(_._1).map { case (k, (nf, df)) =>
-      FreqStorePartition(k, nf, df, uncov, hadoopConf): InputPartition
+      FreqStorePartition(k, nf,
+        if (needsDenom) df else Nil, // pruned projection → no denom read
+        uncov, hadoopConf, required.fieldNames.toSeq): InputPartition
     }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new FreqStoreReaderFactory
   override def description(): String =
-    s"FreqStoreScan(buckets=${perBucket.keySet.toSeq.sorted.mkString(",")})"
+    s"FreqStoreScan(buckets=${perBucket.keySet.toSeq.sorted.mkString(",")}, " +
+      s"columns=${required.fieldNames.mkString(",")})"
 }
 
 class FreqStoreReaderFactory extends PartitionReaderFactory {
@@ -238,15 +253,26 @@ class FreqStorePartitionReader(p: FreqStorePartition)
     val chrom = g.getBinary("chromosome", 0).toStringUsingUTF8
     val pos = g.getLong("position", 0)
     val numer = g.getLong("numer", 0)
-    val ploidy = if (chrom == "X" || chrom == "Y" || chrom == "MT") 1L else 2L
-    val denom = denomByPoint.getOrDefault((chrom, pos), 0L) + p.uncov * ploidy
-    val ppm: Any = if (denom == 0L) null
-      else java.lang.Long.valueOf(Math.floorDiv(numer * 1000000L, denom))
-    cur = new GenericInternalRow(Array[Any](
-      UTF8String.fromString(chrom), pos,
-      UTF8String.fromString(g.getBinary("reference", 0).toStringUsingUTF8),
-      UTF8String.fromString(g.getBinary("observed", 0).toStringUsingUTF8),
-      numer, denom, ppm))
+    // denom/ppm evaluate lazily: a pruned projection never touches them
+    // (and this partition then carried no denom files at all)
+    lazy val denom = {
+      val ploidy = if (chrom == "X" || chrom == "Y" || chrom == "MT") 1L else 2L
+      denomByPoint.getOrDefault((chrom, pos), 0L) + p.uncov * ploidy
+    }
+    cur = new GenericInternalRow(p.columns.map[Any] {
+      case "chromosome" => UTF8String.fromString(chrom)
+      case "position" => pos
+      case "reference" =>
+        UTF8String.fromString(g.getBinary("reference", 0).toStringUsingUTF8)
+      case "observed" =>
+        UTF8String.fromString(g.getBinary("observed", 0).toStringUsingUTF8)
+      case "numer" => numer
+      case "denom" => denom
+      case "freq_ppm" =>
+        if (denom == 0L) null
+        else java.lang.Long.valueOf(Math.floorDiv(numer * 1000000L, denom))
+      case other => sys.error(s"freqstore: unknown projected column $other")
+    }.toArray)
     true
   }
   override def get(): InternalRow = cur

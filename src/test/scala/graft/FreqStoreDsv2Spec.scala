@@ -92,6 +92,27 @@ class FreqStoreDsv2Spec extends AnyFunSuite {
       "chromosome alone cannot name a bucket — no pruning allowed")
   }
 
+  test("column pruning reaches the scan; a denom-free projection skips the denom side") {
+    val (store, dir) = builtStore()
+    val pruned = spark.read.format("freqstore").load(dir)
+      .select("chromosome", "position", "numer")
+    val got = pruned.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = store.serve().select("chromosome", "position", "numer")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+    assert(graft.sources.FreqStoreDataSource.lastPlannedColumns ==
+      Seq("chromosome", "position", "numer"),
+      "the projection must reach the scan, not be applied after a full read")
+    // a projection that needs freq_ppm still computes it correctly
+    val withPpm = spark.read.format("freqstore").load(dir)
+      .select("chromosome", "position", "freq_ppm")
+    assert(withPpm.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).toSet ==
+      store.serve().select("chromosome", "position", "freq_ppm").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet)
+  }
+
   test("an empty or never-committed store reads as an empty, well-typed frame") {
     val dir = tmpDir("fqs_dsv2_empty")
     val df = spark.read.format("freqstore").load(dir)
