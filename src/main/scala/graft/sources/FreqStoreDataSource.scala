@@ -119,14 +119,14 @@ class FreqStoreScanBuilder(dir: String)
     }
     FreqStoreDataSource.lastPlannedBuckets = buckets
     FreqStoreDataSource.lastPlannedColumns = required.fieldNames.toSeq
-    val (perBucket, uncov) = store.serveFileManifest(buckets)
+    val (perBucket, uncov, bytes) = store.serveFileManifest(buckets)
     // the session's Hadoop conf must reach the executor-side parquet
     // readers (filesystem credentials, custom schemes); Configuration
     // itself is not serializable, so ship the key-value pairs
     import scala.jdk.CollectionConverters._
     val confMap = spark.sparkContext.hadoopConfiguration.iterator().asScala
       .map(e => e.getKey -> e.getValue).toMap
-    new FreqStoreScan(perBucket, uncov, confMap, required)
+    new FreqStoreScan(perBucket, uncov, confMap, required, bytes)
   }
 }
 
@@ -175,11 +175,21 @@ case class FreqStorePartition(bkt: Int, numerFiles: Seq[String],
     hadoopConf: Map[String, String], columns: Seq[String]) extends InputPartition
 
 class FreqStoreScan(perBucket: Map[Int, (Seq[String], Seq[String])],
-    uncov: Long, hadoopConf: Map[String, String], required: StructType)
-    extends Scan with Batch {
+    uncov: Long, hadoopConf: Map[String, String], required: StructType,
+    planBytes: Long)
+    extends Scan with Batch with SupportsReportStatistics {
   private def needsDenom =
     required.fieldNames.exists(f => f == "denom" || f == "freq_ppm")
   override def readSchema(): StructType = required
+  /** Planned component bytes as the size estimate — lets Catalyst
+    * broadcast a small (or bucket-pruned) serving table in SQL joins,
+    * the annotate-against-the-store shape. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(math.max(planBytes, 1L))
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.empty()
+  }
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     perBucket.toSeq.sortBy(_._1).map { case (k, (nf, df)) =>

@@ -751,8 +751,9 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     * reader holding one bucket's files of BOTH components can compute
     * that bucket's served rows with a purely local join. */
   private[graft] def serveFileManifest(buckets: Option[Set[Int]])
-      : (Map[Int, (Seq[String], Seq[String])], Long) = {
+      : (Map[Int, (Seq[String], Seq[String])], Long, Long) = {
     val upTo = highWater
+    var bytes = 0L
     def files(comp: String): Map[Int, Seq[String]] = {
       val latest = scala.collection.mutable.Map.empty[Int, Path]
       for (m <- live(upTo);
@@ -760,16 +761,20 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
            if buckets.forall(_.contains(k)))
         latest(k) = bp
       latest.toMap.map { case (k, bp) =>
-        k -> fs.listStatus(bp).toSeq
+        val sts = fs.listStatus(bp).toSeq
           .filter(_.getPath.getName.endsWith(".parquet"))
-          .map(_.getPath.toString)
+        bytes += sts.map(_.getLen).sum
+        k -> sts.map(_.getPath.toString)
       }
     }
     val nf = files("numer")
     val df = files("denom")
     // served rows come from numer (left side); denom-only buckets have
-    // nothing to serve
-    (nf.map { case (k, n) => k -> (n, df.getOrElse(k, Nil)) }, uncovPool(upTo))
+    // nothing to serve. The byte total (both components, the same
+    // listing) feeds the scan's reported statistics so Catalyst can
+    // broadcast a small serving table in SQL joins.
+    (nf.map { case (k, n) => k -> (n, df.getOrElse(k, Nil)) },
+      uncovPool(upTo), bytes)
   }
 
   // ---- commit log -------------------------------------------------------

@@ -113,6 +113,21 @@ class FreqStoreDsv2Spec extends AnyFunSuite {
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet)
   }
 
+  test("the scan reports its size, so SQL joins broadcast a small serving table") {
+    val (_, dir) = builtStore()
+    val freq = spark.read.format("freqstore").load(dir)
+    val sz = freq.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(sz > 0 && sz < 10L * 1024 * 1024,
+      s"scan must report its planned bytes, got $sz")
+    // the annotate shape from SQL: input ⟕ freq — the small store side
+    // must broadcast, not sort-merge
+    val input = (1 to 50).map(i => ("1", 5000L + i)).toDF("chromosome", "position")
+    val joined = input.join(freq, Seq("chromosome", "position"), "left")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the serving table to broadcast:\n$plan")
+  }
+
   test("an empty or never-committed store reads as an empty, well-typed frame") {
     val dir = tmpDir("fqs_dsv2_empty")
     val df = spark.read.format("freqstore").load(dir)
