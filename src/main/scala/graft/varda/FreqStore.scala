@@ -163,7 +163,25 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     * rows. `pool_size` is a per-sample constant denormalized onto
     * coverage rows (the import pipeline's invariant). */
   def commit(batchId: Long, obsB0: DataFrame, covB: DataFrame,
-      smpB: DataFrame): Unit = {
+      smpB: DataFrame): Unit =
+    commitPrepared(prepare(batchId, obsB0, covB, smpB))
+
+  /** The batch-only HALF of a commit: checkpoint materialization and
+    * the manifest collect, both started asynchronously — neither reads
+    * the store, so consecutive batches' prepare phases can run
+    * CONCURRENTLY while earlier commits write (the replay harness
+    * prepares every batch up front; at-least-once replays stay correct
+    * because [[commitPrepared]] alone touches store state). The handle
+    * must be finished with [[commitPrepared]] on the SAME store, in
+    * batch order. */
+  private[graft] case class PreparedCommit(
+      batchId: Long, n: Int, obsB: DataFrame, covF: DataFrame,
+      obsPts: DataFrame, smpB: DataFrame,
+      manifestF: scala.concurrent.Future[Array[org.apache.spark.sql.Row]],
+      matF: scala.concurrent.Future[Unit])
+
+  private[graft] def prepare(batchId: Long, obsB0: DataFrame, covB: DataFrame,
+      smpB: DataFrame): PreparedCommit = {
     val n = nBkts
     val sid = if (obsB0.columns.contains("sample_id"))
       col("sample_id").cast(LongType) else lit(null).cast(LongType)
@@ -227,6 +245,17 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     val matF = inPool("freq-mat") { () =>
       obsPts.select(lit(1).as("one"))
         .unionByName(covF.select(lit(1).as("one"))).count(); () }
+    PreparedCommit(batchId, n, obsB, covF, obsPts, smpB, manifestF, matF)
+  }
+
+  /** The store-dependent HALF of a commit: resolve the manifest, read
+    * the previous generations, fold, write, mark. */
+  private[graft] def commitPrepared(prep: PreparedCommit): Unit = {
+    val PreparedCommit(batchId, n, obsB, covF, obsPts, smpB, manifestF, matF) =
+      prep
+    require(n == nBkts,
+      s"bucket modulus changed between prepare ($n) and commit ($nBkts) — " +
+        "do not compact between the two phases")
     val manifest = scala.concurrent.Await.result(
       manifestF, scala.concurrent.duration.Duration.Inf)
     val oBkts = manifest.filter(_.getInt(1) == 0).map(_.getLong(0).toInt).toSet

@@ -379,11 +379,16 @@ object VardaOps {
       (Await.result(fs(0), Duration.Inf), Await.result(fs(1), Duration.Inf),
         Await.result(fs(2), Duration.Inf))
     }
-    for (i <- 0 until 3)
-      store.commit(i,
-        obsAll.filter(col("obs_id") % 3 === i),
-        covAll.filter(col("region_id") % 3 === i),
-        smpAll.filter(col("sample_id") % 3 === i))
+    // prepare ALL batches up front (round-10): a commit's batch-only
+    // half — checkpoint materialization + manifest collect — never
+    // reads the store, so the three batches' prepare jobs overlap each
+    // other AND the earlier batches' write phases; only the
+    // store-dependent commitPrepared halves run in batch order
+    val preps = (0 until 3).map(i => store.prepare(i,
+      obsAll.filter(col("obs_id") % 3 === i),
+      covAll.filter(col("region_id") % 3 === i),
+      smpAll.filter(col("sample_id") % 3 === i)))
+    preps.foreach(store.commitPrepared)
     // the clone is done (commits ran eagerly): release its memoized
     // frames so repeated replays don't accumulate per-clone cache
     // entries the stopped-context sweep can never evict
