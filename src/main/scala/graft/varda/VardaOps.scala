@@ -122,7 +122,18 @@ object VardaOps {
     * ploidy(chromosome), where covering = a coverage region contains the
     * position (counted once) or the sample has no coverage profile
     * (dimension-sized broadcast). Shared by the one-shot frequency and the
-    * incremental store's serving step. */
+    * incremental store's serving step.
+    *
+    * Scale note (round-10): the pair enumeration here is bounded by
+    * coverage depth × points — fine at genomic density, quadratic on a
+    * fixture whose position space densifies with sf. When only the SUM
+    * is needed and per-sample regions are pre-merged to disjoint, the
+    * pair-free interval-stabbing form applies (±pool·ploidy endpoint
+    * deltas through a grouped running sum — the [[coverageAggBySweep]]
+    * pattern, O(points + regions) at any density). Kept in the join
+    * form here because the distinct-pair step IS the "sample covers a
+    * point once" semantics over UNMERGED regions, and every consumer's
+    * fixture load is pair-bounded. */
   private[graft] def denomFor(pts: DataFrame, covDf: DataFrame,
       smpDf: DataFrame): DataFrame = {
     val covSmp = bucketedContainment(pts, covDf)
