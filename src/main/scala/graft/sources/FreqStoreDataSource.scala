@@ -120,12 +120,17 @@ class FreqStoreScanBuilder(dir: String)
     FreqStoreDataSource.lastPlannedBuckets = buckets
     FreqStoreDataSource.lastPlannedColumns = required.fieldNames.toSeq
     val (perBucket, uncov, bytes) = store.serveFileManifest(buckets)
-    // the session's Hadoop conf must reach the executor-side parquet
-    // readers (filesystem credentials, custom schemes); Configuration
-    // itself is not serializable, so ship the key-value pairs
+    // the SESSION's Hadoop view must reach the executor-side parquet
+    // readers (filesystem credentials, custom schemes): the context
+    // conf overlaid with the session's `spark.hadoop.*` entries —
+    // Configuration itself is not serializable, so ship the pairs
     import scala.jdk.CollectionConverters._
     val confMap = spark.sparkContext.hadoopConfiguration.iterator().asScala
-      .map(e => e.getKey -> e.getValue).toMap
+      .map(e => e.getKey -> e.getValue).toMap ++
+      spark.conf.getAll.collect {
+        case (k, v) if k.startsWith("spark.hadoop.") =>
+          k.stripPrefix("spark.hadoop.") -> v
+      }
     new FreqStoreScan(perBucket, uncov, confMap, required, bytes)
   }
 }
@@ -170,23 +175,28 @@ object FreqStoreScanBuilder {
 /** One partition per live bucket: the bucket's newest-generation numer
   * and denom file lists, the commit-log pool scalar, and the session's
   * Hadoop configuration as serializable pairs. */
+/** One partition per live bucket — only the bucket's file lists; the
+  * per-scan constants (Hadoop conf pairs, projection, pool scalar)
+  * ride the [[FreqStoreReaderFactory]], which Spark serializes once
+  * into the stage's task binary instead of once per partition. */
 case class FreqStorePartition(bkt: Int, numerFiles: Seq[String],
-    denomFiles: Seq[String], uncov: Long,
-    hadoopConf: Map[String, String], columns: Seq[String]) extends InputPartition
+    denomFiles: Seq[String]) extends InputPartition
 
 class FreqStoreScan(perBucket: Map[Int, (Seq[String], Seq[String])],
     uncov: Long, hadoopConf: Map[String, String], required: StructType,
-    planBytes: Long)
+    planBytes: (Long, Long))
     extends Scan with Batch with SupportsReportStatistics {
   private def needsDenom =
     required.fieldNames.exists(f => f == "denom" || f == "freq_ppm")
   override def readSchema(): StructType = required
   /** Planned component bytes as the size estimate — lets Catalyst
     * broadcast a small (or bucket-pruned) serving table in SQL joins,
-    * the annotate-against-the-store shape. */
+    * the annotate-against-the-store shape. A denom-pruned projection
+    * reports only the numer bytes it will actually read. */
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): java.util.OptionalLong =
-      java.util.OptionalLong.of(math.max(planBytes, 1L))
+      java.util.OptionalLong.of(math.max(
+        planBytes._1 + (if (needsDenom) planBytes._2 else 0L), 1L))
     override def numRows(): java.util.OptionalLong =
       java.util.OptionalLong.empty()
   }
@@ -194,19 +204,21 @@ class FreqStoreScan(perBucket: Map[Int, (Seq[String], Seq[String])],
   override def planInputPartitions(): Array[InputPartition] =
     perBucket.toSeq.sortBy(_._1).map { case (k, (nf, df)) =>
       FreqStorePartition(k, nf,
-        if (needsDenom) df else Nil, // pruned projection → no denom read
-        uncov, hadoopConf, required.fieldNames.toSeq): InputPartition
+        if (needsDenom) df else Nil // pruned projection → no denom read
+      ): InputPartition
     }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new FreqStoreReaderFactory
+    new FreqStoreReaderFactory(hadoopConf, required.fieldNames.toSeq, uncov)
   override def description(): String =
     s"FreqStoreScan(buckets=${perBucket.keySet.toSeq.sorted.mkString(",")}, " +
       s"columns=${required.fieldNames.mkString(",")})"
 }
 
-class FreqStoreReaderFactory extends PartitionReaderFactory {
+class FreqStoreReaderFactory(hadoopConf: Map[String, String],
+    columns: Seq[String], uncov: Long) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new FreqStorePartitionReader(p.asInstanceOf[FreqStorePartition])
+    new FreqStorePartitionReader(p.asInstanceOf[FreqStorePartition],
+      hadoopConf, columns, uncov)
 }
 
 /** Bucket-local serving join: hash the bucket's denom rows by point
@@ -214,11 +226,14 @@ class FreqStoreReaderFactory extends PartitionReaderFactory {
   * against it — one file open at a time, one output row per next().
   * Both components were written under one bucket function, so this
   * partition sees every row it needs. */
-class FreqStorePartitionReader(p: FreqStorePartition)
+class FreqStorePartitionReader(p: FreqStorePartition,
+    hadoopConf: Map[String, String], columns: Seq[String], uncov: Long)
     extends PartitionReader[InternalRow] {
+  import org.apache.parquet.example.data.Group
+
   private val conf = {
     val c = new Configuration()
-    p.hadoopConf.foreach { case (k, v) => c.set(k, v) }
+    hadoopConf.foreach { case (k, v) => c.set(k, v) }
     c
   }
 
@@ -239,11 +254,39 @@ class FreqStorePartitionReader(p: FreqStorePartition)
     m
   }
 
+  private def denomOf(chrom: String, pos: Long): Long = {
+    val ploidy = if (chrom == "X" || chrom == "Y" || chrom == "MT") 1L else 2L
+    denomByPoint.getOrDefault((chrom, pos), 0L) + uncov * ploidy
+  }
+
+  /** Projection compiled ONCE to extractor functions — the per-row loop
+    * must not pattern-match column-name strings (round-10 review). */
+  private val extractors: Array[Group => Any] = columns.map[Group => Any] {
+    case "chromosome" => g =>
+      UTF8String.fromString(g.getBinary("chromosome", 0).toStringUsingUTF8)
+    case "position" => g => g.getLong("position", 0)
+    case "reference" => g =>
+      UTF8String.fromString(g.getBinary("reference", 0).toStringUsingUTF8)
+    case "observed" => g =>
+      UTF8String.fromString(g.getBinary("observed", 0).toStringUsingUTF8)
+    case "numer" => g => g.getLong("numer", 0)
+    case "denom" => g =>
+      denomOf(g.getBinary("chromosome", 0).toStringUsingUTF8,
+        g.getLong("position", 0))
+    case "freq_ppm" => g => {
+      val d = denomOf(g.getBinary("chromosome", 0).toStringUsingUTF8,
+        g.getLong("position", 0))
+      if (d == 0L) null
+      else java.lang.Long.valueOf(Math.floorDiv(g.getLong("numer", 0) * 1000000L, d))
+    }
+    case other => sys.error(s"freqstore: unknown projected column $other")
+  }.toArray
+
   private val fileIter = p.numerFiles.iterator
-  private var reader: ParquetReader[org.apache.parquet.example.data.Group] = _
+  private var reader: ParquetReader[Group] = _
   private var cur: InternalRow = _
 
-  private def nextGroup(): org.apache.parquet.example.data.Group = {
+  private def nextGroup(): Group = {
     while (true) {
       if (reader == null) {
         if (!fileIter.hasNext) return null
@@ -260,29 +303,10 @@ class FreqStorePartitionReader(p: FreqStorePartition)
   override def next(): Boolean = {
     val g = nextGroup()
     if (g == null) { cur = null; return false }
-    val chrom = g.getBinary("chromosome", 0).toStringUsingUTF8
-    val pos = g.getLong("position", 0)
-    val numer = g.getLong("numer", 0)
-    // denom/ppm evaluate lazily: a pruned projection never touches them
-    // (and this partition then carried no denom files at all)
-    lazy val denom = {
-      val ploidy = if (chrom == "X" || chrom == "Y" || chrom == "MT") 1L else 2L
-      denomByPoint.getOrDefault((chrom, pos), 0L) + p.uncov * ploidy
-    }
-    cur = new GenericInternalRow(p.columns.map[Any] {
-      case "chromosome" => UTF8String.fromString(chrom)
-      case "position" => pos
-      case "reference" =>
-        UTF8String.fromString(g.getBinary("reference", 0).toStringUsingUTF8)
-      case "observed" =>
-        UTF8String.fromString(g.getBinary("observed", 0).toStringUsingUTF8)
-      case "numer" => numer
-      case "denom" => denom
-      case "freq_ppm" =>
-        if (denom == 0L) null
-        else java.lang.Long.valueOf(Math.floorDiv(numer * 1000000L, denom))
-      case other => sys.error(s"freqstore: unknown projected column $other")
-    }.toArray)
+    val vals = new Array[Any](extractors.length)
+    var i = 0
+    while (i < extractors.length) { vals(i) = extractors(i)(g); i += 1 }
+    cur = new GenericInternalRow(vals)
     true
   }
   override def get(): InternalRow = cur

@@ -647,7 +647,7 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     require(points.nonEmpty, "lookupPoints needs at least one point")
     val upTo = highWater
     val n = nBkts
-    val ks = points.map { case (c, p) => driverBucket(c, p >> CellShift, n) }.toSet
+    val ks = points.map { case (c, p) => FreqStore.pointBucket(c, p, n) }.toSet
     val restrict: DataFrame => DataFrame =
       if (points.size <= 64) {
         val pred = points.map { case (c, p) =>
@@ -688,7 +688,7 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     require(points.nonEmpty, "lookupPointsFiltered needs at least one point")
     val upTo = highWater
     val n = nBkts
-    val ks = points.map { case (c, p) => driverBucket(c, p >> CellShift, n) }.toSet
+    val ks = points.map { case (c, p) => FreqStore.pointBucket(c, p, n) }.toSet
     import spark.implicits._
     val probe = broadcast(points.toDF("chromosome", "position"))
     val numerF = appendRead("obslog", upTo, None)
@@ -727,7 +727,7 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     require(exprs.nonEmpty, "lookupPointsMulti needs at least one expression")
     val upTo = highWater
     val n = nBkts
-    val ks = points.map { case (c, p) => driverBucket(c, p >> CellShift, n) }.toSet
+    val ks = points.map { case (c, p) => FreqStore.pointBucket(c, p, n) }.toSet
     import spark.implicits._
     val probe = broadcast(points.toDF("chromosome", "position"))
     // one obslog pass: net support per variant overall (the row-set
@@ -780,30 +780,32 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     * reader holding one bucket's files of BOTH components can compute
     * that bucket's served rows with a purely local join. */
   private[graft] def serveFileManifest(buckets: Option[Set[Int]])
-      : (Map[Int, (Seq[String], Seq[String])], Long, Long) = {
+      : (Map[Int, (Seq[String], Seq[String])], Long, (Long, Long)) = {
     val upTo = highWater
-    var bytes = 0L
-    def files(comp: String): Map[Int, Seq[String]] = {
+    def files(comp: String): (Map[Int, Seq[String]], Long) = {
       val latest = scala.collection.mutable.Map.empty[Int, Path]
       for (m <- live(upTo);
            (k, bp) <- bucketDirs(compPath(m, comp))
            if buckets.forall(_.contains(k)))
         latest(k) = bp
-      latest.toMap.map { case (k, bp) =>
+      var bytes = 0L
+      val out = latest.toMap.map { case (k, bp) =>
         val sts = fs.listStatus(bp).toSeq
           .filter(_.getPath.getName.endsWith(".parquet"))
         bytes += sts.map(_.getLen).sum
         k -> sts.map(_.getPath.toString)
       }
+      (out, bytes)
     }
-    val nf = files("numer")
-    val df = files("denom")
+    val (nf, nBytes) = files("numer")
+    val (df, dBytes) = files("denom")
     // served rows come from numer (left side); denom-only buckets have
-    // nothing to serve. The byte total (both components, the same
-    // listing) feeds the scan's reported statistics so Catalyst can
-    // broadcast a small serving table in SQL joins.
+    // nothing to serve. PER-COMPONENT byte totals (same listing) feed
+    // the scan's reported statistics — a denom-pruned projection must
+    // report only the bytes it will actually read, or Catalyst plans a
+    // sort-merge join exactly where the broadcast was the point.
     (nf.map { case (k, n) => k -> (n, df.getOrElse(k, Nil)) },
-      uncovPool(upTo), bytes)
+      uncovPool(upTo), (nBytes, dBytes))
   }
 
   // ---- commit log -------------------------------------------------------
@@ -1200,17 +1202,18 @@ object FreqStore {
       case _ => None
     }
 
+  /** Driver-side bucket of a POINT — the one authority on the cell
+    * granule for every serving caller (API lookups and the DSv2 scan
+    * alike; re-deriving the shift at a call site risks pruning to the
+    * wrong bucket, which for residual-only filters is silent row
+    * loss). */
+  private[graft] def pointBucket(chrom: String, position: Long, n: Int): Int =
+    driverBucket(chrom, position >> CellShift, n)
+
   /** The shared bucket hash evaluated on the DRIVER — the same
     * Murmur3 expression `pmod(hash(chromosome, cell), n)` the stores
     * are written with, so a point lookup can name its bucket directory
     * without running a Spark job. */
-  /** Driver-side bucket of a POINT — the one authority on the cell
-    * granule for external callers (the DSv2 scan must never re-derive
-    * the shift: a mismatch would prune to the wrong bucket and, with
-    * residual-only filters, silently drop rows). */
-  private[graft] def pointBucket(chrom: String, position: Long, n: Int): Int =
-    driverBucket(chrom, position >> CellShift, n)
-
   private[graft] def driverBucket(chrom: String, cell: Long, n: Int): Int = {
     import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}
     val h = new Murmur3Hash(Seq(Literal(chrom), Literal(cell)))

@@ -399,7 +399,17 @@ object VardaOps {
       obsAll.filter(col("obs_id") % 3 === i),
       covAll.filter(col("region_id") % 3 === i),
       smpAll.filter(col("sample_id") % 3 === i)))
-    preps.foreach(store.commitPrepared)
+    // if an early commit fails, the later batches' already-launched
+    // prepare jobs must not keep running orphaned against the shared
+    // context (they are bounded — a manifest collect + a checkpoint
+    // count — so awaiting them quietly is cheap and deterministic)
+    try preps.foreach(store.commitPrepared)
+    finally preps.foreach { p =>
+      import scala.concurrent.Await
+      import scala.concurrent.duration.Duration
+      scala.util.Try(Await.result(p.manifestF, Duration.Inf))
+      scala.util.Try(Await.result(p.matF, Duration.Inf))
+    }
     // the clone is done (commits ran eagerly): release its memoized
     // frames so repeated replays don't accumulate per-clone cache
     // entries the stopped-context sweep can never evict
