@@ -134,8 +134,13 @@ object Graph {
           live }
         val o = orient(supplierEdges(s, d, minSupport))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        orientedCache.put((s, d, minSupport), o)
-        o
+        // putIfAbsent, not put: two concurrent callers may both build
+        // and persist — the loser's frame would otherwise stay persisted
+        // (and unreachable) until the SparkContext stops
+        orientedCache.putIfAbsent((s, d, minSupport), o) match {
+          case Some(winner) => o.unpersist(false); winner
+          case None => o
+        }
     }
 
   /** Per-vertex triangle counts over a degree-oriented edge frame

@@ -129,9 +129,19 @@ object SortsSets {
   val setExceptAll: Q = (s, d) =>
     bagA(s, d).exceptAll(bagB(s, d)).orderBy("k")
 
+  /** EXCEPT with a PROVABLY NON-EMPTY difference (round-11: the old
+    * customer-minus-all-suppliers form returned 0 rows on both engines
+    * at every sf — a vacuous pass certifying nothing). The supplier
+    * side is restricted to ONE region's nations, so every customer
+    * nationkey outside that region survives the difference. */
   val setExcept: Q = (s, d) =>
     Tables.customer(s, d).select(col("c_nationkey").as("k"))
-      .except(Tables.supplier(s, d).select(col("s_nationkey").as("k")))
+      .except(
+        Tables.supplier(s, d)
+          .join(Tables.nation(s, d).filter(col("n_regionkey") === 0)
+              .select(col("n_nationkey")),
+            col("s_nationkey") === col("n_nationkey"), "left_semi")
+          .select(col("s_nationkey").as("k")))
       .orderBy("k")
 
   val queries: Map[String, Q] = Map(
@@ -204,7 +214,10 @@ object SortsSets {
     "set_except" ->
       """SELECT k FROM (
            SELECT c_nationkey AS k FROM customer
-           EXCEPT SELECT s_nationkey FROM supplier) t
+           EXCEPT
+           SELECT s_nationkey FROM supplier
+           WHERE s_nationkey IN
+             (SELECT n_nationkey FROM nation WHERE n_regionkey = 0)) t
          ORDER BY k""",
     "set_intersect_all" ->
       """SELECT k FROM (

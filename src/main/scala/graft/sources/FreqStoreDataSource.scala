@@ -172,9 +172,6 @@ object FreqStoreScanBuilder {
   }
 }
 
-/** One partition per live bucket: the bucket's newest-generation numer
-  * and denom file lists, the commit-log pool scalar, and the session's
-  * Hadoop configuration as serializable pairs. */
 /** One partition per live bucket — only the bucket's file lists; the
   * per-scan constants (Hadoop conf pairs, projection, pool scalar)
   * ride the [[FreqStoreReaderFactory]], which Spark serializes once
@@ -277,7 +274,11 @@ class FreqStorePartitionReader(p: FreqStorePartition,
       val d = denomOf(g.getBinary("chromosome", 0).toStringUsingUTF8,
         g.getLong("position", 0))
       if (d == 0L) null
-      else java.lang.Long.valueOf(Math.floorDiv(g.getLong("numer", 0) * 1000000L, d))
+      // TRUNCATING division (toward zero), matching serveFrom's SQL
+      // `div` (IntegralDivide) — Math.floorDiv floors toward -inf and
+      // diverges on a negative net numerator (a hand-built retract()
+      // exceeding prior imports can produce one)
+      else java.lang.Long.valueOf(g.getLong("numer", 0) * 1000000L / d)
     }
     case other => sys.error(s"freqstore: unknown projected column $other")
   }.toArray

@@ -175,8 +175,8 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     * must be finished with [[commitPrepared]] on the SAME store, in
     * batch order. */
   private[graft] case class PreparedCommit(
-      batchId: Long, n: Int, obsB: DataFrame, covF: DataFrame,
-      obsPts: DataFrame, smpB: DataFrame,
+      batchId: Long, n: Int, obsB: () => DataFrame, covF: () => DataFrame,
+      obsPts: () => DataFrame, smpB: DataFrame,
       manifestF: scala.concurrent.Future[Array[org.apache.spark.sql.Row]],
       matF: scala.concurrent.Future[Unit])
 
@@ -245,14 +245,23 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     val matF = inPool("freq-mat") { () =>
       obsPts.select(lit(1).as("one"))
         .unionByName(covF.select(lit(1).as("one"))).count(); () }
-    PreparedCommit(batchId, n, obsB, covF, obsPts, smpB, manifestF, matF)
+    // thunks, not the frames (round-10 ADVICE): a strict field would
+    // force the lazy vals — i.e. block on their ANALYSIS — on this
+    // thread before prepare() returns; the thunks hand the same
+    // lazily-cached objects to whichever thread needs them first
+    PreparedCommit(batchId, n, () => obsB, () => covF, () => obsPts, smpB,
+      manifestF, matF)
   }
 
   /** The store-dependent HALF of a commit: resolve the manifest, read
     * the previous generations, fold, write, mark. */
   private[graft] def commitPrepared(prep: PreparedCommit): Unit = {
-    val PreparedCommit(batchId, n, obsB, covF, obsPts, smpB, manifestF, matF) =
-      prep
+    val PreparedCommit(batchId, n, obsBT, covFT, obsPtsT, smpB, manifestF,
+      matF) = prep
+    // deref the prepare-side lazy vals here: every use below sits inside
+    // a def/lazy thunk, so analysis still happens on the thread that
+    // first needs each frame
+    def obsB = obsBT(); def covF = covFT(); def obsPts = obsPtsT()
     require(n == nBkts,
       s"bucket modulus changed between prepare ($n) and commit ($nBkts) — " +
         "do not compact between the two phases")
@@ -543,12 +552,22 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     val maxGen = lv.map(_.id).max
     val newV = committed().filter(_.id == maxGen).map(_.v).max + 1
     // consolidate tombstones out of the obslog and registry while we're
-    // rewriting
-    val obslogSnap = appendRead("obslog", before, None)
-      .groupBy("chromosome", "position", "reference", "observed", "sample_id")
+    // rewriting. The obslog snapshot is BUCKETED under the shared point
+    // hash (round-11): per-commit obslog writes stay map-only (the
+    // commit floor is untouched), but compaction already rewrites every
+    // row — bucketing here is free, and it converts the filtered
+    // flagship lookups ([[lookupPointsFiltered]]/[[lookupPointsMulti]])
+    // from an O(history) obslog scan into the same probe-bucket pruning
+    // every other serving read gets. One bkt exchange serves both the
+    // tombstone-netting aggregate and the partitionBy write (the merge
+    // folds' subset-rule trick).
+    val obslogSnap = bucketize(appendRead("obslog", before, None),
+        pointBkt(newN), newN)
+      .groupBy("bkt", "chromosome", "position", "reference", "observed",
+        "sample_id")
       .agg(sum(col("support")).cast(LongType).as("support"))
       .filter(col("support") =!= 0)
-      .select("chromosome", "position", "reference", "observed",
+      .select("bkt", "chromosome", "position", "reference", "observed",
         "sample_id", "support")
     val smpregSnap = appendRead("smpreg", before, None)
       .groupBy("sample_id", "has_coverage")
@@ -562,7 +581,7 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
         pointBkt(newN), newN), true),
       ("pts", () => bucketize(appendRead("pts", before, None),
         pointBkt(newN), newN), true),
-      ("obslog", () => obslogSnap, false),
+      ("obslog", () => obslogSnap, true),
       ("cover", () => bucketize(mergeRead("cover", before, None),
         bktOf(col("chromosome"), col("cell"), newN), newN), true),
       ("smpreg", () => smpregSnap, false)), Map.empty)
@@ -676,13 +695,17 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     * not store-sized), and the coverage-less pool from the sample
     * registry. `samplePred` is a predicate over `sample_id` — the
     * evaluated form of a sample expression
-    * ([[VardaOps]]/`ExprLang`). One honest trade: the obslog is
-    * unbucketed (commits write it map-only), so the numerator path
-    * scans it with the probe semi-join pushed down rather than pruning
-    * files — right while filtered lookups are occasional; re-bucket the
-    * obslog if they become the dominant query. Rows with a NULL
-    * sample_id (imports that never carried one) are excluded from
-    * subset queries — they cannot be attributed. */
+    * ([[VardaOps]]/`ExprLang`). Obslog pruning (round-11): per-commit
+    * obslog writes are map-only (unbucketed), but [[compact]] rewrites
+    * the obslog snapshot under the shared point hash — so the numerator
+    * read prunes to the probes' buckets for every compacted generation
+    * and falls back to a full read only of post-compaction commit
+    * deltas (an unbucketed generation's directory is always read whole;
+    * pruning is a superset hint, never a row filter). On a compacted
+    * store the expression-filtered flagship query reads O(probes/
+    * nBuckets) of the store's largest component instead of all of it.
+    * Rows with a NULL sample_id (imports that never carried one) are
+    * excluded from subset queries — they cannot be attributed. */
   def lookupPointsFiltered(points: Seq[(String, Long)],
       samplePred: Column): DataFrame = {
     require(points.nonEmpty, "lookupPointsFiltered needs at least one point")
@@ -691,7 +714,7 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     val ks = points.map { case (c, p) => FreqStore.pointBucket(c, p, n) }.toSet
     import spark.implicits._
     val probe = broadcast(points.toDF("chromosome", "position"))
-    val numerF = appendRead("obslog", upTo, None)
+    val numerF = appendRead("obslog", upTo, Some(ks))
       .join(probe, Seq("chromosome", "position"), "left_semi")
       .filter(samplePred)
       .groupBy("chromosome", "position", "reference", "observed")
@@ -737,7 +760,7 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
       exprs.map { case (nm, pred) =>
         sum(when(pred, col("support")).otherwise(0L)).cast(LongType)
           .as(s"numer_$nm") }
-    val numers = appendRead("obslog", upTo, None)
+    val numers = appendRead("obslog", upTo, Some(ks))
       .join(probe, Seq("chromosome", "position"), "left_semi")
       .groupBy("chromosome", "position", "reference", "observed")
       .agg(numerAggs.head, numerAggs.tail: _*)
@@ -1036,9 +1059,10 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
         df.write.mode("overwrite").partitionBy("bkt")
           .parquet(s"$genDir/comp=$c")
       else
-        // unbucketed append component (obslog, smpreg): read only by
-        // the rare full-scan retraction path, so a map-only write
-        // with no exchange beats a bucket shuffle every commit
+        // unbucketed append component (per-commit obslog/smpreg): a
+        // map-only write with no exchange beats a bucket shuffle every
+        // commit; compaction re-buckets the obslog snapshot so serving
+        // reads prune (the commit path never pays for it)
         df.write.mode("overwrite").parquet(s"$genDir/comp=$c")
     })
     for ((c, ks) <- ensure; k <- ks) {

@@ -433,7 +433,17 @@ object VardaOps {
     builtStores.synchronized {
       builtStores.computeIfAbsent(s,
           _ => scala.collection.mutable.Map.empty[String, String])
-        .getOrElseUpdate(d, buildFreqStore(s, d, "freq_store"))
+        .getOrElseUpdate(d, {
+          val dir = buildFreqStore(s, d, "freq_store")
+          // the serving store runs COMPACTED (round-11): one snapshot
+          // generation, tombstones folded away, and — the point — the
+          // obslog re-bucketed under the point hash, so the filtered
+          // flagship lookups prune their obslog read to the probes'
+          // buckets instead of scanning import history. Amortized into
+          // the one-time build like the import replay itself.
+          new FreqStore(s, dir).compact()
+          dir
+        })
     }
 
   /** The reference's FLAGSHIP query [U GET /variants]: serve a handful
@@ -711,28 +721,40 @@ object VardaOps {
       .select("region_id", "bin")
       .orderBy("region_id")
 
-  /** Bucket-accelerated coverage join, aggregated per observation; must
-    * equal the naive range join (the oracle computes exactly that). */
+  /** Per-observation coverage aggregates — the varda coverage-lookup
+    * shape, declared on the PAIR-FREE sweep plan (round-11; the oracle
+    * is still the naive range join). Round 10 measured the binned
+    * containment-join plan at ~11× for 10× rows on the densifying
+    * fixture while the row-identical sweep ran 5× faster and carries
+    * O(points + regions) at any density — a declared key should run
+    * the plan you'd ship at 100×, so the sweep is the plan now. The
+    * containment equi-join itself stays a first-class library surface
+    * ([[coverageAggByJoin]], [[bucketedContainment]]) and is still
+    * driver-checked through `join_range_interval` and the two rewrite
+    * keys. */
   val vardaCoverageJoin: Q = (s, d) =>
+    coverageAggBySweep(obs(s, d), cov(s, d))
+
+  /** The binned containment-JOIN form of the same aggregates — the
+    * library surface for callers who want the pair set itself;
+    * CoverageSweepSpec pins row-identity with the sweep plan. */
+  private[graft] def coverageAggByJoin(obsDf: DataFrame,
+      covDf: DataFrame): DataFrame =
     bucketedContainment(
-      obs(s, d).select("obs_id", "chromosome", "position"), cov(s, d))
+      obsDf.select("obs_id", "chromosome", "position"), covDf)
       .groupBy("obs_id")
       .agg(count(lit(1)).as("n_regions"),
         sum(col("pool_size")).cast(LongType).as("total_pool"))
       .orderBy("obs_id")
 
-  /** The PAIR-FREE form of [[vardaCoverageJoin]]'s aggregates (round-10):
-    * per-point covering-region count and pool sum are interval-STABBING
-    * queries — at point p, `n_regions = #(begin <= p) − #(end < p)` and
-    * `total_pool` likewise — so both come from grouped running SUMS over
-    * ±delta endpoint events, never a (point × region) pair row. The
-    * declared key keeps the binned-join form (demonstrating the
-    * containment equi-join is its point, and the pair set is sometimes
-    * the product a caller wants); this is the at-scale path when only
-    * the AGGREGATES are needed — the sf1 decade measured the pair form
-    * at ~11× for 10× rows on the densifying fixture, while this form
-    * carries O(points + regions) rows through two sweeps.
-    * CoverageSweepSpec pins row-identity with the join form. */
+  /** The PAIR-FREE form of the coverage aggregates (round-10; the
+    * DECLARED plan since round-11): per-point covering-region count and
+    * pool sum are interval-STABBING queries — at point p, `n_regions =
+    * #(begin <= p) − #(end < p)` and `total_pool` likewise — so both
+    * come from grouped running SUMS over ±delta endpoint events, never
+    * a (point × region) pair row. O(points + regions) rows through two
+    * sweeps at any density (5.1 s vs 25 s at sf1 on the densifying
+    * fixture). CoverageSweepSpec pins row-identity with the join form. */
   private[graft] def coverageAggBySweep(obsDf: DataFrame,
       covDf: DataFrame): DataFrame = {
     val pts = obsDf.select("obs_id", "chromosome", "position")

@@ -50,12 +50,12 @@ class CoverageSweepSpec extends AnyFunSuite {
     assert(m(6L) == ((1L, 7L)))
   }
 
-  test("sweep aggregates equal the declared varda_coverage_join on the fixture") {
+  test("declared varda_coverage_join (sweep plan) equals the containment join on the fixture") {
     val d = "/root/testdata/sf0.001"
     val viaKey = VardaOps.vardaCoverageJoin(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    val viaSweep = rows(VardaOps.coverageAggBySweep(
+    val viaJoin = rows(VardaOps.coverageAggByJoin(
       VardaOps.obs(spark, d), VardaOps.cov(spark, d)))
-    assert(viaSweep == viaKey)
+    assert(viaKey == viaJoin)
   }
 }

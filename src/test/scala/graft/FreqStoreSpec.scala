@@ -510,6 +510,70 @@ class FreqStoreSpec extends AnyFunSuite {
     assert(got2 == filteredOneShot(Set(3L)))
   }
 
+  test("compacted store: filtered lookups prune the obslog to the probes' buckets") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = tmpDir("fqs_obsprune")
+    val store = new FreqStore(spark, dir, nBuckets = 8)
+    // points spread across buckets (4096 = two 2^11 cells apart), each
+    // observation sample-tagged so the obslog drives filtered lookups
+    val obs = (0 until 64).map(i =>
+      ("1", 1000L + i * 4096L, "A", "C", 1L + i % 3, 1 + i % 3)).toDF(
+      "chromosome", "position", "reference", "observed", "sample_id", "support")
+    val cov = (0 until 150).map(i =>
+      (i.toLong, "1", i * 2000L, i * 2000L + 1999L, 1L + i % 3, 2)).toDF(
+      "region_id", "chromosome", "begin_pos", "end_pos", "sample_id", "pool_size")
+    val smp = Seq((1L, 2, true), (2L, 3, true), (3L, 4, true), (9L, 3, false))
+      .toDF("sample_id", "pool_size", "has_coverage")
+    store.commit(0, obs, cov, smp)
+    store.compact()
+
+    def obslogBkts(files: Seq[String]) = files
+      .filter(_.contains("comp=obslog"))
+      .flatMap("bkt=([0-9]+)".r.findFirstMatchIn(_)).map(_.group(1)).toSet
+    val pts = Seq(("1", 1000L + 17 * 4096L))
+    val pred = col("sample_id").isin(1L, 9L)
+    val probe = store.lookupPointsFiltered(pts, pred)
+    // the compacted obslog is bucketed under the point hash: the
+    // filtered lookup's obslog read opens ONE bucket directory —
+    // O(probes/nBuckets) of the store's largest component
+    val read = obslogBkts(probe.inputFiles.toSeq)
+    assert(read.size == 1, s"filtered lookup read obslog buckets $read")
+    // …and the fixture genuinely spreads the obslog over many buckets
+    // (otherwise the pruning assertion is vacuous)
+    val allPts = (0 until 64).map(i => ("1", 1000L + i * 4096L))
+    val unprunedRead = obslogBkts(
+      store.lookupPointsFiltered(allPts, pred).inputFiles.toSeq)
+    assert(unprunedRead.size > 2,
+      s"fixture must spread obslog buckets, saw $unprunedRead")
+    // the multi-expression lookup prunes the same way
+    val multiRead = obslogBkts(store.lookupPointsMulti(pts,
+      Seq("a" -> pred)).inputFiles.toSeq)
+    assert(multiRead.size == 1,
+      s"multi-expression lookup read obslog buckets $multiRead")
+
+    // row parity with the one-shot over the subset, at the probe points
+    def oneShotAt(points: Seq[(String, Long)]) = freqKey(
+      VardaOps.frequencyFrom(obs.filter(pred), cov.filter(pred),
+        smp.filter(pred), withZyg = false))
+      .filter { case ((c, p, _, _), _) => points.contains((c, p)) }
+    assert(freqKey(probe) == oneShotAt(pts))
+
+    // a post-compaction commit writes an UNBUCKETED obslog delta: the
+    // pruned read must still include it whole (pruning is a superset
+    // hint — an unbucketed generation is always read in full)
+    val obs2 = Seq(("1", pts.head._2, "A", "C", 1L, 5))
+      .toDF("chromosome", "position", "reference", "observed",
+        "sample_id", "support")
+    store.commit(9, obs2, cov.filter(lit(false)), smp.filter(lit(false)))
+    val got2 = freqKey(store.lookupPointsFiltered(pts, pred))
+    val expect2 = freqKey(VardaOps.frequencyFrom(
+      obs.unionByName(obs2).filter(pred), cov.filter(pred),
+      smp.filter(pred), withZyg = false))
+      .filter { case ((c, p, _, _), _) => pts.contains((c, p)) }
+    assert(got2 == expect2,
+      "mixed bucketed/unbucketed obslog generations diverged from one-shot")
+  }
+
   test("withdrawing a wave's dependent generation hides its folds until the replay recommits") {
     import org.apache.spark.sql.functions.col
     val dir = tmpDir("fqs_wave")
