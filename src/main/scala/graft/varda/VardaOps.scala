@@ -147,6 +147,105 @@ object VardaOps {
       .agg(sum(col("pool_size") * ploidy).cast(LongType).as("denom"))
   }
 
+  /** Merge one sample's coverage regions to DISJOINT intervals per
+    * (sample, chromosome) — one gaps-and-islands window; adjacent
+    * intervals coalesce ([1,5]+[6,10] → [1,10]). `pool_size` is a
+    * per-sample constant denormalized onto coverage rows (the import
+    * pipeline's invariant), so `max` per island preserves it. The
+    * window partitions by sample: partition size = one sample's region
+    * count, never the corpus. */
+  private[graft] def mergeIntervals(covDf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy("sample_id", "chromosome")
+      .orderBy("begin_pos", "end_pos")
+    val prev = ord.rowsBetween(Window.unboundedPreceding, -1)
+    covDf
+      .withColumn("__pmax", max(col("end_pos")).over(prev))
+      .withColumn("__new",
+        (col("__pmax").isNull || col("begin_pos") > col("__pmax") + 1).cast("int"))
+      .withColumn("__seg", sum(col("__new"))
+        .over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("sample_id", "chromosome", "__seg")
+      .agg(min(col("begin_pos")).as("begin_pos"),
+        max(col("end_pos")).as("end_pos"),
+        max(col("pool_size")).as("pool_size"))
+      .select("sample_id", "chromosome", "begin_pos", "end_pos", "pool_size")
+  }
+
+  /** Per-sample interval SUBTRACTION `after \ before`: the fragments of
+    * `after` not covered by `before`, with `pool_size` carried through.
+    * Both inputs must be disjoint per (sample, chromosome) (the
+    * [[mergeIntervals]] invariant). One event sweep per sample: ±1
+    * coverage-indicator deltas for each frame, running sums, and a
+    * `lead` to close each emitted fragment — O(intervals log), zero
+    * pair rows, partition size = one sample's events. */
+  private[graft] def subtractIntervals(after: DataFrame,
+      before: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def evs(df: DataFrame, a: Int, b: Int) = df
+      .select(col("sample_id"), col("chromosome"),
+        col("begin_pos").as("coord"), lit(a.toLong).as("dA"),
+        lit(b.toLong).as("dB"), col("pool_size"))
+      .unionByName(df.select(col("sample_id"), col("chromosome"),
+        (col("end_pos") + 1).as("coord"), lit(-a.toLong).as("dA"),
+        lit(-b.toLong).as("dB"), col("pool_size")))
+    val w = Window.partitionBy("sample_id", "chromosome").orderBy("coord")
+    val run = w.rowsBetween(Window.unboundedPreceding, 0)
+    evs(after, 1, 0).unionByName(evs(before, 0, 1))
+      .groupBy("sample_id", "chromosome", "coord")
+      .agg(sum("dA").as("dA"), sum("dB").as("dB"),
+        max("pool_size").as("pool_size"))
+      .withColumn("cA", sum(col("dA")).over(run))
+      .withColumn("cB", sum(col("dB")).over(run))
+      .withColumn("__next", lead(col("coord"), 1).over(w))
+      .filter(col("cA") === 1 && col("cB") === 0 && col("__next").isNotNull)
+      .select(col("sample_id"), col("chromosome"),
+        col("coord").as("begin_pos"), (col("__next") - 1).as("end_pos"),
+        col("pool_size"))
+  }
+
+  /** Per-point covered mass over PRE-MERGED intervals (the
+    * [[mergeIntervals]] invariant — each covering sample's mass counts
+    * once because its intervals are disjoint): an interval-STABBING
+    * query answered by a grouped running sum over ±pool endpoint
+    * deltas, never a (point × covering-sample) pair row. `pts` must be
+    * duplicate-free. Deltas sort before probes at equal coordinates
+    * (kind 0 < 1), so a region beginning AT the point counts and one
+    * ending just before does not — the inclusive-[begin,end] boundary
+    * semantics. Returns (chromosome, position, denom_cov) for points
+    * with non-zero covered mass; the coverage-less pool is the
+    * caller's separate broadcast scalar (the [[serveFrom]] shape). */
+  private[graft] def sweepMassMerged(pts: DataFrame,
+      merged: DataFrame): DataFrame = {
+    val ev = merged.select(col("chromosome"), col("begin_pos").as("coord"),
+        lit(0).as("kind"), col("pool_size").cast(LongType).as("dp"))
+      .unionByName(merged.select(col("chromosome"),
+        (col("end_pos") + 1).as("coord"), lit(0).as("kind"),
+        (-col("pool_size")).cast(LongType).as("dp")))
+      .unionByName(pts.select(col("chromosome"), col("position").as("coord"),
+        lit(1).as("kind"), lit(0L).as("dp")))
+    // grouped running sum per chromosome (chunked two-pass — never a
+    // single-partition window), read off at the probe events
+    graft.ops.GlobalRank.withGroupedRunningSum(ev, Seq("chromosome"),
+        Seq(col("coord"), col("kind")), col("dp"), "__pool_at")
+      .filter(col("kind") === 1 && col("__pool_at") =!= 0)
+      .select(col("chromosome"), col("coord").as("position"),
+        (col("__pool_at") * ploidy).cast(LongType).as("denom_cov"))
+  }
+
+  /** Per-point COVERED denominator mass, PAIR-FREE (round-11): Σ over
+    * covering samples of pool_size × ploidy, each sample counted once
+    * however many of its regions overlap the point — [[mergeIntervals]]
+    * then [[sweepMassMerged]]. O(points + regions) at any density, vs
+    * the [[denomFor]] containment join whose pair volume grows with
+    * coverage depth × points (13.5× at the sf1 decade on the densifying
+    * fixture). RetractSweepSpec pins row-identity with [[denomFor]]'s
+    * covered part on crafted overlaps and on the fixture. */
+  private[graft] def denomCovBySweep(pts: DataFrame,
+      covDf: DataFrame): DataFrame =
+    sweepMassMerged(pts.dropDuplicates("chromosome", "position"),
+      mergeIntervals(covDf))
+
   private val variantKey = Seq("chromosome", "position", "reference", "observed")
 
   /** One incremental fold: the batch's per-variant partial sums merged
@@ -167,50 +266,60 @@ object VardaOps {
   /** The full incrementally-maintained frequency state (round-7; the
     * reference imports COVERAGE incrementally too — varda/tasks.py ::
     * import_coverage [U] — so serving must not rescan the full coverage
-    * table):
+    * table). PAIR-FREE since round-11: the old state carried every
+    * DISTINCT (point, covering-sample) pair — O(points × coverage
+    * depth) rows, 13.5× at the sf1 decade on the densifying fixture —
+    * where keeping each sample's regions MERGED makes the same
+    * "counted once" guarantee structural and every denominator
+    * delta an O(points + regions) endpoint sweep:
     *
     *  - `numer`:    variant → Σ support ([[foldNumer]] merge-upsert),
-    *  - `regions`:  the accumulated coverage regions (the imported data
-    *                itself — bucketed by (chromosome, bucket) at scale),
-    *  - `covPairs`: DISTINCT (point, sample) containment pairs seen so
-    *                far — the state that keeps "a sample covers a point
-    *                once, however many of its regions overlap it" true
-    *                across batches,
-    *  - `denom`:    point → Σ pool_size × ploidy over covPairs (the
-    *                serving denominator, maintained by merge-add),
+    *  - `regions`:  the accumulated coverage, kept DISJOINT per
+    *                (sample, chromosome) ([[mergeIntervals]] — the
+    *                committed [[FreqStore]] keeps the same invariant
+    *                per cell); sample_id-keyed at scale,
+    *  - `denom`:    point → Σ pool_size × ploidy over covering samples
+    *                (the serving denominator, maintained by merge-add
+    *                of [[sweepMassMerged]] deltas),
     *  - `uncovPool`: 1-row Σ pool_size of coverage-less samples (they
     *                cover everything; dimension-sized, broadcast). */
   private[graft] case class FreqState(numer: DataFrame, regions: DataFrame,
-      covPairs: DataFrame, denom: DataFrame, uncovPool: DataFrame,
-      pts: DataFrame)
+      denom: DataFrame, uncovPool: DataFrame, pts: DataFrame)
 
   private[graft] def emptyFreqState(obsDf: DataFrame, covDf: DataFrame): FreqState = {
     val numer = obsDf.filter(lit(false))
       .groupBy(variantKey.head, variantKey.tail: _*)
       .agg(sum(col("support")).cast(LongType).as("numer"))
     val regions = covDf.filter(lit(false))
-    val covPairs = regions.select(col("chromosome"),
-      col("begin_pos").as("position"), col("sample_id"), col("pool_size"))
-    val denom = covPairs.groupBy("chromosome", "position")
+      .select("sample_id", "chromosome", "begin_pos", "end_pos", "pool_size")
+    val denom = regions
+      .select(col("chromosome"), col("begin_pos").as("position"), col("pool_size"))
+      .groupBy("chromosome", "position")
       .agg(sum(col("pool_size")).cast(LongType).as("denom_cov"))
     val uncov = obsDf.sparkSession.range(1)
       .select(lit(0L).as("uncov_pool"))
-    FreqState(numer, regions, covPairs, denom, uncov,
+    FreqState(numer, regions, denom, uncov,
       obsDf.filter(lit(false)).select("chromosome", "position").distinct())
   }
 
   /** Fold one import batch (observations + coverage regions + samples)
-    * into the running state. Every step is an equi-join on bucketable
-    * keys — no full-history rescan:
+    * into the running state — every denominator step an endpoint sweep
+    * sized to the batch or the point set, never a (point × sample) pair
+    * row and no full-history rescan:
     *
-    *  - NEW points (first seen in this batch) probe the accumulated
-    *    region store (bucketed containment — partition-pruned at scale),
-    *  - EXISTING points meet only the BATCH's regions,
-    *  - the union of those candidate pairs is anti-joined against the
-    *    pair store so a sample's overlapping regions arriving in
-    *    different batches still count once,
-    *  - genuinely new pairs merge-add into the per-point denominator
-    *    (the same full-outer MERGE shape as [[foldNumer]]),
+    *  - the batch's coverage merges into the per-sample interval store;
+    *    only the batch's samples' stored intervals are touched
+    *    (sample_id-keyed — a pruned read at scale),
+    *  - `fragsNew` = interval subtraction after \ before per sample
+    *    ([[subtractIntervals]]): the positions whose covered mass this
+    *    batch actually changed. A sample's overlapping regions arriving
+    *    in different batches produce NO new fragments — the "counted
+    *    once" guarantee, now structural,
+    *  - EXISTING points gain sweep mass over `fragsNew` (batch-sized);
+    *    NEW points (first seen in this batch) take their full mass from
+    *    the merged store in one sweep,
+    *  - deltas merge-add into the per-point denominator (union + one
+    *    hash aggregate, the [[foldNumer]] shape),
     *  - coverage-less sample pools fold into a 1-row running sum. */
   private[graft] def foldFreqState(st: FreqState, obsB: DataFrame,
       covB: DataFrame, smpB: DataFrame): FreqState = {
@@ -223,24 +332,25 @@ object VardaOps {
     val oldPts = st.pts
     val newPts = obsB.select("chromosome", "position").distinct()
       .join(oldPts, Seq("chromosome", "position"), "left_anti")
-    val regions2 = st.regions.unionByName(covB)
-    val candPairs = bucketedContainment(newPts, regions2)
-      .unionByName(bucketedContainment(oldPts, covB))
-      .select("chromosome", "position", "sample_id", "pool_size").distinct()
-    val pairsNew = candPairs.join(st.covPairs,
-      Seq("chromosome", "position", "sample_id"), "left_anti")
-    val denomDelta = pairsNew.groupBy("chromosome", "position")
-      .agg(sum(col("pool_size") * ploidy).cast(LongType).as("denom_new"))
-    val denom2 = st.denom.join(denomDelta, Seq("chromosome", "position"), "full")
-      .select(col("chromosome"), col("position"),
-        (coalesce(col("denom_cov"), lit(0L)) + coalesce(col("denom_new"), lit(0L)))
-          .as("denom_cov"))
+    val covBn = covB.select("sample_id", "chromosome", "begin_pos",
+      "end_pos", "pool_size")
+    val bSids = covBn.select("sample_id").distinct()
+    val before = st.regions.join(broadcast(bSids), Seq("sample_id"), "left_semi")
+    val after = mergeIntervals(before.unionByName(covBn))
+    val fragsNew = subtractIntervals(after, before)
+    val regions2 = st.regions.join(broadcast(bSids), Seq("sample_id"), "left_anti")
+      .select("sample_id", "chromosome", "begin_pos", "end_pos", "pool_size")
+      .unionByName(after)
+    val denomDelta = sweepMassMerged(oldPts, fragsNew)
+      .unionByName(sweepMassMerged(newPts, regions2))
+    val denom2 = st.denom.unionByName(denomDelta)
+      .groupBy("chromosome", "position")
+      .agg(sum(col("denom_cov")).cast(LongType).as("denom_cov"))
     val uncov2 = st.uncovPool.unionByName(
         smpB.filter(!col("has_coverage"))
           .agg(coalesce(sum(col("pool_size")), lit(0)).cast(LongType).as("uncov_pool")))
       .agg(sum(col("uncov_pool")).cast(LongType).as("uncov_pool"))
-    FreqState(foldNumer(st.numer, obsB), regions2,
-      st.covPairs.unionByName(pairsNew), denom2, uncov2,
+    FreqState(foldNumer(st.numer, obsB), regions2, denom2, uncov2,
       // newPts is anti-joined against the store, so the union stays
       // duplicate-free without another distinct
       st.pts.unionByName(newPts))
@@ -255,39 +365,40 @@ object VardaOps {
     *  - numerators: [[foldNumer]] with negated support; variants whose
     *    support came only from retracted samples net to zero and drop
     *    (the one-shot over remaining samples never sees them),
-    *  - denominators: the retracted samples' rows in the PAIR STORE are
-    *    exactly their per-point contributions (that store exists to make
-    *    both folds and retractions exact under overlap dedup) —
-    *    aggregate them and merge-subtract,
-    *  - pair/region stores: anti-join the retracted sample ids out, so
-    *    later folds can re-import the same sample cleanly,
+    *  - denominators: the retracted samples' MERGED intervals are
+    *    exactly their per-point contributions, so the subtraction is
+    *    one stabbing sweep over (point set, those intervals)
+    *    ([[sweepMassMerged]] — O(points + retracted regions), the
+    *    round-11 replacement for aggregating a pair store),
+    *  - region store: anti-join the retracted sample ids out, so later
+    *    folds can re-import the same sample cleanly (its intervals
+    *    return as fresh fragments),
     *  - coverage-less pool: subtract the retracted uncovered samples'
     *    pools from the 1-row running sum.
     *
-    * Each step shuffles only the retracted samples' rows — never the
-    * store's history. `obsR`/`smpR` are the retracted samples'
-    * observations and sample rows. */
+    * Each step is sized to the retracted samples' rows plus one pass
+    * over the point set — never the store's history. `obsR`/`smpR` are
+    * the retracted samples' observations and sample rows. */
   private[graft] def retractSample(st: FreqState, obsR: DataFrame,
       smpR: DataFrame): FreqState = {
     val sids = smpR.select("sample_id")
     val numer2 = foldNumer(st.numer, obsR.withColumn("support", -col("support")))
       .filter(col("numer") =!= 0)
-    val pairsGone = st.covPairs.join(broadcast(sids), Seq("sample_id"), "left_semi")
-    val denomGone = pairsGone.groupBy("chromosome", "position")
-      .agg(sum(col("pool_size") * ploidy).cast(LongType).as("denom_gone"))
-    val denom2 = st.denom.join(denomGone, Seq("chromosome", "position"), "left")
+    val regionsGone = st.regions.join(broadcast(sids), Seq("sample_id"), "left_semi")
+    val denomGone = sweepMassMerged(st.pts, regionsGone)
       .select(col("chromosome"), col("position"),
-        (col("denom_cov") - coalesce(col("denom_gone"), lit(0L)))
-          .cast(LongType).as("denom_cov"))
-    val covPairs2 = st.covPairs.join(broadcast(sids), Seq("sample_id"), "left_anti")
-      .select(st.covPairs.columns.map(col): _*)
+        (-col("denom_cov")).as("denom_cov"))
+    val denom2 = st.denom.unionByName(denomGone)
+      .groupBy("chromosome", "position")
+      .agg(sum(col("denom_cov")).cast(LongType).as("denom_cov"))
+      .filter(col("denom_cov") =!= 0)
     val regions2 = st.regions.join(broadcast(sids), Seq("sample_id"), "left_anti")
       .select(st.regions.columns.map(col): _*)
     val uncovGone = smpR.filter(!col("has_coverage"))
       .agg(coalesce(sum(col("pool_size")), lit(0)).cast(LongType).as("gone"))
     val uncov2 = st.uncovPool.crossJoin(broadcast(uncovGone))
       .select((col("uncov_pool") - col("gone")).as("uncov_pool"))
-    FreqState(numer2, regions2, covPairs2, denom2, uncov2, st.pts)
+    FreqState(numer2, regions2, denom2, uncov2, st.pts)
   }
 
   /** Serve ppm frequencies from the maintained state alone — numer store

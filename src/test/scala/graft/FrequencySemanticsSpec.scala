@@ -107,10 +107,14 @@ class FrequencySemanticsSpec extends AnyFunSuite {
     assert(got(("2", 700L)) == ((2L, 24L, 2L * 1000000 / 24)))
     // X:5000 — sample2 (5×1) + sample3 (7×1) = 12 (region arrived late)
     assert(got(("X", 5000L)) == ((1L, 12L, 1L * 1000000 / 12)))
-    // and the pair store holds each (point, sample) once
-    val pairs = st.covPairs.collect()
-    assert(pairs.length == pairs.map(r => (r.getString(0), r.getLong(1),
-      r.getLong(2))).distinct.length)
+    // and the region store keeps the merged-disjoint invariant that
+    // makes "a sample counts once per point" structural: per
+    // (sample, chromosome), intervals neither overlap nor touch
+    val regs = st.regions.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .groupBy(t => (t._1, t._2))
+    for ((_, ivs) <- regs; Seq(a, b) <- ivs.toSeq.sortBy(_._3).sliding(2))
+      assert(b._3 > a._4 + 1, s"intervals not merged-disjoint: $a, $b")
   }
 
   test("sample retraction converges to the one-shot over remaining samples") {
