@@ -106,7 +106,11 @@ import org.apache.spark.sql.types._
   * negative folds (the coverage-less pool subtracts the REGISTRY net,
   * never the caller's claimed pool), and appends NEGATED tombstone rows
   * — so a repeated retraction nets to zero everywhere and a re-import
-  * restores cleanly. Compaction collapses tombstones away.
+  * restores cleanly. Compaction collapses tombstones away. The tiny
+  * covidx registry (sample_id → cover bucket id, round-11) records
+  * which buckets each sample's coverage landed in — appended per
+  * commit as a superset hint, rewritten exactly at compaction — so
+  * retraction reads only those buckets, never the full cover store.
   *
   * **Commits are O(batch), not O(store)**: a generation directory holds
   * only the buckets the batch touched — merged bucket content for the
@@ -352,6 +356,16 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
       "observed", "sample_id", "support")
     def smpregNew = smpB.select(col("sample_id").cast(LongType).as("sample_id"),
       col("pool_size").cast(IntegerType).as("pool_size"), col("has_coverage"))
+    // sample → cover-bucket registry (round-11): which buckets hold
+    // this batch's coverage, per sample — the O(samples × nBuckets)
+    // side index that lets [[retract]] prune its cover read to the
+    // retracted samples' buckets instead of scanning the whole store.
+    // Derived from covF (NOT smpB-joined): coverage can arrive in a
+    // batch that registers no samples, and an unrecorded bucket would
+    // silently break the pruned retraction's superset contract.
+    def covidxNew = covF.select(col("sample_id"),
+      bktOf(col("chromosome"), col("cell"), n).cast(IntegerType).as("bkt_id"))
+      .distinct()
 
     // a replay rewrites an already-committed generation: withdraw its
     // marker BEFORE touching its data, so a crash mid-rewrite leaves an
@@ -364,7 +378,8 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
       ("pts", () => newPts, true),
       ("obslog", () => obslogNew, false),
       ("cover", () => coverNew, true),
-      ("smpreg", () => smpregNew, false)),
+      ("smpreg", () => smpregNew, false),
+      ("covidx", () => covidxNew, false)),
       Map("numer" -> oBkts, "denom" -> (oBkts ++ cBkts), "cover" -> cBkts))
     awaitAll(Seq(matF)) // a no-op by now; don't leak the thread past commit
     markCommitted(batchId, 0, n, uncovPool(batchId) + uncovDelta)
@@ -375,9 +390,9 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     * store. The merged-fragment store makes it committable: a sample's
     * stored fragments ARE its per-point denominator contribution, so
     *
-    *  - `fragsGone` = the retracted samples' fragments (one full cover
-    *    scan — deactivation is the rare administrative op; every other
-    *    step is sized to the retracted samples),
+    *  - `fragsGone` = the retracted samples' fragments, read from only
+    *    the buckets the covidx registry names for them (round-11; was
+    *    the store's one remaining full-component scan),
     *  - denominators: points inside `fragsGone` lose pool × ploidy —
     *    merge-subtract, touched buckets only,
     *  - cover: rewrite only buckets holding the samples' fragments,
@@ -407,7 +422,14 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
         "to derive the observations from the store's obslog")
     val n = nBkts
     val sids = smpR.select("sample_id")
-    val coverAll = mergeRead("cover", batchId, None)
+    // prune the cover read to the retracted samples' buckets via the
+    // covidx registry (round-11; was the store's one remaining
+    // full-component administrative scan). covidx is an append-only
+    // SUPERSET — commits record every bucket a sample's coverage ever
+    // landed in, compaction rewrites it exactly — so restricting the
+    // merge read to these buckets can never miss a live fragment.
+    val coverAll = mergeRead("cover", batchId,
+      Some(covBucketsOf(batchId, sids)))
     val fragsGone = coverAll
       .join(broadcast(sids), Seq("sample_id"), "left_semi")
       .select("chromosome", "cell", "fbegin", "fend", "sample_id", "pool_size")
@@ -472,6 +494,15 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
       Map("numer" -> oBkts, "denom" -> cBkts, "cover" -> cBkts))
     markCommitted(batchId, 0, n, uncovPool(batchId) - uncovGone)
   }
+
+  /** The covidx registry's bucket set for `sids` as of `batchId` —
+    * every cover bucket that can hold those samples' fragments (a
+    * superset between compactions; exact after one). O(samples ×
+    * nBuckets) rows scanned, one scalar collect. */
+  private[graft] def covBucketsOf(batchId: Long, sids: DataFrame): Set[Int] =
+    appendRead("covidx", batchId, None)
+      .join(broadcast(sids.select("sample_id")), Seq("sample_id"), "left_semi")
+      .select("bkt_id").distinct().collect().map(_.getInt(0)).toSet
 
   /** Sample deactivation from the store alone: the samples' net
     * observations are read off the obslog component (appended +rows
@@ -574,6 +605,14 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
       .agg(sum(col("pool_size")).cast(IntegerType).as("pool_size"))
       .filter(col("pool_size") =!= 0)
       .select("sample_id", "pool_size", "has_coverage")
+    // the covidx registry is rewritten EXACTLY from the consolidated
+    // cover store — retraction residue ages out and, when the snapshot
+    // splits, the bucket ids are re-derived under the new modulus (the
+    // per-commit appends are only ever a superset hint)
+    val covidxSnap = mergeRead("cover", before, None)
+      .select(col("sample_id"),
+        bktOf(col("chromosome"), col("cell"), newN).cast(IntegerType).as("bkt_id"))
+      .distinct()
     writeGen(genPath(maxGen, newV), newN, Seq(
       ("numer", () => bucketize(mergeRead("numer", before, None),
         pointBkt(newN), newN), true),
@@ -584,7 +623,8 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
       ("obslog", () => obslogSnap, true),
       ("cover", () => bucketize(mergeRead("cover", before, None),
         bktOf(col("chromosome"), col("cell"), newN), newN), true),
-      ("smpreg", () => smpregSnap, false)), Map.empty)
+      ("smpreg", () => smpregSnap, false),
+      ("covidx", () => covidxSnap, false)), Map.empty)
     markCommitted(maxGen, newV, newN, uncovPool(before))
     // this sweep's victims — the generations the snapshot just
     // consolidated — are protected UNCONDITIONALLY under a grace
@@ -1267,5 +1307,7 @@ object FreqStore {
       StructField("sample_id", LongType), StructField("pool_size", IntegerType))),
     "smpreg" -> StructType(Seq(
       StructField("sample_id", LongType), StructField("pool_size", IntegerType),
-      StructField("has_coverage", BooleanType))))
+      StructField("has_coverage", BooleanType))),
+    "covidx" -> StructType(Seq(
+      StructField("sample_id", LongType), StructField("bkt_id", IntegerType))))
 }

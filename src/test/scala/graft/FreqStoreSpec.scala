@@ -865,4 +865,48 @@ class FreqStoreSpec extends AnyFunSuite {
     assert(afterRm == expectedRm,
       "randomized store: retraction diverged from the one-shot over survivors")
   }
+
+  test("covidx names each sample's cover buckets; retraction reads only those and compaction rewrites exactly") {
+    val dir = tmpDir("fqs_covidx")
+    val n = 4
+    val store = new FreqStore(spark, dir, nBuckets = n)
+    // two covered samples whose regions live in DISJOINT cells (2^11
+    // positions per cell): sample 1 in cells 1-2, sample 2 in cells 43-44
+    val obs = Seq(
+      ("1", 5000L, "A", "C", 3, 1L), ("1", 90000L, "G", "T", 2, 2L))
+      .toDF("chromosome", "position", "reference", "observed", "support",
+        "sample_id")
+    val cov = Seq(
+      (10L, "1", 4000L, 6000L, 1L, 2),
+      (11L, "1", 89000L, 91000L, 2L, 5))
+      .toDF("region_id", "chromosome", "begin_pos", "end_pos",
+        "sample_id", "pool_size")
+    val smp = Seq((1L, 2, true), (2L, 5, true)).toDF(
+      "sample_id", "pool_size", "has_coverage")
+    store.commit(0, obs, cov, smp)
+
+    def cellBkts(cells: Range) =
+      cells.map(c => FreqStore.driverBucket("1", c.toLong, n)).toSet
+    val s1 = Seq(1L).toDF("sample_id")
+    val s2 = Seq(2L).toDF("sample_id")
+    assert(store.covBucketsOf(9, s1) == cellBkts(1 to 2))
+    assert(store.covBucketsOf(9, s2) == cellBkts(43 to 44))
+
+    // the retraction through the pruned cover read still converges to
+    // the one-shot over the surviving sample
+    store.retractSamples(1, smp.filter($"sample_id" === 1L))
+    val got = freqKey(store.serve())
+    val exp = freqKey(VardaOps.frequencyFrom(
+      obs.filter($"sample_id" === 2L),
+      cov.filter($"sample_id" === 2L), smp.filter($"sample_id" === 2L),
+      withZyg = false))
+    assert(got == exp, "pruned retraction diverged from the one-shot")
+
+    // compaction rewrites the registry EXACTLY from the consolidated
+    // cover: the retracted sample's stale hint ages out
+    store.compact()
+    assert(store.covBucketsOf(9, s1).isEmpty,
+      "compaction kept the retracted sample's covidx residue")
+    assert(store.covBucketsOf(9, s2) == cellBkts(43 to 44))
+  }
 }
