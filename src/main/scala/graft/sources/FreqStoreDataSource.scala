@@ -74,6 +74,8 @@ object FreqStoreDataSource {
     * columns the most recent scan planned with. Driver-side only. */
   @volatile private[graft] var lastPlannedBuckets: Option[Set[Int]] = None
   @volatile private[graft] var lastPlannedColumns: Seq[String] = Nil
+  /** Buckets surviving the most recent RUNTIME filter() re-prune. */
+  @volatile private[graft] var lastRuntimeBuckets: Option[Set[Int]] = None
 }
 
 class FreqStoreTable(dir: String) extends Table with SupportsRead {
@@ -119,6 +121,7 @@ class FreqStoreScanBuilder(dir: String)
     }
     FreqStoreDataSource.lastPlannedBuckets = buckets
     FreqStoreDataSource.lastPlannedColumns = required.fieldNames.toSeq
+    val n = store.nBkts
     val (perBucket, uncov, bytes) = store.serveFileManifest(buckets)
     // the SESSION's Hadoop view must reach the executor-side parquet
     // readers (filesystem credentials, custom schemes): the context
@@ -131,7 +134,7 @@ class FreqStoreScanBuilder(dir: String)
         case (k, v) if k.startsWith("spark.hadoop.") =>
           k.stripPrefix("spark.hadoop.") -> v
       }
-    new FreqStoreScan(perBucket, uncov, confMap, required, bytes)
+    new FreqStoreScan(perBucket, uncov, confMap, required, bytes, n)
   }
 }
 
@@ -181,11 +184,51 @@ case class FreqStorePartition(bkt: Int, numerFiles: Seq[String],
 
 class FreqStoreScan(perBucket: Map[Int, (Seq[String], Seq[String])],
     uncov: Long, hadoopConf: Map[String, String], required: StructType,
-    planBytes: (Long, Long))
-    extends Scan with Batch with SupportsReportStatistics {
+    planBytes: (Long, Long), nBkts: Int)
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
   private def needsDenom =
     required.fieldNames.exists(f => f == "denom" || f == "freq_ppm")
+  /** Live buckets after runtime filtering (starts at the
+    * literal-pruned plan-time set). */
+  @volatile private var liveBuckets = perBucket
   override def readSchema(): StructType = required
+
+  /** Runtime (dynamic) filtering — the idiomatic serving JOIN: an
+    * annotation frame joined against the store in SQL broadcasts (the
+    * reported statistics make it the build side) and Spark hands this
+    * scan the build side's distinct join-key values as `In` filters.
+    * When BOTH point-key columns arrive, their cross product is a
+    * SUPERSET of the true probe set, so pruning partitions to its
+    * buckets can never drop a row — the same driver-hash pruning
+    * [[FreqStore.lookupPoints]] does by hand, now firing for plain
+    * `probe JOIN freqstore USING (chromosome, position)`. With only
+    * one key column (or a cross product past the cap) the scan stays
+    * as planned — runtime pruning is a pure optimization; Spark still
+    * evaluates the join itself. */
+  override def filterAttributes(): Array[
+      org.apache.spark.sql.connector.expressions.NamedReference] = Array(
+    org.apache.spark.sql.connector.expressions.Expressions.column("chromosome"),
+    org.apache.spark.sql.connector.expressions.Expressions.column("position"))
+  override def filter(filters: Array[Filter]): Unit = {
+    def strs(vs: Array[Any]) = vs.toSeq.collect { case s: String => s }
+    def lngs(vs: Array[Any]) = vs.toSeq.collect {
+      case n: java.lang.Number => n.longValue() }
+    val cs = filters.collectFirst {
+      case In("chromosome", vs) => strs(vs)
+      case EqualTo("chromosome", c: String) => Seq(c) }
+    val ps = filters.collectFirst {
+      case In("position", vs) => lngs(vs)
+      case EqualTo("position", p: java.lang.Number) => Seq(p.longValue()) }
+    for (c <- cs; p <- ps
+         if c.nonEmpty && p.nonEmpty &&
+           c.size.toLong * p.size <= FreqStoreScan.MaxRuntimePoints) {
+      val bks = (for (cc <- c; pp <- p)
+        yield FreqStore.pointBucket(cc, pp, nBkts)).toSet
+      liveBuckets = perBucket.filter { case (k, _) => bks.contains(k) }
+      FreqStoreDataSource.lastRuntimeBuckets = Some(liveBuckets.keySet)
+    }
+  }
   /** Planned component bytes as the size estimate — lets Catalyst
     * broadcast a small (or bucket-pruned) serving table in SQL joins,
     * the annotate-against-the-store shape. A denom-pruned projection
@@ -199,7 +242,7 @@ class FreqStoreScan(perBucket: Map[Int, (Seq[String], Seq[String])],
   }
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    perBucket.toSeq.sortBy(_._1).map { case (k, (nf, df)) =>
+    liveBuckets.toSeq.sortBy(_._1).map { case (k, (nf, df)) =>
       FreqStorePartition(k, nf,
         if (needsDenom) df else Nil // pruned projection → no denom read
       ): InputPartition
@@ -209,6 +252,13 @@ class FreqStoreScan(perBucket: Map[Int, (Seq[String], Seq[String])],
   override def description(): String =
     s"FreqStoreScan(buckets=${perBucket.keySet.toSeq.sorted.mkString(",")}, " +
       s"columns=${required.fieldNames.mkString(",")})"
+}
+
+object FreqStoreScan {
+  /** Cap on the runtime cross-product |chromosomes| × |positions|:
+    * past it, enumerating buckets costs more than it saves and the
+    * scan just runs as planned. */
+  private[graft] val MaxRuntimePoints = 1L << 16
 }
 
 class FreqStoreReaderFactory(hadoopConf: Map[String, String],

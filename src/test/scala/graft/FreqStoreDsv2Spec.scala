@@ -4,6 +4,7 @@ import java.nio.file.{Files, Paths}
 
 import graft.varda.{FreqStore, VardaOps}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.when
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The DataSource V2 serving surface: `spark.read.format("freqstore")`
@@ -144,6 +145,45 @@ class FreqStoreDsv2Spec extends AnyFunSuite {
     new java.io.File(s"$dir/_commits/gen-0").delete()
     assert(spark.read.format("freqstore").load(dir).count() == 0,
       "an unblessed generation leaked into the SQL read")
+  }
+
+  test("a SQL join against the store runtime-prunes the scan to the probed buckets") {
+    val (store, dir) = builtStore()
+    graft.sources.FreqStoreDataSource.lastRuntimeBuckets = None
+    val freq = spark.read.format("freqstore").load(dir)
+    // the idiomatic serving join: a small probe/annotation frame joined
+    // on the point key. The `tag` filter is the selective predicate
+    // dynamic pruning requires on the filtering side; the store side
+    // broadcasts the probes' key values into Scan.filter() at runtime.
+    // range-derived (NOT a Seq.toDF LocalRelation: the optimizer folds
+    // a filter into a LocalRelation, and dynamic pruning requires a
+    // surviving selective predicate on the filtering side)
+    val probes = spark.range(0, 3).select(
+        when($"id" === 2, "9").otherwise("1").as("chromosome"),
+        when($"id" === 0, 5000L).when($"id" === 1, 4999L).otherwise(123L)
+          .as("position"),
+        when($"id" === 2, "decoy").otherwise("probe").as("tag"))
+      .filter($"tag" === "probe")
+    // broadcast() pins the PROBE side as the build side — the at-scale
+    // shape (a 100-TB store never broadcasts; at fixture scale Spark
+    // would otherwise broadcast the store and prune nothing)
+    val joined = org.apache.spark.sql.functions.broadcast(probes)
+      .join(freq, Seq("chromosome", "position"))
+    val got = joined.select("chromosome", "position", "numer", "denom")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val expected = store.serve()
+      .filter("chromosome = '1' AND position IN (5000, 4999)")
+      .select("chromosome", "position", "numer", "denom")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == expected, "runtime-pruned join diverged from serve()")
+    // both probes live in cell 2 (position >> 11) → one bucket; the
+    // runtime re-prune must have fired and kept only it
+    val rb = graft.sources.FreqStoreDataSource.lastRuntimeBuckets
+    assert(rb.exists(_.size == 1),
+      s"join must runtime-prune to the probes' one bucket, got: $rb")
+    assert(rb.get == Set(FreqStore.pointBucket("1", 5000L, store.nBkts)))
   }
 
   test("the scan tracks the store through retraction and compaction") {
