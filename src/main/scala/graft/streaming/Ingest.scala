@@ -141,7 +141,8 @@ object Ingest {
       storeDir: String, checkpointDir: String,
       maxFilesPerTrigger: Option[Int] = None,
       compactEvery: Option[Int] = None,
-      splitThreshold: Option[Long] = None): StreamingQuery = {
+      splitThreshold: Option[Long] = None,
+      retainGens: Int = 2): StreamingQuery = {
     val reader = spark.readStream
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     reader.text(srcDir)
@@ -159,9 +160,14 @@ object Ingest {
         // splitThreshold lets the cadence compaction also RE-BUCKET the
         // store (double the modulus) once any bucket outgrows the
         // threshold — the growth path a long-lived deployment needs
+        // retainGens > 0 (default 2) carries the cross-process grace
+        // through the STREAMED cadence too: an API server in another
+        // process holding a frame planned before this sweep still
+        // finds every file it listed; later sweeps age the grace out
+        // (round-10 added the policy, round-11 wires it here)
         compactEvery.foreach(n =>
           if (batchId > 0 && batchId % n == 0)
-            store.compact(before = 2 * batchId, splitThreshold))
+            store.compact(before = 2 * batchId, splitThreshold, retainGens))
         // a replayed wave rewrites BOTH its generations; withdraw the
         // dependent retraction marker (2b+1) before refolding 2b so no
         // reader window pairs 2b+1's folds with pre-2b bucket content

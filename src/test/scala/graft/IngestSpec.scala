@@ -309,9 +309,12 @@ class IngestSpec extends AnyFunSuite {
       Files.write(Paths.get(s"$src/$name"), String.join("\n", rows: _*).getBytes)
     // splitThreshold=1 byte: every cadence snapshot also doubles the
     // bucket modulus — the in-loop re-bucketing path must leave served
-    // state exact through repeated splits
+    // state exact through repeated splits. retainGens=0 (no grace):
+    // this test pins the tightest generation BOUND; the default grace
+    // is exercised by the in-loop grace test below
     def run() = Ingest.startFreqStateMaintenance(spark, src, store, ckpt,
-      compactEvery = Some(1), splitThreshold = Some(1L)).awaitTermination()
+      compactEvery = Some(1), splitThreshold = Some(1L), retainGens = 0)
+      .awaitTermination()
 
     put("a.obs", Seq("1;1;5000;A;C;3;1"))
     put("a.bed", Seq("10;1;4000;6000;1;2"))
@@ -350,6 +353,41 @@ class IngestSpec extends AnyFunSuite {
         ((r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
     assert(key(Ingest.readFreqStore(spark, store)) ==
       key(graft.varda.VardaOps.frequencyFrom(obs, cov, smp, withZyg = false)))
+  }
+
+  test("in-loop compaction default grace: a frame planned before the sweep still executes") {
+    import spark.implicits._
+    val base = Files.createTempDirectory(Paths.get("/root/repo/target"), "inggrace")
+    val (src, store, ckpt) = (s"$base/src", s"$base/store", s"$base/ckpt")
+    Files.createDirectories(Paths.get(src))
+    def put(name: String, rows: Seq[String]): Unit =
+      Files.write(Paths.get(s"$src/$name"), String.join("\n", rows: _*).getBytes)
+    // the DEFAULT retainGens: the streamed cadence must carry the
+    // cross-process grace without the caller asking for it
+    def run() = Ingest.startFreqStateMaintenance(spark, src, store, ckpt,
+      compactEvery = Some(1)).awaitTermination()
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3)) ->
+        ((r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+
+    put("a.obs", Seq("1;1;5000;A;C;3;1"))
+    put("a.bed", Seq("10;1;4000;6000;1;2"))
+    put("a.smp", Seq("1;2;true", "2;7;false"))
+    run()
+    put("b.obs", Seq("2;2;700;G;T;1;1"))
+    run()
+    // another process's API server: its frame pins the CURRENT file
+    // listing at plan time and is not executed until after the next
+    // cadence sweep supersedes those generations
+    val planned = Ingest.readFreqStore(spark, store)
+    val expected = key(Ingest.readFreqStore(spark, store))
+    put("c.obs", Seq("3;2;700;G;T;2;1"))
+    run() // batch 2 compacts before=4 — everything `planned` listed
+    assert(key(planned) == expected,
+      "a pre-sweep frame must survive the in-loop compaction's delete phase")
+    // and the store itself moved on: the new import is served
+    val now = key(Ingest.readFreqStore(spark, store))
+    assert(now(("2", 700L, "G", "T"))._1 == 3L)
   }
 
   test("streaming frequency maintenance folds each micro-batch into the store") {
