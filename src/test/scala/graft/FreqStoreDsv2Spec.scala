@@ -186,6 +186,76 @@ class FreqStoreDsv2Spec extends AnyFunSuite {
     assert(rb.get == Set(FreqStore.pointBucket("1", 5000L, store.nBkts)))
   }
 
+  test("the annotation lifecycle runs through the public SQL surface end to end") {
+    import org.apache.spark.sql.functions.col
+    // the reference's write_annotation flow [U varda/tasks.py]: an input
+    // variant list annotated with (a) the full-universe frequency and
+    // (b) a sample-query-restricted frequency — here composed ENTIRELY
+    // from public SQL views: the DSv2 store read, an ExprLang-compiled
+    // filtered lookup registered as a view, and one LEFT JOIN.
+    val dir = tmpDir("fqs_sqlstory")
+    val store = new FreqStore(spark, dir, nBuckets = 4)
+    val obs = Seq(
+      ("1", 5000L, "A", "C", 3, 1L), ("1", 5000L, "A", "C", 2, 2L),
+      ("7", 91000L, "T", "G", 4, 1L))
+      .toDF("chromosome", "position", "reference", "observed", "support",
+        "sample_id")
+    val cov = Seq(
+      (10L, "1", 4000L, 6000L, 1L, 2), (11L, "7", 90000L, 95000L, 1L, 2),
+      (12L, "1", 4500L, 5500L, 2L, 5))
+      .toDF("region_id", "chromosome", "begin_pos", "end_pos",
+        "sample_id", "pool_size")
+    val smp = Seq((1L, 2, true), (2L, 5, true), (3L, 7, false))
+      .toDF("sample_id", "pool_size", "has_coverage")
+    store.commit(0, obs, cov, smp)
+
+    val input = Seq(("1", 5000L, "A", "C"), ("1", 4999L, "A", "C"),
+        ("7", 91000L, "T", "G"))
+      .toDF("chromosome", "position", "reference", "observed")
+    input.createOrReplaceTempView("annot_input")
+    spark.read.format("freqstore").load(dir).createOrReplaceTempView("freq_all")
+    // the sample query, compiled by ExprLang and served from the store
+    // at the input's points (probe-sized, bucket-pruned)
+    val tags = Map("s1" -> (col("sample_id") === 1L))
+    val pts = input.select("chromosome", "position").distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    store.lookupPointsFiltered(pts,
+        graft.varda.ExprLang.parse("NOT s1", tags))
+      .createOrReplaceTempView("freq_not_s1")
+
+    val got = spark.sql(
+      """SELECT i.chromosome, i.position, i.reference, i.observed,
+                coalesce(a.freq_ppm, 0) AS vf,
+                coalesce(e.freq_ppm, 0) AS vf_not_s1
+           FROM annot_input i
+           LEFT JOIN freq_all a
+             USING (chromosome, position, reference, observed)
+           LEFT JOIN freq_not_s1 e
+             USING (chromosome, position, reference, observed)""")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getLong(4), r.getLong(5))).toSet
+
+    // expected: the one-shot frequency over everything / over NOT s1,
+    // left-joined to the input with null → 0 (the annotate convention)
+    def ppmOf(df: DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3))
+        -> (if (r.isNullAt(6)) 0L else r.getLong(6))).toMap
+    val all = ppmOf(VardaOps.frequencyFrom(obs, cov, smp, withZyg = false))
+    val notS1 = ppmOf(VardaOps.frequencyFrom(
+      obs.filter("sample_id <> 1"), cov.filter("sample_id <> 1"),
+      smp.filter("sample_id <> 1"), withZyg = false))
+    val expected = input.collect().map { r =>
+      val k = (r.getString(0), r.getLong(1), r.getString(2), r.getString(3))
+      (k._1, k._2, k._3, k._4,
+        all.getOrElse(k, 0L), notS1.getOrElse(k, 0L))
+    }.toSet
+    assert(got == expected, "SQL-composed annotation diverged from the one-shot")
+    // the unknown input point annotates 0/0, and the sample query
+    // actually bit: the two columns differ at the shared point
+    assert(got.exists(t => t._2 == 4999L && t._5 == 0L && t._6 == 0L))
+    assert(got.exists(t => t._2 == 5000L && t._5 != t._6))
+  }
+
   test("the scan tracks the store through retraction and compaction") {
     val (store, dir) = builtStore()
     store.retractSamples(2, Seq((2L, 5, true))
