@@ -107,33 +107,44 @@ object VardaOps {
     val numer = obsDf.groupBy("chromosome", "position", "reference", "observed")
       .agg(baseAgg, zygAggs: _*)
     val pts = obsDf.select("chromosome", "position").distinct()
-    val denom = denomFor(pts, covDf, smpDf)
+    // denominator = covered mass (pair-free endpoint sweep, round-11 —
+    // the [[denomFor]] containment join densifies quadratically on the
+    // fixture at sf1 and stalls the one-shot there) + the broadcast
+    // coverage-less pool. A point row goes NULL (not 0) exactly when
+    // it has no covering sample AND no coverage-less samples exist —
+    // the same rows [[denomFor]]'s join form produced.
+    val uncovPool = smpDf.filter(!col("has_coverage"))
+      .agg(coalesce(sum(col("pool_size")), lit(0)).cast(LongType).as("uncov_pool"))
     def ppm(n: String, out: String) =
       expr(s"cast(($n * 1000000) div nullif(denom, 0) as bigint)").as(out)
     val outCols = Seq(col("chromosome"), col("position"), col("reference"),
       col("observed"), col("numer"), col("denom"), ppm("numer", "freq_ppm")) ++
       (if (withZyg) Seq(ppm("numer_het", "freq_het_ppm"), ppm("numer_hom", "freq_hom_ppm"))
        else Nil)
-    numer.join(denom, Seq("chromosome", "position"), "left")
+    // the variant frame itself carries every point, so the sweep's
+    // per-point mass joins straight onto it — no intermediate
+    // point-keyed denom frame
+    numer
+      .join(denomCovBySweep(pts, covDf), Seq("chromosome", "position"), "left")
+      .crossJoin(broadcast(uncovPool))
+      .withColumn("denom",
+        when(col("denom_cov").isNotNull || col("uncov_pool") =!= 0,
+          coalesce(col("denom_cov"), lit(0L)) + col("uncov_pool") * ploidy)
+          .cast(LongType))
       .select(outCols: _*)
   }
 
-  /** Denominator per point: Σ over covering samples of pool_size ×
-    * ploidy(chromosome), where covering = a coverage region contains the
-    * position (counted once) or the sample has no coverage profile
-    * (dimension-sized broadcast). Shared by the one-shot frequency and the
-    * incremental store's serving step.
+  /** Denominator per point, PAIR-ENUMERATED: Σ over covering samples of
+    * pool_size × ploidy(chromosome), where covering = a coverage region
+    * contains the position (distinct-pair dedup = counted once) or the
+    * sample has no coverage profile (dimension-sized broadcast).
     *
-    * Scale note (round-10): the pair enumeration here is bounded by
-    * coverage depth × points — fine at genomic density, quadratic on a
-    * fixture whose position space densifies with sf. When only the SUM
-    * is needed and per-sample regions are pre-merged to disjoint, the
-    * pair-free interval-stabbing form applies (±pool·ploidy endpoint
-    * deltas through a grouped running sum — the [[coverageAggBySweep]]
-    * pattern, O(points + regions) at any density). Kept in the join
-    * form here because the distinct-pair step IS the "sample covers a
-    * point once" semantics over UNMERGED regions, and every consumer's
-    * fixture load is pair-bounded. */
+    * Since round-11 this is the GROUND-TRUTH form, not a production
+    * plan: the pair volume is coverage depth × points (quadratic on a
+    * fixture whose position space densifies with sf — it stalled the
+    * sf1 one-shot), so [[frequencyFrom]] computes the same sum with
+    * the pair-free [[denomCovBySweep]] + broadcast pool instead.
+    * RetractSweepSpec pins the two row-identical. */
   private[graft] def denomFor(pts: DataFrame, covDf: DataFrame,
       smpDf: DataFrame): DataFrame = {
     val covSmp = bucketedContainment(pts, covDf)
@@ -217,12 +228,26 @@ object VardaOps {
     * caller's separate broadcast scalar (the [[serveFrom]] shape). */
   private[graft] def sweepMassMerged(pts: DataFrame,
       merged: DataFrame): DataFrame = {
-    val ev = merged.select(col("chromosome"), col("begin_pos").as("coord"),
-        lit(0).as("kind"), col("pool_size").cast(LongType).as("dp"))
-      .unionByName(merged.select(col("chromosome"),
-        (col("end_pos") + 1).as("coord"), lit(0).as("kind"),
+    // checkpoint the merged intervals: the chunked running sum below
+    // runs a chunk-statistics pre-job, which would otherwise recompute
+    // the interval-merge windows once per job instead of reading the
+    // materialized blocks
+    val m = merged.localCheckpoint(eager = false)
+    // ±pool deltas COLLAPSED per coordinate before the sweep: on a
+    // dense fixture many intervals share endpoints, so one map-side-
+    // combinable aggregate shrinks the sweep's input to the distinct
+    // coordinates (a no-op-sized exchange when endpoints are sparse)
+    val deltas = m.select(col("chromosome"), col("begin_pos").as("coord"),
+        col("pool_size").cast(LongType).as("dp"))
+      .unionByName(m.select(col("chromosome"),
+        (col("end_pos") + 1).as("coord"),
         (-col("pool_size")).cast(LongType).as("dp")))
-      .unionByName(pts.select(col("chromosome"), col("position").as("coord"),
+      .groupBy("chromosome", "coord")
+      .agg(sum(col("dp")).as("dp"))
+      .filter(col("dp") =!= 0)
+      .select(col("chromosome"), col("coord"), lit(0).as("kind"), col("dp"))
+    val ev = deltas.unionByName(
+      pts.select(col("chromosome"), col("position").as("coord"),
         lit(1).as("kind"), lit(0L).as("dp")))
     // grouped running sum per chromosome (chunked two-pass — never a
     // single-partition window), read off at the probe events
