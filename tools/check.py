@@ -71,15 +71,27 @@ def frame_rows(df):
 
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i:i + 2]
+    sf_dir, out_dir = args[0], args[1]
+    only = set(args[2:])
     con = duckdb.connect()
+    import os
     for t in TABLES:
+        # driver testdata ships single files; GenScale corpora are
+        # Spark-written directories of part files
+        p = f"{sf_dir}/{t}.parquet"
+        pat = f"{p}/*.parquet" if os.path.isdir(p) else p
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     failures = []
+    results = {}
     for name in sorted(oracle):
         if only and name not in only:
             continue
@@ -89,6 +101,7 @@ def main():
             print(f"FAIL {name}: no spark output")
             n_fail += 1
             failures.append(name)
+            results[name] = {"pass": False, "err": "no spark output"}
             continue
         try:
             got_df = pd.concat([pd.read_parquet(f) for f in files],
@@ -98,11 +111,13 @@ def main():
             print(f"FAIL {name}: read: {type(e).__name__}: {e}")
             n_fail += 1
             failures.append(name)
+            results[name] = {"pass": False, "err": f"read: {e}"}
             continue
         if sorted(got_df.columns) != sorted(exp_df.columns):
             print(f"FAIL {name}: columns spark={sorted(got_df.columns)} oracle={sorted(exp_df.columns)}")
             n_fail += 1
             failures.append(name)
+            results[name] = {"pass": False, "err": "schema mismatch"}
             continue
         try:
             grows = frame_rows(got_df)
@@ -111,13 +126,17 @@ def main():
             print(f"FAIL {name}: sort/compare: {type(e).__name__}: {e}")
             n_fail += 1
             failures.append(name)
+            results[name] = {"pass": False, "err": f"sort/compare: {e}"}
             continue
         if grows == erows:
             print(f"PASS {name} ({len(grows)} rows)")
             n_pass += 1
+            results[name] = {"pass": True, "rows": len(grows)}
         else:
             n_fail += 1
             failures.append(name)
+            results[name] = {"pass": False, "err": "mismatch",
+                             "spark_rows": len(grows), "oracle_rows": len(erows)}
             if len(grows) != len(erows):
                 print(f"FAIL {name}: rowcount spark={len(grows)} oracle={len(erows)}")
             else:
@@ -126,6 +145,9 @@ def main():
                         print(f"FAIL {name}: first diff at row {i} (cols {sorted(got_df.columns)}):\n  spark : {g}\n  oracle: {e}")
                         break
     print(f"== {n_pass} pass, {n_fail} fail" + (f": {' '.join(failures)}" if failures else ""))
+    if json_out:
+        json.dump({"sf_dir": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
+                   "keys": results}, open(json_out, "w"), indent=1)
     sys.exit(1 if n_fail else 0)
 
 
