@@ -70,6 +70,21 @@ def frame_rows(df):
     return [tuple(cell(v) for v in row) for row in df.itertuples(index=False, name=None)]
 
 
+CONTAINMENT_PAT = __import__("re").compile(
+    r"cov_smp AS \(SELECT DISTINCT p\.chromosome, p\.position,\s*"
+    r"c\.sample_id, c\.pool_size\s*"
+    r"FROM pts p JOIN cov_f c ON p\.chromosome = c\.chromosome\s*"
+    r"AND p\.position BETWEEN c\.begin_pos AND c\.end_pos\)")
+CONTAINMENT_BINNED = (
+    "cov_smp AS (SELECT DISTINCT p.chromosome, p.position, "
+    "c.sample_id, c.pool_size "
+    "FROM pts p JOIN (SELECT c2.*, "
+    "unnest(range(c2.begin_pos // 2048, c2.end_pos // 2048 + 1)) AS bkt "
+    "FROM cov_f c2) c "
+    "ON p.chromosome = c.chromosome AND (p.position // 2048) = c.bkt "
+    "AND p.position BETWEEN c.begin_pos AND c.end_pos)")
+
+
 def main():
     args = sys.argv[1:]
     json_out = None
@@ -77,6 +92,15 @@ def main():
         i = args.index("--json")
         json_out = args[i + 1]
         del args[i:i + 2]
+    # --binned-containment: rewrite the oracle's naive point-in-interval
+    # join to the 2^11-bucket equi-join + residual BETWEEN (the same
+    # PropertySpec-pinned acceleration the engine uses; row-identical by
+    # construction, asserted at sf0.01).  DuckDB's plain plan hash-joins
+    # on the 22-value chromosome key and filter-scans ~1e10 pairs at
+    # sf1; the binned form makes the corpus-scale oracle sweep feasible.
+    binned = "--binned-containment" in args
+    if binned:
+        args.remove("--binned-containment")
     sf_dir, out_dir = args[0], args[1]
     only = set(args[2:])
     con = duckdb.connect()
@@ -96,6 +120,8 @@ def main():
         if only and name not in only:
             continue
         sql = oracle[name]
+        if binned:
+            sql = CONTAINMENT_PAT.sub(CONTAINMENT_BINNED, sql)
         files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
         if not files:
             print(f"FAIL {name}: no spark output")
