@@ -229,8 +229,17 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     val manifestF = inPool("freq-manifest") { () =>
       obsB0
         .select(pointBkt(n).cast(LongType).as("bkt"), lit(0).as("kind"))
-        .unionByName(covB.select(explode(cellSeq).as("cell"), col("chromosome"))
-          .select(bktOf(col("chromosome"), col("cell"), n).cast(LongType).as("bkt"),
+        // coverage rows carry (sample_id, bucket) PACKED into the long
+        // (buckets < 2^16 = MaxBuckets by construction; sample ids are
+        // the store's non-negative natural keys) — one row per distinct
+        // pair, bounded at batch-samples × nBuckets. The commit decodes
+        // BOTH the touched-bucket set (mod) and the covidx registry
+        // rows (div) from them, so the registry write costs no job of
+        // its own (round-11).
+        .unionByName(covB.select(explode(cellSeq).as("cell"),
+            col("chromosome"), col("sample_id"))
+          .select((col("sample_id").cast(LongType) * MaxBuckets +
+              bktOf(col("chromosome"), col("cell"), n)).as("bkt"),
             lit(1).as("kind")))
         .distinct()
         // the pool delta rides the manifest's LONG column — an Int would
@@ -272,7 +281,10 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     val manifest = scala.concurrent.Await.result(
       manifestF, scala.concurrent.duration.Duration.Inf)
     val oBkts = manifest.filter(_.getInt(1) == 0).map(_.getLong(0).toInt).toSet
-    val cBkts = manifest.filter(_.getInt(1) == 1).map(_.getLong(0).toInt).toSet
+    // kind-1 rows pack (sample_id, bucket); mod recovers the touched
+    // coverage buckets, div the per-sample covidx registry rows
+    val covPairs = manifest.filter(_.getInt(1) == 1).map(_.getLong(0))
+    val cBkts = covPairs.map(v => (v % MaxBuckets).toInt).toSet
     val uncovDelta = manifest.filter(_.getInt(1) == 2).map(_.getLong(0)).sum
 
     // Everything below is LAZY (round-10): the component frames'
@@ -360,12 +372,15 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     // this batch's coverage, per sample — the O(samples × nBuckets)
     // side index that lets [[retract]] prune its cover read to the
     // retracted samples' buckets instead of scanning the whole store.
-    // Derived from covF (NOT smpB-joined): coverage can arrive in a
-    // batch that registers no samples, and an unrecorded bucket would
-    // silently break the pruned retraction's superset contract.
-    def covidxNew = covF.select(col("sample_id"),
-      bktOf(col("chromosome"), col("cell"), n).cast(IntegerType).as("bkt_id"))
-      .distinct()
+    // Decoded from the manifest's packed kind-1 rows (NOT a covF job,
+    // and NOT smpB-joined: coverage can arrive in a batch that
+    // registers no samples, and an unrecorded bucket would silently
+    // break the pruned retraction's superset contract).
+    def covidxNew = {
+      import spark.implicits._
+      covPairs.toSeq.map(v => (v / MaxBuckets, (v % MaxBuckets).toInt))
+        .toDF("sample_id", "bkt_id")
+    }
 
     // a replay rewrites an already-committed generation: withdraw its
     // marker BEFORE touching its data, so a crash mid-rewrite leaves an
