@@ -106,11 +106,13 @@ import org.apache.spark.sql.types._
   * negative folds (the coverage-less pool subtracts the REGISTRY net,
   * never the caller's claimed pool), and appends NEGATED tombstone rows
   * — so a repeated retraction nets to zero everywhere and a re-import
-  * restores cleanly. Compaction collapses tombstones away. The tiny
-  * covidx registry (sample_id → cover bucket id, round-11) records
-  * which buckets each sample's coverage landed in — appended per
-  * commit as a superset hint, rewritten exactly at compaction — so
-  * retraction reads only those buckets, never the full cover store.
+  * restores cleanly. Compaction collapses tombstones away. Two tiny
+  * sample→bucket registries (round-11) keep retraction reads pruned:
+  * covidx (cover buckets) and obsidx (obslog point buckets), each
+  * appended per commit as rows decoded from the manifest collect (no
+  * extra job) and rewritten exactly at compaction — so deactivation
+  * reads only the retracted samples' buckets of the store's two
+  * largest components, never their full history.
   *
   * **Commits are O(batch), not O(store)**: a generation directory holds
   * only the buckets the batch touched — merged bucket content for the
@@ -228,7 +230,15 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     // under the materialization instead of preceding it.
     val manifestF = inPool("freq-manifest") { () =>
       obsB0
-        .select(pointBkt(n).cast(LongType).as("bkt"), lit(0).as("kind"))
+        // like the coverage branch below, the observation rows pack a
+        // sample tag next to their bucket: (sample_id + 1) for tagged
+        // rows, 0 for untagged — mod recovers the touched numerator
+        // buckets, div-minus-one the obsidx registry rows (untagged
+        // observations register no obsidx row; they can never be
+        // retracted by sample, so the pruned retraction read need not
+        // find them)
+        .select(((coalesce(sid + 1L, lit(0L))) * MaxBuckets +
+            pointBkt(n)).cast(LongType).as("bkt"), lit(0).as("kind"))
         // coverage rows carry (sample_id, bucket) PACKED into the long
         // (buckets < 2^16 = MaxBuckets by construction; sample ids are
         // the store's non-negative natural keys) — one row per distinct
@@ -280,9 +290,10 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
         "do not compact between the two phases")
     val manifest = scala.concurrent.Await.result(
       manifestF, scala.concurrent.duration.Duration.Inf)
-    val oBkts = manifest.filter(_.getInt(1) == 0).map(_.getLong(0).toInt).toSet
-    // kind-1 rows pack (sample_id, bucket); mod recovers the touched
-    // coverage buckets, div the per-sample covidx registry rows
+    // kind-0/1 rows pack (sample tag, bucket); mod recovers the touched
+    // bucket sets, div the per-sample obsidx/covidx registry rows
+    val obsPairs = manifest.filter(_.getInt(1) == 0).map(_.getLong(0))
+    val oBkts = obsPairs.map(v => (v % MaxBuckets).toInt).toSet
     val covPairs = manifest.filter(_.getInt(1) == 1).map(_.getLong(0))
     val cBkts = covPairs.map(v => (v % MaxBuckets).toInt).toSet
     val uncovDelta = manifest.filter(_.getInt(1) == 2).map(_.getLong(0)).sum
@@ -381,6 +392,16 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
       covPairs.toSeq.map(v => (v / MaxBuckets, (v % MaxBuckets).toInt))
         .toDF("sample_id", "bkt_id")
     }
+    // sample → obslog-bucket registry, the covidx twin for the
+    // NUMERATOR side: lets [[retractSamples]] prune its obslog read to
+    // the retracted samples' buckets (effective once compaction has
+    // bucketed the obslog; per-commit unbucketed deltas read whole)
+    def obsidxNew = {
+      import spark.implicits._
+      obsPairs.toSeq.filter(_ / MaxBuckets > 0)
+        .map(v => (v / MaxBuckets - 1, (v % MaxBuckets).toInt))
+        .toDF("sample_id", "bkt_id")
+    }
 
     // a replay rewrites an already-committed generation: withdraw its
     // marker BEFORE touching its data, so a crash mid-rewrite leaves an
@@ -394,7 +415,8 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
       ("obslog", () => obslogNew, false),
       ("cover", () => coverNew, true),
       ("smpreg", () => smpregNew, false),
-      ("covidx", () => covidxNew, false)),
+      ("covidx", () => covidxNew, false),
+      ("obsidx", () => obsidxNew, false)),
       Map("numer" -> oBkts, "denom" -> (oBkts ++ cBkts), "cover" -> cBkts))
     awaitAll(Seq(matF)) // a no-op by now; don't leak the thread past commit
     markCommitted(batchId, 0, n, uncovPool(batchId) + uncovDelta)
@@ -466,9 +488,13 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
       .filter(col("pool_size") =!= 0)
       .localCheckpoint(eager = false)
     // the one manifest job: touched buckets + the retracted coverage-less
-    // pool, materializing all three checkpoints as a side effect
-    val manifest = obsN.select("chromosome", "position").distinct()
-      .select(pointBkt(n).cast(LongType).as("bkt"), lit(0).as("kind"))
+    // pool, materializing all three checkpoints as a side effect. The
+    // kind-0 rows pack (sample_id + 1, bucket) like commit's, so the
+    // tombstones' buckets register in obsidx — a hand-built retract()
+    // carrying points no commit registered stays retractable again later
+    val manifest = obsN.select("chromosome", "position", "sample_id").distinct()
+      .select(((coalesce(col("sample_id") + 1L, lit(0L))) * MaxBuckets +
+          pointBkt(n)).cast(LongType).as("bkt"), lit(0).as("kind"))
       .unionByName(fragsGone.select(
         bktOf(col("chromosome"), col("cell"), n).cast(LongType).as("bkt"),
         lit(1).as("kind")))
@@ -477,7 +503,8 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
         .agg(coalesce(sum(col("pool_size")), lit(0)).cast(LongType).as("bkt"),
           lit(2).as("kind")))
       .collect()
-    val oBkts = manifest.filter(_.getInt(1) == 0).map(_.getLong(0).toInt).toSet
+    val obsPairs = manifest.filter(_.getInt(1) == 0).map(_.getLong(0))
+    val oBkts = obsPairs.map(v => (v % MaxBuckets).toInt).toSet
     val cBkts = manifest.filter(_.getInt(1) == 1).map(_.getLong(0).toInt).toSet
     val uncovGone = manifest.filter(_.getInt(1) == 2).map(_.getLong(0)).sum
 
@@ -497,6 +524,12 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
       .filter(col("numer") =!= 0)
     val smpregTomb = regNet.select(col("sample_id"),
       (-col("pool_size")).cast(IntegerType).as("pool_size"), col("has_coverage"))
+    def obsidxTomb = {
+      import spark.implicits._
+      obsPairs.toSeq.filter(_ / MaxBuckets > 0)
+        .map(v => (v / MaxBuckets - 1, (v % MaxBuckets).toInt))
+        .toDF("sample_id", "bkt_id")
+    }
 
     unmark(batchId, 0) // see commit(): no blessed marker over torn files
     writeGen(genPath(batchId, 0), n, Seq(
@@ -505,7 +538,8 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
       ("obslog", () => obsN, false),
       ("cover", () => bucketize(coverNew,
         bktOf(col("chromosome"), col("cell"), n), n), true),
-      ("smpreg", () => smpregTomb, false)),
+      ("smpreg", () => smpregTomb, false),
+      ("obsidx", () => obsidxTomb, false)),
       Map("numer" -> oBkts, "denom" -> cBkts, "cover" -> cBkts))
     markCommitted(batchId, 0, n, uncovPool(batchId) - uncovGone)
   }
@@ -515,7 +549,16 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     * superset between compactions; exact after one). O(samples ×
     * nBuckets) rows scanned, one scalar collect. */
   private[graft] def covBucketsOf(batchId: Long, sids: DataFrame): Set[Int] =
-    appendRead("covidx", batchId, None)
+    idxBucketsOf("covidx", batchId, sids)
+
+  /** The obsidx twin: every obslog bucket that can hold the samples'
+    * (tagged) observation rows. */
+  private[graft] def obsBucketsOf(batchId: Long, sids: DataFrame): Set[Int] =
+    idxBucketsOf("obsidx", batchId, sids)
+
+  private def idxBucketsOf(comp: String, batchId: Long,
+      sids: DataFrame): Set[Int] =
+    appendRead(comp, batchId, None)
       .join(broadcast(sids.select("sample_id")), Seq("sample_id"), "left_semi")
       .select("bkt_id").distinct().collect().map(_.getInt(0)).toSet
 
@@ -525,7 +568,12 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     * how the streaming inbox routes a `.rm` file
     * ([[graft.streaming.Ingest.startFreqStateMaintenance]]). */
   def retractSamples(batchId: Long, smpR: DataFrame): Unit = {
-    val obsR = appendRead("obslog", batchId, None)
+    // the obsidx registry names the buckets that can hold the samples'
+    // tagged observations (untagged rows never match the semi-join, so
+    // skipping their buckets is lossless); once compaction has bucketed
+    // the obslog, the read opens only those directories
+    val obsR = appendRead("obslog", batchId,
+        Some(obsBucketsOf(batchId, smpR)))
       .join(broadcast(smpR.select("sample_id")), Seq("sample_id"), "left_semi")
       .groupBy("sample_id", "chromosome", "position", "reference", "observed")
       .agg(sum(col("support")).cast(LongType).as("support"))
@@ -628,6 +676,13 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
       .select(col("sample_id"),
         bktOf(col("chromosome"), col("cell"), newN).cast(IntegerType).as("bkt_id"))
       .distinct()
+    // exact obsidx rewrite from the (netted, bucketed) obslog snapshot:
+    // stale hints for fully-retracted samples age out, and a split
+    // re-derives bucket ids under the new modulus
+    val obsidxSnap = obslogSnap
+      .filter(col("sample_id").isNotNull)
+      .select(col("sample_id"), col("bkt").cast(IntegerType).as("bkt_id"))
+      .distinct()
     writeGen(genPath(maxGen, newV), newN, Seq(
       ("numer", () => bucketize(mergeRead("numer", before, None),
         pointBkt(newN), newN), true),
@@ -639,7 +694,8 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
       ("cover", () => bucketize(mergeRead("cover", before, None),
         bktOf(col("chromosome"), col("cell"), newN), newN), true),
       ("smpreg", () => smpregSnap, false),
-      ("covidx", () => covidxSnap, false)), Map.empty)
+      ("covidx", () => covidxSnap, false),
+      ("obsidx", () => obsidxSnap, false)), Map.empty)
     markCommitted(maxGen, newV, newN, uncovPool(before))
     // this sweep's victims — the generations the snapshot just
     // consolidated — are protected UNCONDITIONALLY under a grace
@@ -1324,5 +1380,7 @@ object FreqStore {
       StructField("sample_id", LongType), StructField("pool_size", IntegerType),
       StructField("has_coverage", BooleanType))),
     "covidx" -> StructType(Seq(
+      StructField("sample_id", LongType), StructField("bkt_id", IntegerType))),
+    "obsidx" -> StructType(Seq(
       StructField("sample_id", LongType), StructField("bkt_id", IntegerType))))
 }

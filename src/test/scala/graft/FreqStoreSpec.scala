@@ -891,6 +891,11 @@ class FreqStoreSpec extends AnyFunSuite {
     val s2 = Seq(2L).toDF("sample_id")
     assert(store.covBucketsOf(9, s1) == cellBkts(1 to 2))
     assert(store.covBucketsOf(9, s2) == cellBkts(43 to 44))
+    // ...and the obsidx twin names each sample's obslog point bucket
+    assert(store.obsBucketsOf(9, s1) ==
+      Set(FreqStore.pointBucket("1", 5000L, n)))
+    assert(store.obsBucketsOf(9, s2) ==
+      Set(FreqStore.pointBucket("1", 90000L, n)))
 
     // the retraction through the pruned cover read still converges to
     // the one-shot over the surviving sample
@@ -902,11 +907,20 @@ class FreqStoreSpec extends AnyFunSuite {
       withZyg = false))
     assert(got == exp, "pruned retraction diverged from the one-shot")
 
-    // compaction rewrites the registry EXACTLY from the consolidated
-    // cover: the retracted sample's stale hint ages out
+    // compaction rewrites the registries EXACTLY from the consolidated
+    // stores: the retracted sample's stale hints age out
     store.compact()
     assert(store.covBucketsOf(9, s1).isEmpty,
       "compaction kept the retracted sample's covidx residue")
     assert(store.covBucketsOf(9, s2) == cellBkts(43 to 44))
+    assert(store.obsBucketsOf(9, s1).isEmpty,
+      "compaction kept the retracted sample's obsidx residue")
+    assert(store.obsBucketsOf(9, s2) ==
+      Set(FreqStore.pointBucket("1", 90000L, n)))
+    // and a post-compaction retraction through the doubly-pruned reads
+    // still nets the surviving sample out to an empty store
+    store.retractSamples(2, smp.filter($"sample_id" === 2L))
+    assert(store.serve().isEmpty,
+      "post-compaction pruned retraction left residue")
   }
 }
