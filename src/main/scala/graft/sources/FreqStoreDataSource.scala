@@ -13,7 +13,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{And => FAnd, DataSourceRegister, EqualTo, Filter, In, Or => FOr}
+import org.apache.spark.sql.sources.{And => FAnd, DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Or => FOr}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -76,6 +76,10 @@ object FreqStoreDataSource {
   @volatile private[graft] var lastPlannedColumns: Seq[String] = Nil
   /** Buckets surviving the most recent RUNTIME filter() re-prune. */
   @volatile private[graft] var lastRuntimeBuckets: Option[Set[Int]] = None
+  /** The (chromosome, position-range) predicate the most recent scan
+    * pushed into its parquet reads. */
+  @volatile private[graft] var lastPlannedRange: FreqStoreScanBuilder.PushedRange =
+    FreqStoreScanBuilder.PushedRange.empty
 }
 
 class FreqStoreTable(dir: String) extends Table with SupportsRead {
@@ -91,6 +95,8 @@ class FreqStoreScanBuilder(dir: String)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
   private var probes: Option[Set[(String, Long)]] = None
+  private var range: FreqStoreScanBuilder.PushedRange =
+    FreqStoreScanBuilder.PushedRange.empty
   private var required: StructType = FreqStoreDataSource.schema
 
   /** Column pruning: a projection that touches neither `denom` nor
@@ -105,6 +111,11 @@ class FreqStoreScanBuilder(dir: String)
     * Anything else → no pruning (scan every live bucket). */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     probes = FreqStoreScanBuilder.pointSet(filters)
+    // RANGE predicates cannot prune hash buckets, but they DO push into
+    // the executor-side parquet reads (row-group statistics + record
+    // filter) — the region query's scale lever on the sorted compacted
+    // layout (see FreqStore.lookupRange)
+    range = FreqStoreScanBuilder.rangeOf(filters)
     filters // everything stays residual: pruning is a pure optimization
   }
   override def pushedFilters(): Array[Filter] = Array.empty
@@ -121,6 +132,7 @@ class FreqStoreScanBuilder(dir: String)
     }
     FreqStoreDataSource.lastPlannedBuckets = buckets
     FreqStoreDataSource.lastPlannedColumns = required.fieldNames.toSeq
+    FreqStoreDataSource.lastPlannedRange = range
     val n = store.nBkts
     val (perBucket, uncov, bytes) = store.serveFileManifest(buckets)
     // the SESSION's Hadoop view must reach the executor-side parquet
@@ -134,7 +146,7 @@ class FreqStoreScanBuilder(dir: String)
         case (k, v) if k.startsWith("spark.hadoop.") =>
           k.stripPrefix("spark.hadoop.") -> v
       }
-    new FreqStoreScan(perBucket, uncov, confMap, required, bytes, n)
+    new FreqStoreScan(perBucket, uncov, confMap, required, bytes, n, range)
   }
 }
 
@@ -173,6 +185,58 @@ object FreqStoreScanBuilder {
       .orElse(filters.toSeq.flatMap(conjuncts).iterator
         .map(pointsOf).collectFirst { case Some(s) => s })
   }
+
+  /** The (chromosome, position-range) implication of a pushed filter
+    * array, normalized to INCLUSIVE position bounds. Only top-level
+    * conjuncts contribute (each is independently implied by the whole
+    * predicate, so applying it inside the parquet reads can only remove
+    * rows Spark's residual evaluation would drop anyway — soundness by
+    * construction, whatever else the filter contains). Serializable: it
+    * rides the reader factory into the task binary and compiles to a
+    * parquet-mr `FilterPredicate` executor-side. */
+  case class PushedRange(chromosome: Option[String], posLower: Option[Long],
+      posUpper: Option[Long]) extends Serializable {
+    def isEmpty: Boolean =
+      chromosome.isEmpty && posLower.isEmpty && posUpper.isEmpty
+    /** Compile to the parquet filter (row-group statistics pruning +
+      * record-level filtering via `ParquetReader.Builder.withFilter`). */
+    def toParquetFilter: Option[org.apache.parquet.filter2.compat.FilterCompat.Filter] = {
+      import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
+      import org.apache.parquet.io.api.Binary
+      val preds: Seq[FilterPredicate] = Seq[Option[FilterPredicate]](
+        chromosome.map(c => FilterApi.eq(FilterApi.binaryColumn("chromosome"),
+          Binary.fromString(c))),
+        posLower.map(lo => FilterApi.gtEq(FilterApi.longColumn("position"),
+          java.lang.Long.valueOf(lo))),
+        posUpper.map(hi => FilterApi.ltEq(FilterApi.longColumn("position"),
+          java.lang.Long.valueOf(hi)))).flatten
+      preds.reduceOption(FilterApi.and(_, _))
+        .map(org.apache.parquet.filter2.compat.FilterCompat.get)
+    }
+  }
+  object PushedRange {
+    val empty: PushedRange = PushedRange(None, None, None)
+  }
+
+  private[graft] def rangeOf(filters: Array[Filter]): PushedRange = {
+    var chrom: Option[String] = None
+    var lo: Option[Long] = None
+    var hi: Option[Long] = None
+    def tightenLo(v: Long): Unit = lo = Some(lo.fold(v)(math.max(_, v)))
+    def tightenHi(v: Long): Unit = hi = Some(hi.fold(v)(math.min(_, v)))
+    for (f <- filters.toSeq.flatMap(conjuncts)) f match {
+      case EqualTo("chromosome", c: String) if chrom.forall(_ == c) =>
+        chrom = Some(c)
+      case EqualTo("position", v) => asLong(v).foreach { p =>
+        tightenLo(p); tightenHi(p) }
+      case GreaterThan("position", v) => asLong(v).foreach(p => tightenLo(p + 1))
+      case GreaterThanOrEqual("position", v) => asLong(v).foreach(tightenLo)
+      case LessThan("position", v) => asLong(v).foreach(p => tightenHi(p - 1))
+      case LessThanOrEqual("position", v) => asLong(v).foreach(tightenHi)
+      case _ => ()
+    }
+    PushedRange(chrom, lo, hi)
+  }
 }
 
 /** One partition per live bucket — only the bucket's file lists; the
@@ -184,7 +248,8 @@ case class FreqStorePartition(bkt: Int, numerFiles: Seq[String],
 
 class FreqStoreScan(perBucket: Map[Int, (Seq[String], Seq[String])],
     uncov: Long, hadoopConf: Map[String, String], required: StructType,
-    planBytes: (Long, Long), nBkts: Int)
+    planBytes: (Long, Long), nBkts: Int,
+    range: FreqStoreScanBuilder.PushedRange)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
   private def needsDenom =
@@ -248,7 +313,8 @@ class FreqStoreScan(perBucket: Map[Int, (Seq[String], Seq[String])],
       ): InputPartition
     }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new FreqStoreReaderFactory(hadoopConf, required.fieldNames.toSeq, uncov)
+    new FreqStoreReaderFactory(hadoopConf, required.fieldNames.toSeq, uncov,
+      range)
   override def description(): String =
     s"FreqStoreScan(buckets=${perBucket.keySet.toSeq.sorted.mkString(",")}, " +
       s"columns=${required.fieldNames.mkString(",")})"
@@ -262,10 +328,11 @@ object FreqStoreScan {
 }
 
 class FreqStoreReaderFactory(hadoopConf: Map[String, String],
-    columns: Seq[String], uncov: Long) extends PartitionReaderFactory {
+    columns: Seq[String], uncov: Long,
+    range: FreqStoreScanBuilder.PushedRange) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new FreqStorePartitionReader(p.asInstanceOf[FreqStorePartition],
-      hadoopConf, columns, uncov)
+      hadoopConf, columns, uncov, range)
 }
 
 /** Bucket-local serving join: hash the bucket's denom rows by point
@@ -274,7 +341,8 @@ class FreqStoreReaderFactory(hadoopConf: Map[String, String],
   * Both components were written under one bucket function, so this
   * partition sees every row it needs. */
 class FreqStorePartitionReader(p: FreqStorePartition,
-    hadoopConf: Map[String, String], columns: Seq[String], uncov: Long)
+    hadoopConf: Map[String, String], columns: Seq[String], uncov: Long,
+    range: FreqStoreScanBuilder.PushedRange)
     extends PartitionReader[InternalRow] {
   import org.apache.parquet.example.data.Group
 
@@ -284,11 +352,25 @@ class FreqStorePartitionReader(p: FreqStorePartition,
     c
   }
 
+  /** The pushed (chromosome, position-range) predicate compiled to a
+    * parquet filter, applied to BOTH components: row groups whose
+    * min/max statistics miss the range are skipped without reading
+    * (tight stats on the compacted sorted layout — FreqStore.compact),
+    * and surviving rows are record-filtered. Sound for the denom
+    * hash-build too: denom lookups only happen for numer rows, which
+    * pass the same predicate. */
+  private val parquetFilter = range.toParquetFilter
+
+  private def open(file: String): ParquetReader[Group] = {
+    val b = ParquetReader.builder(new GroupReadSupport(), new Path(file))
+      .withConf(conf)
+    parquetFilter.fold(b)(b.withFilter).build()
+  }
+
   private val denomByPoint: java.util.HashMap[(String, Long), Long] = {
     val m = new java.util.HashMap[(String, Long), Long]()
     p.denomFiles.foreach { file =>
-      val r = ParquetReader.builder(new GroupReadSupport(), new Path(file))
-        .withConf(conf).build()
+      val r = open(file)
       try {
         var g = r.read()
         while (g != null) {
@@ -341,8 +423,7 @@ class FreqStorePartitionReader(p: FreqStorePartition,
     while (true) {
       if (reader == null) {
         if (!fileIter.hasNext) return null
-        reader = ParquetReader.builder(new GroupReadSupport(),
-          new Path(fileIter.next())).withConf(conf).build()
+        reader = open(fileIter.next())
       }
       val g = reader.read()
       if (g != null) return g

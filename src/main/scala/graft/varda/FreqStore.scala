@@ -683,14 +683,27 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
       .filter(col("sample_id").isNotNull)
       .select(col("sample_id"), col("bkt").cast(IntegerType).as("bkt_id"))
       .distinct()
+    // point-keyed components leave compaction SORTED by (chromosome,
+    // position) within each bucket file (round-11): hash buckets cannot
+    // be directory-pruned by a RANGE predicate, but a sorted file gives
+    // every row group tight (chromosome, position) min/max stats — so a
+    // pushed range filter ([[lookupRange]], the reference's region query
+    // [U GET /variants?region=…]) skips all but the matching row groups
+    // of every bucket. A LOCAL sort only: `bkt` leads the sort key, so
+    // the write's required ordering (partitionBy bkt) is a satisfied
+    // prefix and no exchange is added — and the commit path never pays
+    // (per-commit deltas stay unsorted; they are one compaction away
+    // from the serving layout, the same contract as obslog bucketing).
+    def rangeSorted(df: DataFrame): DataFrame =
+      df.sortWithinPartitions("bkt", "chromosome", "position")
     writeGen(genPath(maxGen, newV), newN, Seq(
-      ("numer", () => bucketize(mergeRead("numer", before, None),
-        pointBkt(newN), newN), true),
-      ("denom", () => bucketize(mergeRead("denom", before, None),
-        pointBkt(newN), newN), true),
-      ("pts", () => bucketize(appendRead("pts", before, None),
-        pointBkt(newN), newN), true),
-      ("obslog", () => obslogSnap, true),
+      ("numer", () => rangeSorted(bucketize(mergeRead("numer", before, None),
+        pointBkt(newN), newN)), true),
+      ("denom", () => rangeSorted(bucketize(mergeRead("denom", before, None),
+        pointBkt(newN), newN)), true),
+      ("pts", () => rangeSorted(bucketize(appendRead("pts", before, None),
+        pointBkt(newN), newN)), true),
+      ("obslog", () => rangeSorted(obslogSnap), true),
       ("cover", () => bucketize(mergeRead("cover", before, None),
         bktOf(col("chromosome"), col("cell"), newN), newN), true),
       ("smpreg", () => smpregSnap, false),
@@ -791,6 +804,29 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     VardaOps.serveFrom(
       restrict(mergeRead("numer", upTo, Some(ks))),
       restrict(mergeRead("denom", upTo, Some(ks))),
+      uncovFrame(upTo))
+  }
+
+  /** Region-range lookup — the reference's region query [U GET
+    * /variants?region=chrom:begin-end]: serve every variant inside a
+    * genomic range from the committed store. A range cannot name its
+    * hash buckets on the driver (that is the point-lookup trick), so the
+    * scan lists every bucket — but the predicate PUSHES into the parquet
+    * reads, and [[compact]] writes the point-keyed components sorted by
+    * (chromosome, position) within each bucket file, so row-group
+    * min/max statistics reduce the actual read to the matching row
+    * groups of each bucket: O(range-rows + nBuckets footers), not
+    * O(store). Row-equal to [[serve]] filtered to the range
+    * (RangeLookupSpec pins parity, the pushed filters, and the sorted
+    * layout). */
+  def lookupRange(chromosome: String, begin: Long, end: Long): DataFrame = {
+    require(begin <= end, s"empty range [$begin, $end]")
+    val upTo = highWater
+    val pred = col("chromosome") === chromosome &&
+      col("position") >= begin && col("position") <= end
+    VardaOps.serveFrom(
+      mergeRead("numer", upTo, None).filter(pred),
+      mergeRead("denom", upTo, None).filter(pred),
       uncovFrame(upTo))
   }
 

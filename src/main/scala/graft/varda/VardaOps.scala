@@ -603,6 +603,24 @@ object VardaOps {
       .orderBy("chromosome", "position", "reference", "observed")
   }
 
+  /** The reference's REGION query [U GET /variants?region=chrom:begin-end]:
+    * serve every variant of a genomic range from the committed store
+    * through [[FreqStore.lookupRange]]. A range cannot drive driver-side
+    * bucket pruning (hash buckets), so the scale story is the LAYOUT:
+    * the serving store is compacted with its point-keyed components
+    * sorted by (chromosome, position) within each bucket file, and the
+    * pushed range predicate skips all non-matching row groups via
+    * parquet min/max statistics — O(range + footers), not O(store)
+    * (RangeLookupSpec pins parity, pushdown and sortedness). The probe
+    * range is a deterministic fixture slice (chromosome '7', positions
+    * 20000–40000 — ~1/110 of the position space), and the oracle is the
+    * one-shot frequency SQL restricted to it. */
+  val vardaFreqLookupRange: Q = (s, d) => {
+    val dir = committedFreqStore(s, d)
+    new FreqStore(s, dir).lookupRange("7", 20000L, 40000L)
+      .orderBy("chromosome", "position", "reference", "observed")
+  }
+
   /** Declared retraction query: import everything in one fold, then
     * deactivate samples 4 (covered) and 14 (coverage-less — both
     * retraction paths exercised) and serve. Must equal the one-shot
@@ -1372,6 +1390,7 @@ object VardaOps {
     "agg_freq_ratio" -> aggFreqRatio,
     "varda_freq_incremental" -> vardaFreqIncremental,
     "varda_freq_lookup" -> vardaFreqLookup,
+    "varda_freq_lookup_range" -> vardaFreqLookupRange,
     "varda_freq_lookup_expr" -> vardaFreqLookupExpr,
     "varda_freq_lookup_multi" -> vardaFreqLookupMulti,
     "varda_sample_retract" -> vardaSampleRetract,
@@ -1548,6 +1567,12 @@ object VardaOps {
           WHERE EXISTS (SELECT 1 FROM ($observations) oo
             WHERE oo.obs_id % 2999 = 1 AND oo.chromosome = q.chromosome
               AND oo.position = q.position)
+          ORDER BY q.chromosome, q.position, q.reference, q.observed""",
+    // the range-served committed store must equal the one-shot frequency
+    // computation restricted to the probe range
+    "varda_freq_lookup_range" ->
+      s"""SELECT * FROM (${frequencySql(withZyg = false, None, idivDuck)}) q
+          WHERE q.chromosome = '7' AND q.position BETWEEN 20000 AND 40000
           ORDER BY q.chromosome, q.position, q.reference, q.observed""",
     // the expression-filtered store lookup must equal the one-shot
     // frequency under the evaluated sample set, restricted to the probes

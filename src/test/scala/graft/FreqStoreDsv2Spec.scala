@@ -93,6 +93,37 @@ class FreqStoreDsv2Spec extends AnyFunSuite {
       "chromosome alone cannot name a bucket — no pruning allowed")
   }
 
+  test("a range predicate pushes into the parquet reads and stays row-correct") {
+    val (store, dir) = builtStore()
+    // compacted: the sorted-within-bucket layout the range pushdown's
+    // row-group statistics lean on (parity must hold either way — the
+    // record-level filter is exact)
+    store.compact()
+    spark.read.format("freqstore").load(dir).createOrReplaceTempView("freqr")
+    val got = spark.sql(
+      "SELECT * FROM freqr WHERE chromosome = '1' AND position BETWEEN 4000 AND 6000")
+    assert(rowSet(got) == rowSet(store.serve()
+      .filter("chromosome = '1' AND position BETWEEN 4000 AND 6000")))
+    val r = graft.sources.FreqStoreDataSource.lastPlannedRange
+    assert(r.chromosome.contains("1") && r.posLower.contains(4000L) &&
+      r.posUpper.contains(6000L), s"range not captured: $r")
+    // a range alone cannot prune buckets — the pushdown is the lever
+    assert(graft.sources.FreqStoreDataSource.lastPlannedBuckets.isEmpty)
+
+    // strict bounds normalize to inclusive ones (GT/LT → +1/-1)
+    val got2 = spark.sql(
+      "SELECT * FROM freqr WHERE chromosome = '1' AND position > 4999 AND position < 5001")
+    assert(rowSet(got2) == rowSet(store.serve()
+      .filter("chromosome = '1' AND position = 5000")))
+    val r2 = graft.sources.FreqStoreDataSource.lastPlannedRange
+    assert(r2.posLower.contains(5000L) && r2.posUpper.contains(5000L),
+      s"strict bounds not normalized: $r2")
+
+    // an out-of-range window reads empty, not wrong
+    assert(spark.sql(
+      "SELECT * FROM freqr WHERE position > 1000000").count() == 0)
+  }
+
   test("column pruning reaches the scan; a denom-free projection skips the denom side") {
     val (store, dir) = builtStore()
     val pruned = spark.read.format("freqstore").load(dir)
