@@ -80,6 +80,8 @@ object FreqStoreDataSource {
     * pushed into its parquet reads. */
   @volatile private[graft] var lastPlannedRange: FreqStoreScanBuilder.PushedRange =
     FreqStoreScanBuilder.PushedRange.empty
+  /** The per-partition row cap the most recent scan planned with. */
+  @volatile private[graft] var lastPlannedLimit: Option[Int] = None
 }
 
 class FreqStoreTable(dir: String) extends Table with SupportsRead {
@@ -93,11 +95,20 @@ class FreqStoreTable(dir: String) extends Table with SupportsRead {
 
 class FreqStoreScanBuilder(dir: String)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
   private var probes: Option[Set[(String, Long)]] = None
   private var range: FreqStoreScanBuilder.PushedRange =
     FreqStoreScanBuilder.PushedRange.empty
+  private var limit: Option[Int] = None
   private var required: StructType = FreqStoreDataSource.schema
+
+  /** LIMIT pushdown: each partition stops reading after `l` rows (a
+    * preview/limit query touches one row group per bucket instead of
+    * the whole store). Returns false — partially pushed: Spark keeps
+    * its own global limit on top, and only calls this when the limit
+    * sits directly on the scan (residual filters block it), so the
+    * per-partition cap can never starve a downstream filter. */
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); false }
 
   /** Column pruning: a projection that touches neither `denom` nor
     * `freq_ppm` lets every partition skip its denom files entirely —
@@ -133,6 +144,7 @@ class FreqStoreScanBuilder(dir: String)
     FreqStoreDataSource.lastPlannedBuckets = buckets
     FreqStoreDataSource.lastPlannedColumns = required.fieldNames.toSeq
     FreqStoreDataSource.lastPlannedRange = range
+    FreqStoreDataSource.lastPlannedLimit = limit
     val n = store.nBkts
     val (perBucket, uncov, bytes) = store.serveFileManifest(buckets)
     // the SESSION's Hadoop view must reach the executor-side parquet
@@ -146,7 +158,8 @@ class FreqStoreScanBuilder(dir: String)
         case (k, v) if k.startsWith("spark.hadoop.") =>
           k.stripPrefix("spark.hadoop.") -> v
       }
-    new FreqStoreScan(perBucket, uncov, confMap, required, bytes, n, range)
+    new FreqStoreScan(perBucket, uncov, confMap, required, bytes, n, range,
+      limit)
   }
 }
 
@@ -249,7 +262,7 @@ case class FreqStorePartition(bkt: Int, numerFiles: Seq[String],
 class FreqStoreScan(perBucket: Map[Int, (Seq[String], Seq[String])],
     uncov: Long, hadoopConf: Map[String, String], required: StructType,
     planBytes: (Long, Long), nBkts: Int,
-    range: FreqStoreScanBuilder.PushedRange)
+    range: FreqStoreScanBuilder.PushedRange, limit: Option[Int])
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
   private def needsDenom =
@@ -314,7 +327,7 @@ class FreqStoreScan(perBucket: Map[Int, (Seq[String], Seq[String])],
     }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new FreqStoreReaderFactory(hadoopConf, required.fieldNames.toSeq, uncov,
-      range)
+      range, limit)
   override def description(): String =
     s"FreqStoreScan(buckets=${perBucket.keySet.toSeq.sorted.mkString(",")}, " +
       s"columns=${required.fieldNames.mkString(",")})"
@@ -329,10 +342,11 @@ object FreqStoreScan {
 
 class FreqStoreReaderFactory(hadoopConf: Map[String, String],
     columns: Seq[String], uncov: Long,
-    range: FreqStoreScanBuilder.PushedRange) extends PartitionReaderFactory {
+    range: FreqStoreScanBuilder.PushedRange, limit: Option[Int])
+    extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new FreqStorePartitionReader(p.asInstanceOf[FreqStorePartition],
-      hadoopConf, columns, uncov, range)
+      hadoopConf, columns, uncov, range, limit)
 }
 
 /** Bucket-local serving join: hash the bucket's denom rows by point
@@ -342,7 +356,7 @@ class FreqStoreReaderFactory(hadoopConf: Map[String, String],
   * partition sees every row it needs. */
 class FreqStorePartitionReader(p: FreqStorePartition,
     hadoopConf: Map[String, String], columns: Seq[String], uncov: Long,
-    range: FreqStoreScanBuilder.PushedRange)
+    range: FreqStoreScanBuilder.PushedRange, limit: Option[Int])
     extends PartitionReader[InternalRow] {
   import org.apache.parquet.example.data.Group
 
@@ -432,13 +446,19 @@ class FreqStorePartitionReader(p: FreqStorePartition,
     null // unreachable
   }
 
+  private var emitted = 0L
+
   override def next(): Boolean = {
+    // pushed LIMIT: this partition's share is capped (Spark's own
+    // global limit still sits on top — pushLimit returned false)
+    if (limit.exists(emitted >= _)) { cur = null; return false }
     val g = nextGroup()
     if (g == null) { cur = null; return false }
     val vals = new Array[Any](extractors.length)
     var i = 0
     while (i < extractors.length) { vals(i) = extractors(i)(g); i += 1 }
     cur = new GenericInternalRow(vals)
+    emitted += 1
     true
   }
   override def get(): InternalRow = cur

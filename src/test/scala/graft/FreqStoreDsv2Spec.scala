@@ -124,6 +124,24 @@ class FreqStoreDsv2Spec extends AnyFunSuite {
       "SELECT * FROM freqr WHERE position > 1000000").count() == 0)
   }
 
+  test("LIMIT pushes a per-partition row cap into the scan") {
+    val (store, dir) = builtStore()
+    val got = spark.read.format("freqstore").load(dir).limit(2)
+    assert(got.count() == 2)
+    assert(graft.sources.FreqStoreDataSource.lastPlannedLimit.contains(2),
+      "limit not captured by the scan")
+    // rows served under the cap are real served rows
+    assert(rowSet(got).subsetOf(rowSet(store.serve())))
+    // a limit past the store size returns everything
+    val all = spark.read.format("freqstore").load(dir).limit(1000)
+    assert(rowSet(all) == rowSet(store.serve()))
+    // a limit UNDER a residual filter must not fire per-partition (the
+    // filter blocks the pushdown) — row-correctness is the assertion
+    val filtered = spark.read.format("freqstore").load(dir)
+      .filter("numer >= 2").limit(10)
+    assert(rowSet(filtered) == rowSet(store.serve().filter("numer >= 2")))
+  }
+
   test("column pruning reaches the scan; a denom-free projection skips the denom side") {
     val (store, dir) = builtStore()
     val pruned = spark.read.format("freqstore").load(dir)
