@@ -82,6 +82,8 @@ object FreqStoreDataSource {
     FreqStoreScanBuilder.PushedRange.empty
   /** The per-partition row cap the most recent scan planned with. */
   @volatile private[graft] var lastPlannedLimit: Option[Int] = None
+  /** Whether the most recent scan answered COUNT(*) from footers. */
+  @volatile private[graft] var lastPushedCountStar: Boolean = false
 }
 
 class FreqStoreTable(dir: String) extends Table with SupportsRead {
@@ -95,12 +97,36 @@ class FreqStoreTable(dir: String) extends Table with SupportsRead {
 
 class FreqStoreScanBuilder(dir: String)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
   private var probes: Option[Set[(String, Long)]] = None
   private var range: FreqStoreScanBuilder.PushedRange =
     FreqStoreScanBuilder.PushedRange.empty
   private var limit: Option[Int] = None
   private var required: StructType = FreqStoreDataSource.schema
+
+  /** COUNT(*) complete pushdown: an UNFILTERED `SELECT count(*)` (or
+    * `df.count()`) over the serving table is answered from the numer
+    * parquet FOOTERS alone — every serve() row is exactly one numer row
+    * (the denom side is a left join), so the sum of the live numer
+    * files' record counts IS the answer, and no data page is read.
+    * Spark only offers aggregate pushdown when the aggregate sits
+    * directly on the scan (a residual Filter blocks it — and every
+    * filter here stays residual), so a filtered count still computes
+    * through normal row evaluation. */
+  private var countStar = false
+  private def isBareCountStar(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions()(0)
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    isBareCountStar(agg) && probes.isEmpty && range.isEmpty && limit.isEmpty
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    countStar = supportCompletePushDown(agg)
+    countStar
+  }
 
   /** LIMIT pushdown: each partition stops reading after `l` rows (a
     * preview/limit query touches one row group per bucket instead of
@@ -145,6 +171,7 @@ class FreqStoreScanBuilder(dir: String)
     FreqStoreDataSource.lastPlannedColumns = required.fieldNames.toSeq
     FreqStoreDataSource.lastPlannedRange = range
     FreqStoreDataSource.lastPlannedLimit = limit
+    FreqStoreDataSource.lastPushedCountStar = countStar
     val n = store.nBkts
     val (perBucket, uncov, bytes) = store.serveFileManifest(buckets)
     // the SESSION's Hadoop view must reach the executor-side parquet
@@ -158,8 +185,12 @@ class FreqStoreScanBuilder(dir: String)
         case (k, v) if k.startsWith("spark.hadoop.") =>
           k.stripPrefix("spark.hadoop.") -> v
       }
-    new FreqStoreScan(perBucket, uncov, confMap, required, bytes, n, range,
-      limit)
+    if (countStar)
+      new FreqStoreCountScan(perBucket.valuesIterator.flatMap(_._1).toSeq,
+        confMap)
+    else
+      new FreqStoreScan(perBucket, uncov, confMap, required, bytes, n, range,
+        limit)
   }
 }
 
@@ -338,6 +369,54 @@ object FreqStoreScan {
     * past it, enumerating buckets costs more than it saves and the
     * scan just runs as planned. */
   private[graft] val MaxRuntimePoints = 1L << 16
+}
+
+/** The COUNT(*) scan: one partition carrying the live numer file list;
+  * its reader sums the files' footer record counts and emits the one
+  * aggregated row. O(files) footer reads, zero data pages. */
+class FreqStoreCountScan(numerFiles: Seq[String],
+    hadoopConf: Map[String, String]) extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(FreqStoreCountPartition(numerFiles))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FreqStoreCountReaderFactory(hadoopConf)
+  override def description(): String =
+    s"FreqStoreCountScan(files=${numerFiles.size})"
+}
+
+case class FreqStoreCountPartition(numerFiles: Seq[String])
+    extends InputPartition
+
+class FreqStoreCountReaderFactory(hadoopConf: Map[String, String])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val conf = {
+        val c = new Configuration()
+        hadoopConf.foreach { case (k, v) => c.set(k, v) }
+        c
+      }
+      private var emitted = false
+      private var row: InternalRow = _
+      override def next(): Boolean = {
+        if (emitted) return false
+        var total = 0L
+        for (f <- p.asInstanceOf[FreqStoreCountPartition].numerFiles) {
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new Path(f), conf))
+          try total += r.getRecordCount finally r.close()
+        }
+        row = new GenericInternalRow(Array[Any](total))
+        emitted = true
+        true
+      }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
 }
 
 class FreqStoreReaderFactory(hadoopConf: Map[String, String],

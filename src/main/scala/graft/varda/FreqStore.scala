@@ -704,8 +704,12 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
       ("pts", () => rangeSorted(bucketize(appendRead("pts", before, None),
         pointBkt(newN), newN)), true),
       ("obslog", () => rangeSorted(obslogSnap), true),
+      // cover sorts by its own point key, (chromosome, cell): the
+      // range-filtered lookup prunes its cover probe with a cell-range
+      // predicate, which row-group stats answer on this layout
       ("cover", () => bucketize(mergeRead("cover", before, None),
-        bktOf(col("chromosome"), col("cell"), newN), newN), true),
+        bktOf(col("chromosome"), col("cell"), newN), newN)
+        .sortWithinPartitions("bkt", "chromosome", "cell"), true),
       ("smpreg", () => smpregSnap, false),
       ("covidx", () => covidxSnap, false),
       ("obsidx", () => obsidxSnap, false)), Map.empty)
@@ -828,6 +832,47 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
       mergeRead("numer", upTo, None).filter(pred),
       mergeRead("denom", upTo, None).filter(pred),
       uncovFrame(upTo))
+  }
+
+  /** Range lookup under a SAMPLE SUBSET — the reference's combined
+    * flagship form [U GET /variants?region=…&sample_query=…], closing
+    * the {point, range} × {full universe, filtered} query matrix.
+    * Numerators come off the obslog with the range predicate PUSHED
+    * (the compacted obslog is bucketed AND sorted by the point key, so
+    * the scan reads only matching row groups of each bucket);
+    * denominators probe the cover fragments under a CELL-window
+    * predicate (fragments are cell-clipped, so a fragment covering a
+    * point in [begin, end] has cell in [begin>>11, end>>11] — pushed,
+    * and answered by row-group stats on the cell-sorted compacted
+    * cover); the coverage-less pool nets off the registry. Work is
+    * O(range + footers), never O(history). Row-equal to
+    * [[lookupPointsFiltered]] over the range's observed points
+    * (RangeLookupSpec). */
+  def lookupRangeFiltered(chromosome: String, begin: Long, end: Long,
+      samplePred: Column): DataFrame = {
+    require(begin <= end, s"empty range [$begin, $end]")
+    val upTo = highWater
+    val rangePred = col("chromosome") === chromosome &&
+      col("position") >= begin && col("position") <= end
+    // ONE obslog read feeds both the numerators and the probe point
+    // set (variants only exist at observed points)
+    val obsR = appendRead("obslog", upTo, None).filter(rangePred)
+    val numerF = obsR.filter(samplePred)
+      .groupBy("chromosome", "position", "reference", "observed")
+      .agg(sum(col("support")).cast(LongType).as("numer"))
+      .filter(col("numer") =!= 0)
+    val ptsF = obsR.select("chromosome", "position").distinct()
+    val coverF = mergeRead("cover", upTo, None)
+      .filter(col("chromosome") === chromosome &&
+        col("cell") >= (begin >> CellShift) && col("cell") <= (end >> CellShift))
+      .filter(samplePred)
+    val denomF = containSamples(ptsF, coverF)
+      .groupBy("chromosome", "position")
+      .agg(sum(col("pool_size") * VardaOps.ploidy).cast(LongType).as("denom_cov"))
+    val uncovF = appendRead("smpreg", upTo, None)
+      .filter(samplePred && !col("has_coverage"))
+      .agg(coalesce(sum(col("pool_size")), lit(0L)).cast(LongType).as("uncov_pool"))
+    VardaOps.serveFrom(numerF, denomF, uncovF)
   }
 
   /** Point lookup restricted to a SAMPLE SUBSET — the reference's

@@ -1085,6 +1085,20 @@ object VardaOps {
       .orderBy("chromosome", "position", "reference", "observed")
   }
 
+  /** The combined flagship form [U GET /variants?region=…&sample_query=…]:
+    * the region query under the boolean sample expression, served from
+    * the committed store ([[FreqStore.lookupRangeFiltered]] — obslog
+    * numerators with the range pushed into the sorted compacted scans,
+    * cell-window cover probe, registry-net pool). Oracle: the one-shot
+    * frequency SQL under the expression's evaluated sample set,
+    * restricted to the probe range. */
+  val vardaFreqLookupRangeExpr: Q = (s, d) => {
+    val dir = committedFreqStore(s, d)
+    new FreqStore(s, dir).lookupRangeFiltered("7", 20000L, 40000L,
+        ExprLang.parse(sampleExprInput, sampleTags))
+      .orderBy("chromosome", "position", "reference", "observed")
+  }
+
   /** Multi-expression point lookup from the COMMITTED store (round-10):
     * the [[vardaAnnotateMulti]] shape — N named sample expressions in
     * ONE pass — served from the store's retained components instead of
@@ -1391,6 +1405,7 @@ object VardaOps {
     "varda_freq_incremental" -> vardaFreqIncremental,
     "varda_freq_lookup" -> vardaFreqLookup,
     "varda_freq_lookup_range" -> vardaFreqLookupRange,
+    "varda_freq_lookup_range_expr" -> vardaFreqLookupRangeExpr,
     "varda_freq_lookup_expr" -> vardaFreqLookupExpr,
     "varda_freq_lookup_multi" -> vardaFreqLookupMulti,
     "varda_sample_retract" -> vardaSampleRetract,
@@ -1572,6 +1587,13 @@ object VardaOps {
     // computation restricted to the probe range
     "varda_freq_lookup_range" ->
       s"""SELECT * FROM (${frequencySql(withZyg = false, None, idivDuck)}) q
+          WHERE q.chromosome = '7' AND q.position BETWEEN 20000 AND 40000
+          ORDER BY q.chromosome, q.position, q.reference, q.observed""",
+    // the combined region + expression store lookup must equal the
+    // one-shot frequency under the evaluated sample set, restricted to
+    // the probe range
+    "varda_freq_lookup_range_expr" ->
+      s"""SELECT * FROM (${frequencySql(withZyg = false, Some(sampleWhere), idivDuck)}) q
           WHERE q.chromosome = '7' AND q.position BETWEEN 20000 AND 40000
           ORDER BY q.chromosome, q.position, q.reference, q.observed""",
     // the expression-filtered store lookup must equal the one-shot

@@ -142,6 +142,31 @@ class FreqStoreDsv2Spec extends AnyFunSuite {
     assert(rowSet(filtered) == rowSet(store.serve().filter("numer >= 2")))
   }
 
+  test("COUNT(*) is answered from the numer footers alone") {
+    val (store, dir) = builtStore()
+    val cnt = spark.read.format("freqstore").load(dir).count()
+    assert(cnt == store.serve().count())
+    assert(graft.sources.FreqStoreDataSource.lastPushedCountStar,
+      "bare count(*) must push to the footer scan")
+    // a FILTERED count must NOT push (the residual filter blocks the
+    // aggregate from sitting on the scan) and must stay row-correct
+    val fcnt = spark.read.format("freqstore").load(dir)
+      .filter("chromosome = '1'").count()
+    assert(fcnt == store.serve().filter("chromosome = '1'").count())
+    assert(!graft.sources.FreqStoreDataSource.lastPushedCountStar,
+      "a filtered count must not use the footer path")
+    // the pushed count tracks the store through another commit
+    store.commit(7,
+      Seq(("12", 77777L, "A", "T", 1)).toDF(
+        "chromosome", "position", "reference", "observed", "support"),
+      Seq.empty[(Long, String, Long, Long, Long, Int)].toDF(
+        "region_id", "chromosome", "begin_pos", "end_pos",
+        "sample_id", "pool_size"),
+      Seq.empty[(Long, Int, Boolean)].toDF(
+        "sample_id", "pool_size", "has_coverage"))
+    assert(spark.read.format("freqstore").load(dir).count() == cnt + 1)
+  }
+
   test("column pruning reaches the scan; a denom-free projection skips the denom side") {
     val (store, dir) = builtStore()
     val pruned = spark.read.format("freqstore").load(dir)

@@ -157,7 +157,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "sim_topk_cosine", "dedup_near_embedding", "varda_frequency",
       "agg_freq_ratio", "varda_sample_expr", "varda_annotate",
       "source_vcf_file", "varda_freq_incremental", "varda_freq_lookup",
-      "varda_freq_lookup_range",
+      "varda_freq_lookup_range", "varda_freq_lookup_range_expr",
       "varda_freq_lookup_expr", "varda_freq_lookup_multi",
       "varda_annotate_store", "varda_annotate_multi",
       "stream_late_watermark", "win_global_rank",

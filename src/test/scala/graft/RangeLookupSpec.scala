@@ -90,18 +90,46 @@ class RangeLookupSpec extends AnyFunSuite {
     // generation; every numer/denom/pts/obslog bucket file in it must be
     // internally sorted — the property that gives row groups tight
     // min/max stats
-    for (comp <- Seq("numer", "denom", "pts", "obslog")) {
+    for ((comp, key) <- Seq("numer" -> "position", "denom" -> "position",
+        "pts" -> "position", "obslog" -> "position", "cover" -> "cell")) {
       val files = Files.walk(Paths.get(dir)).toArray.map(_.toString)
         .filter(p => p.contains(s"comp=$comp/") && p.endsWith(".parquet"))
       assert(files.nonEmpty, s"no $comp files found after compaction")
       for (f <- files) {
         val rows = spark.read.parquet(f)
-          .select("chromosome", "position")
+          .select("chromosome", key)
           .collect().map(r => (r.getString(0), r.getLong(1)))
         assert(rows.sameElements(rows.sortBy(identity)),
-          s"$f is not sorted by (chromosome, position)")
+          s"$f is not sorted by (chromosome, $key)")
       }
     }
+  }
+
+  test("lookupRangeFiltered equals lookupPointsFiltered over the range's observed points") {
+    val store = buildStore(tmpDir("fqs_rangeexpr"))
+    val pred = col("sample_id") % 2 === 0
+    // ground truth: enumerate the range's observed points and serve
+    // them through the spec-pinned point-filtered path
+    val pts = store.lookupRange("7", 15000L, 30000L)
+      .select("chromosome", "position").distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(pts.nonEmpty, "vacuous fixture: no observed points in range")
+    val exp = freqKey(store.lookupPointsFiltered(pts, pred))
+    val got = freqKey(store.lookupRangeFiltered("7", 15000L, 30000L, pred))
+    assert(got == exp)
+    // the range form's obslog and cover scans carry pushed predicates
+    val scans = store.lookupRangeFiltered("7", 15000L, 30000L, pred)
+      .queryExecution.executedPlan.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.collect {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      }.flatten
+    val pushed = scans.map(_.metadata("PushedFilters"))
+    assert(pushed.exists(_.contains("GreaterThanOrEqual(position,15000)")),
+      s"obslog range not pushed: $pushed")
+    assert(pushed.exists(_.contains("GreaterThanOrEqual(cell,")),
+      s"cover cell window not pushed: $pushed")
   }
 
   test("declared key varda_freq_lookup_range matches the one-shot restricted to the range") {
