@@ -36,9 +36,10 @@ import org.apache.spark.sql.types._
   * reads it for free.
   *
   * **A commit is three levels** (round-9): one manifest `collect` over
-  * the RAW batch (O(nBuckets) scalars — the transaction-log planner
-  * computation; raw is enough because dedup and fragment-merging never
-  * change which buckets a batch touches), one job materializing every
+  * the RAW batch (O(batch-samples) rows, each a sample's touched-bucket
+  * set — the transaction-log planner computation; raw is enough because
+  * dedup and fragment-merging never change which buckets a batch
+  * touches), one job materializing every
   * lineage-truncated intermediate (batch checkpoint, fragment merge,
   * new-point anti-join, coverage subtraction), then the component
   * writes running CONCURRENTLY. A single union write job with a
@@ -156,6 +157,25 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     pmod(hash(chrom, cell), lit(n))
   private def pointBkt(n: Int): Column =
     bktOf(col("chromosome"), shiftright(col("position"), CellShift), n)
+
+  /** The manifest's (sample, bucket) registry encoding requires sane
+    * sample ids: a NULL coverage sample or any negative id would
+    * silently key the registry — and through it the cover overlay's
+    * touched-bucket set — to the WRONG bucket (round-11 ADVICE: NULL
+    * packed to NULL, `getLong` unboxed it to 0, and the true bucket's
+    * overlay was rewritten from batch fragments alone). Fail the commit
+    * loudly instead. */
+  private def guardedSid(c: Column, what: String): Column =
+    when(c.isNotNull && c >= 0, c.cast(LongType))
+      .otherwise(raise_error(concat(
+        lit(s"freqstore: $what sample_id must be non-null and >= 0 " +
+          "(it keys the manifest's sample->bucket registries); got "),
+        coalesce(c.cast(StringType), lit("NULL")))))
+  /** Observation rows may be UNTAGGED (no sample — not retractable by
+    * sample later): NULL maps to tag 0, real ids to id+1, negatives
+    * fail loudly (they would corrupt the tag's decode). */
+  private def obsTag(sid: Column): Column =
+    when(sid.isNull, lit(0L)).otherwise(guardedSid(sid, "observation") + 1L)
   /** Every 2^11 cell the [begin, end] interval touches. */
   private def cellSeq: Column = sequence(
     shiftright(col("begin_pos"), CellShift), shiftright(col("end_pos"), CellShift))
@@ -222,41 +242,36 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
 
     // the commit manifest (which buckets can this batch touch, plus the
     // batch's coverage-less pool delta): ONE driver job over the RAW
-    // batch, O(nBuckets) scalars. Raw is enough — a point set and its
-    // distinct projection hit the same buckets, and merging coverage
-    // fragments never changes which cells they touch. The collect
-    // OVERLAPS the checkpoint-materialize job (round-10): neither
-    // depends on the other, so the manifest's two stage levels hide
-    // under the materialization instead of preceding it.
+    // batch. Raw is enough — a point set and its distinct projection
+    // hit the same buckets, and merging coverage fragments never
+    // changes which cells they touch. Rows are AGGREGATED to one per
+    // (kind, sample) carrying that sample's touched-bucket SET
+    // (round-11 ADVICE: the packed-pair form collected O(batch-samples
+    // × nBuckets) rows; this collects O(batch-samples) rows, each
+    // bounded by nBuckets ints). kind 0 = observation tag (sample_id+1,
+    // 0 = untagged) → numerator buckets + obsidx; kind 1 = coverage
+    // sample → cover buckets + covidx; kind 2 rides the pool delta in
+    // the LONG key column (an Int would silently wrap on a large
+    // batch's coverage-less pool sum). The collect OVERLAPS the
+    // checkpoint-materialize job (round-10): neither depends on the
+    // other, so the manifest's stage levels hide under the
+    // materialization instead of preceding it.
     val manifestF = inPool("freq-manifest") { () =>
       obsB0
-        // like the coverage branch below, the observation rows pack a
-        // sample tag next to their bucket: (sample_id + 1) for tagged
-        // rows, 0 for untagged — mod recovers the touched numerator
-        // buckets, div-minus-one the obsidx registry rows (untagged
-        // observations register no obsidx row; they can never be
-        // retracted by sample, so the pruned retraction read need not
-        // find them)
-        .select(((coalesce(sid + 1L, lit(0L))) * MaxBuckets +
-            pointBkt(n)).cast(LongType).as("bkt"), lit(0).as("kind"))
-        // coverage rows carry (sample_id, bucket) PACKED into the long
-        // (buckets < 2^16 = MaxBuckets by construction; sample ids are
-        // the store's non-negative natural keys) — one row per distinct
-        // pair, bounded at batch-samples × nBuckets. The commit decodes
-        // BOTH the touched-bucket set (mod) and the covidx registry
-        // rows (div) from them, so the registry write costs no job of
-        // its own (round-11).
+        .select(obsTag(sid).as("sid"),
+          pointBkt(n).cast(IntegerType).as("bkt"), lit(0).as("kind"))
         .unionByName(covB.select(explode(cellSeq).as("cell"),
             col("chromosome"), col("sample_id"))
-          .select((col("sample_id").cast(LongType) * MaxBuckets +
-              bktOf(col("chromosome"), col("cell"), n)).as("bkt"),
+          .select(guardedSid(col("sample_id"), "coverage").as("sid"),
+            bktOf(col("chromosome"), col("cell"), n)
+              .cast(IntegerType).as("bkt"),
             lit(1).as("kind")))
-        .distinct()
-        // the pool delta rides the manifest's LONG column — an Int would
-        // silently wrap on a large batch's coverage-less pool sum
+        .groupBy("kind", "sid")
+        .agg(collect_set(col("bkt")).as("bkts"))
         .unionByName(smpB.filter(!col("has_coverage"))
-          .agg(coalesce(sum(col("pool_size")), lit(0)).cast(LongType).as("bkt"),
-            lit(2).as("kind")))
+          .agg(lit(2).as("kind"),
+            coalesce(sum(col("pool_size")), lit(0)).cast(LongType).as("sid"),
+            typedLit(Seq.empty[Int]).as("bkts")))
         .collect()
     }
     // materialize the batch-only checkpoints while the manifest runs
@@ -290,13 +305,16 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
         "do not compact between the two phases")
     val manifest = scala.concurrent.Await.result(
       manifestF, scala.concurrent.duration.Duration.Inf)
-    // kind-0/1 rows pack (sample tag, bucket); mod recovers the touched
-    // bucket sets, div the per-sample obsidx/covidx registry rows
-    val obsPairs = manifest.filter(_.getInt(1) == 0).map(_.getLong(0))
-    val oBkts = obsPairs.map(v => (v % MaxBuckets).toInt).toSet
-    val covPairs = manifest.filter(_.getInt(1) == 1).map(_.getLong(0))
-    val cBkts = covPairs.map(v => (v % MaxBuckets).toInt).toSet
-    val uncovDelta = manifest.filter(_.getInt(1) == 2).map(_.getLong(0)).sum
+    // kind-0/1 rows carry (sample tag/id, touched-bucket set): the
+    // flattened sets are the fold's pruning sets, the per-sample rows
+    // the obsidx/covidx registry appends
+    val obsSets = manifest.filter(_.getInt(0) == 0)
+      .map(r => (r.getLong(1), r.getSeq[Int](2)))
+    val oBkts = obsSets.flatMap(_._2).toSet
+    val covSets = manifest.filter(_.getInt(0) == 1)
+      .map(r => (r.getLong(1), r.getSeq[Int](2)))
+    val cBkts = covSets.flatMap(_._2).toSet
+    val uncovDelta = manifest.filter(_.getInt(0) == 2).map(_.getLong(1)).sum
 
     // Everything below is LAZY (round-10): the component frames'
     // construction — store-file listing, union building, analysis —
@@ -389,17 +407,19 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     // break the pruned retraction's superset contract).
     def covidxNew = {
       import spark.implicits._
-      covPairs.toSeq.map(v => (v / MaxBuckets, (v % MaxBuckets).toInt))
+      covSets.toSeq.flatMap { case (s, bs) => bs.map(b => (s, b)) }
         .toDF("sample_id", "bkt_id")
     }
     // sample → obslog-bucket registry, the covidx twin for the
     // NUMERATOR side: lets [[retractSamples]] prune its obslog read to
     // the retracted samples' buckets (effective once compaction has
-    // bucketed the obslog; per-commit unbucketed deltas read whole)
+    // bucketed the obslog; per-commit unbucketed deltas read whole).
+    // Untagged observations (tag 0) register no obsidx row — they can
+    // never be retracted by sample, so the pruned read need not find them
     def obsidxNew = {
       import spark.implicits._
-      obsPairs.toSeq.filter(_ / MaxBuckets > 0)
-        .map(v => (v / MaxBuckets - 1, (v % MaxBuckets).toInt))
+      obsSets.toSeq.filter(_._1 > 0)
+        .flatMap { case (t, bs) => bs.map(b => (t - 1, b)) }
         .toDF("sample_id", "bkt_id")
     }
 
@@ -488,25 +508,30 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
       .filter(col("pool_size") =!= 0)
       .localCheckpoint(eager = false)
     // the one manifest job: touched buckets + the retracted coverage-less
-    // pool, materializing all three checkpoints as a side effect. The
-    // kind-0 rows pack (sample_id + 1, bucket) like commit's, so the
+    // pool, materializing all three checkpoints as a side effect. Same
+    // per-(kind, sample) bucket-set shape as commit's, so the
     // tombstones' buckets register in obsidx — a hand-built retract()
-    // carrying points no commit registered stays retractable again later
+    // carrying points no commit registered stays retractable again
+    // later. fragsGone needs only the bucket SET (the covidx registry
+    // already knows these samples), so its rows group under one key
     val manifest = obsN.select("chromosome", "position", "sample_id").distinct()
-      .select(((coalesce(col("sample_id") + 1L, lit(0L))) * MaxBuckets +
-          pointBkt(n)).cast(LongType).as("bkt"), lit(0).as("kind"))
-      .unionByName(fragsGone.select(
-        bktOf(col("chromosome"), col("cell"), n).cast(LongType).as("bkt"),
+      .select(obsTag(col("sample_id")).as("sid"),
+        pointBkt(n).cast(IntegerType).as("bkt"), lit(0).as("kind"))
+      .unionByName(fragsGone.select(lit(0L).as("sid"),
+        bktOf(col("chromosome"), col("cell"), n).cast(IntegerType).as("bkt"),
         lit(1).as("kind")))
-      .distinct()
+      .groupBy("kind", "sid")
+      .agg(collect_set(col("bkt")).as("bkts"))
       .unionByName(regNet.filter(!col("has_coverage"))
-        .agg(coalesce(sum(col("pool_size")), lit(0)).cast(LongType).as("bkt"),
-          lit(2).as("kind")))
+        .agg(lit(2).as("kind"),
+          coalesce(sum(col("pool_size")), lit(0)).cast(LongType).as("sid"),
+          typedLit(Seq.empty[Int]).as("bkts")))
       .collect()
-    val obsPairs = manifest.filter(_.getInt(1) == 0).map(_.getLong(0))
-    val oBkts = obsPairs.map(v => (v % MaxBuckets).toInt).toSet
-    val cBkts = manifest.filter(_.getInt(1) == 1).map(_.getLong(0).toInt).toSet
-    val uncovGone = manifest.filter(_.getInt(1) == 2).map(_.getLong(0)).sum
+    val obsSets = manifest.filter(_.getInt(0) == 0)
+      .map(r => (r.getLong(1), r.getSeq[Int](2)))
+    val oBkts = obsSets.flatMap(_._2).toSet
+    val cBkts = manifest.filter(_.getInt(0) == 1).flatMap(_.getSeq[Int](2)).toSet
+    val uncovGone = manifest.filter(_.getInt(0) == 2).map(_.getLong(1)).sum
 
     val denomGone = containSamples(
       appendRead("pts", batchId, Some(cBkts)), broadcast(fragsGone))
@@ -526,8 +551,8 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
       (-col("pool_size")).cast(IntegerType).as("pool_size"), col("has_coverage"))
     def obsidxTomb = {
       import spark.implicits._
-      obsPairs.toSeq.filter(_ / MaxBuckets > 0)
-        .map(v => (v / MaxBuckets - 1, (v % MaxBuckets).toInt))
+      obsSets.toSeq.filter(_._1 > 0)
+        .flatMap { case (t, bs) => bs.map(b => (t - 1, b)) }
         .toDF("sample_id", "bkt_id")
     }
 

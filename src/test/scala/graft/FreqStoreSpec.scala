@@ -923,4 +923,58 @@ class FreqStoreSpec extends AnyFunSuite {
     assert(store.serve().isEmpty,
       "post-compaction pruned retraction left residue")
   }
+
+  test("NULL or negative sample ids fail the commit loudly (registry encoding)") {
+    // round-11 ADVICE: a NULL coverage sample_id used to pack to NULL,
+    // getLong unboxed it to 0, and the TRUE bucket's cover overlay was
+    // silently rewritten from batch fragments alone — dropping every
+    // prior fragment in that bucket. The invariant is now guarded at
+    // manifest time: commits with a NULL/negative coverage sample_id or
+    // a negative observation sample_id must fail BEFORE touching store
+    // state, and NULL observation sample ids stay legal (untagged rows).
+    import org.apache.spark.sql.functions.{col, lit, when}
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.toString + "\n" + msgs(t.getCause)
+    val dir = tmpDir("fqs_sidguard")
+    val store = new FreqStore(spark, dir, nBuckets = 4)
+    val obs = Seq(("1", 5000L, "A", "C", 3, 1L)).toDF(
+      "chromosome", "position", "reference", "observed", "support", "sample_id")
+    val cov = Seq((1L, "1", 4000L, 6000L, 1L, 2), (2L, "1", 8000L, 9000L, 2L, 5))
+      .toDF("region_id", "chromosome", "begin_pos", "end_pos", "sample_id",
+        "pool_size")
+    val smp = Seq((1L, 2, true), (2L, 5, true)).toDF(
+      "sample_id", "pool_size", "has_coverage")
+    store.commit(0, obs, cov, smp)
+    val before = freqKey(store.serve())
+
+    // NULL coverage sample_id: loud, and the store is untouched
+    val covNull = cov.withColumn("sample_id",
+      when(col("region_id") === 2L, lit(null).cast("long"))
+        .otherwise(col("sample_id")))
+    val eNull = intercept[Exception] {
+      store.commit(1, obs.filter(lit(false)), covNull, smp.filter(lit(false)))
+    }
+    assert(msgs(eNull).contains("sample_id must be non-null"), msgs(eNull))
+    // negative coverage sample_id: same guard (it corrupts the decode)
+    val eNeg = intercept[Exception] {
+      store.commit(1, obs.filter(lit(false)),
+        cov.withColumn("sample_id", lit(-3L)), smp.filter(lit(false)))
+    }
+    assert(msgs(eNeg).contains("sample_id must be non-null"), msgs(eNeg))
+    // negative observation sample_id: guarded on the numerator side too
+    val eObs = intercept[Exception] {
+      store.commit(1, obs.withColumn("sample_id", lit(-1L)),
+        cov.filter(lit(false)), smp.filter(lit(false)))
+    }
+    assert(msgs(eObs).contains("sample_id must be non-null"), msgs(eObs))
+    // the failed commits left no blessed generation behind
+    assert(freqKey(store.serve()) == before, "failed commit mutated the store")
+
+    // untagged observations (NULL sample_id) remain legal
+    val obsUntagged = obs.withColumn("sample_id", lit(null).cast("long"))
+    store.commit(1, obsUntagged, cov.filter(lit(false)), smp.filter(lit(false)))
+    val got = freqKey(store.serve())
+    assert(got(("1", 5000L, "A", "C"))._1 == 6L,
+      "untagged observation rows must still fold into the numerator")
+  }
 }

@@ -90,6 +90,8 @@ def main():
     json_out = None
     if "--json" in args:
         i = args.index("--json")
+        if i + 1 >= len(args) or args[i + 1].startswith("--"):
+            sys.exit("usage: --json <path> needs a value")
         json_out = args[i + 1]
         del args[i:i + 2]
     # --binned-containment: rewrite the oracle's naive point-in-interval
@@ -121,7 +123,15 @@ def main():
             continue
         sql = oracle[name]
         if binned:
-            sql = CONTAINMENT_PAT.sub(CONTAINMENT_BINNED, sql)
+            sql, n_sub = CONTAINMENT_PAT.subn(CONTAINMENT_BINNED, sql)
+            # drift guard: a frequency-key oracle that still declares the
+            # cov_smp containment CTE but no longer matches the rewrite
+            # pattern would silently run the quadratic plan and stall the
+            # sf1 sweep — fail loudly instead.
+            if n_sub == 0 and "cov_smp AS" in sql:
+                sys.exit(f"--binned-containment: {name} declares cov_smp "
+                         "but CONTAINMENT_PAT did not match — oracle SQL "
+                         "drifted; update the pattern in tools/check.py")
         files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
         if not files:
             print(f"FAIL {name}: no spark output")
