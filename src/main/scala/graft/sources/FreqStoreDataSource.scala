@@ -91,11 +91,20 @@ class FreqStoreTable(dir: String) extends Table with SupportsRead {
   override def schema(): StructType = FreqStoreDataSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new FreqStoreScanBuilder(dir)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // TIME TRAVEL: `.option("asOfGeneration", g)` pins the scan to the
+    // store's state as of generation g (FreqStore.serveAsOf's bound and
+    // validation — an asOf consolidated away by compaction fails loudly
+    // at plan time rather than serving a floored frame)
+    val asOf = Option(options.get("asOfGeneration")).map { s =>
+      s.toLongOption.getOrElse(sys.error(
+        s"freqstore: asOfGeneration must be a long generation id, got '$s'"))
+    }
+    new FreqStoreScanBuilder(dir, asOf)
+  }
 }
 
-class FreqStoreScanBuilder(dir: String)
+class FreqStoreScanBuilder(dir: String, asOf: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with SupportsPushDownAggregates {
@@ -173,7 +182,7 @@ class FreqStoreScanBuilder(dir: String)
     FreqStoreDataSource.lastPlannedLimit = limit
     FreqStoreDataSource.lastPushedCountStar = countStar
     val n = store.nBkts
-    val (perBucket, uncov, bytes) = store.serveFileManifest(buckets)
+    val (perBucket, uncov, bytes) = store.serveFileManifest(buckets, asOf)
     // the SESSION's Hadoop view must reach the executor-side parquet
     // readers (filesystem credentials, custom schemes): the context
     // conf overlaid with the session's `spark.hadoop.*` entries —

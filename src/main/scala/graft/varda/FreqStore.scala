@@ -801,6 +801,42 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
       uncovFrame(upTo))
   }
 
+  /** TIME-TRAVEL serve — the store's state AS OF generation `asOf`
+    * (i.e. after commit/retraction `asOf` and everything below it).
+    * The generational layout gives this for free: every read already
+    * plans "live generations < before", so pinning `before = asOf + 1`
+    * reproduces exactly the frame a reader saw the moment `asOf`
+    * committed — replayed batches, retractions and all. The bound is
+    * VALIDATED against the log: once [[compact]] has consolidated a
+    * generation into a snapshot, its pre-snapshot states are gone
+    * (retention grace keeps FILES for already-planned readers, not
+    * addressable history), so an `asOf` at or below the newest
+    * snapshot fails loudly instead of silently serving an empty or
+    * floored frame. Row-equal to the [[serve]] a contemporary reader
+    * got (FreqStoreSpec pins per-generation parity with the one-shot
+    * over each batch prefix). */
+  def serveAsOf(asOf: Long): DataFrame = {
+    val before = math.addExact(asOf, 1L)
+    validateAsOf(asOf, before)
+    VardaOps.serveFrom(
+      mergeRead("numer", before, None),
+      mergeRead("denom", before, None),
+      uncovFrame(before))
+  }
+
+  /** An as-of bound is only honest while every generation <= asOf is
+    * still individually addressable in the log. */
+  private def validateAsOf(asOf: Long, before: Long): Unit = {
+    committed().filter(_.v > 0).map(_.id).maxOption.foreach { snap =>
+      require(before > snap,
+        s"asOf=$asOf predates the newest snapshot (gen-$snap) — " +
+          "compaction consolidated that history; only generations >= " +
+          s"$snap remain addressable")
+    }
+    require(live(before).nonEmpty || committed().isEmpty,
+      s"asOf=$asOf predates the store's oldest committed generation")
+  }
+
   /** Point lookup — the reference's flagship query [U GET /variants]:
     * serve ONE (chromosome, position)'s frequencies by evaluating the
     * shared bucket hash on the driver and opening only that bucket's
@@ -1018,10 +1054,17 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     * floor and commit-log modulus included), plus the coverage-less
     * pool scalar. Numer and denom share the bucket function, so a
     * reader holding one bucket's files of BOTH components can compute
-    * that bucket's served rows with a purely local join. */
-  private[graft] def serveFileManifest(buckets: Option[Set[Int]])
+    * that bucket's served rows with a purely local join. `asOf` pins
+    * the manifest to an earlier generation (the scan's
+    * `asOfGeneration` option) under [[serveAsOf]]'s validation. */
+  private[graft] def serveFileManifest(buckets: Option[Set[Int]],
+      asOf: Option[Long] = None)
       : (Map[Int, (Seq[String], Seq[String])], Long, (Long, Long)) = {
-    val upTo = highWater
+    val upTo = asOf.map { g =>
+      val b = math.addExact(g, 1L)
+      validateAsOf(g, b)
+      b
+    }.getOrElse(highWater)
     def files(comp: String): (Map[Int, Seq[String]], Long) = {
       val latest = scala.collection.mutable.Map.empty[Int, Path]
       for (m <- live(upTo);

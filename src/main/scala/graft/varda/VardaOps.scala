@@ -582,6 +582,34 @@ object VardaOps {
         })
     }
 
+  /** TIME-TRAVEL store for the as-of key: the same 3-batch replay,
+    * memoized per (session, sfDir) like the serving store but NOT
+    * compacted — a snapshot floors the commit log, so addressable
+    * history is exactly what compaction has not yet consolidated
+    * (the lakehouse time-travel/vacuum trade). Build amortized into
+    * warmup like every other standing index. */
+  private def timeTravelFreqStore(s: SparkSession, d: String): String =
+    builtStores.synchronized {
+      builtStores.computeIfAbsent(s,
+          _ => scala.collection.mutable.Map.empty[String, String])
+        .getOrElseUpdate(d + "#tt", buildFreqStore(s, d, "freq_store_tt"))
+    }
+
+  /** Generation-pinned TIME-TRAVEL read — the reference's "state as the
+    * reader saw it at import N" [U varda versioned frequency serving]:
+    * the generational commit log makes every historical read bound
+    * addressable, so `serveAsOf(1)` on the 3-batch replayed store must
+    * equal the one-shot frequency computation over batches 0 and 1's
+    * rows ONLY (the oracle cuts obs/cov/samples to the fixture's batch
+    * slices `id % 3 <= 1`). Same read machinery as [[FreqStore.serve]]
+    * — no replay, no undo log, just a pinned upper bound over the
+    * live-generation resolution. */
+  val vardaFreqAsOf: Q = (s, d) => {
+    val dir = timeTravelFreqStore(s, d)
+    new FreqStore(s, dir).serveAsOf(1L)
+      .orderBy("chromosome", "position", "reference", "observed")
+  }
+
   /** The reference's FLAGSHIP query [U GET /variants]: serve a handful
     * of variant points from the committed store through the pruned
     * bucket lookup ([[FreqStore.lookupPoints]]) — the driver-side hash
@@ -1404,6 +1432,7 @@ object VardaOps {
     "agg_freq_ratio" -> aggFreqRatio,
     "varda_freq_incremental" -> vardaFreqIncremental,
     "varda_freq_lookup" -> vardaFreqLookup,
+    "varda_freq_asof" -> vardaFreqAsOf,
     "varda_freq_lookup_range" -> vardaFreqLookupRange,
     "varda_freq_lookup_range_expr" -> vardaFreqLookupRangeExpr,
     "varda_freq_lookup_expr" -> vardaFreqLookupExpr,
@@ -1635,6 +1664,15 @@ object VardaOps {
     },
     "agg_freq_ratio" ->
       s"""${frequencySql(withZyg = false, None, idivDuck)}
+          ORDER BY n.chromosome, n.position, n.reference, n.observed""",
+    // the generation-pinned read must equal the one-shot frequency over
+    // the first two import batches' rows only (the fixture slices
+    // batches by id % 3 — FreqStoreSpec pins per-generation parity)
+    "varda_freq_asof" ->
+      s"""${frequencySql(withZyg = false, None, idivDuck,
+        obsWhere = Some("obs_id % 3 <= 1"),
+        covWhere = Some("region_id % 3 <= 1"),
+        smpWhere = Some("sample_id % 3 <= 1"))}
           ORDER BY n.chromosome, n.position, n.reference, n.observed""",
     // incremental maintenance must converge to the one-shot answer: the
     // oracle IS the one-shot frequency SQL

@@ -154,9 +154,21 @@ object VardaSql {
     * restricts observations, coverage AND the sample universe
     * (varda_sample_expr). */
   def frequencySql(withZyg: Boolean, sampleFilter: Option[String],
-      idiv: (String, String) => String): String = {
-    val filt = sampleFilter.map(f => s" WHERE $f").getOrElse("")
-    val uncovFilt = sampleFilter.map(f => s" AND $f").getOrElse("")
+      idiv: (String, String) => String,
+      obsWhere: Option[String] = None, covWhere: Option[String] = None,
+      smpWhere: Option[String] = None): String = {
+    // `sampleFilter` is ONE predicate over sample_id applied to all three
+    // relations (the sample-expression keys); the per-relation `*Where`
+    // filters restrict each input independently (the time-travel key cuts
+    // obs/cov/samples to the batches at or below the pinned generation)
+    def and(base: Option[String], extra: Option[String]): Option[String] =
+      (base, extra) match {
+        case (Some(a), Some(b)) => Some(s"($a) AND ($b)")
+        case (a, b) => a.orElse(b)
+      }
+    val filtObs = and(sampleFilter, obsWhere).map(f => s" WHERE $f").getOrElse("")
+    val filtCov = and(sampleFilter, covWhere).map(f => s" WHERE $f").getOrElse("")
+    val uncovFilt = and(sampleFilter, smpWhere).map(f => s" AND $f").getOrElse("")
     val zygCols = if (withZyg)
       """,
          CAST(SUM(CASE WHEN zygosity = 'heterozygous' THEN support ELSE 0 END) AS BIGINT) AS numer_het,
@@ -167,8 +179,8 @@ object VardaSql {
           CAST(${idiv("n.numer_het * 1000000", "NULLIF(d.denom, 0)")} AS BIGINT) AS freq_het_ppm,
           CAST(${idiv("n.numer_hom * 1000000", "NULLIF(d.denom, 0)")} AS BIGINT) AS freq_hom_ppm"""
     else ""
-    s"""WITH obs_f AS (SELECT * FROM ($observations) oo$filt),
-        cov_f AS (SELECT * FROM ($coverage) cc$filt),
+    s"""WITH obs_f AS (SELECT * FROM ($observations) oo$filtObs),
+        cov_f AS (SELECT * FROM ($coverage) cc$filtCov),
         pts AS (SELECT DISTINCT chromosome, position FROM obs_f),
         numer AS (SELECT chromosome, position, reference, observed,
                     CAST(SUM(support) AS BIGINT) AS numer$zygCols

@@ -58,6 +58,36 @@ class FreqStoreDsv2Spec extends AnyFunSuite {
       "an unfiltered scan must not prune")
   }
 
+  test("asOfGeneration option time-travels the scan; invalid bounds fail at plan time") {
+    val (store, dir) = builtStore()
+    // pinned at generation 0: row-identical to serveAsOf(0) — the frame
+    // a contemporary reader saw before generation 1 committed
+    val at0 = spark.read.format("freqstore")
+      .option("asOfGeneration", "0").load(dir)
+    assert(rowSet(at0) == rowSet(store.serveAsOf(0L)))
+    assert(rowSet(at0) != rowSet(store.serve()),
+      "fixture must distinguish the generations")
+    // the head bound equals the plain read
+    val at1 = spark.read.format("freqstore")
+      .option("asOfGeneration", "1").load(dir)
+    assert(rowSet(at1) == rowSet(store.serve()))
+    // COUNT(*) footer pushdown respects the pinned manifest
+    assert(at0.count() == store.serveAsOf(0L).count())
+    // a bound below the store's history fails at PLAN time, loudly
+    val e = intercept[Exception] {
+      spark.read.format("freqstore").option("asOfGeneration", "-1")
+        .load(dir).collect()
+    }
+    assert(e.getMessage.contains("oldest committed generation"), e.getMessage)
+    // ... and compaction invalidates pre-snapshot bounds the same way
+    store.compact()
+    val e2 = intercept[Exception] {
+      spark.read.format("freqstore").option("asOfGeneration", "0")
+        .load(dir).collect()
+    }
+    assert(e2.getMessage.contains("snapshot"), e2.getMessage)
+  }
+
   test("a spark.sql point predicate prunes the scan to one bucket") {
     val (store, dir) = builtStore()
     spark.read.format("freqstore").load(dir).createOrReplaceTempView("freq")

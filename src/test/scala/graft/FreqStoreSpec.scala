@@ -924,6 +924,61 @@ class FreqStoreSpec extends AnyFunSuite {
       "post-compaction pruned retraction left residue")
   }
 
+  test("serveAsOf pins every pre-compaction generation; compaction invalidates loudly") {
+    import org.apache.spark.sql.functions.lit
+    // the convergence fixture's adversarial batches: coverage arriving
+    // after its point, a coverage-less sample mid-stream, haploid X
+    val obsB = Seq(
+      Seq(("1", 5000L, "A", "C", 3, "x"), ("X", 5000L, "A", "C", 1, "x")),
+      Seq.empty[(String, Long, String, String, Int, String)],
+      Seq(("2", 700L, "G", "T", 2, "x")))
+      .map(_.toDF("chromosome", "position", "reference", "observed",
+        "support", "ignore"))
+    val covB = Seq(
+      Seq((10L, "1", 4000L, 6000L, 1L, 2), (14L, "2", 600L, 800L, 2L, 5)),
+      Seq((11L, "1", 4500L, 5500L, 1L, 2)),
+      Seq((12L, "X", 4000L, 6000L, 2L, 5), (13L, "X", 9000L, 9500L, 1L, 2)))
+      .map(_.toDF("region_id", "chromosome", "begin_pos", "end_pos",
+        "sample_id", "pool_size"))
+    val smpB = Seq(
+      Seq((1L, 2, true)), Seq((3L, 7, false)), Seq((2L, 5, true)))
+      .map(_.toDF("sample_id", "pool_size", "has_coverage"))
+    val store = new FreqStore(spark, tmpDir("fqs_asof"), nBuckets = 4)
+    for (i <- 0 until 3) store.commit(i, obsB(i), covB(i), smpB(i))
+
+    // every generation's pinned read equals the one-shot over that
+    // batch PREFIX — exactly the frame a contemporary reader served.
+    // (null-safe key: early generations legitimately serve freq_ppm =
+    // NULL — a variant observed before any covering/uncovered sample
+    // registers has denominator 0, which the store's serve coalesces to
+    // denom = 0 while the in-session one-shot leaves denom NULL; both
+    // mean "no denominator mass yet", so the key maps NULL denom to 0)
+    def freqKeyN(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3)) ->
+        ((r.getLong(4),
+          if (r.isNullAt(5)) 0L else r.getLong(5),
+          if (r.isNullAt(6)) Long.MinValue else r.getLong(6)))).toMap
+    def oneShot(g: Int) = freqKeyN(VardaOps.frequencyFrom(
+      obsB.take(g + 1).reduce(_ unionByName _).withColumn("sample_id", lit(0L)),
+      covB.take(g + 1).reduce(_ unionByName _),
+      smpB.take(g + 1).reduce(_ unionByName _), withZyg = false))
+    for (g <- 0 until 3)
+      assert(freqKeyN(store.serveAsOf(g)) == oneShot(g), s"asOf=$g diverged")
+    assert(freqKeyN(store.serveAsOf(2)) == freqKeyN(store.serve()),
+      "asOf at the head must equal serve()")
+    // a bound before the first commit has no state to serve: loud
+    intercept[IllegalArgumentException](store.serveAsOf(-1L))
+
+    // compaction consolidates history: pre-snapshot bounds fail loudly
+    // (never a silently floored or empty frame), the head stays served
+    val head = freqKeyN(store.serve())
+    store.compact()
+    val e = intercept[IllegalArgumentException](store.serveAsOf(1L))
+    assert(e.getMessage.contains("snapshot"), e.getMessage)
+    assert(freqKeyN(store.serveAsOf(2)) == head,
+      "post-compaction head read diverged")
+  }
+
   test("NULL or negative sample ids fail the commit loudly (registry encoding)") {
     // round-11 ADVICE: a NULL coverage sample_id used to pack to NULL,
     // getLong unboxed it to 0, and the TRUE bucket's cover overlay was
