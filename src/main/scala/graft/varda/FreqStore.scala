@@ -130,7 +130,11 @@ import org.apache.spark.sql.types._
   * double-counting.
   *
   * Concurrency contract: ONE writer process; readers in the same
-  * process by default. [[compact]]'s delete phase removes superseded
+  * process by default. Since round-12 the contract is ENFORCED, not
+  * conventional: every mutating operation (commit, retract, compact)
+  * holds the store's `_writer.lock` for its duration, so a second
+  * writer fails fast with a clear message instead of interleaving
+  * generation writes (see [[breakLock]] for crash recovery). [[compact]]'s delete phase removes superseded
   * generation directories, so a cross-process reader holding an
   * already-planned DataFrame over the old file listing could hit
   * FileNotFoundException mid-scan — `compact(retainGens = k)`
@@ -212,15 +216,27 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     val sid = if (obsB0.columns.contains("sample_id"))
       col("sample_id").cast(LongType) else lit(null).cast(LongType)
 
-    // checkpoint the batch ONCE: every downstream write job reads the
-    // materialized batch through a TRUNCATED lineage instead of
-    // re-deriving it from its source plan. All three are LAZY vals so
-    // even their construction (analysis) happens on the materialize
-    // thread, concurrent with the manifest collect.
+    // persist the batch ONCE: every downstream write job reads the
+    // materialized blocks instead of re-deriving the batch from its
+    // source plan. persist(), NOT localCheckpoint (round-12): lazily
+    // materializing a checkpoint from concurrent job threads deadlocks
+    // against the DAG scheduler — RDDCheckpointData.checkpoint holds
+    // the global RDDCheckpointData companion lock while taking the RDD
+    // monitor, and the scheduler planning a sibling job over the SAME
+    // shared frame holds that RDD monitor while reading checkpointRDD
+    // under the companion lock (JVM-reported deadlock, caught live in a
+    // BenchOne run). Cached blocks give the same compute-once sharing
+    // through the BlockManager's per-block locks with no global
+    // transition — and recompute on block loss instead of failing the
+    // job, which is what a 1000-executor deployment wants anyway. All
+    // three are LAZY vals so even their construction (analysis) happens
+    // on the materialize thread, concurrent with the manifest collect;
+    // commitPrepared unpersists after the marker so a forever-running
+    // ingest loop cannot grow the cache unboundedly.
     lazy val obsB = obsB0.select(col("chromosome"), col("position"),
         col("reference"), col("observed"),
         col("support").cast(LongType).as("support"), sid.as("sample_id"))
-      .localCheckpoint(eager = false)
+      .persist()
     // in-path bin assignment + CELL CLIPPING: one fragment row per
     // covered 2^11 cell, clipped to the cell's range — then merged
     // per (sample, chromosome, cell) so batch-internal overlaps
@@ -232,13 +248,13 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
         greatest(col("begin_pos"), col("cell") * CellSize).as("fbegin"),
         least(col("end_pos"), col("cell") * CellSize + (CellSize - 1)).as("fend"),
         col("sample_id"), col("pool_size")))
-      .localCheckpoint(eager = false)
+      .persist()
     // distinct points, bucketized UP FRONT: the one exchange (on bkt)
     // serves the distinct, the new-point anti-join, and the pts write —
     // bkt rides as a column and every downstream key set includes it
     lazy val obsPts = bucketize(obsB.select("chromosome", "position"),
         pointBkt(n), n).distinct()
-      .localCheckpoint(eager = false)
+      .persist()
 
     // the commit manifest (which buckets can this batch touch, plus the
     // batch's coverage-less pool delta): ONE driver job over the RAW
@@ -293,7 +309,8 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
 
   /** The store-dependent HALF of a commit: resolve the manifest, read
     * the previous generations, fold, write, mark. */
-  private[graft] def commitPrepared(prep: PreparedCommit): Unit = {
+  private[graft] def commitPrepared(prep: PreparedCommit): Unit =
+      withWriterLock(s"commit batch ${prep.batchId}") {
     val PreparedCommit(batchId, n, obsBT, covFT, obsPtsT, smpB, manifestF,
       matF) = prep
     // deref the prepare-side lazy vals here: every use below sits inside
@@ -332,18 +349,21 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     // points first seen in this batch (anti vs the committed point set)
     // and the batch's NEWLY-covered segments (per-cell interval
     // subtraction batch \ store — batch-sized, no pair blowup); lazily
-    // checkpointed: whichever write-job branch (or broadcast build)
+    // persisted: whichever write-job branch (or broadcast build)
     // computes a partition first stores it, the rest read it (block
     // races are per-partition, handled by the BlockManager — the
     // round-9 eager barrier job here cost a full stage level per
-    // commit and was dropped in round 10's A/B)
+    // commit and was dropped in round 10's A/B; persist() not
+    // localCheckpoint for the scheduler-deadlock reason on the batch
+    // frames above — these two are exactly the shared frames whose
+    // concurrent checkpoint transition the JVM caught deadlocking)
     lazy val newPts = obsPts.join(
         appendRead("pts", batchId, Some(oBkts))
           .withColumn("bkt", pointBkt(n).cast(IntegerType)),
         Seq("bkt", "chromosome", "position"), "left_anti")
-      .localCheckpoint(eager = false)
+      .persist()
     lazy val segsNew = subtractFragments(covF, coverOld)
-      .localCheckpoint(eager = false)
+      .persist()
 
     // denominator deltas — ONE tagged containment join (round-9; was
     // three). The pairs newly counted this commit are exactly those
@@ -440,7 +460,49 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
       Map("numer" -> oBkts, "denom" -> (oBkts ++ cBkts), "cover" -> cBkts))
     awaitAll(Seq(matF)) // a no-op by now; don't leak the thread past commit
     markCommitted(batchId, 0, n, uncovPool(batchId) + uncovDelta)
+    // release the commit's cached intermediates: an ingest loop commits
+    // forever, and persisted frames (unlike checkpoint blocks) register
+    // in the session's CacheManager until explicitly dropped
+    Seq(obsB, covF, obsPts, newPts, segsNew).foreach(_.unpersist(false))
   }
+
+  /** Best-effort cross-process single-writer GUARD (the concurrency
+    * contract above, enforced loudly instead of by convention): every
+    * mutating operation holds `_writer.lock` for its duration — created
+    * exclusively, deleted on completion — so a second writer process
+    * (or a concurrent thread in this one) fails fast with a clear
+    * message instead of interleaving generation writes. Crash recovery
+    * is an explicit operator action ([[breakLock]]): a stale lock is
+    * evidence a writer died mid-operation, which deserves a human
+    * look, not silent takeover. Create-exclusive is atomic on HDFS and
+    * best-effort on local/object stores — a GUARD for the contract,
+    * not a distributed lock service. */
+  private def withWriterLock[T](what: String)(body: => T): T = {
+    val lockPath = new Path(s"$dir/_writer.lock")
+    val info = s"${java.util.UUID.randomUUID()} " +
+      s"${System.currentTimeMillis()} " +
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+    val out =
+      try fs.create(lockPath, false)
+      catch { case _: java.io.IOException =>
+        val held =
+          try {
+            val in = fs.open(lockPath)
+            try scala.io.Source.fromInputStream(in).mkString.trim
+            finally in.close()
+          } catch { case _: Exception => "<unreadable>" }
+        throw new IllegalStateException(
+          s"freqstore: cannot $what — another writer holds $lockPath " +
+            s"($held). The store is single-writer; if that writer " +
+            "crashed, inspect the store and call breakLock().")
+      }
+    try out.write(info.getBytes("UTF-8")) finally out.close()
+    try body finally fs.delete(lockPath, false)
+  }
+
+  /** Remove a stale `_writer.lock` after a crashed writer (operator
+    * action — see [[withWriterLock]]). */
+  def breakLock(): Unit = fs.delete(new Path(s"$dir/_writer.lock"), false)
 
   /** Retract samples from the committed state — the reference's sample
     * deactivation [U varda/models.py :: Sample.active] on the durable
@@ -466,7 +528,8 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     * function of (gens < batchId, arguments), overwrites `gen-batchId`.
     * [[retractSamples]] derives `obsR` from the obslog store, so the
     * stream needs only the sample rows. */
-  def retract(batchId: Long, obsR: DataFrame, smpR: DataFrame): Unit = {
+  def retract(batchId: Long, obsR: DataFrame, smpR: DataFrame): Unit =
+      withWriterLock(s"retract batch $batchId") {
     // a retraction's obslog tombstones MUST be sample-tagged: a
     // null-sample_id tombstone can never net against the sample-tagged
     // +rows, so a later retractSamples() for the same samples would
@@ -508,7 +571,12 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
       .filter(col("pool_size") =!= 0)
       .localCheckpoint(eager = false)
     // the one manifest job: touched buckets + the retracted coverage-less
-    // pool, materializing all three checkpoints as a side effect. Same
+    // pool, materializing all three checkpoints as a side effect —
+    // which is also why localCheckpoint is SAFE here where the commit
+    // path needed persist(): the checkpoint transitions complete on
+    // THIS thread at the manifest job's end, before writeGen launches
+    // any concurrent job that references the frames (the deadlock
+    // needs a transition concurrent with sibling-job planning). Same
     // per-(kind, sample) bucket-set shape as commit's, so the
     // tombstones' buckets register in obsidx — a hand-built retract()
     // carrying points no commit registered stays retractable again
@@ -647,7 +715,7 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     * snapshot. */
   def compact(before: Long = Long.MaxValue,
       splitThreshold: Option[Long] = None,
-      retainGens: Int = 0): Unit = {
+      retainGens: Int = 0): Unit = withWriterLock("compact") {
     val lv = live(before)
     if (lv.isEmpty) { sweepSuperseded(before, retainGens, Set.empty); return }
     val n = lv.map(_.n).distinct match {

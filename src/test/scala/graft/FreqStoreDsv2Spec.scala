@@ -88,6 +88,26 @@ class FreqStoreDsv2Spec extends AnyFunSuite {
     assert(e2.getMessage.contains("snapshot"), e2.getMessage)
   }
 
+  test("asOfGeneration composes with point-predicate bucket pruning") {
+    val (store, dir) = builtStore()
+    // a time-travelled POINT query: the pinned manifest plans only
+    // generation-0 files AND the pushed point predicate prunes them to
+    // the probe's bucket — the flagship lookup, one generation back
+    val got = spark.read.format("freqstore").option("asOfGeneration", "0")
+      .load(dir)
+      .filter("chromosome = '1' AND position = 5000")
+    val expected = store.serveAsOf(0L)
+      .filter("chromosome = '1' AND position = 5000")
+    assert(rowSet(got) == rowSet(expected))
+    assert(got.count() == 1)
+    assert(graft.sources.FreqStoreDataSource.lastPlannedBuckets.exists(_.size == 1),
+      "time-travelled point query must still prune to one bucket")
+    // the generation-1 overlay (numer 3+2=5) must NOT leak into the
+    // pinned read (generation 0 serves numer 3)
+    val numer = got.collect().head.getAs[Long]("numer")
+    assert(numer == 3L, s"generation 1 leaked into the asOf=0 read: numer=$numer")
+  }
+
   test("a spark.sql point predicate prunes the scan to one bucket") {
     val (store, dir) = builtStore()
     spark.read.format("freqstore").load(dir).createOrReplaceTempView("freq")

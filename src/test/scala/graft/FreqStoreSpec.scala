@@ -979,6 +979,39 @@ class FreqStoreSpec extends AnyFunSuite {
       "post-compaction head read diverged")
   }
 
+  test("the writer lock makes the single-writer contract loud") {
+    import org.apache.spark.sql.functions.lit
+    val dir = tmpDir("fqs_wlock")
+    val store = new FreqStore(spark, dir, nBuckets = 4)
+    val obs = Seq(("1", 5000L, "A", "C", 3)).toDF(
+      "chromosome", "position", "reference", "observed", "support")
+    val cov = Seq((1L, "1", 4000L, 6000L, 1L, 2)).toDF(
+      "region_id", "chromosome", "begin_pos", "end_pos", "sample_id", "pool_size")
+    val smp = Seq((1L, 2, true)).toDF("sample_id", "pool_size", "has_coverage")
+    store.commit(0, obs, cov, smp)
+    // a successful commit releases the lock
+    assert(!Files.exists(Paths.get(dir, "_writer.lock")),
+      "commit left the writer lock behind")
+    // a concurrent writer (simulated by a stale lock) fails fast with a
+    // clear message — commit, retract and compact all guard
+    Files.write(Paths.get(dir, "_writer.lock"),
+      "someone-else 0 other@host".getBytes("UTF-8"))
+    val e = intercept[IllegalStateException] {
+      store.commit(1, obs, cov.filter(lit(false)), smp.filter(lit(false)))
+    }
+    assert(e.getMessage.contains("another writer"), e.getMessage)
+    intercept[IllegalStateException](store.compact())
+    intercept[IllegalStateException](
+      store.retractSamples(2, smp.select("sample_id")))
+    // the failed attempts left no blessed generation
+    assert(freqKey(store.serve()).keySet == Set(("1", 5000L, "A", "C")))
+    // operator crash recovery: break the lock, work resumes
+    store.breakLock()
+    store.commit(1, obs, cov.filter(lit(false)), smp.filter(lit(false)))
+    assert(freqKey(store.serve())(("1", 5000L, "A", "C"))._1 == 6L)
+    assert(!Files.exists(Paths.get(dir, "_writer.lock")))
+  }
+
   test("NULL or negative sample ids fail the commit loudly (registry encoding)") {
     // round-11 ADVICE: a NULL coverage sample_id used to pack to NULL,
     // getLong unboxed it to 0, and the TRUE bucket's cover overlay was
