@@ -159,6 +159,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "source_vcf_file", "varda_freq_incremental", "varda_freq_lookup",
       "varda_freq_lookup_range", "varda_freq_lookup_range_expr",
       "varda_freq_lookup_expr", "varda_freq_lookup_multi",
+      "varda_freq_asof", // serveFrom's 1-row coverage-less pool broadcast
       "varda_annotate_store", "varda_annotate_multi",
       "stream_late_watermark", "win_global_rank",
       "pack_sequences", "sample_mixture", "sample_temperature",
