@@ -86,11 +86,22 @@ object FreqStoreDataSource {
   @volatile private[graft] var lastPushedCountStar: Boolean = false
 }
 
-class FreqStoreTable(dir: String) extends Table with SupportsRead {
+class FreqStoreTable(dir: String, catalogPartitioned: Boolean = false)
+    extends Table with SupportsRead {
   override def name(): String = s"freqstore:$dir"
   override def schema(): StructType = FreqStoreDataSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
+  /** Declared ONLY when loaded through [[FreqStoreCatalog]]: the
+    * provider path has no FunctionCatalog to resolve the transform, so
+    * declaring it there would just produce analyzer noise. The modulus
+    * is read from the store's commit log at load time (the log is the
+    * source of truth — a constructor default must never leak into the
+    * transform name). */
+  override def partitioning(): Array[Transform] =
+    if (!catalogPartitioned) Array.empty
+    else Array(FreqStoreCatalog.transformFor(
+      new FreqStore(SparkSession.active, dir).nBkts))
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // TIME TRAVEL: `.option("asOfGeneration", g)` pins the scan to the
     // store's state as of generation g (FreqStore.serveAsOf's bound and
@@ -100,11 +111,12 @@ class FreqStoreTable(dir: String) extends Table with SupportsRead {
       s.toLongOption.getOrElse(sys.error(
         s"freqstore: asOfGeneration must be a long generation id, got '$s'"))
     }
-    new FreqStoreScanBuilder(dir, asOf)
+    new FreqStoreScanBuilder(dir, asOf, catalogPartitioned)
   }
 }
 
-class FreqStoreScanBuilder(dir: String, asOf: Option[Long] = None)
+class FreqStoreScanBuilder(dir: String, asOf: Option[Long] = None,
+    reportPartitioning: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with SupportsPushDownAggregates {
@@ -170,11 +182,17 @@ class FreqStoreScanBuilder(dir: String, asOf: Option[Long] = None)
     val spark = SparkSession.active
     val store = new FreqStore(spark, dir)
     val buckets = probes.map { ps =>
-      val n = store.nBkts
       // the store's own point-bucket helper — never re-derive the cell
       // shift here: with residual-only filters a mismatched bucket
       // would silently drop rows, not just slow the scan
-      ps.map { case (c, p) => FreqStore.pointBucket(c, p, n) }
+      ps.map { case (_, p) => FreqStore.pointBucket(p, store.nBkts) }
+    }.orElse {
+      // a RANGE names its buckets too (round-12 single-column layout):
+      // both position bounds present and few enough cells to enumerate
+      for {
+        lo <- range.posLower; hi <- range.posUpper if lo <= hi
+        ks <- FreqStore.rangeBuckets(lo, hi, store.nBkts)
+      } yield ks
     }
     FreqStoreDataSource.lastPlannedBuckets = buckets
     FreqStoreDataSource.lastPlannedColumns = required.fieldNames.toSeq
@@ -199,7 +217,7 @@ class FreqStoreScanBuilder(dir: String, asOf: Option[Long] = None)
         confMap)
     else
       new FreqStoreScan(perBucket, uncov, confMap, required, bytes, n, range,
-        limit)
+        limit, reportPartitioning)
   }
 }
 
@@ -295,16 +313,40 @@ object FreqStoreScanBuilder {
 /** One partition per live bucket — only the bucket's file lists; the
   * per-scan constants (Hadoop conf pairs, projection, pool scalar)
   * ride the [[FreqStoreReaderFactory]], which Spark serializes once
-  * into the stage's task binary instead of once per partition. */
+  * into the stage's task binary instead of once per partition. The
+  * partition KEY is the bucket id — what [[FreqStoreCatalog]]'s
+  * storage-partitioned planning groups by. */
 case class FreqStorePartition(bkt: Int, numerFiles: Seq[String],
     denomFiles: Seq[String]) extends InputPartition
+    with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bkt))
+}
 
 class FreqStoreScan(perBucket: Map[Int, (Seq[String], Seq[String])],
     uncov: Long, hadoopConf: Map[String, String], required: StructType,
     planBytes: (Long, Long), nBkts: Int,
-    range: FreqStoreScanBuilder.PushedRange, limit: Option[Int])
+    range: FreqStoreScanBuilder.PushedRange, limit: Option[Int],
+    reportPartitioning: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering with SupportsReportPartitioning {
+  /** Storage-partitioned planning (catalog-loaded tables only — the
+    * provider path has no FunctionCatalog to resolve the transform):
+    * every partition is one bucket of `point_bucket_<n>(chromosome,
+    * position)`, so Catalyst can aggregate on the point key with zero
+    * exchange and join two same-modulus stores without shuffling
+    * either side (gated on spark.sql.sources.v2.bucketing.enabled). */
+  override def outputPartitioning():
+      org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (reportPartitioning && perBucket.nonEmpty)
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions.apply(
+          s"point_bucket_$nBkts",
+          org.apache.spark.sql.connector.expressions.Expressions.column("position"))),
+        perBucket.size)
+    else
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+        perBucket.size)
   private def needsDenom =
     required.fieldNames.exists(f => f == "denom" || f == "freq_ppm")
   /** Live buckets after runtime filtering (starts at the
@@ -342,7 +384,7 @@ class FreqStoreScan(perBucket: Map[Int, (Seq[String], Seq[String])],
          if c.nonEmpty && p.nonEmpty &&
            c.size.toLong * p.size <= FreqStoreScan.MaxRuntimePoints) {
       val bks = (for (cc <- c; pp <- p)
-        yield FreqStore.pointBucket(cc, pp, nBkts)).toSet
+        yield FreqStore.pointBucket(pp, nBkts)).toSet
       liveBuckets = perBucket.filter { case (k, _) => bks.contains(k) }
       FreqStoreDataSource.lastRuntimeBuckets = Some(liveBuckets.keySet)
     }

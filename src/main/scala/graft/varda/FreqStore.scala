@@ -53,16 +53,18 @@ import org.apache.spark.sql.types._
   * counted this commit).
   *
   * Every store is partitioned by ONE shared bucket function,
-  * `pmod(hash(chromosome, position >> 11), nBuckets)` — point rows
-  * bucket by their own position's 2^11 cell, coverage rows are clipped
-  * into one FRAGMENT per covered cell (the in-path bin assignment) and
-  * bucket by the fragment's cell. Sharing the function is what makes
-  * every fold read PRUNED: a batch's points and regions determine, on
-  * the driver, exactly which buckets the fold can touch, and both the
-  * previous-state reads and the containment probes open only those
-  * buckets' files. [[lookup]] exposes the serving-side payoff: a point
-  * query evaluates the same hash on the driver and opens ONE bucket
-  * directory.
+  * `pmod(hash(position >> 11), nBuckets)` (layout v2, round 12 — see
+  * [[FreqStore.bktOf]] for why the chromosome left the hash): point
+  * rows bucket by their own position's 2^11 cell, coverage rows are
+  * clipped into one FRAGMENT per covered cell (the in-path bin
+  * assignment) and bucket by the fragment's cell. Sharing the function
+  * is what makes every fold read PRUNED: a batch's points and regions
+  * determine, on the driver, exactly which buckets the fold can touch,
+  * and both the previous-state reads and the containment probes open
+  * only those buckets' files. [[lookup]] exposes the serving-side
+  * payoff: a point query evaluates the same hash on the driver and
+  * opens ONE bucket directory — and since layout v2 a RANGE query
+  * enumerates its cells and does the same ([[lookupRange]]).
   *
   * **The commit log carries the bucket modulus.** Each marker
   * `_commits/gen-<b>[.<v>]` records the nBuckets its generation was
@@ -157,10 +159,24 @@ import org.apache.spark.sql.types._
 class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
   import FreqStore._
 
-  private def bktOf(chrom: Column, cell: Column, n: Int): Column =
-    pmod(hash(chrom, cell), lit(n))
+  /** The shared bucket function, SINGLE-COLUMN since round 12:
+    * `pmod(hash(cell), n)` with cell = position >> 11. The chromosome
+    * used to ride in the hash; it added nothing to bucket uniformity
+    * (cells are uniform under Murmur3 regardless) and its removal buys
+    * two things a two-column hash cannot express: (a) Spark's
+    * storage-partitioned planning — catalyst KeyGroupedPartitioning
+    * only supports single-argument transforms, so the catalog table's
+    * `point_bucket_<n>(position)` now resolves and point-key
+    * aggregations/joins plan exchange-free ([[graft.sources.FreqStoreCatalog]]);
+    * (b) driver-side RANGE pruning — a range names its cells, so
+    * [[lookupRange]] can enumerate their buckets and open only those
+    * directories, which the chromosome-mixed hash made impossible.
+    * Markers carry a LAYOUT VERSION so a store written under the old
+    * hash fails loudly instead of silently mispruning. */
+  private def bktOf(cell: Column, n: Int): Column =
+    pmod(hash(cell), lit(n))
   private def pointBkt(n: Int): Column =
-    bktOf(col("chromosome"), shiftright(col("position"), CellShift), n)
+    bktOf(shiftright(col("position"), CellShift), n)
 
   /** The manifest's (sample, bucket) registry encoding requires sane
     * sample ids: a NULL coverage sample or any negative id would
@@ -279,7 +295,7 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
         .unionByName(covB.select(explode(cellSeq).as("cell"),
             col("chromosome"), col("sample_id"))
           .select(guardedSid(col("sample_id"), "coverage").as("sid"),
-            bktOf(col("chromosome"), col("cell"), n)
+            bktOf(col("cell"), n)
               .cast(IntegerType).as("bkt"),
             lit(1).as("kind")))
         .groupBy("kind", "sid")
@@ -409,9 +425,9 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     // segments, re-merged so adjacent pieces coalesce — stays disjoint
     // per (sample, cell), which is the store's load-bearing invariant
     def coverNew = mergeFragments(
-      bucketize(coverOld.filter(bktOf(col("chromosome"), col("cell"), n)
+      bucketize(coverOld.filter(bktOf(col("cell"), n)
           .isin(cBkts.toSeq: _*)).unionByName(segsNew),
-        bktOf(col("chromosome"), col("cell"), n), n),
+        bktOf(col("cell"), n), n),
       bucketed = true)
     def obslogNew = obsB.select("chromosome", "position", "reference",
       "observed", "sample_id", "support")
@@ -586,7 +602,7 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
       .select(obsTag(col("sample_id")).as("sid"),
         pointBkt(n).cast(IntegerType).as("bkt"), lit(0).as("kind"))
       .unionByName(fragsGone.select(lit(0L).as("sid"),
-        bktOf(col("chromosome"), col("cell"), n).cast(IntegerType).as("bkt"),
+        bktOf(col("cell"), n).cast(IntegerType).as("bkt"),
         lit(1).as("kind")))
       .groupBy("kind", "sid")
       .agg(collect_set(col("bkt")).as("bkts"))
@@ -630,7 +646,7 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
       ("denom", () => bucketize(denomNew, pointBkt(n), n), true),
       ("obslog", () => obsN, false),
       ("cover", () => bucketize(coverNew,
-        bktOf(col("chromosome"), col("cell"), n), n), true),
+        bktOf(col("cell"), n), n), true),
       ("smpreg", () => smpregTomb, false),
       ("obsidx", () => obsidxTomb, false)),
       Map("numer" -> oBkts, "denom" -> cBkts, "cover" -> cBkts))
@@ -767,7 +783,7 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     // per-commit appends are only ever a superset hint)
     val covidxSnap = mergeRead("cover", before, None)
       .select(col("sample_id"),
-        bktOf(col("chromosome"), col("cell"), newN).cast(IntegerType).as("bkt_id"))
+        bktOf(col("cell"), newN).cast(IntegerType).as("bkt_id"))
       .distinct()
     // exact obsidx rewrite from the (netted, bucketed) obslog snapshot:
     // stale hints for fully-retracted samples age out, and a split
@@ -801,7 +817,7 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
       // range-filtered lookup prunes its cover probe with a cell-range
       // predicate, which row-group stats answer on this layout
       ("cover", () => bucketize(mergeRead("cover", before, None),
-        bktOf(col("chromosome"), col("cell"), newN), newN)
+        bktOf(col("cell"), newN), newN)
         .sortWithinPartitions("bkt", "chromosome", "cell"), true),
       ("smpreg", () => smpregSnap, false),
       ("covidx", () => covidxSnap, false),
@@ -923,7 +939,7 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     require(points.nonEmpty, "lookupPoints needs at least one point")
     val upTo = highWater
     val n = nBkts
-    val ks = points.map { case (c, p) => FreqStore.pointBucket(c, p, n) }.toSet
+    val ks = points.map { case (c, p) => FreqStore.pointBucket(p, n) }.toSet
     val restrict: DataFrame => DataFrame =
       if (points.size <= 64) {
         val pred = points.map { case (c, p) =>
@@ -942,24 +958,28 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
 
   /** Region-range lookup — the reference's region query [U GET
     * /variants?region=chrom:begin-end]: serve every variant inside a
-    * genomic range from the committed store. A range cannot name its
-    * hash buckets on the driver (that is the point-lookup trick), so the
-    * scan lists every bucket — but the predicate PUSHES into the parquet
-    * reads, and [[compact]] writes the point-keyed components sorted by
-    * (chromosome, position) within each bucket file, so row-group
-    * min/max statistics reduce the actual read to the matching row
-    * groups of each bucket: O(range-rows + nBuckets footers), not
-    * O(store). Row-equal to [[serve]] filtered to the range
-    * (RangeLookupSpec pins parity, the pushed filters, and the sorted
-    * layout). */
+    * genomic range from the committed store. Since the round-12
+    * single-column bucket layout, a range CAN name its buckets on the
+    * driver — it enumerates its cells (bounded by [[FreqStore.MaxRangeCells]])
+    * and hashes each, so the read opens only the matching bucket
+    * DIRECTORIES, like the point lookup. The range predicate also still
+    * PUSHES into the parquet reads, and [[compact]] writes the
+    * point-keyed components sorted by (chromosome, position) within
+    * each bucket file, so row-group min/max statistics trim the read
+    * further: O(range-rows + pruned footers), not O(store). A range too
+    * wide to enumerate falls back to the all-bucket listing with the
+    * sorted-layout statistics carrying the read. Row-equal to [[serve]]
+    * filtered to the range (RangeLookupSpec pins parity, the pushed
+    * filters, the sorted layout, and the bucket pruning). */
   def lookupRange(chromosome: String, begin: Long, end: Long): DataFrame = {
     require(begin <= end, s"empty range [$begin, $end]")
     val upTo = highWater
+    val ks = FreqStore.rangeBuckets(begin, end, nBkts)
     val pred = col("chromosome") === chromosome &&
       col("position") >= begin && col("position") <= end
     VardaOps.serveFrom(
-      mergeRead("numer", upTo, None).filter(pred),
-      mergeRead("denom", upTo, None).filter(pred),
+      mergeRead("numer", upTo, ks).filter(pred),
+      mergeRead("denom", upTo, ks).filter(pred),
       uncovFrame(upTo))
   }
 
@@ -983,15 +1003,18 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     val upTo = highWater
     val rangePred = col("chromosome") === chromosome &&
       col("position") >= begin && col("position") <= end
+    // the range names its buckets (round-12 single-column layout):
+    // both the obslog and cover reads open only those directories
+    val ks = FreqStore.rangeBuckets(begin, end, nBkts)
     // ONE obslog read feeds both the numerators and the probe point
     // set (variants only exist at observed points)
-    val obsR = appendRead("obslog", upTo, None).filter(rangePred)
+    val obsR = appendRead("obslog", upTo, ks).filter(rangePred)
     val numerF = obsR.filter(samplePred)
       .groupBy("chromosome", "position", "reference", "observed")
       .agg(sum(col("support")).cast(LongType).as("numer"))
       .filter(col("numer") =!= 0)
     val ptsF = obsR.select("chromosome", "position").distinct()
-    val coverF = mergeRead("cover", upTo, None)
+    val coverF = mergeRead("cover", upTo, ks)
       .filter(col("chromosome") === chromosome &&
         col("cell") >= (begin >> CellShift) && col("cell") <= (end >> CellShift))
       .filter(samplePred)
@@ -1032,7 +1055,7 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     require(points.nonEmpty, "lookupPointsFiltered needs at least one point")
     val upTo = highWater
     val n = nBkts
-    val ks = points.map { case (c, p) => FreqStore.pointBucket(c, p, n) }.toSet
+    val ks = points.map { case (c, p) => FreqStore.pointBucket(p, n) }.toSet
     import spark.implicits._
     val probe = broadcast(points.toDF("chromosome", "position"))
     val numerF = appendRead("obslog", upTo, Some(ks))
@@ -1071,7 +1094,7 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     require(exprs.nonEmpty, "lookupPointsMulti needs at least one expression")
     val upTo = highWater
     val n = nBkts
-    val ks = points.map { case (c, p) => FreqStore.pointBucket(c, p, n) }.toSet
+    val ks = points.map { case (c, p) => FreqStore.pointBucket(p, n) }.toSet
     import spark.implicits._
     val probe = broadcast(points.toDF("chromosome", "position"))
     // one obslog pass: net support per variant overall (the row-set
@@ -1193,6 +1216,16 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
           require(parts.nonEmpty && parts(0).toIntOption.isDefined,
             s"unreadable commit marker ${st.getPath} (content '$body') — " +
               "not a store written by this format")
+          // LAYOUT VERSION (3rd token; absent = v1): the bucket hash
+          // changed in layout 2 (cell-only, chromosome dropped — see
+          // bktOf), so pruned reads against a v1 layout would silently
+          // miss rows. Refuse loudly instead.
+          val layout = if (parts.length > 2) parts(2).toInt else 1
+          require(layout == LayoutVersion,
+            s"store at $dir was written under bucket-layout v$layout; " +
+              s"this build reads v$LayoutVersion (the bucket hash " +
+              "changed) — re-import the store or read it with the " +
+              "writing version")
           Marker(id, v, parts(0).toInt,
             if (parts.length > 1) parts(1).toLong else 0L)
         }
@@ -1207,7 +1240,8 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     val name = genName(batchId, v)
     val tmp = new Path(d, s".tmp-$name")
     val out = fs.create(tmp, true)
-    try out.write(s"$n $uncov".getBytes("UTF-8")) finally out.close()
+    try out.write(s"$n $uncov $LayoutVersion".getBytes("UTF-8"))
+    finally out.close()
     fs.delete(new Path(d, name), false)
     // rename failures RETURN false rather than throw; a silently
     // unblessed generation must abort the caller (in compact, before
@@ -1544,6 +1578,11 @@ object FreqStore {
 
   private case class Marker(id: Long, v: Int, n: Int, uncov: Long)
 
+  /** Bucket-layout version recorded in every commit marker. v1 hashed
+    * (chromosome, cell); v2 (round 12) hashes the cell alone — see
+    * [[FreqStore.bktOf]] for why. Readers refuse other versions. */
+  private[graft] val LayoutVersion = 2
+
   /** `gen-<id>` → (id, 0); `gen-<id>.<v>` → (id, v). */
   private def parseGenName(nm: String): Option[(Long, Int)] =
     if (!nm.startsWith("gen-")) None
@@ -1559,19 +1598,34 @@ object FreqStore {
     * alike; re-deriving the shift at a call site risks pruning to the
     * wrong bucket, which for residual-only filters is silent row
     * loss). */
-  private[graft] def pointBucket(chrom: String, position: Long, n: Int): Int =
-    driverBucket(chrom, position >> CellShift, n)
+  private[graft] def pointBucket(position: Long, n: Int): Int =
+    driverBucket(position >> CellShift, n)
 
   /** The shared bucket hash evaluated on the DRIVER — the same
-    * Murmur3 expression `pmod(hash(chromosome, cell), n)` the stores
-    * are written with, so a point lookup can name its bucket directory
-    * without running a Spark job. */
-  private[graft] def driverBucket(chrom: String, cell: Long, n: Int): Int = {
+    * Murmur3 expression `pmod(hash(cell), n)` the stores are written
+    * with, so a point lookup can name its bucket directory without
+    * running a Spark job. */
+  private[graft] def driverBucket(cell: Long, n: Int): Int = {
     import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}
-    val h = new Murmur3Hash(Seq(Literal(chrom), Literal(cell)))
+    val h = new Murmur3Hash(Seq(Literal(cell)))
       .eval(null).asInstanceOf[Int]
     ((h % n) + n) % n
   }
+
+  /** The buckets a position RANGE can touch, when its cell span is
+    * small enough to enumerate — the driver-side range pruning the
+    * single-column bucket function unlocked (round 12). None above the
+    * cap: an enormous range prunes nothing and the sorted row-group
+    * statistics carry the read instead. */
+  private[graft] def rangeBuckets(begin: Long, end: Long,
+      n: Int): Option[Set[Int]] = {
+    val c0 = begin >> CellShift
+    val c1 = end >> CellShift
+    if (c1 - c0 + 1 > MaxRangeCells) None
+    else Some((c0 to c1).map(driverBucket(_, n)).toSet)
+  }
+  /** Cells above this enumerate more buckets than they prune. */
+  private[graft] val MaxRangeCells = 1L << 12
 
   /** Explicit component schemas: empty-store reads and leaf-dir parquet
     * reads (no partition inference on `bkt=` leaves) both need them. */

@@ -633,13 +633,15 @@ object VardaOps {
 
   /** The reference's REGION query [U GET /variants?region=chrom:begin-end]:
     * serve every variant of a genomic range from the committed store
-    * through [[FreqStore.lookupRange]]. A range cannot drive driver-side
-    * bucket pruning (hash buckets), so the scale story is the LAYOUT:
-    * the serving store is compacted with its point-keyed components
-    * sorted by (chromosome, position) within each bucket file, and the
-    * pushed range predicate skips all non-matching row groups via
-    * parquet min/max statistics — O(range + footers), not O(store)
-    * (RangeLookupSpec pins parity, pushdown and sortedness). The probe
+    * through [[FreqStore.lookupRange]]. Two scale levers compose since
+    * round 12: the single-column bucket layout lets the range NAME its
+    * buckets on the driver (enumerate cells, hash each — the read opens
+    * only those directories), and the serving store is compacted with
+    * its point-keyed components sorted by (chromosome, position) within
+    * each bucket file, so the pushed range predicate skips all
+    * non-matching row groups via parquet min/max statistics —
+    * O(range + pruned footers), not O(store) (RangeLookupSpec pins
+    * parity, pushdown, sortedness and the bucket pruning). The probe
     * range is a deterministic fixture slice (chromosome '7', positions
     * 20000–40000 — ~1/110 of the position space), and the oracle is the
     * one-shot frequency SQL restricted to it. */

@@ -88,6 +88,24 @@ class FreqStoreDsv2Spec extends AnyFunSuite {
     assert(e2.getMessage.contains("snapshot"), e2.getMessage)
   }
 
+  test("the store registers through SQL DDL: CREATE TABLE ... USING freqstore") {
+    val (store, dir) = builtStore()
+    spark.sql("DROP TABLE IF EXISTS freq_ddl")
+    // the full lifecycle surface in pure SQL: a named catalog table over
+    // the committed store (the TableProvider resolves via its
+    // DataSourceRegister short name), point query pruning included
+    spark.sql(s"CREATE TABLE freq_ddl USING freqstore OPTIONS (path '$dir')")
+    try {
+      val got = spark.sql("SELECT * FROM freq_ddl")
+      assert(rowSet(got) == rowSet(store.serve()))
+      val pt = spark.sql(
+        "SELECT * FROM freq_ddl WHERE chromosome = '1' AND position = 5000")
+      assert(pt.count() == 1)
+      assert(graft.sources.FreqStoreDataSource.lastPlannedBuckets.exists(_.size == 1),
+        "DDL-registered table lost point-predicate bucket pruning")
+    } finally spark.sql("DROP TABLE freq_ddl")
+  }
+
   test("asOfGeneration composes with point-predicate bucket pruning") {
     val (store, dir) = builtStore()
     // a time-travelled POINT query: the pinned manifest plans only
@@ -157,8 +175,12 @@ class FreqStoreDsv2Spec extends AnyFunSuite {
     val r = graft.sources.FreqStoreDataSource.lastPlannedRange
     assert(r.chromosome.contains("1") && r.posLower.contains(4000L) &&
       r.posUpper.contains(6000L), s"range not captured: $r")
-    // a range alone cannot prune buckets — the pushdown is the lever
-    assert(graft.sources.FreqStoreDataSource.lastPlannedBuckets.isEmpty)
+    // round-12 single-column layout: the range NAMES its buckets (cells
+    // 4000>>11 .. 6000>>11 hashed) and the scan opens only those
+    assert(graft.sources.FreqStoreDataSource.lastPlannedBuckets ==
+      FreqStore.rangeBuckets(4000L, 6000L, store.nBkts),
+      s"range should prune to its cells' buckets, planned: " +
+        s"${graft.sources.FreqStoreDataSource.lastPlannedBuckets}")
 
     // strict bounds normalize to inclusive ones (GT/LT → +1/-1)
     val got2 = spark.sql(
@@ -307,7 +329,7 @@ class FreqStoreDsv2Spec extends AnyFunSuite {
     val rb = graft.sources.FreqStoreDataSource.lastRuntimeBuckets
     assert(rb.exists(_.size == 1),
       s"join must runtime-prune to the probes' one bucket, got: $rb")
-    assert(rb.get == Set(FreqStore.pointBucket("1", 5000L, store.nBkts)))
+    assert(rb.get == Set(FreqStore.pointBucket(5000L, store.nBkts)))
   }
 
   test("the annotation lifecycle runs through the public SQL surface end to end") {

@@ -708,11 +708,11 @@ class FreqStoreSpec extends AnyFunSuite {
       import spark.implicits._
       val viaSpark = rows.toDF("chromosome", "position")
         .select(col("chromosome"), col("position"),
-          pmod(hash(col("chromosome"), shiftright(col("position"), 11)),
+          pmod(hash(shiftright(col("position"), 11)),
             lit(n)).as("bkt"))
         .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
       for ((c, p) <- rows)
-        assert(FreqStore.driverBucket(c, p >> 11, n) == viaSpark((c, p)),
+        assert(FreqStore.driverBucket(p >> 11, n) == viaSpark((c, p)),
           s"driver bucket diverged for ($c, $p, n=$n)")
     }
   }
@@ -886,16 +886,16 @@ class FreqStoreSpec extends AnyFunSuite {
     store.commit(0, obs, cov, smp)
 
     def cellBkts(cells: Range) =
-      cells.map(c => FreqStore.driverBucket("1", c.toLong, n)).toSet
+      cells.map(c => FreqStore.driverBucket(c.toLong, n)).toSet
     val s1 = Seq(1L).toDF("sample_id")
     val s2 = Seq(2L).toDF("sample_id")
     assert(store.covBucketsOf(9, s1) == cellBkts(1 to 2))
     assert(store.covBucketsOf(9, s2) == cellBkts(43 to 44))
     // ...and the obsidx twin names each sample's obslog point bucket
     assert(store.obsBucketsOf(9, s1) ==
-      Set(FreqStore.pointBucket("1", 5000L, n)))
+      Set(FreqStore.pointBucket(5000L, n)))
     assert(store.obsBucketsOf(9, s2) ==
-      Set(FreqStore.pointBucket("1", 90000L, n)))
+      Set(FreqStore.pointBucket(90000L, n)))
 
     // the retraction through the pruned cover read still converges to
     // the one-shot over the surviving sample
@@ -916,7 +916,7 @@ class FreqStoreSpec extends AnyFunSuite {
     assert(store.obsBucketsOf(9, s1).isEmpty,
       "compaction kept the retracted sample's obsidx residue")
     assert(store.obsBucketsOf(9, s2) ==
-      Set(FreqStore.pointBucket("1", 90000L, n)))
+      Set(FreqStore.pointBucket(90000L, n)))
     // and a post-compaction retraction through the doubly-pruned reads
     // still nets the surviving sample out to an empty store
     store.retractSamples(2, smp.filter($"sample_id" === 2L))

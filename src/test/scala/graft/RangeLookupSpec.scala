@@ -59,6 +59,25 @@ class RangeLookupSpec extends AnyFunSuite {
     assert(freqKey(store.lookupRange(p._1, p._2, p._2)) == Map(p -> exp(p)))
   }
 
+  test("lookupRange opens only the range's cells' buckets (round-12 layout)") {
+    // the single-column bucket hash lets a range NAME its buckets: the
+    // read must open a subset of the range-cells' bucket directories,
+    // strictly fewer than the full store's
+    val store = buildStore(tmpDir("fqs_rangeprune"))
+    def bktsOf(files: Seq[String]) = files.flatMap(f =>
+      "bkt=(\\d+)".r.findFirstMatchIn(f).map(_.group(1).toInt)).toSet
+    val all = bktsOf(store.serve().inputFiles.toSeq)
+    assert(all.size >= 3, s"fixture must spread buckets, got $all")
+    val expect = FreqStore.rangeBuckets(20000L, 24000L, store.nBkts).get
+    val got = bktsOf(store.lookupRange("7", 20000L, 24000L).inputFiles.toSeq)
+    assert(got.subsetOf(expect),
+      s"range read opened buckets outside its cells': $got vs $expect")
+    assert(got.size < all.size,
+      s"range read did not prune ($got of $all)")
+    // an enormous range prunes nothing and still serves correctly
+    assert(FreqStore.rangeBuckets(0L, Long.MaxValue / 2, store.nBkts).isEmpty)
+  }
+
   test("the range predicate reaches the parquet scans as pushed filters") {
     val store = buildStore(tmpDir("fqs_rangepush"))
     // inspect the scans' own metadata — the plan's toString elides long
