@@ -52,6 +52,19 @@ class FreqStoreCatalog extends TableCatalog with FunctionCatalog {
     val dir = ident.name()
     new FreqStoreTable(dir, catalogPartitioned = true)
   }
+
+  /** SQL-standard time travel — `SELECT … FROM fqs.`…` VERSION AS OF g`
+    * resolves here: the version string is a generation id, pinned with
+    * [[graft.varda.FreqStore.serveAsOf]]'s validation (a generation
+    * consolidated away by compaction fails at plan time). Composes with
+    * the storage-partitioned planning: a drift join `head ⟕ VERSION AS
+    * OF g` of the SAME store co-partitions and shuffles neither side. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val asOf = version.toLongOption.getOrElse(sys.error(
+      s"freqstore: VERSION AS OF takes a generation id, got '$version'"))
+    new FreqStoreTable(ident.name(), catalogPartitioned = true,
+      asOfFixed = Some(asOf))
+  }
   override def tableExists(ident: Identifier): Boolean =
     try { loadTable(ident); true } catch { case _: Exception => false }
   override def listTables(namespace: Array[String]): Array[Identifier] =

@@ -86,7 +86,8 @@ object FreqStoreDataSource {
   @volatile private[graft] var lastPushedCountStar: Boolean = false
 }
 
-class FreqStoreTable(dir: String, catalogPartitioned: Boolean = false)
+class FreqStoreTable(dir: String, catalogPartitioned: Boolean = false,
+    asOfFixed: Option[Long] = None)
     extends Table with SupportsRead {
   override def name(): String = s"freqstore:$dir"
   override def schema(): StructType = FreqStoreDataSource.schema
@@ -110,7 +111,7 @@ class FreqStoreTable(dir: String, catalogPartitioned: Boolean = false)
     val asOf = Option(options.get("asOfGeneration")).map { s =>
       s.toLongOption.getOrElse(sys.error(
         s"freqstore: asOfGeneration must be a long generation id, got '$s'"))
-    }
+    }.orElse(asOfFixed) // SQL `VERSION AS OF` pins via the catalog
     new FreqStoreScanBuilder(dir, asOf, catalogPartitioned)
   }
 }

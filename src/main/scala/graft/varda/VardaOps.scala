@@ -610,6 +610,34 @@ object VardaOps {
       .orderBy("chromosome", "position", "reference", "observed")
   }
 
+  /** FREQUENCY DRIFT between a pinned generation and the head — "what
+    * changed since import N" [U varda continuous imports]: the head
+    * state LEFT-joined against `VERSION AS OF 1` of the same store, per
+    * variant, emitting head/old/drift frequencies. The whole query runs
+    * through the catalog's SQL surface, and the plan is the round-12
+    * architecture paying off end to end: both sides are the SAME
+    * bucket-partitioned table, so the storage-partitioned join
+    * co-locates them and NEITHER side shuffles — zero exchanges before
+    * the final ORDER BY (FreqStoreCatalogSpec pins the plan shape; the
+    * oracle is the full one-shot left-joined with the 2-batch-prefix
+    * one-shot). */
+  val vardaFreqCompare: Q = (s, d) => {
+    val dir = timeTravelFreqStore(s, d)
+    s.conf.set("spark.sql.catalog.fqs",
+      classOf[graft.sources.FreqStoreCatalog].getName)
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.sql(
+      s"""SELECT h.chromosome, h.position, h.reference, h.observed,
+            h.freq_ppm AS freq_head,
+            COALESCE(o.freq_ppm, 0) AS freq_old,
+            h.freq_ppm - COALESCE(o.freq_ppm, 0) AS drift_ppm
+          FROM fqs.`$dir` h
+          LEFT JOIN (SELECT * FROM fqs.`$dir` VERSION AS OF 1) o
+            ON h.chromosome = o.chromosome AND h.position = o.position
+            AND h.reference = o.reference AND h.observed = o.observed
+          ORDER BY h.chromosome, h.position, h.reference, h.observed""")
+  }
+
   /** The reference's FLAGSHIP query [U GET /variants]: serve a handful
     * of variant points from the committed store through the pruned
     * bucket lookup ([[FreqStore.lookupPoints]]) — the driver-side hash
@@ -1435,6 +1463,7 @@ object VardaOps {
     "varda_freq_incremental" -> vardaFreqIncremental,
     "varda_freq_lookup" -> vardaFreqLookup,
     "varda_freq_asof" -> vardaFreqAsOf,
+    "varda_freq_compare" -> vardaFreqCompare,
     "varda_freq_lookup_range" -> vardaFreqLookupRange,
     "varda_freq_lookup_range_expr" -> vardaFreqLookupRangeExpr,
     "varda_freq_lookup_expr" -> vardaFreqLookupExpr,
@@ -1676,6 +1705,23 @@ object VardaOps {
         covWhere = Some("region_id % 3 <= 1"),
         smpWhere = Some("sample_id % 3 <= 1"))}
           ORDER BY n.chromosome, n.position, n.reference, n.observed""",
+    // the drift join must equal the full one-shot LEFT-joined with the
+    // 2-batch-prefix one-shot, per variant
+    "varda_freq_compare" ->
+      s"""WITH head AS (${frequencySql(withZyg = false, None, idivDuck)}),
+          old AS (${frequencySql(withZyg = false, None, idivDuck,
+        obsWhere = Some("obs_id % 3 <= 1"),
+        covWhere = Some("region_id % 3 <= 1"),
+        smpWhere = Some("sample_id % 3 <= 1"))})
+          SELECT h.chromosome, h.position, h.reference, h.observed,
+            h.freq_ppm AS freq_head,
+            COALESCE(o.freq_ppm, 0) AS freq_old,
+            h.freq_ppm - COALESCE(o.freq_ppm, 0) AS drift_ppm
+          FROM head h
+          LEFT JOIN old o
+            ON h.chromosome = o.chromosome AND h.position = o.position
+            AND h.reference = o.reference AND h.observed = o.observed
+          ORDER BY h.chromosome, h.position, h.reference, h.observed""",
     // incremental maintenance must converge to the one-shot answer: the
     // oracle IS the one-shot frequency SQL
     "varda_freq_incremental" ->

@@ -41,8 +41,16 @@ class FreqStoreCatalogSpec extends AnyFunSuite {
   private def withSpj[T](body: => T): T = {
     spark.conf.set("spark.sql.catalog.fqs", classOf[graft.sources.FreqStoreCatalog].getName)
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    // the join clustering (4-part point key) is a SUPERSET of the
+    // partition key (position); with the default
+    // requireAllClusterKeysForCoPartition=true Spark insists every join
+    // key be a partition key and falls back to a shuffle
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
     try body
-    finally spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+    finally {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      spark.conf.unset("spark.sql.requireAllClusterKeysForCoPartition")
+    }
   }
 
   private def shuffles(df: DataFrame): Int = {
@@ -86,9 +94,71 @@ class FreqStoreCatalogSpec extends AnyFunSuite {
           Seq("chromosome", "position"))
         .filter($"numer_a" === $"numer_b")
       assert(rowSet(j) == rowSet(expected))
-      val p = j.queryExecution.executedPlan.toString
-      assert(!p.contains("Exchange hashpartitioning"),
-        s"store-to-store join should be storage-partitioned:\n$p")
+      // at this size Catalyst may broadcast (fine); force the at-scale
+      // shape to pin the storage-partitioned path itself
+      val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val j2 = a.join(b, Seq("chromosome", "position"))
+          .filter($"numer_a" === $"numer_b")
+        assert(rowSet(j2) == rowSet(expected))
+        val p = j2.queryExecution.executedPlan.toString
+        assert(!p.contains("Exchange "),
+          s"store-to-store join should be storage-partitioned:\n$p")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    }
+  }
+
+  test("VERSION AS OF time-travels through SQL; the drift join is shuffle-free") {
+    withSpj {
+      val dir = tmpDir("fqs_ver")
+      val store = new FreqStore(spark, dir, 4)
+      val obs0 = Seq(("1", 5000L, "A", "C", 3), ("2", 700L, "G", "T", 2))
+        .toDF("chromosome", "position", "reference", "observed", "support")
+      val cov = Seq((10L, "1", 4000L, 6000L, 1L, 2)).toDF(
+        "region_id", "chromosome", "begin_pos", "end_pos", "sample_id", "pool_size")
+      val smp = Seq((1L, 2, true), (3L, 7, false)).toDF(
+        "sample_id", "pool_size", "has_coverage")
+      store.commit(0, obs0, cov, smp)
+      store.commit(1,
+        Seq(("1", 5000L, "A", "C", 2), ("7", 91000L, "T", "G", 4)).toDF(
+          "chromosome", "position", "reference", "observed", "support"),
+        cov.filter("false"), smp.filter("false"))
+
+      // SQL-standard time travel resolves through the catalog
+      val v0 = spark.sql(s"SELECT * FROM fqs.`$dir` VERSION AS OF 0")
+      assert(rowSet(v0) == rowSet(store.serveAsOf(0L)))
+      // the drift join: head vs generation 0, SAME table both sides.
+      // On this tiny fixture Catalyst rightly BROADCASTS the old side
+      // (the reported statistics make that the cheap plan); disable
+      // broadcast to exercise the at-scale shape — then the join must
+      // be storage-partitioned with NO exchange of any kind.
+      val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val drift = spark.sql(
+          s"""SELECT h.chromosome, h.position, h.reference, h.observed,
+                h.numer - COALESCE(o.numer, 0) AS dn
+              FROM fqs.`$dir` h
+              LEFT JOIN (SELECT * FROM fqs.`$dir` VERSION AS OF 0) o
+                ON h.chromosome = o.chromosome AND h.position = o.position
+                AND h.reference = o.reference AND h.observed = o.observed""")
+        val byKey = drift.collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getString(2), r.getString(3)) ->
+            r.getLong(4)).toMap
+        assert(byKey(("1", 5000L, "A", "C")) == 2L) // 5 head - 3 old
+        assert(byKey(("7", 91000L, "T", "G")) == 4L) // new at head
+        assert(byKey(("2", 700L, "G", "T")) == 0L)
+        val p = drift.queryExecution.executedPlan.toString
+        assert(!p.contains("Exchange "),
+          s"the drift join should be fully storage-partitioned:\n$p")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+      // a pre-snapshot version fails at plan time after compaction
+      store.compact()
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT * FROM fqs.`$dir` VERSION AS OF 0").collect()
+      }
+      assert(e.getMessage.contains("snapshot"), e.getMessage)
     }
   }
 
