@@ -626,6 +626,11 @@ object VardaOps {
     s.conf.set("spark.sql.catalog.fqs",
       classOf[graft.sources.FreqStoreCatalog].getName)
     s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    // the join clustering (4-part point key) is a superset of the
+    // partition key (position); without this relaxation Spark insists
+    // every join key be a partition key and shuffles both sides once
+    // the old side outgrows the broadcast threshold
+    s.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
     s.sql(
       s"""SELECT h.chromosome, h.position, h.reference, h.observed,
             h.freq_ppm AS freq_head,

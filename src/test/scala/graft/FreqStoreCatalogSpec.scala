@@ -162,6 +162,39 @@ class FreqStoreCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("a broadcast probe join against a catalog table runtime-prunes and stays correct") {
+    withSpj {
+      // the common serving join (annotation frame ⟕ store) must keep
+      // working when the scan ALSO reports key-grouped partitioning:
+      // Catalyst broadcasts the probe side, runtime filtering re-prunes
+      // the store's partitions, and the reported partitioning must not
+      // confuse the post-filter re-grouping
+      import org.apache.spark.sql.functions.when
+      val (store, dir) = builtStore()
+      graft.sources.FreqStoreDataSource.lastRuntimeBuckets = None
+      val t = spark.table(s"fqs.`$dir`")
+      // dynamic pruning needs a range-derived probe with a SURVIVING
+      // selective predicate and a pinned broadcast build side (the
+      // FreqStoreDsv2Spec runtime test's documented shape)
+      val probe = spark.range(0, 3).select(
+          when($"id" === 2, "9").otherwise("1").as("chromosome"),
+          when($"id" === 0, 5000L).when($"id" === 1, 91000L).otherwise(123L)
+            .as("position"),
+          when($"id" === 2, "decoy").otherwise("probe").as("tag"))
+        .filter($"tag" === "probe")
+      val j = org.apache.spark.sql.functions.broadcast(probe)
+        .join(t, Seq("chromosome", "position"))
+        .select($"chromosome", $"position", $"numer")
+      val expected = store.serve()
+        .filter("chromosome = '1' AND position IN (5000, 91000)")
+        .select($"chromosome", $"position", $"numer")
+      assert(rowSet(j) == rowSet(expected))
+      // runtime filtering fired and pruned to the probes' buckets
+      val rb = graft.sources.FreqStoreDataSource.lastRuntimeBuckets
+      assert(rb.exists(_.size <= 2), s"runtime pruning did not fire: $rb")
+    }
+  }
+
   test("the catalog is read-only and the bucket function is the store's") {
     withSpj {
       val (_, dir) = builtStore()
