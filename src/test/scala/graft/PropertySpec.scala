@@ -215,4 +215,35 @@ class PropertySpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
     assert(got.size == expected.size && got == expected)
   }
+
+  test("rangeBuckets is SOUND: every in-range point's bucket is enumerated") {
+    // the round-12 driver-side range pruning (single-column bucket
+    // layout) restricts reads to rangeBuckets(begin, end, n) — with
+    // residual-only filters an unsound set would be silent row LOSS,
+    // so soundness is the property, not tightness
+    import graft.varda.FreqStore
+    val rnd = new scala.util.Random(12)
+    for (_ <- 0 until 500) {
+      val n = Seq(1, 2, 4, 8, 16, 64, 1 << 12)(rnd.nextInt(7))
+      val begin = rnd.nextLong(1L << 34)
+      val end = begin + rnd.nextLong(1L << 22) // within the cell cap
+      FreqStore.rangeBuckets(begin, end, n) match {
+        case Some(ks) =>
+          // sample points across the range, always including both ends
+          val pts = Seq(begin, end) ++
+            (0 until 20).map(_ => begin + rnd.nextLong(end - begin + 1))
+          for (p <- pts)
+            assert(ks.contains(FreqStore.pointBucket(p, n)),
+              s"point $p of [$begin,$end] bucket not enumerated (n=$n)")
+        case None =>
+          assert((end >> 11) - (begin >> 11) + 1 > FreqStore.MaxRangeCells,
+            "rangeBuckets declined a range under the cell cap")
+      }
+    }
+    // the cap boundary: exactly MaxRangeCells cells still enumerates
+    val b0 = 0L
+    val e0 = (FreqStore.MaxRangeCells << 11) - 1
+    assert(FreqStore.rangeBuckets(b0, e0, 8).isDefined)
+    assert(FreqStore.rangeBuckets(b0, e0 + (1L << 11), 8).isEmpty)
+  }
 }
