@@ -333,6 +333,7 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     // a def/lazy thunk, so analysis still happens on the thread that
     // first needs each frame
     def obsB = obsBT(); def covF = covFT(); def obsPts = obsPtsT()
+    try {
     require(n == nBkts,
       s"bucket modulus changed between prepare ($n) and commit ($nBkts) — " +
         "do not compact between the two phases")
@@ -476,10 +477,20 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
       Map("numer" -> oBkts, "denom" -> (oBkts ++ cBkts), "cover" -> cBkts))
     awaitAll(Seq(matF)) // a no-op by now; don't leak the thread past commit
     markCommitted(batchId, 0, n, uncovPool(batchId) + uncovDelta)
-    // release the commit's cached intermediates: an ingest loop commits
-    // forever, and persisted frames (unlike checkpoint blocks) register
-    // in the session's CacheManager until explicitly dropped
-    Seq(obsB, covF, obsPts, newPts, segsNew).foreach(_.unpersist(false))
+    // the commit-side shared frames release on success; a failed write
+    // phase leaks them only until the replay (which prepares fresh ones)
+    newPts.unpersist(false); segsNew.unpersist(false)
+    } finally {
+      // success OR failure, release the PREPARE-side caches: matF
+      // populates them even when the commit aborts at the manifest
+      // (e.g. the sample-id guard), an ingest loop commits forever, and
+      // persisted frames (unlike checkpoint blocks) register in the
+      // session's CacheManager until explicitly dropped. Try-guarded:
+      // releasing caches must never mask the commit's own failure.
+      for (df <- Seq(() => obsB, () => covF, () => obsPts))
+        scala.util.Try(df().unpersist(false))
+      ()
+    }
   }
 
   /** Best-effort cross-process single-writer GUARD (the concurrency
