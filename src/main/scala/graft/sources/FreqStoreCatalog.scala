@@ -25,11 +25,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * relation's catalog (`V2ScanPartitioningAndOrdering` needs a
   * [[FunctionCatalog]] to bind the transform), so a provider-loaded
   * table always degrades to UnknownPartitioning. Through the catalog,
-  * the table declares `point_bucket_<n>(chromosome, position)` — the
-  * store's shared bucket function, modulus IN THE NAME so (a) the
-  * transform's argument list is exactly the clustering columns (what
-  * the satisfies-check inspects) and (b) two stores only co-partition
-  * when their moduli match. Each scan partition reports its bucket id
+  * the table declares `point_bucket_<n>(position)` — the store's shared
+  * bucket function (single-argument: catalyst KeyGroupedPartitioning
+  * supports one-child transforms only, the reason the round-12 layout
+  * dropped the chromosome from the hash), modulus IN THE NAME so two
+  * stores only co-partition when their moduli match. Each scan
+  * partition reports its bucket id
   * as its partition key ([[org.apache.spark.sql.connector.read.HasPartitionKey]]),
   * so Catalyst plans over `KeyGroupedPartitioning`:
   *
@@ -47,10 +48,24 @@ class FreqStoreCatalog extends TableCatalog with FunctionCatalog {
   override def name(): String = catName
 
   /** The identifier's NAME is the store directory (quote it in SQL:
-    * ``freq.`/path/to/store` ``); namespaces are not used. */
+    * ``freq.`/path/to/store` ``); namespaces are not used. A
+    * NONEXISTENT directory is a missing table, loudly — the provider
+    * path's "empty store reads empty" contract is for a CREATED store
+    * awaiting its first commit, not for a typo'd path silently serving
+    * an empty cohort. */
   override def loadTable(ident: Identifier): Table = {
     val dir = ident.name()
+    requireStoreDir(dir)
     new FreqStoreTable(dir, catalogPartitioned = true)
+  }
+
+  private def requireStoreDir(dir: String): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        Seq(catName, dir))
   }
 
   /** SQL-standard time travel — `SELECT … FROM fqs.`…` VERSION AS OF g`
@@ -62,6 +77,7 @@ class FreqStoreCatalog extends TableCatalog with FunctionCatalog {
   override def loadTable(ident: Identifier, version: String): Table = {
     val asOf = version.toLongOption.getOrElse(sys.error(
       s"freqstore: VERSION AS OF takes a generation id, got '$version'"))
+    requireStoreDir(ident.name())
     new FreqStoreTable(ident.name(), catalogPartitioned = true,
       asOfFixed = Some(asOf))
   }

@@ -182,17 +182,18 @@ class FreqStoreScanBuilder(dir: String, asOf: Option[Long] = None,
   override def build(): Scan = {
     val spark = SparkSession.active
     val store = new FreqStore(spark, dir)
+    val nPlan = store.nBkts // hoisted: nBkts re-reads the commit log
     val buckets = probes.map { ps =>
       // the store's own point-bucket helper — never re-derive the cell
       // shift here: with residual-only filters a mismatched bucket
       // would silently drop rows, not just slow the scan
-      ps.map { case (_, p) => FreqStore.pointBucket(p, store.nBkts) }
+      ps.map { case (_, p) => FreqStore.pointBucket(p, nPlan) }
     }.orElse {
       // a RANGE names its buckets too (round-12 single-column layout):
       // both position bounds present and few enough cells to enumerate
       for {
         lo <- range.posLower; hi <- range.posUpper if lo <= hi
-        ks <- FreqStore.rangeBuckets(lo, hi, store.nBkts)
+        ks <- FreqStore.rangeBuckets(lo, hi, nPlan)
       } yield ks
     }
     FreqStoreDataSource.lastPlannedBuckets = buckets
@@ -200,7 +201,7 @@ class FreqStoreScanBuilder(dir: String, asOf: Option[Long] = None,
     FreqStoreDataSource.lastPlannedRange = range
     FreqStoreDataSource.lastPlannedLimit = limit
     FreqStoreDataSource.lastPushedCountStar = countStar
-    val n = store.nBkts
+    val n = nPlan
     val (perBucket, uncov, bytes) = store.serveFileManifest(buckets, asOf)
     // the SESSION's Hadoop view must reach the executor-side parquet
     // readers (filesystem credentials, custom schemes): the context
@@ -333,17 +334,19 @@ class FreqStoreScan(perBucket: Map[Int, (Seq[String], Seq[String])],
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
   /** Storage-partitioned planning (catalog-loaded tables only — the
     * provider path has no FunctionCatalog to resolve the transform):
-    * every partition is one bucket of `point_bucket_<n>(chromosome,
-    * position)`, so Catalyst can aggregate on the point key with zero
-    * exchange and join two same-modulus stores without shuffling
-    * either side (gated on spark.sql.sources.v2.bucketing.enabled). */
+    * every partition is one bucket of `point_bucket_<n>(position)`, so
+    * Catalyst can aggregate on the point key with zero exchange and
+    * join two same-modulus stores without shuffling either side (gated
+    * on spark.sql.sources.v2.bucketing.enabled). */
   override def outputPartitioning():
       org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    // the SAME transform object the table declares (never re-spell it
+    // here: a drift between the two spellings makes Catalyst's
+    // satisfies-check silently stop matching and the shuffles reappear
+    // with no error)
     if (reportPartitioning && perBucket.nonEmpty)
       new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-        Array(org.apache.spark.sql.connector.expressions.Expressions.apply(
-          s"point_bucket_$nBkts",
-          org.apache.spark.sql.connector.expressions.Expressions.column("position"))),
+        Array(FreqStoreCatalog.transformFor(nBkts)),
         perBucket.size)
     else
       new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
@@ -359,33 +362,26 @@ class FreqStoreScan(perBucket: Map[Int, (Seq[String], Seq[String])],
     * annotation frame joined against the store in SQL broadcasts (the
     * reported statistics make it the build side) and Spark hands this
     * scan the build side's distinct join-key values as `In` filters.
-    * When BOTH point-key columns arrive, their cross product is a
-    * SUPERSET of the true probe set, so pruning partitions to its
-    * buckets can never drop a row — the same driver-hash pruning
-    * [[FreqStore.lookupPoints]] does by hand, now firing for plain
-    * `probe JOIN freqstore USING (chromosome, position)`. With only
-    * one key column (or a cross product past the cap) the scan stays
-    * as planned — runtime pruning is a pure optimization; Spark still
+    * The probed POSITIONS alone determine the buckets (the round-12
+    * single-column hash), so the position values — a superset of the
+    * true probe set's — prune partitions without ever dropping a row:
+    * the same driver-hash pruning [[FreqStore.lookupPoints]] does by
+    * hand, now firing for plain `probe JOIN freqstore USING
+    * (chromosome, position)`. Past the value cap the scan stays as
+    * planned — runtime pruning is a pure optimization; Spark still
     * evaluates the join itself. */
   override def filterAttributes(): Array[
       org.apache.spark.sql.connector.expressions.NamedReference] = Array(
-    org.apache.spark.sql.connector.expressions.Expressions.column("chromosome"),
     org.apache.spark.sql.connector.expressions.Expressions.column("position"))
   override def filter(filters: Array[Filter]): Unit = {
-    def strs(vs: Array[Any]) = vs.toSeq.collect { case s: String => s }
     def lngs(vs: Array[Any]) = vs.toSeq.collect {
       case n: java.lang.Number => n.longValue() }
-    val cs = filters.collectFirst {
-      case In("chromosome", vs) => strs(vs)
-      case EqualTo("chromosome", c: String) => Seq(c) }
     val ps = filters.collectFirst {
       case In("position", vs) => lngs(vs)
       case EqualTo("position", p: java.lang.Number) => Seq(p.longValue()) }
-    for (c <- cs; p <- ps
-         if c.nonEmpty && p.nonEmpty &&
-           c.size.toLong * p.size <= FreqStoreScan.MaxRuntimePoints) {
-      val bks = (for (cc <- c; pp <- p)
-        yield FreqStore.pointBucket(pp, nBkts)).toSet
+    for (p <- ps
+         if p.nonEmpty && p.size <= FreqStoreScan.MaxRuntimePoints) {
+      val bks = p.map(FreqStore.pointBucket(_, nBkts)).toSet
       liveBuckets = perBucket.filter { case (k, _) => bks.contains(k) }
       FreqStoreDataSource.lastRuntimeBuckets = Some(liveBuckets.keySet)
     }

@@ -33,6 +33,10 @@ object ProfKey {
     case class J(id: Int, start: Long, var end: Long = 0L,
       var stages: Int = 0, var tasks: Int = 0, var desc: String = "")
     val jobs = new scala.collection.mutable.LinkedHashMap[Int, J]
+    // stage → job so concurrent jobs' tasks attribute correctly (the
+    // commit path deliberately overlaps jobs; attributing to the most
+    // recently started job miscounted exactly those workloads)
+    val stageJob = new scala.collection.mutable.HashMap[Int, Int]
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit =
         jobs.synchronized {
@@ -41,12 +45,13 @@ object ProfKey {
             .getOrElse("")
           jobs(e.jobId) = J(e.jobId, e.time,
             stages = e.stageInfos.size, desc = d.take(60))
+          e.stageInfos.foreach(si => stageJob(si.stageId) = e.jobId)
         }
       override def onJobEnd(e: SparkListenerJobEnd): Unit =
         jobs.synchronized { jobs.get(e.jobId).foreach(_.end = e.time) }
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
         jobs.synchronized {
-          jobs.values.lastOption.foreach(_.tasks += 1)
+          stageJob.get(e.stageId).flatMap(jobs.get).foreach(_.tasks += 1)
         }
     }
     spark.sparkContext.addSparkListener(listener)

@@ -523,8 +523,14 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
             s"($held). The store is single-writer; if that writer " +
             "crashed, inspect the store and call breakLock().")
       }
-    try out.write(info.getBytes("UTF-8")) finally out.close()
-    try body finally fs.delete(lockPath, false)
+    // from here the lock EXISTS: everything — including writing the
+    // holder info — must sit inside the try whose finally deletes it,
+    // or a failed info write strands the lock and wedges every future
+    // mutating op behind a phantom holder
+    try {
+      try out.write(info.getBytes("UTF-8")) finally out.close()
+      body
+    } finally fs.delete(lockPath, false)
   }
 
   /** Remove a stale `_writer.lock` after a crashed writer (operator
@@ -920,7 +926,9 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
   }
 
   /** An as-of bound is only honest while every generation <= asOf is
-    * still individually addressable in the log. */
+    * still individually addressable in the log — and while asOf itself
+    * is not PAST the head: a typo'd future generation must fail, not
+    * silently serve the head state labeled as something it isn't. */
   private def validateAsOf(asOf: Long, before: Long): Unit = {
     committed().filter(_.v > 0).map(_.id).maxOption.foreach { snap =>
       require(before > snap,
@@ -930,6 +938,12 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     }
     require(live(before).nonEmpty || committed().isEmpty,
       s"asOf=$asOf predates the store's oldest committed generation")
+    live(Long.MaxValue).map(_.id).maxOption.foreach { head =>
+      require(asOf <= head,
+        s"asOf=$asOf is beyond the newest committed generation " +
+          s"(gen-$head) — refusing to serve the head state under a " +
+          "generation id that never committed")
+    }
   }
 
   /** Point lookup — the reference's flagship query [U GET /variants]:

@@ -538,18 +538,25 @@ object VardaOps {
     // if an early commit fails, the later batches' already-launched
     // prepare jobs must not keep running orphaned against the shared
     // context (they are bounded — a manifest collect + a checkpoint
-    // count — so awaiting them quietly is cheap and deterministic)
+    // count — so awaiting them quietly is cheap and deterministic),
+    // and their prepare-side persisted frames must release: only a
+    // COMPLETED commitPrepared unpersists its own, so the aborted
+    // batches' caches would otherwise pin the shared CacheManager for
+    // the context's lifetime. Double-unpersist on the success path is
+    // a no-op. Tables.releaseSession rides the same finally so a
+    // failed replay cannot leak the clone's memoized frames either.
     try preps.foreach(store.commitPrepared)
-    finally preps.foreach { p =>
-      import scala.concurrent.Await
-      import scala.concurrent.duration.Duration
-      scala.util.Try(Await.result(p.manifestF, Duration.Inf))
-      scala.util.Try(Await.result(p.matF, Duration.Inf))
+    finally {
+      preps.foreach { p =>
+        import scala.concurrent.Await
+        import scala.concurrent.duration.Duration
+        scala.util.Try(Await.result(p.manifestF, Duration.Inf))
+        scala.util.Try(Await.result(p.matF, Duration.Inf))
+        for (f <- Seq(p.obsB, p.covF, p.obsPts))
+          scala.util.Try(f().unpersist(false))
+      }
+      Tables.releaseSession(s2)
     }
-    // the clone is done (commits ran eagerly): release its memoized
-    // frames so repeated replays don't accumulate per-clone cache
-    // entries the stopped-context sweep can never evict
-    Tables.releaseSession(s2)
     dir
   }
 
@@ -623,15 +630,21 @@ object VardaOps {
     * one-shot). */
   val vardaFreqCompare: Q = (s, d) => {
     val dir = timeTravelFreqStore(s, d)
-    s.conf.set("spark.sql.catalog.fqs",
+    // the catalog + SPJ confs live on a CLONED session (the
+    // buildFreqStore convention): the shared session's planner settings
+    // must not change under concurrent callers or later bench lines.
+    // The clone shares the SparkContext, so it reads the same store
+    // files and memoized frames.
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.catalog.fqs",
       classOf[graft.sources.FreqStoreCatalog].getName)
-    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     // the join clustering (4-part point key) is a superset of the
     // partition key (position); without this relaxation Spark insists
     // every join key be a partition key and shuffles both sides once
     // the old side outgrows the broadcast threshold
-    s.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
-    s.sql(
+    s2.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    s2.sql(
       s"""SELECT h.chromosome, h.position, h.reference, h.observed,
             h.freq_ppm AS freq_head,
             COALESCE(o.freq_ppm, 0) AS freq_old,

@@ -201,6 +201,12 @@ class FreqStoreCatalogSpec extends AnyFunSuite {
       intercept[UnsupportedOperationException] {
         spark.sql(s"DROP TABLE fqs.`$dir`")
       }
+      // a typo'd store path is a MISSING TABLE, not an empty cohort
+      val missing = intercept[Exception] {
+        spark.table(s"fqs.`/no/such/store-${System.nanoTime()}`").collect()
+      }
+      assert(missing.getMessage.toLowerCase.contains("table"),
+        missing.getMessage)
       // the declared transform's function computes the store's own hash
       val f = new graft.sources.PointBucketBound(8)
       val rows = Seq(5000L, 123L, 90001L, (1L << 33) + 7)

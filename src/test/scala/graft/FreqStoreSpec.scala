@@ -968,6 +968,10 @@ class FreqStoreSpec extends AnyFunSuite {
       "asOf at the head must equal serve()")
     // a bound before the first commit has no state to serve: loud
     intercept[IllegalArgumentException](store.serveAsOf(-1L))
+    // ... and a bound BEYOND the head must not silently serve the head
+    // state labeled as a generation that never committed
+    val eFut = intercept[IllegalArgumentException](store.serveAsOf(99L))
+    assert(eFut.getMessage.contains("beyond the newest"), eFut.getMessage)
 
     // compaction consolidates history: pre-snapshot bounds fail loudly
     // (never a silently floored or empty frame), the head stays served
