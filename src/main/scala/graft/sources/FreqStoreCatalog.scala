@@ -6,9 +6,12 @@ import graft.varda.FreqStore
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Catalog registration for the freqstore serving tables — the piece
   * that unlocks Spark's STORAGE-PARTITIONED planning over the store:
@@ -39,9 +42,22 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *  - a store⟗store equi-join on the point key (cohort vs cohort)
   *    becomes a storage-partitioned join — neither side shuffles.
   *
-  * Read-only: writes go through [[FreqStore.commit]]'s transactional
-  * path, never SQL inserts — create/alter/drop are rejected. */
-class FreqStoreCatalog extends TableCatalog with FunctionCatalog {
+  * Read-only as a TABLE catalog: writes go through [[FreqStore.commit]]'s
+  * transactional path, never SQL inserts — create/alter/drop are
+  * rejected. The MUTATING lifecycle is exposed as stored PROCEDURES
+  * instead (the reference runs imports/deactivations/maintenance as
+  * task endpoints [U varda/tasks.py], not as row-level DML — a batch
+  * import is one atomic generation, so `INSERT` rows-at-a-time would
+  * misrepresent the contract):
+  *
+  * {{{
+  *   CALL fqs.import_batch('/store', 1, 'obs_view', 'cov_view', 'smp_view')
+  *   CALL fqs.retract_samples('/store', 2, array(7L, 9L))
+  *   CALL fqs.compact('/store', 2)      -- retain_gens = 2
+  *   CALL fqs.break_lock('/store')
+  * }}} */
+class FreqStoreCatalog extends TableCatalog with FunctionCatalog
+    with ProcedureCatalog {
   private var catName: String = _
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
     catName = name
@@ -104,6 +120,18 @@ class FreqStoreCatalog extends TableCatalog with FunctionCatalog {
     Array.empty // moduli are per-store; names resolve on demand
   override def functionExists(ident: Identifier): Boolean =
     FreqStoreCatalog.parseBucketFn(ident.name()).isDefined
+
+  /** `CALL fqs.<procedure>(…)` — Spark 4's stored-procedure surface
+    * (analyzer-invoked: ResolveProcedures binds, InvokeProcedures runs
+    * the call eagerly and plans the returned [[LocalScan]] rows as the
+    * statement's result). */
+  override def loadProcedure(ident: Identifier): UnboundProcedure =
+    FreqStoreCatalog.procedures.getOrElse(ident.name(), sys.error(
+      s"freqstore: no procedure '${ident.name()}' — available: " +
+        FreqStoreCatalog.procedures.keys.toSeq.sorted.mkString(", ")))
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    FreqStoreCatalog.procedures.keys.toArray.sorted
+      .map(Identifier.of(Array.empty[String], _))
 }
 
 object FreqStoreCatalog {
@@ -115,6 +143,146 @@ object FreqStoreCatalog {
     }
   private[sources] def transformFor(n: Int): Transform =
     Expressions.apply(s"point_bucket_$n", Expressions.column("position"))
+
+  private[sources] val procedures: Map[String, UnboundProcedure] = Map(
+    "import_batch" -> new ImportBatchProcedure,
+    "retract_samples" -> new RetractSamplesProcedure,
+    "compact" -> new CompactProcedure,
+    "break_lock" -> new BreakLockProcedure)
+}
+
+/** One-row result of a mutating procedure, planned by Spark's
+  * InvokeProcedures as a local relation. */
+private[sources] case class ProcedureResult(schema: StructType,
+    values: Seq[Any]) extends LocalScan {
+  override def readSchema(): StructType = schema
+  override def rows(): Array[InternalRow] = Array(InternalRow.fromSeq(values))
+}
+
+/** Shared shape: every freqstore procedure is both the unbound and the
+  * bound form (parameters are static — binding validates nothing the
+  * analyzer's argument coercion doesn't already), side-effecting
+  * (`isDeterministic = false` keeps Catalyst from caching/reordering
+  * the call) and returns exactly one status row. */
+private[sources] abstract class FreqStoreProcedure(pname: String)
+    extends UnboundProcedure with BoundProcedure {
+  override def name(): String = pname
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  protected def spark: org.apache.spark.sql.SparkSession =
+    org.apache.spark.sql.SparkSession.active
+  protected def result(fields: (String, DataType)*)(values: Any*):
+      java.util.Iterator[Scan] = {
+    val schema = StructType(fields.map { case (f, t) =>
+      StructField(f, t, nullable = false) })
+    java.util.List.of[Scan](ProcedureResult(schema, values)).iterator()
+  }
+  protected def in(n: String, t: DataType): ProcedureParameter =
+    ProcedureParameter.in(n, t).build()
+  protected def inDefault(n: String, t: DataType,
+      default: String): ProcedureParameter =
+    ProcedureParameter.in(n, t).defaultValue(default).build()
+}
+
+/** `CALL fqs.import_batch(store, batch_id, observations, coverage,
+  * samples)` — the reference's import task [U POST /imports] as one
+  * SQL statement: folds the three named views (observation rows,
+  * BED-shaped coverage, sample registrations — [[FreqStore.commit]]'s
+  * exact contract) into the store as generation `batch_id`. The views
+  * resolve in the CALLING session (temp views included), so a pipeline
+  * can stage with DataFrames and commit from SQL. `n_buckets` sizes a
+  * NEW store's bucket modulus; an existing store keeps its committed
+  * modulus regardless (the commit log is authoritative —
+  * [[FreqStore]]'s nBkts contract). */
+private[sources] class ImportBatchProcedure
+    extends FreqStoreProcedure("import_batch") {
+  override def parameters(): Array[ProcedureParameter] = Array(
+    in("store", StringType), in("batch_id", LongType),
+    in("observations", StringType), in("coverage", StringType),
+    in("samples", StringType),
+    inDefault("n_buckets", IntegerType, "16"))
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dir = input.getUTF8String(0).toString
+    val batchId = input.getLong(1)
+    val Seq(obs, cov, smp) =
+      Seq(2, 3, 4).map(i => spark.table(input.getUTF8String(i).toString))
+    new FreqStore(spark, dir, input.getInt(5)).commit(batchId, obs, cov, smp)
+    result("store" -> StringType, "generation" -> LongType)(
+      UTF8String.fromString(dir), batchId)
+  }
+  override def description(): String =
+    "fold one import batch (observations/coverage/samples views) into " +
+      "the store as the given generation"
+}
+
+/** `CALL fqs.retract_samples(store, batch_id, sample_ids)` — sample
+  * deactivation [U varda/models.py :: sample lifecycle] from the store
+  * alone: the samples' net observations are derived from the obslog
+  * registry ([[FreqStore.retractSamples]]), so the call needs only the
+  * ids. */
+private[sources] class RetractSamplesProcedure
+    extends FreqStoreProcedure("retract_samples") {
+  override def parameters(): Array[ProcedureParameter] = Array(
+    in("store", StringType), in("batch_id", LongType),
+    in("sample_ids", ArrayType(LongType, containsNull = false)))
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dir = input.getUTF8String(0).toString
+    val batchId = input.getLong(1)
+    val ids = input.getArray(2).toLongArray().toSeq
+    require(ids.nonEmpty, "retract_samples: sample_ids must be non-empty")
+    val s = spark
+    import s.implicits._
+    new FreqStore(s, dir)
+      .retractSamples(batchId, ids.toDF("sample_id"))
+    result("store" -> StringType, "generation" -> LongType,
+      "samples" -> IntegerType)(
+      UTF8String.fromString(dir), batchId, ids.size)
+  }
+  override def description(): String =
+    "deactivate samples: tombstone their net observations and remove " +
+      "their coverage, as the given generation"
+}
+
+/** `CALL fqs.compact(store, retain_gens => 0, split_threshold => -1)` —
+  * the offline OPTIMIZE ([[FreqStore.compact]]): consolidate live
+  * generations into one snapshot, optionally keeping `retain_gens`
+  * superseded generations for cross-process readers and re-bucketing
+  * under a doubled modulus when a bucket exceeds `split_threshold`
+  * bytes (-1 = never split). */
+private[sources] class CompactProcedure
+    extends FreqStoreProcedure("compact") {
+  override def parameters(): Array[ProcedureParameter] = Array(
+    in("store", StringType),
+    inDefault("retain_gens", IntegerType, "0"),
+    inDefault("split_threshold", LongType, "-1"))
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dir = input.getUTF8String(0).toString
+    val retain = input.getInt(1)
+    val split = input.getLong(2)
+    val store = new FreqStore(spark, dir)
+    store.compact(splitThreshold = Some(split).filter(_ >= 0),
+      retainGens = retain)
+    result("store" -> StringType, "n_buckets" -> IntegerType)(
+      UTF8String.fromString(dir), store.nBkts)
+  }
+  override def description(): String =
+    "consolidate live generations into one snapshot (retention grace " +
+      "and modulus-split optional)"
+}
+
+/** `CALL fqs.break_lock(store)` — operator judgement after a crashed
+  * writer ([[FreqStore.breakLock]]). */
+private[sources] class BreakLockProcedure
+    extends FreqStoreProcedure("break_lock") {
+  override def parameters(): Array[ProcedureParameter] =
+    Array(in("store", StringType))
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dir = input.getUTF8String(0).toString
+    new FreqStore(spark, dir).breakLock()
+    result("store" -> StringType)(UTF8String.fromString(dir))
+  }
+  override def description(): String =
+    "remove a crashed writer's stale lock file"
 }
 
 /** The store's shared bucket function as a V2 catalog function:

@@ -1,0 +1,141 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.varda.FreqStore
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The store's MUTATING lifecycle through Spark 4 stored procedures
+  * (`CALL fqs.import_batch/retract_samples/compact/break_lock`) — the
+  * reference runs imports, sample deactivation and maintenance as task
+  * endpoints [U varda/tasks.py], and this surface makes each one a
+  * single SQL statement. Every CALL is pinned row-identical to the
+  * same lifecycle driven through the FreqStore API on a twin store. */
+class FreqStoreProcedureSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(Paths.get("/root/repo/target"), prefix).toString
+
+  private def withCat[T](body: => T): T = {
+    spark.conf.set("spark.sql.catalog.fqs",
+      classOf[graft.sources.FreqStoreCatalog].getName)
+    body
+  }
+
+  private def rowSet(df: DataFrame) = df.collect()
+    .map(_.toSeq.map(v => if (v == null) "∅" else v.toString)).toSet
+
+  private def batch1 = (
+    Seq(("1", 5000L, "A", "C", 3, Some(1L)), ("1", 5000L, "A", "G", 1, Some(2L)),
+      ("X", 5000L, "A", "C", 1, Some(2L)), ("2", 700L, "G", "T", 2, Some(2L)),
+      ("7", 91000L, "T", "G", 4, Some(1L)))
+      .toDF("chromosome", "position", "reference", "observed", "support",
+        "sample_id"),
+    Seq(("1", 4000L, 6000L, 1L, 2), ("2", 600L, 800L, 2L, 5),
+      ("X", 4500L, 5500L, 2L, 5), ("7", 90000L, 95000L, 1L, 2))
+      .toDF("chromosome", "begin_pos", "end_pos", "sample_id", "pool_size"),
+    Seq((1L, 2, true), (2L, 5, true), (3L, 7, false))
+      .toDF("sample_id", "pool_size", "has_coverage"))
+
+  private def batch2 = (
+    Seq(("1", 5000L, "A", "C", 2, Some(4L)), ("2", 700L, "G", "T", 1, Some(4L)))
+      .toDF("chromosome", "position", "reference", "observed", "support",
+        "sample_id"),
+    Seq(("1", 4800L, 5200L, 4L, 3), ("2", 650L, 750L, 4L, 3))
+      .toDF("chromosome", "begin_pos", "end_pos", "sample_id", "pool_size"),
+    Seq((4L, 3, true)).toDF("sample_id", "pool_size", "has_coverage"))
+
+  test("the import/retract/compact lifecycle runs as CALL statements") {
+    withCat {
+      val dir = tmpDir("fqs_proc")
+      val twin = tmpDir("fqs_proc_twin")
+
+      // batch 1 through CALL (defaulted n_buckets = 16 sizes the NEW
+      // store); the twin through the API
+      val (o1, c1, s1) = batch1
+      o1.createOrReplaceTempView("proc_obs1")
+      c1.createOrReplaceTempView("proc_cov1")
+      s1.createOrReplaceTempView("proc_smp1")
+      val r1 = spark.sql(
+        s"CALL fqs.import_batch('$dir', 0, 'proc_obs1', 'proc_cov1', 'proc_smp1')")
+        .collect()
+      assert(r1.map(_.toSeq).toSeq == Seq(Seq(dir, 0L)))
+      new FreqStore(spark, twin).commit(0, o1, c1, s1)
+
+      val served = spark.table(s"fqs.`$dir`")
+      assert(rowSet(served) == rowSet(new FreqStore(spark, twin).serve()))
+      assert(served.count() > 0)
+
+      // batch 2, named-argument form (argument names are the contract).
+      // n_buckets here is IGNORED: the store's committed modulus is
+      // authoritative, so a mismatched hint must not fork the layout
+      val (o2, c2, s2) = batch2
+      o2.createOrReplaceTempView("proc_obs2")
+      c2.createOrReplaceTempView("proc_cov2")
+      s2.createOrReplaceTempView("proc_smp2")
+      spark.sql(
+        s"""CALL fqs.import_batch(store => '$dir', batch_id => 1,
+              observations => 'proc_obs2', coverage => 'proc_cov2',
+              samples => 'proc_smp2', n_buckets => 4)""").collect()
+      new FreqStore(spark, twin).commit(1, o2, c2, s2)
+      assert(rowSet(spark.table(s"fqs.`$dir`")) ==
+        rowSet(new FreqStore(spark, twin).serve()))
+
+      // deactivate sample 2 by id alone — the procedure derives the
+      // observations from the obslog, exactly like the API path
+      val r3 = spark.sql(
+        s"CALL fqs.retract_samples('$dir', 2, array(2L))").collect()
+      assert(r3.map(_.toSeq).toSeq == Seq(Seq(dir, 2L, 1)))
+      new FreqStore(spark, twin)
+        .retractSamples(2, Seq(2L).toDF("sample_id"))
+      assert(rowSet(spark.table(s"fqs.`$dir`")) ==
+        rowSet(new FreqStore(spark, twin).serve()))
+
+      // compact with defaulted retain_gens/split_threshold: the head
+      // serves identically from one snapshot
+      val before = rowSet(spark.table(s"fqs.`$dir`"))
+      val r4 = spark.sql(s"CALL fqs.compact('$dir')").collect()
+      assert(r4.head.getString(0) == dir && r4.head.getInt(1) > 0)
+      assert(rowSet(spark.table(s"fqs.`$dir`")) == before)
+
+      // break_lock is a no-op on an unlocked store and reports the dir
+      assert(spark.sql(s"CALL fqs.break_lock('$dir')")
+        .collect().head.getString(0) == dir)
+    }
+  }
+
+  test("procedure misuse fails loudly") {
+    withCat {
+      val dir = tmpDir("fqs_proc_err")
+      // unknown procedure names the available ones
+      val eNo = intercept[Exception] {
+        spark.sql(s"CALL fqs.no_such_proc('$dir')").collect()
+      }
+      // Spark wraps loadProcedure's error in FAILED_TO_LOAD_ROUTINE; the
+      // catalog's available-procedures hint rides the cause chain
+      val msgs = Iterator.iterate(eNo: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(_.getMessage).mkString("\n")
+      assert(msgs.contains("no_such_proc") &&
+        (msgs.contains("import_batch") || msgs.contains("FAILED_TO_LOAD")),
+        msgs)
+      // an empty retraction set is a caller bug, not a silent no-op
+      val eEmpty = intercept[Exception] {
+        spark.sql(s"CALL fqs.retract_samples('$dir', 9, array())").collect()
+      }
+      assert(eEmpty.getMessage.toLowerCase.contains("non-empty")
+        || eEmpty.getMessage.toLowerCase.contains("empty"), eEmpty.getMessage)
+      // SHOW PROCEDURES enumerates the surface
+      val names = spark.sql("SHOW PROCEDURES IN fqs").collect()
+        .map(_.toSeq.map(String.valueOf).mkString(" ")).mkString("\n")
+      assert(Seq("import_batch", "retract_samples", "compact", "break_lock")
+        .forall(names.contains), names)
+      // DESCRIBE surfaces the contract (description + parameters)
+      val desc = spark.sql("DESCRIBE PROCEDURE fqs.import_batch").collect()
+        .map(_.toSeq.map(String.valueOf).mkString(" ")).mkString("\n")
+      assert(desc.contains("import_batch"), desc)
+    }
+  }
+}
