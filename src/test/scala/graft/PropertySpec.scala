@@ -246,4 +246,35 @@ class PropertySpec extends AnyFunSuite {
     assert(FreqStore.rangeBuckets(b0, e0, 8).isDefined)
     assert(FreqStore.rangeBuckets(b0, e0 + (1L << 11), 8).isEmpty)
   }
+
+  test("the bucket hash's three spellings agree on random positions") {
+    // the SAME hash is spelled three ways: the Column expression the
+    // commit path writes with, the driver-side Scala the lookup/range
+    // pruning plans with, and the catalog's V2 function the
+    // storage-partitioned planner binds. Any drift is SILENT row loss
+    // (a probe pruned to the wrong bucket), so pin all three on random
+    // positions including the cell boundaries
+    import graft.varda.FreqStore
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val moduli = Seq(1, 2, 4, 8, 16, 64, 1 << 12)
+    val positions = (0 until 300).map(_ => rnd.nextLong(1L << 40)) ++
+      Seq(0L, (1L << 11) - 1, 1L << 11, (1L << 34) + 7) // cell edges
+    // one job: every modulus as a column of the Column-expression form
+    val df = positions.toDF("position").select(col("position") +:
+      moduli.map(n =>
+        pmod(hash(shiftright(col("position"), 11)), lit(n)).as(s"b$n")): _*)
+    for (row <- df.collect()) {
+      val p = row.getLong(0)
+      moduli.zipWithIndex.foreach { case (n, i) =>
+        val viaColumn = row.getInt(i + 1)
+        val viaDriver = FreqStore.pointBucket(p, n)
+        val viaCatalog = new graft.sources.PointBucketBound(n)
+          .produceResult(org.apache.spark.sql.catalyst.InternalRow(p))
+        assert(viaColumn == viaDriver && viaDriver == viaCatalog,
+          s"bucket drift at position=$p n=$n: column=$viaColumn " +
+            s"driver=$viaDriver catalog=$viaCatalog")
+      }
+    }
+  }
 }
