@@ -84,6 +84,9 @@ object FreqStoreDataSource {
   @volatile private[graft] var lastPlannedLimit: Option[Int] = None
   /** Whether the most recent scan answered COUNT(*) from footers. */
   @volatile private[graft] var lastPushedCountStar: Boolean = false
+  /** The footer-statistics aggregates the most recent scan pushed
+    * (partial pushdown — empty when none). */
+  @volatile private[graft] var lastPushedAggs: Seq[String] = Nil
 }
 
 class FreqStoreTable(dir: String, catalogPartitioned: Boolean = false,
@@ -137,6 +140,7 @@ class FreqStoreScanBuilder(dir: String, asOf: Option[Long] = None,
     * filter here stays residual), so a filtered count still computes
     * through normal row evaluation. */
   private var countStar = false
+  private var statAggs: Seq[FreqStoreScanBuilder.StatAgg] = Nil
   private def isBareCountStar(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
     agg.groupByExpressions.isEmpty && agg.aggregateExpressions.length == 1 &&
       agg.aggregateExpressions()(0)
@@ -144,10 +148,30 @@ class FreqStoreScanBuilder(dir: String, asOf: Option[Long] = None,
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
     isBareCountStar(agg) && probes.isEmpty && range.isEmpty && limit.isEmpty
+  /** Footer-STATISTICS aggregation (round-12): an unfiltered, ungrouped
+    * combination of `MIN(position)` / `MAX(position)` / `COUNT(*)` over
+    * the serving table is answered from the numer parquet footers alone
+    * — every serve() row is exactly one numer row, position is written
+    * non-null, and parquet row-group statistics carry INT64 min/max
+    * exactly. Pushed PARTIALLY (one stats row per live bucket; Spark's
+    * final aggregate merges min-of-mins / max-of-maxes / sum-of-counts),
+    * so a store of any size answers from O(files) footer reads spread
+    * across the buckets, no data page touched. The bare COUNT(*) keeps
+    * its COMPLETE pushdown. Residual filters block Spark from offering
+    * aggregates on a filtered scan, so this can never serve a filtered
+    * query's aggregate. */
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     countStar = supportCompletePushDown(agg)
-    countStar
+    if (countStar) return true
+    if (probes.nonEmpty || !range.isEmpty || limit.nonEmpty ||
+        agg.groupByExpressions.nonEmpty) return false
+    val kinds = agg.aggregateExpressions.toSeq
+      .map(FreqStoreScanBuilder.statAggOf)
+    if (kinds.forall(_.isDefined) && kinds.nonEmpty) {
+      statAggs = kinds.flatten
+      true
+    } else false
   }
 
   /** LIMIT pushdown: each partition stops reading after `l` rows (a
@@ -214,9 +238,14 @@ class FreqStoreScanBuilder(dir: String, asOf: Option[Long] = None,
         case (k, v) if k.startsWith("spark.hadoop.") =>
           k.stripPrefix("spark.hadoop.") -> v
       }
+    FreqStoreDataSource.lastPushedAggs = statAggs.map(_.label)
     if (countStar)
       new FreqStoreCountScan(perBucket.valuesIterator.flatMap(_._1).toSeq,
         confMap)
+    else if (statAggs.nonEmpty)
+      new FreqStoreStatsScan(
+        perBucket.valuesIterator.map(_._1).filter(_.nonEmpty).toSeq,
+        statAggs, confMap)
     else
       new FreqStoreScan(perBucket, uncov, confMap, required, bytes, n, range,
         limit, reportPartitioning)
@@ -224,6 +253,29 @@ class FreqStoreScanBuilder(dir: String, asOf: Option[Long] = None,
 }
 
 object FreqStoreScanBuilder {
+  /** The footer-answerable aggregate kinds. */
+  sealed abstract class StatAgg(val label: String) extends Serializable
+  case object MinPos extends StatAgg("min(position)")
+  case object MaxPos extends StatAgg("max(position)")
+  case object CountAll extends StatAgg("count(*)")
+  private[sources] def statAggOf(
+      f: org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc):
+      Option[StatAgg] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    def isPosition(e: org.apache.spark.sql.connector.expressions.Expression) =
+      e match {
+        case r: NamedReference => r.fieldNames.toSeq == Seq("position")
+        case _ => false
+      }
+    f match {
+      case _: CountStar => Some(CountAll)
+      case m: Min if isPosition(m.column) => Some(MinPos)
+      case m: Max if isPosition(m.column) => Some(MaxPos)
+      case _ => None
+    }
+  }
+
   private def asLong(v: Any): Option[Long] = v match {
     case n: java.lang.Number => Some(n.longValue())
     case _ => None
@@ -459,6 +511,90 @@ class FreqStoreCountReaderFactory(hadoopConf: Map[String, String])
           try total += r.getRecordCount finally r.close()
         }
         row = new GenericInternalRow(Array[Any](total))
+        emitted = true
+        true
+      }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+}
+
+/** Footer-statistics scan (partial aggregate pushdown): one partition
+  * per live bucket, each emitting ONE row of that bucket's
+  * min(position) / max(position) / count(*) read from its numer files'
+  * parquet row-group statistics — Spark's final aggregate merges the
+  * per-bucket rows. Column order in the row = the pushed aggregate
+  * order (the partial-pushdown contract is positional). A footer
+  * missing INT64 statistics fails loudly — serving a NULL min where
+  * data exists would be silent wrong answers, and the store's own
+  * writers always emit stats. */
+class FreqStoreStatsScan(bucketFiles: Seq[Seq[String]],
+    aggs: Seq[FreqStoreScanBuilder.StatAgg],
+    hadoopConf: Map[String, String]) extends Scan with Batch {
+  override def readSchema(): StructType = StructType(aggs.map {
+    case FreqStoreScanBuilder.CountAll =>
+      StructField("count(*)", LongType, nullable = false)
+    case a => StructField(a.label, LongType, nullable = true)
+  })
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    bucketFiles.map(FreqStoreStatsPartition(_, aggs)).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FreqStoreStatsReaderFactory(hadoopConf)
+  override def description(): String =
+    s"FreqStoreStatsScan(${aggs.map(_.label).mkString(",")}, " +
+      s"buckets=${bucketFiles.size})"
+}
+
+case class FreqStoreStatsPartition(numerFiles: Seq[String],
+    aggs: Seq[FreqStoreScanBuilder.StatAgg]) extends InputPartition
+
+class FreqStoreStatsReaderFactory(hadoopConf: Map[String, String])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val conf = {
+        val c = new Configuration()
+        hadoopConf.foreach { case (k, v) => c.set(k, v) }
+        c
+      }
+      private var emitted = false
+      private var row: InternalRow = _
+      override def next(): Boolean = {
+        if (emitted) return false
+        val part = p.asInstanceOf[FreqStoreStatsPartition]
+        var count = 0L
+        var minP: Option[Long] = None
+        var maxP: Option[Long] = None
+        for (f <- part.numerFiles) {
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new Path(f), conf))
+          try {
+            count += r.getRecordCount
+            import scala.jdk.CollectionConverters._
+            for (blk <- r.getFooter.getBlocks.asScala if blk.getRowCount > 0) {
+              val col = blk.getColumns.asScala
+                .find(_.getPath.toDotString == "position")
+                .getOrElse(sys.error(s"freqstore stats scan: no position " +
+                  s"column chunk in $f"))
+              val st = col.getStatistics
+              require(st != null && !st.isEmpty && st.hasNonNullValue,
+                s"freqstore stats scan: $f row group lacks position " +
+                  "statistics — cannot answer min/max from footers")
+              val lo = st.genericGetMin.asInstanceOf[java.lang.Long].longValue()
+              val hi = st.genericGetMax.asInstanceOf[java.lang.Long].longValue()
+              minP = Some(minP.fold(lo)(math.min(_, lo)))
+              maxP = Some(maxP.fold(hi)(math.max(_, hi)))
+            }
+          } finally r.close()
+        }
+        val vals: Array[Any] = part.aggs.map {
+          case FreqStoreScanBuilder.CountAll => count: Any
+          case FreqStoreScanBuilder.MinPos => minP.map(Long.box).orNull
+          case FreqStoreScanBuilder.MaxPos => maxP.map(Long.box).orNull
+        }.toArray
+        row = new GenericInternalRow(vals)
         emitted = true
         true
       }

@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths}
 
 import graft.varda.{FreqStore, VardaOps}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.when
+import org.apache.spark.sql.functions.{count, lit, max, min, sum, when}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The DataSource V2 serving surface: `spark.read.format("freqstore")`
@@ -237,6 +237,45 @@ class FreqStoreDsv2Spec extends AnyFunSuite {
       Seq.empty[(Long, Int, Boolean)].toDF(
         "sample_id", "pool_size", "has_coverage"))
     assert(spark.read.format("freqstore").load(dir).count() == cnt + 1)
+  }
+
+  test("MIN/MAX(position) aggregates are answered from footer statistics") {
+    val (store, dir) = builtStore()
+    val exp = store.serve()
+      .agg(min("position").as("lo"), max("position").as("hi"),
+        count(lit(1)).as("n")).collect().head
+    // the combined form pushes partially: one stats row per bucket from
+    // the numer footers, Spark's final aggregate merges
+    val got = spark.read.format("freqstore").load(dir)
+      .agg(min("position"), max("position"), count(lit(1))).collect().head
+    assert(got.getLong(0) == exp.getLong(0) &&
+      got.getLong(1) == exp.getLong(1) && got.getLong(2) == exp.getLong(2))
+    assert(graft.sources.FreqStoreDataSource.lastPushedAggs ==
+      Seq("min(position)", "max(position)", "count(*)"),
+      graft.sources.FreqStoreDataSource.lastPushedAggs.toString)
+    // a FILTERED min/max must not use the footer path (residual filters
+    // block aggregate pushdown) and must stay row-correct
+    val fgot = spark.read.format("freqstore").load(dir)
+      .filter("chromosome = '1'").agg(min("position")).collect().head
+    assert(fgot.getLong(0) == store.serve()
+      .filter("chromosome = '1'").agg(min("position")).collect().head.getLong(0))
+    assert(graft.sources.FreqStoreDataSource.lastPushedAggs.isEmpty,
+      "a filtered min must not use the footer path")
+    // an aggregate the footers cannot answer (sum over a computed
+    // column) falls back to the row scan and stays correct
+    val sgot = spark.read.format("freqstore").load(dir)
+      .agg(sum("numer"), min("position")).collect().head
+    val sexp = store.serve().agg(sum("numer"), min("position")).collect().head
+    assert(sgot.getLong(0) == sexp.getLong(0) &&
+      sgot.getLong(1) == sexp.getLong(1))
+    assert(graft.sources.FreqStoreDataSource.lastPushedAggs.isEmpty)
+    // the stats scan tracks the store through compaction (footers are
+    // re-read per plan, never cached across generations)
+    store.compact()
+    val afterGot = spark.read.format("freqstore").load(dir)
+      .agg(min("position"), max("position")).collect().head
+    assert(afterGot.getLong(0) == exp.getLong(0) &&
+      afterGot.getLong(1) == exp.getLong(1))
   }
 
   test("column pruning reaches the scan; a denom-free projection skips the denom side") {
