@@ -697,6 +697,23 @@ object VardaOps {
       .orderBy("chromosome", "position", "reference", "observed")
   }
 
+  /** Store EXTENT summary — "how many variants, over what positional
+    * span" [U the reference's database overview endpoint]: answered by
+    * the DSv2 scan's footer-STATISTICS aggregate pushdown (round 12) —
+    * min/max(position) from exact INT64 row-group statistics and the
+    * count from record counts, one stats row per live bucket merged by
+    * Spark's final aggregate. No data page is read at ANY store size:
+    * the executed plan's only leaves are the numer parquet footers
+    * (FreqStoreDsv2Spec pins the pushdown; this key pins the VALUES
+    * against the one-shot frequency oracle). */
+  val vardaStoreExtent: Q = (s, d) => {
+    val dir = committedFreqStore(s, d)
+    s.read.format("freqstore").load(dir)
+      .agg(min(col("position")).as("min_pos"),
+        max(col("position")).as("max_pos"),
+        count(lit(1)).as("n_variants"))
+  }
+
   /** Declared retraction query: import everything in one fold, then
     * deactivate samples 4 (covered) and 14 (coverage-less — both
     * retraction paths exercised) and serve. Must equal the one-shot
@@ -1483,6 +1500,7 @@ object VardaOps {
     "varda_freq_asof" -> vardaFreqAsOf,
     "varda_freq_compare" -> vardaFreqCompare,
     "varda_freq_lookup_range" -> vardaFreqLookupRange,
+    "varda_store_extent" -> vardaStoreExtent,
     "varda_freq_lookup_range_expr" -> vardaFreqLookupRangeExpr,
     "varda_freq_lookup_expr" -> vardaFreqLookupExpr,
     "varda_freq_lookup_multi" -> vardaFreqLookupMulti,
@@ -1667,6 +1685,12 @@ object VardaOps {
       s"""SELECT * FROM (${frequencySql(withZyg = false, None, idivDuck)}) q
           WHERE q.chromosome = '7' AND q.position BETWEEN 20000 AND 40000
           ORDER BY q.chromosome, q.position, q.reference, q.observed""",
+    // the footer-statistics extent must equal the one-shot frequency
+    // set's true min/max position and row count
+    "varda_store_extent" ->
+      s"""SELECT min(q.position) AS min_pos, max(q.position) AS max_pos,
+            count(*) AS n_variants
+          FROM (${frequencySql(withZyg = false, None, idivDuck)}) q""",
     // the combined region + expression store lookup must equal the
     // one-shot frequency under the evaluated sample set, restricted to
     // the probe range
