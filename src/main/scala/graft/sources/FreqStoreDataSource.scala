@@ -538,7 +538,13 @@ class FreqStoreStatsScan(bucketFiles: Seq[Seq[String]],
   })
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    bucketFiles.map(FreqStoreStatsPartition(_, aggs)).toArray
+    // an EMPTY store still plans one (file-less) partition: its zero
+    // row keeps the merged COUNT(*) at 0 — zero partitions would hand
+    // Spark's final merge an empty input, where a count rewritten to a
+    // sum of partials goes NULL instead of 0
+    if (bucketFiles.isEmpty)
+      Array(FreqStoreStatsPartition(Nil, aggs))
+    else bucketFiles.map(FreqStoreStatsPartition(_, aggs)).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new FreqStoreStatsReaderFactory(hadoopConf)
   override def description(): String =

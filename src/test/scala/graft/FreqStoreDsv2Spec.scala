@@ -319,6 +319,13 @@ class FreqStoreDsv2Spec extends AnyFunSuite {
     val df = spark.read.format("freqstore").load(dir)
     assert(df.schema == graft.sources.FreqStoreDataSource.schema)
     assert(df.count() == 0)
+    // the footer-stats aggregate over an empty store: COUNT must be 0
+    // (not NULL — the merged sum-of-partials needs the zero row the
+    // file-less partition emits) and min/max NULL
+    val ag = spark.read.format("freqstore").load(dir)
+      .agg(min("position"), max("position"), count(lit(1))).collect().head
+    assert(ag.isNullAt(0) && ag.isNullAt(1) && ag.getLong(2) == 0L,
+      ag.toString)
     // a generation without a commit marker stays invisible through SQL too
     val store = new FreqStore(spark, dir, nBuckets = 4)
     store.commit(0, Seq(("1", 5000L, "A", "C", 3)).toDF(
