@@ -125,12 +125,21 @@ class FreqStoreCatalog extends TableCatalog with FunctionCatalog
     * (analyzer-invoked: ResolveProcedures binds, InvokeProcedures runs
     * the call eagerly and plans the returned [[LocalScan]] rows as the
     * statement's result). */
-  override def loadProcedure(ident: Identifier): UnboundProcedure =
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    // namespaces are not used (same as the table side): a namespaced
+    // identifier is a typo, and a MUTATING call must not resolve under
+    // a namespace that does not exist
+    require(ident.namespace().isEmpty,
+      s"freqstore: procedures live at the catalog root — " +
+        s"'${ident.namespace().mkString(".")}.${ident.name()}' names a " +
+        "namespace that does not exist")
     FreqStoreCatalog.procedures.getOrElse(ident.name(), sys.error(
       s"freqstore: no procedure '${ident.name()}' — available: " +
         FreqStoreCatalog.procedures.keys.toSeq.sorted.mkString(", ")))
+  }
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
-    FreqStoreCatalog.procedures.keys.toArray.sorted
+    if (namespace.nonEmpty) Array.empty
+    else FreqStoreCatalog.procedures.keys.toArray.sorted
       .map(Identifier.of(Array.empty[String], _))
 }
 
@@ -160,8 +169,9 @@ private[sources] case class ProcedureResult(schema: StructType,
 }
 
 /** Shared shape: every freqstore procedure is both the unbound and the
-  * bound form (parameters are static — binding validates nothing the
-  * analyzer's argument coercion doesn't already), side-effecting
+  * bound form (parameters are static — the analyzer's argument coercion
+  * checks types, [[str]]-style guards check null/range at call time),
+  * side-effecting
   * (`isDeterministic = false` keeps Catalyst from caching/reordering
   * the call) and returns exactly one status row. */
 private[sources] abstract class FreqStoreProcedure(pname: String)
@@ -182,6 +192,14 @@ private[sources] abstract class FreqStoreProcedure(pname: String)
   protected def inDefault(n: String, t: DataType,
       default: String): ProcedureParameter =
     ProcedureParameter.in(n, t).defaultValue(default).build()
+  /** Argument coercion checks TYPES only — null/range validation is the
+    * procedure's job, at the CALL boundary, before any store work. */
+  protected def str(input: InternalRow, i: Int, what: String): String = {
+    require(!input.isNullAt(i), s"$pname: $what must not be NULL")
+    val s = input.getUTF8String(i).toString
+    require(s.nonEmpty, s"$pname: $what must not be empty")
+    s
+  }
 }
 
 /** `CALL fqs.import_batch(store, batch_id, observations, coverage,
@@ -202,11 +220,17 @@ private[sources] class ImportBatchProcedure
     in("samples", StringType),
     inDefault("n_buckets", IntegerType, "16"))
   override def call(input: InternalRow): java.util.Iterator[Scan] = {
-    val dir = input.getUTF8String(0).toString
+    val dir = str(input, 0, "store")
     val batchId = input.getLong(1)
-    val Seq(obs, cov, smp) =
-      Seq(2, 3, 4).map(i => spark.table(input.getUTF8String(i).toString))
-    new FreqStore(spark, dir, input.getInt(5)).commit(batchId, obs, cov, smp)
+    // scalar validation first: a bad n_buckets must fail before any
+    // view resolves or store work starts
+    val nBuckets = input.getInt(5)
+    require(nBuckets > 0, s"import_batch: n_buckets must be positive, " +
+      s"got $nBuckets")
+    val Seq(obs, cov, smp) = Seq(
+      ("observations", 2), ("coverage", 3), ("samples", 4)).map {
+      case (what, i) => spark.table(str(input, i, what)) }
+    new FreqStore(spark, dir, nBuckets).commit(batchId, obs, cov, smp)
     result("store" -> StringType, "generation" -> LongType)(
       UTF8String.fromString(dir), batchId)
   }
@@ -226,8 +250,9 @@ private[sources] class RetractSamplesProcedure
     in("store", StringType), in("batch_id", LongType),
     in("sample_ids", ArrayType(LongType, containsNull = false)))
   override def call(input: InternalRow): java.util.Iterator[Scan] = {
-    val dir = input.getUTF8String(0).toString
+    val dir = str(input, 0, "store")
     val batchId = input.getLong(1)
+    require(!input.isNullAt(2), "retract_samples: sample_ids must not be NULL")
     val ids = input.getArray(2).toLongArray().toSeq
     require(ids.nonEmpty, "retract_samples: sample_ids must be non-empty")
     val s = spark
@@ -256,8 +281,9 @@ private[sources] class CompactProcedure
     inDefault("retain_gens", IntegerType, "0"),
     inDefault("split_threshold", LongType, "-1"))
   override def call(input: InternalRow): java.util.Iterator[Scan] = {
-    val dir = input.getUTF8String(0).toString
+    val dir = str(input, 0, "store")
     val retain = input.getInt(1)
+    require(retain >= 0, s"compact: retain_gens must be >= 0, got $retain")
     val split = input.getLong(2)
     val store = new FreqStore(spark, dir)
     store.compact(splitThreshold = Some(split).filter(_ >= 0),
@@ -277,7 +303,7 @@ private[sources] class BreakLockProcedure
   override def parameters(): Array[ProcedureParameter] =
     Array(in("store", StringType))
   override def call(input: InternalRow): java.util.Iterator[Scan] = {
-    val dir = input.getUTF8String(0).toString
+    val dir = str(input, 0, "store")
     new FreqStore(spark, dir).breakLock()
     result("store" -> StringType)(UTF8String.fromString(dir))
   }

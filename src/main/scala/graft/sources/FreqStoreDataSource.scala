@@ -240,8 +240,11 @@ class FreqStoreScanBuilder(dir: String, asOf: Option[Long] = None,
       }
     FreqStoreDataSource.lastPushedAggs = statAggs.map(_.label)
     if (countStar)
-      new FreqStoreCountScan(perBucket.valuesIterator.flatMap(_._1).toSeq,
-        confMap)
+      // COMPLETE pushdown: the final count must arrive as ONE row, so
+      // all live files ride a single stats partition
+      new FreqStoreStatsScan(
+        Seq(perBucket.valuesIterator.flatMap(_._1).toSeq),
+        Seq(FreqStoreScanBuilder.CountAll), confMap)
     else if (statAggs.nonEmpty)
       new FreqStoreStatsScan(
         perBucket.valuesIterator.map(_._1).filter(_.nonEmpty).toSeq,
@@ -474,60 +477,18 @@ object FreqStoreScan {
 /** The COUNT(*) scan: one partition carrying the live numer file list;
   * its reader sums the files' footer record counts and emits the one
   * aggregated row. O(files) footer reads, zero data pages. */
-class FreqStoreCountScan(numerFiles: Seq[String],
-    hadoopConf: Map[String, String]) extends Scan with Batch {
-  override def readSchema(): StructType =
-    StructType(Seq(StructField("count(*)", LongType, nullable = false)))
-  override def toBatch: Batch = this
-  override def planInputPartitions(): Array[InputPartition] =
-    Array(FreqStoreCountPartition(numerFiles))
-  override def createReaderFactory(): PartitionReaderFactory =
-    new FreqStoreCountReaderFactory(hadoopConf)
-  override def description(): String =
-    s"FreqStoreCountScan(files=${numerFiles.size})"
-}
-
-case class FreqStoreCountPartition(numerFiles: Seq[String])
-    extends InputPartition
-
-class FreqStoreCountReaderFactory(hadoopConf: Map[String, String])
-    extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new PartitionReader[InternalRow] {
-      private val conf = {
-        val c = new Configuration()
-        hadoopConf.foreach { case (k, v) => c.set(k, v) }
-        c
-      }
-      private var emitted = false
-      private var row: InternalRow = _
-      override def next(): Boolean = {
-        if (emitted) return false
-        var total = 0L
-        for (f <- p.asInstanceOf[FreqStoreCountPartition].numerFiles) {
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-              new Path(f), conf))
-          try total += r.getRecordCount finally r.close()
-        }
-        row = new GenericInternalRow(Array[Any](total))
-        emitted = true
-        true
-      }
-      override def get(): InternalRow = row
-      override def close(): Unit = ()
-    }
-}
-
-/** Footer-statistics scan (partial aggregate pushdown): one partition
-  * per live bucket, each emitting ONE row of that bucket's
-  * min(position) / max(position) / count(*) read from its numer files'
-  * parquet row-group statistics — Spark's final aggregate merges the
-  * per-bucket rows. Column order in the row = the pushed aggregate
-  * order (the partial-pushdown contract is positional). A footer
-  * missing INT64 statistics fails loudly — serving a NULL min where
-  * data exists would be silent wrong answers, and the store's own
-  * writers always emit stats. */
+/** Footer-statistics scan (aggregate pushdown): one partition per
+  * file group, each emitting ONE row of its group's min(position) /
+  * max(position) / count(*) read from the numer files' parquet
+  * row-group statistics. Serves BOTH pushdown tiers: the bare
+  * COUNT(*)'s COMPLETE pushdown rides a single all-files partition
+  * (the final value must arrive as one row), the min/max/count
+  * combinations ride one partition per live bucket with Spark's final
+  * aggregate merging. Column order in the row = the pushed aggregate
+  * order (the pushdown contract is positional). A footer missing INT64
+  * statistics fails loudly — serving a NULL min where data exists
+  * would be silent wrong answers, and the store's own writers always
+  * emit stats. */
 class FreqStoreStatsScan(bucketFiles: Seq[Seq[String]],
     aggs: Seq[FreqStoreScanBuilder.StatAgg],
     hadoopConf: Map[String, String]) extends Scan with Batch {

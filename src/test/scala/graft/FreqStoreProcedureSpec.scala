@@ -22,7 +22,11 @@ class FreqStoreProcedureSpec extends AnyFunSuite {
   private def withCat[T](body: => T): T = {
     spark.conf.set("spark.sql.catalog.fqs",
       classOf[graft.sources.FreqStoreCatalog].getName)
-    body
+    // unset after the body: the shared TestSpark session must not carry
+    // this suite's catalog registration into later suites (cross-suite
+    // state would make results ordering-dependent)
+    try body
+    finally spark.conf.unset("spark.sql.catalog.fqs")
   }
 
   private def rowSet(df: DataFrame) = df.collect()
@@ -127,6 +131,25 @@ class FreqStoreProcedureSpec extends AnyFunSuite {
       }
       assert(eEmpty.getMessage.toLowerCase.contains("non-empty")
         || eEmpty.getMessage.toLowerCase.contains("empty"), eEmpty.getMessage)
+      // a namespaced identifier is a typo, not a resolvable procedure —
+      // a MUTATING call must not run under a nonexistent namespace
+      val eNs = intercept[Exception] {
+        spark.sql(s"CALL fqs.typo_ns.break_lock('$dir')").collect()
+      }
+      assert(eNs.getMessage.contains("namespace") ||
+        eNs.getMessage.contains("FAILED_TO_LOAD"), eNs.getMessage)
+      // argument guards fire at the CALL boundary, before store work
+      val eNb = intercept[Exception] {
+        spark.sql(
+          s"""CALL fqs.import_batch('$dir/x', 0, 'a', 'b', 'c',
+                n_buckets => 0)""").collect()
+      }
+      assert(eNb.getMessage.contains("n_buckets"), eNb.getMessage)
+      val eNull = intercept[Exception] {
+        spark.sql("CALL fqs.break_lock(NULL)").collect()
+      }
+      assert(eNull.getMessage.contains("NULL") ||
+        eNull.getMessage.toLowerCase.contains("null"), eNull.getMessage)
       // SHOW PROCEDURES enumerates the surface
       val names = spark.sql("SHOW PROCEDURES IN fqs").collect()
         .map(_.toSeq.map(String.valueOf).mkString(" ")).mkString("\n")
