@@ -157,15 +157,18 @@ object FreqStoreCatalog {
     "import_batch" -> new ImportBatchProcedure,
     "retract_samples" -> new RetractSamplesProcedure,
     "compact" -> new CompactProcedure,
+    "show_generations" -> new ShowGenerationsProcedure,
     "break_lock" -> new BreakLockProcedure)
 }
 
-/** One-row result of a mutating procedure, planned by Spark's
-  * InvokeProcedures as a local relation. */
+/** Result rows of a procedure, planned by Spark's InvokeProcedures as
+  * a local relation (mutating procedures emit one status row; the
+  * inspection procedures emit one row per fact). */
 private[sources] case class ProcedureResult(schema: StructType,
-    values: Seq[Any]) extends LocalScan {
+    rowValues: Seq[Seq[Any]]) extends LocalScan {
   override def readSchema(): StructType = schema
-  override def rows(): Array[InternalRow] = Array(InternalRow.fromSeq(values))
+  override def rows(): Array[InternalRow] =
+    rowValues.map(InternalRow.fromSeq).toArray
 }
 
 /** Shared shape: every freqstore procedure is both the unbound and the
@@ -182,10 +185,13 @@ private[sources] abstract class FreqStoreProcedure(pname: String)
   protected def spark: org.apache.spark.sql.SparkSession =
     org.apache.spark.sql.SparkSession.active
   protected def result(fields: (String, DataType)*)(values: Any*):
-      java.util.Iterator[Scan] = {
+      java.util.Iterator[Scan] =
+    resultRows(fields: _*)(Seq(values))
+  protected def resultRows(fields: (String, DataType)*)(
+      rows: Seq[Seq[Any]]): java.util.Iterator[Scan] = {
     val schema = StructType(fields.map { case (f, t) =>
       StructField(f, t, nullable = false) })
-    java.util.List.of[Scan](ProcedureResult(schema, values)).iterator()
+    java.util.List.of[Scan](ProcedureResult(schema, rows)).iterator()
   }
   protected def in(n: String, t: DataType): ProcedureParameter =
     ProcedureParameter.in(n, t).build()
@@ -294,6 +300,28 @@ private[sources] class CompactProcedure
   override def description(): String =
     "consolidate live generations into one snapshot (retention grace " +
       "and modulus-split optional)"
+}
+
+/** `CALL fqs.show_generations(store)` — time-travel DISCOVERY: one row
+  * per committed generation (id, highest version, bucket modulus,
+  * live), so a `VERSION AS OF` user can see which generation ids are
+  * addressable — `live = false` marks generations consolidated below
+  * the newest snapshot floor (possibly grace-retained on disk, but
+  * unreadable by new plans). Read-only. */
+private[sources] class ShowGenerationsProcedure
+    extends FreqStoreProcedure("show_generations") {
+  override def parameters(): Array[ProcedureParameter] =
+    Array(in("store", StringType))
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dir = str(input, 0, "store")
+    resultRows("generation" -> LongType, "version" -> IntegerType,
+      "n_buckets" -> IntegerType, "live" -> BooleanType)(
+      new FreqStore(spark, dir).generations.map {
+        case (id, v, n, live) => Seq[Any](id, v, n, live) })
+  }
+  override def description(): String =
+    "list committed generations (id, version, bucket modulus, live) — " +
+      "the VERSION AS OF address space"
 }
 
 /** `CALL fqs.break_lock(store)` — operator judgement after a crashed

@@ -1309,6 +1309,18 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     perId.filter(_.id >= floor)
   }
 
+  /** The commit log as an operator-facing view — which generation ids
+    * `VERSION AS OF` / [[serveAsOf]] can address: one row per committed
+    * generation (its highest version), `live = false` for generations
+    * consolidated below the newest snapshot floor (possibly retained on
+    * disk by compaction grace, but unreadable by any new plan). */
+  def generations: Seq[(Long, Int, Int, Boolean)] = {
+    val perId = committed().groupBy(_.id)
+      .map { case (_, ms) => ms.maxBy(_.v) }.toSeq.sortBy(_.id)
+    val liveIds = live(Long.MaxValue).map(_.id).toSet
+    perId.map(m => (m.id, m.v, m.n, liveIds.contains(m.id)))
+  }
+
   /** Effective bucket modulus: read BACK from the commit log for an
     * existing store (the constructor's value only seeds a new one), so
     * reopening with a different constructor argument cannot mis-bucket

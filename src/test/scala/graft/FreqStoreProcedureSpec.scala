@@ -98,12 +98,26 @@ class FreqStoreProcedureSpec extends AnyFunSuite {
       assert(rowSet(spark.table(s"fqs.`$dir`")) ==
         rowSet(new FreqStore(spark, twin).serve()))
 
+      // time-travel discovery: the three generations (2 imports + the
+      // retraction) are all addressable pre-compact
+      val gens = spark.sql(s"CALL fqs.show_generations('$dir')").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(3)))
+      assert(gens.map(_._1).toSeq == Seq(0L, 1L, 2L), gens.mkString(","))
+      assert(gens.forall(_._3), "all pre-compact generations are live")
+
       // compact with defaulted retain_gens/split_threshold: the head
       // serves identically from one snapshot
       val before = rowSet(spark.table(s"fqs.`$dir`"))
       val r4 = spark.sql(s"CALL fqs.compact('$dir')").collect()
       assert(r4.head.getString(0) == dir && r4.head.getInt(1) > 0)
       assert(rowSet(spark.table(s"fqs.`$dir`")) == before)
+
+      // post-compact: one snapshot generation (version > 0) is the
+      // whole address space
+      val gens2 = spark.sql(s"CALL fqs.show_generations('$dir')").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(3)))
+      assert(gens2.count(_._3) == 1 && gens2.filter(_._3).head._2 > 0,
+        gens2.mkString(","))
 
       // break_lock is a no-op on an unlocked store and reports the dir
       assert(spark.sql(s"CALL fqs.break_lock('$dir')")
