@@ -478,7 +478,9 @@ object Llm {
       .groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.select(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
-    tf.join(df, "term").crossJoin(n)
+    // broadcast the 1-row count explicitly (plan determinism: sibling
+    // scalar crossJoins mark it; don't rely on AQE to pick it)
+    tf.join(df, "term").crossJoin(broadcast(n))
       .withColumn("score", col("tf") *
         round(log(col("n_docs").cast(DoubleType) / col("df")) * 1000000)
           .cast(LongType))

@@ -70,10 +70,19 @@ class FreqStoreCatalog extends TableCatalog with FunctionCatalog
     * awaiting its first commit, not for a typo'd path silently serving
     * an empty cohort. */
   override def loadTable(ident: Identifier): Table = {
+    requireRootNamespace(ident)
     val dir = ident.name()
     requireStoreDir(dir)
     new FreqStoreTable(dir, catalogPartitioned = true)
   }
+
+  /** Same guard as the procedure side: a namespaced identifier
+    * (`fqs.ns.store`) must not silently resolve by its LAST part —
+    * that reads a different store than the user named. */
+  private def requireRootNamespace(ident: Identifier): Unit =
+    if (ident.namespace().nonEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        Seq(catName) ++ ident.namespace() ++ Seq(ident.name()))
 
   private def requireStoreDir(dir: String): Unit = {
     val spark = org.apache.spark.sql.SparkSession.active
@@ -91,14 +100,21 @@ class FreqStoreCatalog extends TableCatalog with FunctionCatalog
     * the storage-partitioned planning: a drift join `head ⟕ VERSION AS
     * OF g` of the SAME store co-partitions and shuffles neither side. */
   override def loadTable(ident: Identifier, version: String): Table = {
+    requireRootNamespace(ident)
     val asOf = version.toLongOption.getOrElse(sys.error(
       s"freqstore: VERSION AS OF takes a generation id, got '$version'"))
     requireStoreDir(ident.name())
     new FreqStoreTable(ident.name(), catalogPartitioned = true,
       asOfFixed = Some(asOf))
   }
+  // only "no such table" means "does not exist" — a transient fs /
+  // permission / layout-version failure must surface, not read as absent
   override def tableExists(ident: Identifier): Boolean =
-    try { loadTable(ident); true } catch { case _: Exception => false }
+    try { loadTable(ident); true }
+    catch {
+      case _: org.apache.spark.sql.catalyst.analysis.NoSuchTableException =>
+        false
+    }
   override def listTables(namespace: Array[String]): Array[Identifier] =
     Array.empty // tables are paths; there is nothing to enumerate
   override def createTable(ident: Identifier, columns: Array[Column],
@@ -361,8 +377,13 @@ class PointBucketBound(n: Int) extends ScalarFunction[Integer] {
   override def resultType(): DataType = IntegerType
   override def name(): String = s"point_bucket_$n"
   override def canonicalName(): String = s"graft.freqstore.point_bucket_$n"
-  override def isResultNullable: Boolean = false
+  // SQL-consistent NULL handling: a direct `fqs.point_bucket_16(NULL)`
+  // must not read 0 from the null slot and silently answer cell-0's
+  // bucket. Store positions are non-null, so SPJ planning never hits
+  // this; nullable result is the honest declaration for ad-hoc SQL use.
+  override def isResultNullable: Boolean = true
   override def isDeterministic: Boolean = true
   override def produceResult(input: InternalRow): Integer =
-    FreqStore.pointBucket(input.getLong(0), n)
+    if (input.isNullAt(0)) null
+    else FreqStore.pointBucket(input.getLong(0), n)
 }

@@ -504,7 +504,7 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     * look, not silent takeover. Create-exclusive is atomic on HDFS and
     * best-effort on local/object stores — a GUARD for the contract,
     * not a distributed lock service. */
-  private def withWriterLock[T](what: String)(body: => T): T = {
+  private[graft] def withWriterLock[T](what: String)(body: => T): T = {
     val lockPath = new Path(s"$dir/_writer.lock")
     val info = s"${java.util.UUID.randomUUID()} " +
       s"${System.currentTimeMillis()} " +
@@ -530,7 +530,28 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     try {
       try out.write(info.getBytes("UTF-8")) finally out.close()
       body
-    } finally fs.delete(lockPath, false)
+    } finally {
+      // release only OUR lock: if an operator broke this lock mid-run
+      // and writer B re-acquired, deleting unconditionally would evict
+      // B and silently admit a third writer — the interleaving the lock
+      // exists to prevent. Unreadable content (partial info write /
+      // racing delete) still releases: stranding a lock we own wedges
+      // the store worse than the already-operator-visible break did.
+      val current =
+        try {
+          val in = fs.open(lockPath)
+          try Some(scala.io.Source.fromInputStream(in).mkString.trim)
+          finally in.close()
+        } catch { case _: Exception => None }
+      if (current.forall(c => c == info || c.isEmpty))
+        fs.delete(lockPath, false)
+      else
+        System.err.println(
+          s"freqstore: NOT releasing $lockPath after $what — held by " +
+            s"'${current.get}', not this writer ('$info'). breakLock() " +
+            "was called while this writer ran; the store may have " +
+            "interleaved writers. Inspect the commit log.")
+    }
   }
 
   /** Remove a stale `_writer.lock` after a crashed writer (operator
@@ -1289,8 +1310,17 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     * committed, a reader in that window would see `2b+1`'s folds over
     * pre-`2b` bucket content. The ingest loop withdraws BOTH wave
     * markers before refolding, so readers see a consistent pre-wave
-    * state throughout the replay. No-op when the marker is absent. */
-  private[graft] def unmarkGeneration(batchId: Long): Unit = unmark(batchId, 0)
+    * state throughout the replay. No-op when the marker is absent.
+    *
+    * Holds the writer lock for the marker withdrawal itself (a commit-
+    * log mutation is a mutation), so a concurrent writer process fails
+    * fast here exactly as it would at the subsequent commit. The
+    * unmark→refold WAVE is not one lock acquisition — [[commit]] takes
+    * the lock itself — so wave-level atomicity relies on the deployment
+    * contract: exactly ONE streaming maintenance loop mutates a store
+    * (the checkpoint dir already enforces one query instance). */
+  private[graft] def unmarkGeneration(batchId: Long): Unit =
+    withWriterLock(s"unmark generation $batchId")(unmark(batchId, 0))
 
   /** The LIVE view below `before`: each generation id resolved to its
     * highest committed version, floored at the newest committed

@@ -215,6 +215,30 @@ class FreqStoreCatalogSpec extends AnyFunSuite {
           Array[Any](p))
         assert(f.produceResult(ir) == FreqStore.pointBucket(p, 8))
       }
+      // NULL position → NULL bucket, not cell-0's bucket (round-12 ADVICE)
+      val nullRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](null))
+      assert(f.produceResult(nullRow) == null,
+        "point_bucket(NULL) must be NULL")
+      assert(f.isResultNullable)
+    }
+  }
+
+  test("a namespaced table identifier fails instead of resolving by its last part") {
+    withSpj {
+      val (_, dir) = builtStore()
+      // round-12 ADVICE: `fqs.ns.store` used to silently read `store`;
+      // the namespace guard must reject it in BOTH loadTable overloads
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT * FROM fqs.typo_ns.`$dir`").collect()
+      }
+      assert(e.getMessage.toLowerCase.contains("table"), e.getMessage)
+      val ev = intercept[Exception] {
+        spark.sql(s"SELECT * FROM fqs.typo_ns.`$dir` VERSION AS OF 0").collect()
+      }
+      assert(ev.getMessage.toLowerCase.contains("table"), ev.getMessage)
+      // the un-namespaced name still resolves
+      assert(spark.table(s"fqs.`$dir`").count() > 0)
     }
   }
 }

@@ -1016,6 +1016,52 @@ class FreqStoreSpec extends AnyFunSuite {
     assert(!Files.exists(Paths.get(dir, "_writer.lock")))
   }
 
+  test("lock release checks ownership: a broken+reacquired lock survives " +
+      "the original writer's finally") {
+    // round-12 ADVICE (medium): withWriterLock used to delete
+    // _writer.lock unconditionally on exit. If an operator breaks the
+    // lock while writer A still runs and writer B acquires, A's release
+    // must NOT evict B — that would silently admit a third writer.
+    val dir = tmpDir("fqs_wlock_own")
+    val store = new FreqStore(spark, dir, nBuckets = 4)
+    new java.io.File(dir).mkdirs()
+    val lockPath = Paths.get(dir, "_writer.lock")
+    // writer B re-creates the lock the way a real writer does — through
+    // the Hadoop fs (raw-NIO writes would fail Hadoop's checksum read)
+    val hfs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hLock = new org.apache.hadoop.fs.Path(s"$dir/_writer.lock")
+    store.withWriterLock("ownership test") {
+      // simulate: operator breaks the lock mid-run, writer B acquires
+      hfs.delete(hLock, false)
+      val o = hfs.create(hLock, false)
+      try o.write("writer-B 123 b@host".getBytes("UTF-8")) finally o.close()
+    }
+    assert(Files.exists(lockPath),
+      "writer A's release deleted writer B's lock")
+    assert(new String(Files.readAllBytes(lockPath), "UTF-8")
+      .startsWith("writer-B"), "lock content changed")
+    Files.delete(lockPath)
+    // the normal path still releases its own lock
+    store.withWriterLock("own lock")(())
+    assert(!Files.exists(lockPath), "writer failed to release its own lock")
+  }
+
+  test("unmarkGeneration holds the writer lock (commit-log mutation guard)") {
+    // round-12 ADVICE: marker withdrawal is a commit-log mutation and
+    // must fail fast under a foreign lock like every other mutating op.
+    val dir = tmpDir("fqs_unmark_lock")
+    val store = new FreqStore(spark, dir, nBuckets = 4)
+    new java.io.File(dir).mkdirs()
+    Files.write(Paths.get(dir, "_writer.lock"),
+      "someone-else 0 other@host".getBytes("UTF-8"))
+    val e = intercept[IllegalStateException](store.unmarkGeneration(0))
+    assert(e.getMessage.contains("another writer"), e.getMessage)
+    store.breakLock()
+    store.unmarkGeneration(0) // absent marker: no-op, but lock roundtrips
+    assert(!Files.exists(Paths.get(dir, "_writer.lock")))
+  }
+
   test("NULL or negative sample ids fail the commit loudly (registry encoding)") {
     // round-11 ADVICE: a NULL coverage sample_id used to pack to NULL,
     // getLong unboxed it to 0, and the TRUE bucket's cover overlay was
