@@ -84,6 +84,9 @@ object FreqStoreDataSource {
   @volatile private[graft] var lastPlannedLimit: Option[Int] = None
   /** Whether the most recent scan answered COUNT(*) from footers. */
   @volatile private[graft] var lastPushedCountStar: Boolean = false
+  /** A/B hook: force the row-based readers (local-mode benchmarking and
+    * parity tests only — columnar is the real path). */
+  @volatile private[graft] var columnarEnabled: Boolean = true
   /** The footer-statistics aggregates the most recent scan pushed
     * (partial pushdown — empty when none). */
   @volatile private[graft] var lastPushedAggs: Seq[String] = Nil
@@ -577,6 +580,303 @@ class FreqStoreReaderFactory(hadoopConf: Map[String, String],
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new FreqStorePartitionReader(p.asInstanceOf[FreqStorePartition],
       hadoopConf, columns, uncov, range, limit)
+  /** COLUMNAR is the scan's real read path (round-12 VERDICT #1): every
+    * projected schema is flat fixed-width-or-string, so ColumnarBatch
+    * always applies. The one exception is the EMPTY projection (a
+    * filtered bare count plans a zero-column scan), which the row
+    * reader serves as count-only rows — a zero-column vectorized read
+    * has nothing to decode. The decision is a per-scan constant
+    * (columns ride the factory), matching BatchScanExec's
+    * all-partitions-or-none columnar contract. */
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    columns.nonEmpty && FreqStoreDataSource.columnarEnabled
+  override def createColumnarReader(p: InputPartition):
+      PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new FreqStoreColumnarPartitionReader(p.asInstanceOf[FreqStorePartition],
+      hadoopConf, columns, uncov, range, limit)
+}
+
+/** Columnar (vectorized) bucket reader — the 100 TB read path. The
+  * hand-rolled row readers below materialize one boxed Group and one
+  * GenericInternalRow per row; at full-store serve scale that per-row
+  * boxing IS the throughput ceiling (round-12 VERDICT). This reader
+  * instead:
+  *
+  *  - opens each component file with parquet-mr's [[ParquetFileReader]]
+  *    under the SESSION's Hadoop conf, with the pushed
+  *    (chromosome, position) range compiled to a row-group statistics
+  *    filter (same pruning the row path had — record-level filtering is
+  *    Spark's residual job either way);
+  *  - hands the surviving row groups to Spark's own
+  *    [[VectorizedParquetRecordReader]] (the exact decoder the built-in
+  *    parquet scan uses — dictionary-aware, batch-decoded, null-bitmap
+  *    columnar) via its public row-group-reader initialize overload;
+  *  - computes the DERIVED columns (`denom` = bucket-local hash probe +
+  *    uncovered-pool scalar, `freq_ppm` = truncating ppm division) into
+  *    reused [[OnHeapColumnVector]]s with one tight primitive loop per
+  *    batch — the only per-row work left, and it allocates nothing but
+  *    the map-probe key;
+  *  - emits [[ColumnarBatch]]es, so downstream whole-stage codegen
+  *    consumes vectors directly (the plan shows ColumnarToRow above
+  *    this scan instead of per-row get()s).
+  *
+  * Semantics are pinned row-identical to the row reader by
+  * FreqStoreDsv2Spec's serve()-parity suites. */
+class FreqStoreColumnarPartitionReader(p: FreqStorePartition,
+    hadoopConf: Map[String, String], columns: Seq[String], uncov: Long,
+    range: FreqStoreScanBuilder.PushedRange, limit: Option[Int])
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+  import scala.jdk.CollectionConverters._
+
+  private val conf = {
+    val c = new Configuration()
+    hadoopConf.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+  private val parquetFilter = range.toParquetFilter
+  private val Capacity = 4096
+
+  private val needsDenomCol = columns.contains("denom")
+  private val needsFreq = columns.contains("freq_ppm")
+  private val needsDerived = needsDenomCol || needsFreq
+  /** Parquet columns to DECODE from the numer component: the projected
+    * base columns plus the derivation inputs (chromosome+position key
+    * the denom probe; numer feeds the ppm division). */
+  private val readCols: Seq[String] = {
+    val base = columns.filter(c => c != "denom" && c != "freq_ppm")
+    val extra = (if (needsDerived) Seq("chromosome", "position") else Nil) ++
+      (if (needsFreq) Seq("numer") else Nil)
+    (base ++ extra).distinct
+  }
+  private val readIdx: Map[String, Int] = readCols.zipWithIndex.toMap
+
+  /** Streams one component's files as vectorized batches: parquet-mr
+    * opens the file (session conf, row-group stats filter, projected
+    * columns), Spark's vectorized reader decodes the row groups. */
+  private class FileBatches(files: Seq[String], cols: Seq[String]) {
+    private val it = files.iterator
+    private var vec: VectorizedParquetRecordReader = _
+    /** Next decoded batch, or null when every file is exhausted. */
+    def nextBatch(): ColumnarBatch = {
+      while (true) {
+        if (vec == null) {
+          if (!it.hasNext) return null
+          vec = openFile(it.next())
+        }
+        if (vec != null) {
+          if (vec.nextBatch()) return vec.resultBatch()
+          vec.close(); vec = null
+        }
+      }
+      null // unreachable
+    }
+    private def openFile(f: String): VectorizedParquetRecordReader = {
+      val optsB = org.apache.parquet.HadoopReadOptions.builder(conf)
+      parquetFilter.foreach(optsB.withRecordFilter)
+      val pfr = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new Path(f), conf), optsB.build())
+      val fileSchema = pfr.getFooter.getFileMetaData.getSchema
+      // row groups here are ALREADY stats-filtered by the pushed range
+      val total = pfr.getRowGroups.asScala.map(_.getRowCount).sum
+      if (total == 0L) { pfr.close(); return null }
+      require(total <= Int.MaxValue, s"freqstore columnar scan: $f has " +
+        s"$total rows in one file — split the store's buckets")
+      val requested = new org.apache.parquet.schema.MessageType(
+        fileSchema.getName,
+        cols.map(c => (fileSchema: org.apache.parquet.schema.GroupType)
+          .getType(c)): _*)
+      pfr.setRequestedSchema(requested)
+      val v = new VectorizedParquetRecordReader(false, Capacity)
+      org.apache.spark.sql.execution.datasources.parquet.GraftVectorizedBridge
+        .initialize(v, fileSchema, requested, pfr, total.toInt)
+      v.initBatch(null, null)
+      v.enableReturningBatches()
+      v
+    }
+    def close(): Unit = if (vec != null) { vec.close(); vec = null }
+  }
+
+  /** Open-addressing position→denom map, primitive throughout — the
+    * derived-column loop must not allocate per row (the row readers'
+    * HashMap costs a key tuple + String per probe; at full-serve scale
+    * that churn is the reader's overhead). Linear probing, power-of-two
+    * capacity, last-put-wins on duplicates (identical to the HashMap
+    * semantics it replaces). EMPTY sentinel is Long.MinValue with an
+    * explicit side slot, so no position value is unrepresentable. */
+  private final class PosDenomMap(initCap: Int) {
+    private var cap = java.lang.Integer.highestOneBit(
+      math.max(16, initCap * 2) * 2 - 1)
+    private var mask = cap - 1
+    private var keys = Array.fill(cap)(Long.MinValue)
+    private var vals = new Array[Long](cap)
+    private var size = 0
+    private var hasMin = false
+    private var minVal = 0L
+    private def mix(k: Long): Int = {
+      var h = k * -7046029254386353131L
+      h ^= h >>> 32
+      (h & mask).toInt
+    }
+    def put(pos: Long, v: Long): Unit = {
+      if (pos == Long.MinValue) { hasMin = true; minVal = v; return }
+      var i = mix(pos)
+      while (keys(i) != Long.MinValue && keys(i) != pos) i = (i + 1) & mask
+      if (keys(i) == Long.MinValue) {
+        keys(i) = pos; vals(i) = v; size += 1
+        if (size * 2 > cap) grow()
+      } else vals(i) = v
+    }
+    /** Covered denominator at `pos`, 0 when uncovered. */
+    def getOrZero(pos: Long): Long = {
+      if (pos == Long.MinValue) return if (hasMin) minVal else 0L
+      var i = mix(pos)
+      while (keys(i) != Long.MinValue) {
+        if (keys(i) == pos) return vals(i)
+        i = (i + 1) & mask
+      }
+      0L
+    }
+    private def grow(): Unit = {
+      val ok = keys; val ov = vals
+      cap *= 2; mask = cap - 1
+      keys = Array.fill(cap)(Long.MinValue)
+      vals = new Array[Long](cap)
+      size = 0
+      var i = 0
+      while (i < ok.length) {
+        if (ok(i) != Long.MinValue) put(ok(i), ov(i))
+        i += 1
+      }
+    }
+  }
+
+  /** Bucket-denom index: per-chromosome primitive maps, built DIRECTLY
+    * from the vectorized denom batches (no intermediate boxing). The
+    * chromosome set per bucket is tiny (≤ tens); lookups use a last-hit
+    * cache because the store layout keeps a chromosome's rows
+    * contiguous. */
+  private final class DenomIndex {
+    private var chromKeys = new Array[UTF8String](0)
+    private var ploidies = new Array[Long](0)
+    private var maps = new Array[PosDenomMap](0)
+    private var lastIdx = -1
+    /** Index of the chromosome, -1 when it has no covered points here. */
+    def chromIdx(u: UTF8String): Int = {
+      if (lastIdx >= 0 && chromKeys(lastIdx) == u) return lastIdx
+      var i = 0
+      while (i < chromKeys.length) {
+        if (chromKeys(i) == u) { lastIdx = i; return i }
+        i += 1
+      }
+      -1
+    }
+    def ploidy(ci: Int): Long = ploidies(ci)
+    def covDenom(ci: Int, pos: Long): Long = maps(ci).getOrZero(pos)
+    /** Build-side: resolve-or-add (copies the vector-backed UTF8String —
+      * its bytes live in a reused read buffer). */
+    def chromIdxOrAdd(u: UTF8String): Int = {
+      val i = chromIdx(u)
+      if (i >= 0) return i
+      val copy = UTF8String.fromBytes(u.getBytes)
+      chromKeys = chromKeys :+ copy
+      ploidies = ploidies :+ ploidyOf(copy)
+      maps = maps :+ new PosDenomMap(1024)
+      lastIdx = chromKeys.length - 1
+      lastIdx
+    }
+    def put(ci: Int, pos: Long, v: Long): Unit = maps(ci).put(pos, v)
+  }
+  private val uX = UTF8String.fromString("X")
+  private val uY = UTF8String.fromString("Y")
+  private val uMT = UTF8String.fromString("MT")
+  private def ploidyOf(u: UTF8String): Long =
+    if (u == uX || u == uY || u == uMT) 1L else 2L
+
+  /** Bucket-local denom build, itself vectorized and boxing-free. Empty
+    * when the projection pruned the denom component (denomFiles arrives
+    * Nil). */
+  private val denomIndex: DenomIndex = {
+    val idx = new DenomIndex
+    if (p.denomFiles.nonEmpty) {
+      val fb = new FileBatches(p.denomFiles,
+        Seq("chromosome", "position", "denom_cov"))
+      try {
+        var b = fb.nextBatch()
+        while (b != null) {
+          val (cv, pv, dv) = (b.column(0), b.column(1), b.column(2))
+          var i = 0
+          val n = b.numRows()
+          while (i < n) {
+            idx.put(idx.chromIdxOrAdd(cv.getUTF8String(i)),
+              pv.getLong(i), dv.getLong(i))
+            i += 1
+          }
+          b = fb.nextBatch()
+        }
+      } finally fb.close()
+    }
+    idx
+  }
+
+  private val numerBatches = new FileBatches(p.numerFiles, readCols)
+  private val denomVec =
+    if (needsDenomCol) new OnHeapColumnVector(Capacity, LongType) else null
+  private val freqVec =
+    if (needsFreq) new OnHeapColumnVector(Capacity, LongType) else null
+  private var out: ColumnarBatch = _
+  private var emitted = 0L
+
+  override def next(): Boolean = {
+    // pushed LIMIT: cap this partition's share (Spark's global limit
+    // still sits on top — pushLimit returned false). A range filter
+    // never co-occurs: residual filters block Spark's limit pushdown.
+    if (limit.exists(emitted >= _)) { out = null; return false }
+    val rb = numerBatches.nextBatch()
+    if (rb == null) { out = null; return false }
+    var n = rb.numRows()
+    limit.foreach(l => n = math.min(n.toLong, l - emitted).toInt)
+    if (needsDerived) {
+      val chromV = rb.column(readIdx("chromosome"))
+      val posV = rb.column(readIdx("position"))
+      val numerV = if (needsFreq) rb.column(readIdx("numer")) else null
+      if (denomVec != null) denomVec.reset()
+      if (freqVec != null) freqVec.reset()
+      var i = 0
+      while (i < n) {
+        val u = chromV.getUTF8String(i)
+        val ci = denomIndex.chromIdx(u)
+        val ploidy =
+          if (ci >= 0) denomIndex.ploidy(ci) else ploidyOf(u)
+        val d = (if (ci >= 0) denomIndex.covDenom(ci, posV.getLong(i))
+          else 0L) + uncov * ploidy
+        if (denomVec != null) denomVec.putLong(i, d)
+        if (freqVec != null) {
+          // TRUNCATING division (toward zero) — serveFrom's SQL `div`
+          if (d == 0L) freqVec.putNull(i)
+          else freqVec.putLong(i, numerV.getLong(i) * 1000000L / d)
+        }
+        i += 1
+      }
+    }
+    val vs: Array[ColumnVector] = columns.map[ColumnVector] {
+      case "denom" => denomVec
+      case "freq_ppm" => freqVec
+      case c => rb.column(readIdx(c))
+    }.toArray
+    out = new ColumnarBatch(vs, n)
+    emitted += n
+    true
+  }
+  override def get(): ColumnarBatch = out
+  override def close(): Unit = {
+    numerBatches.close()
+    if (denomVec != null) denomVec.close()
+    if (freqVec != null) freqVec.close()
+  }
 }
 
 /** Bucket-local serving join: hash the bucket's denom rows by point

@@ -58,6 +58,33 @@ class FreqStoreDsv2Spec extends AnyFunSuite {
       "an unfiltered scan must not prune")
   }
 
+  test("the scan reads COLUMNAR: ColumnarToRow sits above the batch scan") {
+    // round-12 VERDICT #1: the full-store read path must be vectorized
+    // ColumnarBatches (Spark's parquet decoder), not per-row
+    // GenericInternalRow boxing. Pin the plan shape so a regression to
+    // row reads is loud — for the full projection (derived columns
+    // computed per-batch) AND a pruned one.
+    val (store, dir) = builtStore()
+    for (df <- Seq(
+        spark.read.format("freqstore").load(dir),
+        spark.read.format("freqstore").load(dir)
+          .select("chromosome", "position", "numer"))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("ColumnarToRow"),
+        s"freqstore scan is not columnar:\n$plan")
+    }
+    // row-identity of the columnar read is covered by the parity test
+    // above; also pin the derived-column math through a projection that
+    // forces the per-batch compute loop
+    def ppmDenom(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (if (r.isNullAt(0)) Long.MinValue else r.getLong(0), r.getLong(1)))
+      .toSeq.sorted
+    val derived = spark.read.format("freqstore").load(dir)
+      .select("freq_ppm", "denom")
+    val expected = store.serve().select("freq_ppm", "denom")
+    assert(ppmDenom(derived) == ppmDenom(expected))
+  }
+
   test("asOfGeneration option time-travels the scan; invalid bounds fail at plan time") {
     val (store, dir) = builtStore()
     // pinned at generation 0: row-identical to serveAsOf(0) — the frame
