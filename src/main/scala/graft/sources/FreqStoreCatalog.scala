@@ -107,6 +107,23 @@ class FreqStoreCatalog extends TableCatalog with FunctionCatalog
     new FreqStoreTable(ident.name(), catalogPartitioned = true,
       asOfFixed = Some(asOf))
   }
+  /** SQL-standard wall-clock time travel — `SELECT … FROM fqs.`…`
+    * TIMESTAMP AS OF '2026-08-01 12:00:00'`. The DSv2 contract hands the
+    * timestamp in MICROSECONDS since the epoch; it resolves to the
+    * newest generation whose commit marker mtime is at or before it
+    * ([[graft.varda.FreqStore.generationAt]]), then pins the scan
+    * exactly like `VERSION AS OF` — including serveAsOf's plan-time
+    * validation, so a timestamp below the snapshot floor fails loudly.
+    * A timestamp before the store's first commit is an error. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    requireRootNamespace(ident)
+    requireStoreDir(ident.name())
+    val gen = new FreqStore(org.apache.spark.sql.SparkSession.active,
+      ident.name()).generationAt(Math.floorDiv(timestamp, 1000L))
+    new FreqStoreTable(ident.name(), catalogPartitioned = true,
+      asOfFixed = Some(gen))
+  }
+
   // only "no such table" means "does not exist" — a transient fs /
   // permission / layout-version failure must surface, not read as absent
   override def tableExists(ident: Identifier): Boolean =

@@ -967,6 +967,48 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     }
   }
 
+  /** `TIMESTAMP AS OF` resolution: the newest generation whose commit
+    * marker was blessed at or before `tsMillis` (wall-clock time travel
+    * — users think in "the store as of yesterday's import", not
+    * generation ids). Per generation id the EARLIEST surviving marker
+    * mtime counts: that is its first bless; a compaction's later `vN`
+    * re-marker is maintenance, not user-visible history. The resolved
+    * generation still goes through [[serveAsOf]]'s validation at plan
+    * time, so a timestamp that lands below the newest snapshot floor
+    * fails loudly instead of serving a floored frame. A timestamp
+    * before the first commit (or an empty store) is an error — there
+    * is no state to serve. */
+  def generationAt(tsMillis: Long): Long = {
+    val p = new Path(s"$dir/_commits")
+    val byId: Map[Long, Long] =
+      if (!fs.exists(p)) Map.empty
+      else fs.listStatus(p).toSeq.flatMap { st =>
+        parseGenName(st.getPath.getName).map { case (id, _) =>
+          id -> st.getModificationTime }
+      }.groupBy(_._1).map { case (id, xs) => id -> xs.map(_._2).min }
+    require(byId.nonEmpty,
+      s"freqstore: TIMESTAMP AS OF on $dir — the store has no " +
+        "committed generations")
+    val eligible = byId.collect { case (id, mt) if mt <= tsMillis => id }
+    if (eligible.isEmpty) {
+      // two honest failures: history consolidated below a snapshot
+      // (compaction rewrote the markers — same loud refusal VERSION AS
+      // OF gives), or genuinely before the store existed
+      val snap = committed().filter(_.v > 0).map(_.id).maxOption
+      val ts = java.time.Instant.ofEpochMilli(tsMillis)
+      val first = java.time.Instant.ofEpochMilli(byId.values.min)
+      snap.foreach { s =>
+        sys.error(s"freqstore: TIMESTAMP AS OF $ts predates the newest " +
+          s"snapshot (gen-$s, blessed $first) — compaction consolidated " +
+          "that history; only wall-clock times at or after it remain " +
+          "addressable")
+      }
+      sys.error(s"freqstore: TIMESTAMP AS OF $ts predates the store's " +
+        s"first commit ($first)")
+    }
+    eligible.max
+  }
+
   /** Point lookup — the reference's flagship query [U GET /variants]:
     * serve ONE (chromosome, position)'s frequencies by evaluating the
     * shared bucket hash on the driver and opening only that bucket's

@@ -162,6 +162,60 @@ class FreqStoreCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("TIMESTAMP AS OF resolves wall-clock to the matching generation") {
+    withSpj {
+      val dir = tmpDir("fqs_ts")
+      val store = new FreqStore(spark, dir, 4)
+      val obs0 = Seq(("1", 5000L, "A", "C", 3), ("2", 700L, "G", "T", 2))
+        .toDF("chromosome", "position", "reference", "observed", "support")
+      val cov = Seq((10L, "1", 4000L, 6000L, 1L, 2)).toDF(
+        "region_id", "chromosome", "begin_pos", "end_pos", "sample_id", "pool_size")
+      val smp = Seq((1L, 2, true)).toDF("sample_id", "pool_size", "has_coverage")
+      val tBefore = System.currentTimeMillis() - 5
+      store.commit(0, obs0, cov, smp)
+      Thread.sleep(30) // marker mtimes must order the generations
+      val tBetween = System.currentTimeMillis()
+      Thread.sleep(30)
+      store.commit(1,
+        Seq(("1", 5000L, "A", "C", 2)).toDF(
+          "chromosome", "position", "reference", "observed", "support"),
+        cov.filter("false"), smp.filter("false"))
+      def sqlTs(ms: Long): String = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochMilli(ms))
+      // between the commits → generation 0's frame, row-equal to the
+      // matching VERSION AS OF
+      val byTs = spark.sql(
+        s"SELECT * FROM fqs.`$dir` TIMESTAMP AS OF '${sqlTs(tBetween)}'")
+      assert(rowSet(byTs) == rowSet(store.serveAsOf(0L)))
+      assert(rowSet(byTs) ==
+        rowSet(spark.sql(s"SELECT * FROM fqs.`$dir` VERSION AS OF 0")))
+      // now (after both) → the head
+      val byNow = spark.sql(s"SELECT * FROM fqs.`$dir` TIMESTAMP AS OF " +
+        s"'${sqlTs(System.currentTimeMillis() + 60000)}'")
+      assert(rowSet(byNow) == rowSet(store.serve()))
+      // before the first commit → loud plan-time failure
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT * FROM fqs.`$dir` TIMESTAMP AS OF " +
+          s"'${sqlTs(tBefore)}'").collect()
+      }
+      assert(e.getMessage.contains("predates"), e.getMessage)
+      // a timestamp landing below the snapshot floor fails like the
+      // matching VERSION AS OF does
+      store.commit(2,
+        Seq(("3", 42L, "A", "T", 1)).toDF(
+          "chromosome", "position", "reference", "observed", "support"),
+        cov.filter("false"), smp.filter("false"))
+      store.compact()
+      val e2 = intercept[Exception] {
+        spark.sql(s"SELECT * FROM fqs.`$dir` TIMESTAMP AS OF " +
+          s"'${sqlTs(tBetween)}'").collect()
+      }
+      assert(e2.getMessage.contains("snapshot"), e2.getMessage)
+    }
+  }
+
   test("a broadcast probe join against a catalog table runtime-prunes and stays correct") {
     withSpj {
       // the common serving join (annotation frame ⟕ store) must keep
