@@ -285,8 +285,11 @@ object Llm {
     * downstream rounded compare stays the decider. */
   private def pairwiseCosine(s: org.apache.spark.sql.SparkSession,
       left: DataFrame, right: DataFrame, allPairs: Boolean,
-      minCos: Double = Double.NegativeInfinity): DataFrame = {
+      minCos: Double = Double.NegativeInfinity,
+      topkPerLeft: Option[Int] = None): DataFrame = {
     import s.implicits._
+    require(topkPerLeft.isEmpty || !allPairs,
+      "in-kernel top-k is per LEFT id — directed grids only")
     val bl = blockify(s, left, CosineBlocks).toDF("b1", "arr1", "nrm1")
     val br = blockify(s, right, CosineBlocks).toDF("b2", "arr2", "nrm2")
     val tiles = if (allPairs) bl.join(br, col("b1") <= col("b2")) else bl.crossJoin(br)
@@ -294,29 +297,90 @@ object Llm {
               Int, Array[(Long, Array[Float])], Array[Double])]
       .flatMap { case (b1, a1, n1, b2, a2, n2) =>
         val out = Array.newBuilder[(Long, Long, Double)]
+        val k = topkPerLeft.getOrElse(0)
+        // round-13 (VERDICT #3): the 12.4 s sf1 wall was not the dot
+        // products (~50 GFLOP ≈ sub-second on 32 cores) but the Q×N
+        // TUPLE MATERIALIZATION — every pair became a Tungsten row only
+        // for the window rank to drop all but 5. With top-k requested,
+        // each left row keeps a k-slot selection over the tile and only
+        // emits candidates that can still make the GLOBAL decimal
+        // ranking. EXACT by a rounding-margin argument: downstream
+        // ranks by cos cast to DECIMAL(18,6) (1e-6 grid, |round(x)-x| ≤
+        // 5e-7) with an id tiebreak, so v < t − 1e-6 implies round(v) <
+        // round(t) strictly — a pair more than 1e-6 below its tile's
+        // k-th best is beaten by k tile-mates after rounding whatever
+        // the tiebreak, and can never enter the global top k. NaN
+        // cosines (zero-norm vectors) always flow, as before.
+        val cosBuf = if (k > 0) new Array[Double](a2.length) else null
+        val top = if (k > 0) new Array[Double](k) else null
         var i = 0
         while (i < a1.length) {
           val (id1, v1) = a1(i)
-          var j = 0
-          while (j < a2.length) {
-            val (id2, v2) = a2(j)
-            val emit =
-              if (allPairs) { if (b1 == b2) id1 < id2 else id1 != id2 }
-              else id1 != id2
-            if (emit) {
-              var acc = 0.0; var k = 0
-              while (k < v1.length) { acc += v1(k).toDouble * v2(k).toDouble; k += 1 }
-              val cos = acc / (n1(i) * n2(j))
-              // !(cos < minCos), not (cos >= minCos): a NaN cosine (zero
-              // -norm vector) must keep flowing to the caller exactly as
-              // it did before pruning existed — droppers drop it via
-              // their own DECIMAL threshold, rankers rank it
-              if (!(cos < minCos)) {
-                if (allPairs && id1 > id2) out += ((id2, id1, cos))
-                else out += ((id1, id2, cos))
+          if (k > 0) {
+            // pass 1: fill the tile's cos row, maintain the k best
+            // (ascending insertion — k is tiny)
+            var nTop = 0
+            var j = 0
+            while (j < a2.length) {
+              val (id2, v2) = a2(j)
+              if (id1 != id2) {
+                var acc = 0.0; var kk = 0
+                while (kk < v1.length) {
+                  acc += v1(kk).toDouble * v2(kk).toDouble; kk += 1 }
+                val cos = acc / (n1(i) * n2(j))
+                cosBuf(j) = cos
+                if (!cos.isNaN) {
+                  if (nTop < k) {
+                    var t = nTop - 1
+                    while (t >= 0 && top(t) > cos) { top(t + 1) = top(t); t -= 1 }
+                    top(t + 1) = cos
+                    nTop += 1
+                  } else if (cos > top(0)) {
+                    var t = 1
+                    while (t < k && top(t) < cos) { top(t - 1) = top(t); t += 1 }
+                    top(t - 1) = cos
+                  }
+                }
               }
+              j += 1
             }
-            j += 1
+            // pass 2: emit survivors (margin below, see the argument)
+            val thr =
+              if (nTop >= k) top(0) - 1e-6 else Double.NegativeInfinity
+            var j2 = 0
+            while (j2 < a2.length) {
+              val id2 = a2(j2)._1
+              if (id1 != id2) {
+                val cos = cosBuf(j2)
+                // !(cos < x) keeps NaN flowing through both gates
+                if (!(cos < thr) && !(cos < minCos)) out += ((id1, id2, cos))
+              }
+              j2 += 1
+            }
+          } else {
+            var j = 0
+            while (j < a2.length) {
+              val (id2, v2) = a2(j)
+              val emit =
+                if (allPairs) { if (b1 == b2) id1 < id2 else id1 != id2 }
+                else id1 != id2
+              if (emit) {
+                var kk = 0
+                var acc = 0.0
+                while (kk < v1.length) {
+                  acc += v1(kk).toDouble * v2(kk).toDouble; kk += 1 }
+                val cos = acc / (n1(i) * n2(j))
+                // !(cos < minCos), not (cos >= minCos): a NaN cosine
+                // (zero-norm vector) must keep flowing to the caller
+                // exactly as it did before pruning existed — droppers
+                // drop it via their own DECIMAL threshold, rankers rank
+                if (!(cos < minCos)) {
+                  if (allPairs && id1 > id2) out += ((id2, id1, cos))
+                  else out += ((id1, id2, cos))
+                }
+              }
+              j += 1
+            }
           }
           i += 1
         }
@@ -329,11 +393,20 @@ object Llm {
     * tiebreak, and only ids are output (float last-ulp differences between
     * engines cannot flip the hash — SURVEY.md §2.10 caution). The query
     * side stays a DataFrame end to end — no driver-side id-set collect. */
-  val simTopkCosine: Q = (s, d) => {
-    val e = Tables.embeddings(s, d)
+  val simTopkCosine: Q = (s, d) =>
+    simTopkFrom(s, Tables.embeddings(s, d), inKernelTopk = true)
+
+  /** The ranking body, parameterized for the kernel-equality spec:
+    * `inKernelTopk = false` runs the unpruned Q×N grid (every pair
+    * becomes a row, the window rank decides alone) — TiledCosineSpec
+    * pins the two plans row-identical on adversarial near-tie
+    * fixtures. */
+  private[graft] def simTopkFrom(s: org.apache.spark.sql.SparkSession,
+      e: DataFrame, inKernelTopk: Boolean): DataFrame = {
     val q = e.filter(col("label") === 0)
     val w = Window.partitionBy("qid").orderBy(col("cos_d").desc, col("nid"))
-    pairwiseCosine(s, q, e, allPairs = false)
+    pairwiseCosine(s, q, e, allPairs = false,
+      topkPerLeft = if (inKernelTopk) Some(5) else None)
       .select(col("id1").as("qid"), col("id2").as("nid"),
         col("cos").cast(DecimalType(18, 6)).as("cos_d"))
       .withColumn("rank", row_number().over(w))

@@ -55,6 +55,37 @@ class TiledCosineSpec extends AnyFunSuite {
     assert(ops.Llm.allPairsCosine(spark, df, maxRows = 8).count() == 28)
   }
 
+  test("in-kernel top-k selection is row-identical to the unpruned grid") {
+    import spark.implicits._
+    // adversarial fixture: duplicated vectors (exact decimal ties ->
+    // the nid tiebreak decides across tiles), near-parallel vectors
+    // (raw cos within and just beyond the 1e-6 margin), a zero vector
+    // (NaN cosine must flow), and plain random fill
+    val rnd = new Random(7)
+    val base = Array.fill(16)(rnd.nextFloat() * 2 - 1)
+    def jitter(eps: Float): Array[Float] = {
+      val v = base.clone(); v(0) = v(0) + eps; v }
+    val vecs: Seq[(Long, Array[Float], Int)] =
+      // queries (label 0)
+      (0L until 12L).map(i =>
+        (i, Array.fill(16)(rnd.nextFloat() * 2 - 1), 0)) ++
+      // corpus: exact duplicates of base under many ids (ties)
+      (100L until 120L).map(i => (i, base.clone(), 1)) ++
+      // near-ties at graded distances
+      Seq((200L, jitter(1e-8f), 1), (201L, jitter(1e-6f), 1),
+        (202L, jitter(1e-4f), 1), (203L, jitter(1e-2f), 1)) ++
+      // a zero vector (NaN cosine) and random corpus
+      Seq((300L, Array.fill(16)(0f), 1)) ++
+      (400L until 460L).map(i =>
+        (i, Array.fill(16)(rnd.nextFloat() * 2 - 1), 1))
+    val df = vecs.toDF("vec_id", "embedding", "label")
+    def rows(inKernel: Boolean) =
+      ops.Llm.simTopkFrom(spark, df, inKernelTopk = inKernel)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(rows(true) == rows(false),
+      "in-kernel top-k changed the ranked output")
+  }
+
   test("no driver collect in the Llm hot path (round-1 scale-killer)") {
     val code = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/root/repo/src/main/scala/graft/ops/Llm.scala")),
