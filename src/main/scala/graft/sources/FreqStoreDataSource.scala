@@ -94,11 +94,42 @@ object FreqStoreDataSource {
 
 class FreqStoreTable(dir: String, catalogPartitioned: Boolean = false,
     asOfFixed: Option[Long] = None)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"freqstore:$dir"
   override def schema(): StructType = FreqStoreDataSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE)
+
+  /** Standard-SQL append — `INSERT INTO fqs.`…` (chromosome, position,
+    * reference, observed, numer) SELECT …` — as ONE transactional
+    * import generation (round-12 VERDICT #5). The inserted rows are
+    * OBSERVATIONS: `numer` carries the support count; `denom` and
+    * `freq_ppm` are DERIVED columns (coverage denominators live in the
+    * covered-denominator component) and must arrive NULL — Spark fills
+    * omitted columns with NULL for a column-list INSERT, and explicit
+    * values are rejected loudly rather than silently dropped. Routed
+    * through the V1 write fallback so the whole SELECT arrives as one
+    * DataFrame and lands in [[FreqStore.commit]]'s existing
+    * transactional path (writer lock, generation marker, replay
+    * contract) as the next generation id from the commit log. No
+    * coverage/sample registrations ride an INSERT — use
+    * `CALL fqs.import_batch` for full batches. */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo):
+      org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(asOfFixed.isEmpty,
+      "freqstore: cannot INSERT into a time-travel view")
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation:
+              org.apache.spark.sql.sources.InsertableRelation =
+            new FreqStoreInsertable(dir)
+        }
+    }
+  }
   /** Declared ONLY when loaded through [[FreqStoreCatalog]]: the
     * provider path has no FunctionCatalog to resolve the transform, so
     * declaring it there would just produce analyzer noise. The modulus
@@ -119,6 +150,53 @@ class FreqStoreTable(dir: String, catalogPartitioned: Boolean = false,
         s"freqstore: asOfGeneration must be a long generation id, got '$s'"))
     }.orElse(asOfFixed) // SQL `VERSION AS OF` pins via the catalog
     new FreqStoreScanBuilder(dir, asOf, catalogPartitioned)
+  }
+}
+
+/** The INSERT landing: one validation pass over the inserted rows
+  * (derived columns must be NULL, observation keys non-NULL, support in
+  * int range), then [[FreqStore.commit]] as the next generation id.
+  * The input DataFrame is the INSERT's whole SELECT — distributed plan,
+  * not rows through the driver. */
+private[sources] class FreqStoreInsertable(dir: String)
+    extends org.apache.spark.sql.sources.InsertableRelation {
+  import org.apache.spark.sql.functions._
+  override def insert(data: org.apache.spark.sql.DataFrame,
+      overwrite: Boolean): Unit = {
+    require(!overwrite, "freqstore: INSERT OVERWRITE is not supported — " +
+      "the store's history is transactional; retract or compact instead")
+    val s = data.sparkSession
+    import s.implicits._
+    val d = data.persist()
+    try {
+      val bad = d.agg(
+        sum(when(col("denom").isNotNull || col("freq_ppm").isNotNull, 1L)
+          .otherwise(0L)).as("derived"),
+        sum(when(col("numer").isNull || col("numer") < 0L ||
+          col("numer") > Int.MaxValue.toLong, 1L).otherwise(0L)).as("supp"),
+        sum(when(col("chromosome").isNull || col("position").isNull ||
+          col("reference").isNull || col("observed").isNull, 1L)
+          .otherwise(0L)).as("key")).collect()(0)
+      def cnt(i: Int): Long = if (bad.isNullAt(i)) 0L else bad.getLong(i)
+      require(cnt(0) == 0, s"freqstore INSERT: ${cnt(0)} row(s) carry " +
+        "denom/freq_ppm values — those columns are DERIVED from coverage; " +
+        "insert observations only (chromosome, position, reference, " +
+        "observed, numer) and leave the rest NULL")
+      require(cnt(1) == 0, s"freqstore INSERT: ${cnt(1)} row(s) have a " +
+        "NULL, negative or out-of-int-range numer (the support count)")
+      require(cnt(2) == 0, s"freqstore INSERT: ${cnt(2)} row(s) have a " +
+        "NULL observation key column")
+      val store = new FreqStore(s, dir)
+      val gen = store.generations.map(_._1).maxOption.fold(0L)(_ + 1L)
+      val obs = d.select(col("chromosome"), col("position"),
+        col("reference"), col("observed"),
+        col("numer").cast(IntegerType).as("support"))
+      val emptyCov = Seq.empty[(String, Long, Long, Long, Int)].toDF(
+        "chromosome", "begin_pos", "end_pos", "sample_id", "pool_size")
+      val emptySmp = Seq.empty[(Long, Int, Boolean)].toDF(
+        "sample_id", "pool_size", "has_coverage")
+      store.commit(gen, obs, emptyCov, emptySmp)
+    } finally d.unpersist()
   }
 }
 

@@ -125,6 +125,64 @@ class FreqStoreProcedureSpec extends AnyFunSuite {
     }
   }
 
+  test("INSERT INTO the catalog table commits one generation, twin to the API") {
+    withCat {
+      val dir = tmpDir("fqs_ins")
+      val twin = tmpDir("fqs_ins_twin")
+      val (obs1, cov1, smp1) = batch1
+      // generation 0 with coverage through the API on BOTH stores
+      new FreqStore(spark, dir, 4).commit(0, obs1, cov1, smp1)
+      val twinStore = new FreqStore(spark, twin, 4)
+      twinStore.commit(0, obs1, cov1, smp1)
+
+      // the INSERT: observation rows via a column-list SELECT — Spark
+      // fills denom/freq_ppm with NULL; numer carries the support count
+      obs1.sparkSession.sql(
+        s"""INSERT INTO fqs.`$dir` (chromosome, position, reference,
+              observed, numer)
+            SELECT '1', 5000L, 'A', 'C', 2 UNION ALL
+            SELECT '2', 700L, 'G', 'T', 1""")
+      // twin: the same rows through the API commit path
+      twinStore.commit(1,
+        Seq(("1", 5000L, "A", "C", 2), ("2", 700L, "G", "T", 1))
+          .toDF("chromosome", "position", "reference", "observed", "support"),
+        cov1.filter("false"), smp1.filter("false"))
+      assert(rowSet(new FreqStore(spark, dir).serve()) ==
+        rowSet(twinStore.serve()),
+        "INSERT-driven store diverged from the API-driven twin")
+      // the INSERT became ONE addressable generation (VERSION AS OF 1)
+      assert(rowSet(spark.sql(s"SELECT * FROM fqs.`$dir` VERSION AS OF 1")) ==
+        rowSet(twinStore.serve()))
+      assert(rowSet(spark.sql(s"SELECT * FROM fqs.`$dir` VERSION AS OF 0")) ==
+        rowSet(twinStore.serveAsOf(0L)))
+
+      // misuse fails loudly: explicit derived-column values…
+      val eDerived = intercept[Exception] {
+        spark.sql(s"""INSERT INTO fqs.`$dir`
+          SELECT '1', 6000L, 'A', 'T', 1L, 100L, 5L""")
+      }
+      assert(eDerived.getMessage.contains("DERIVED"), eDerived.getMessage)
+      // …a NULL support count…
+      val eNull = intercept[Exception] {
+        spark.sql(s"""INSERT INTO fqs.`$dir` (chromosome, position,
+            reference, observed)
+          SELECT '1', 6000L, 'A', 'T'""")
+      }
+      assert(eNull.getMessage.contains("numer"), eNull.getMessage)
+      // …and INSERT OVERWRITE
+      val eOver = intercept[Exception] {
+        spark.sql(s"""INSERT OVERWRITE fqs.`$dir` (chromosome, position,
+            reference, observed, numer)
+          SELECT '1', 6000L, 'A', 'T', 1L""")
+      }
+      assert(eOver.getMessage.toLowerCase.contains("overwrite") ||
+        eOver.getMessage.toLowerCase.contains("truncate"), eOver.getMessage)
+      // the failed attempts committed nothing
+      assert(rowSet(new FreqStore(spark, dir).serve()) ==
+        rowSet(twinStore.serve()))
+    }
+  }
+
   test("procedure misuse fails loudly") {
     withCat {
       val dir = tmpDir("fqs_proc_err")
