@@ -373,6 +373,67 @@ class FreqStoreSpec extends AnyFunSuite {
     assert(freqKey(store.serve()) == expected)
   }
 
+  test("a crash between a split snapshot's write and its bless is invisible " +
+      "and replayable") {
+    // round-12 VERDICT #7: the modulus-doubling snapshot writes its
+    // whole re-bucketed generation dir BEFORE the commit marker. A
+    // crash in that window leaves an UNBLESSED gen dir (possibly torn)
+    // on disk. The contract: readers never see it (live() is marker-
+    // driven), and a replayed compact overwrites it wholesale
+    // (writeGen deletes a pre-existing dir first).
+    import spark.implicits._
+    val dir = tmpDir("fqs_splitcrash")
+    val store = new FreqStore(spark, dir, nBuckets = 2)
+    val obs0 = (0 until 64).map(i =>
+      ("1", 1000L + i * 4096L, "A", "C", 1)).toDF(
+      "chromosome", "position", "reference", "observed", "support")
+    val cov0 = (0 until 150).map(i =>
+      (i.toLong, "1", i * 2000L, i * 2000L + 1999L, 1L, 2)).toDF(
+      "region_id", "chromosome", "begin_pos", "end_pos", "sample_id", "pool_size")
+    val smp0 = Seq((1L, 2, true), (9L, 3, false)).toDF(
+      "sample_id", "pool_size", "has_coverage")
+    store.commit(0, obs0, cov0, smp0)
+    store.commit(1, Seq(("1", 1000L, "A", "C", 5)).toDF(
+      "chromosome", "position", "reference", "observed", "support"),
+      cov0.filter("false"), smp0.filter("false"))
+    val before = freqKey(store.serve())
+
+    // fabricate the crash window: the split snapshot dir (gen-1.1 —
+    // maxGen=1, newV=1) exists with TORN content and NO marker
+    val torn = Paths.get(dir, "gen-1.1")
+    Files.createDirectories(torn.resolve("comp=numer/bkt=0"))
+    Files.write(torn.resolve("comp=numer/bkt=0/part-torn.parquet"),
+      "not parquet".getBytes("UTF-8"))
+
+    // pre-split state serves as if the crash never happened — a fresh
+    // reader instance must plan only blessed generations
+    val reader = new FreqStore(spark, dir)
+    assert(reader.nBkts == 2, "unblessed snapshot leaked into the modulus")
+    assert(freqKey(reader.serve()) == before,
+      "unblessed split snapshot leaked into a read")
+    assert(freqKey(reader.lookup("1", 1000L)) ==
+      before.filter { case ((c, p, _, _), _) => c == "1" && p == 1000L },
+      "bucket-pruned lookup diverged under the torn dir")
+
+    // replay: the maintenance compact overwrites the torn dir and
+    // blesses; state unchanged, modulus doubled
+    val replayed = new FreqStore(spark, dir)
+    replayed.compact(splitThreshold = Some(1L))
+    assert(replayed.nBkts == 4, "replayed split did not double the modulus")
+    assert(freqKey(replayed.serve()) == before, "replayed split changed state")
+    assert(!Files.exists(torn.resolve("comp=numer/bkt=0/part-torn.parquet")),
+      "replay left the torn attempt's debris in the blessed dir")
+    // and the store keeps working: a post-recovery commit folds exactly
+    replayed.commit(2, Seq(("1", 1000L, "A", "C", 2)).toDF(
+      "chromosome", "position", "reference", "observed", "support"),
+      cov0.filter("false"), smp0.filter("false"))
+    val expected = freqKey(VardaOps.frequencyFrom(
+      obs0.unionByName(Seq(("1", 1000L, "A", "C", 5), ("1", 1000L, "A", "C", 2))
+        .toDF("chromosome", "position", "reference", "observed", "support")),
+      cov0, smp0, withZyg = false))
+    assert(freqKey(new FreqStore(spark, dir).serve()) == expected)
+  }
+
   test("retractSamples needs only sample rows: observations come off the obslog") {
     import org.apache.spark.sql.functions.col
     val dir = tmpDir("fqs_rmlog")
