@@ -25,9 +25,14 @@ object Skew {
   /** Inner equi-join `large ⋈ small` on `key`, salted `salts` ways.
     * `disambig` columns must not collide; result equals the plain join
     * row-for-row (SkewSpec proves it). */
+  /** The shard a row joins under — exposed so specs can assert the
+    * planted-corpus spread with the EXACT expression the join uses. */
+  def saltColumn(saltBy: Column, salts: Int): Column =
+    pmod(hash(saltBy), lit(salts))
+
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
       salts: Int, saltBy: Column): DataFrame = {
-    val l = large.withColumn("__salt", pmod(hash(saltBy), lit(salts)))
+    val l = large.withColumn("__salt", saltColumn(saltBy, salts))
     val r = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     l.join(r, Seq(key, "__salt")).drop("__salt")

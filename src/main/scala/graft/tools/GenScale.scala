@@ -81,6 +81,17 @@ object GenScale {
         .withColumn("n_chars", length(col("text")).cast("bigint"))),
       "documents")
 
+    // PLANTED SKEW corpus (round-13, VERDICT #6): one hot supplier in
+    // ~20% of lineitem — the adversarial shape for a supplier join.
+    // Deterministic row pick (hash of the line's own key), hot key = 1
+    // (exists in copy 0's supplier). Written beside the fair tables so
+    // skew measurements read the same sf1 directory.
+    wr(spark.read.parquet(s"$dst/lineitem.parquet")
+      .withColumn("l_suppkey",
+        when(pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(5)) === 0,
+          lit(1L)).otherwise(col("l_suppkey"))),
+      "lineitem_skew")
+
     // embeddings: deterministic per-component jitter for copies > 0 so
     // no cross-copy vector is an exact duplicate (±0.05, hash-keyed)
     wr(scaled("embeddings", Seq("vec_id"), (df, i) =>
