@@ -732,50 +732,79 @@ class FreqStoreColumnarPartitionReader(p: FreqStorePartition,
   private val readIdx: Map[String, Int] = readCols.zipWithIndex.toMap
 
   /** Streams one component's files as vectorized batches: parquet-mr
-    * opens the file (session conf, row-group stats filter, projected
-    * columns), Spark's vectorized reader decodes the row groups. */
+    * opens each file (session conf, row-group stats filter, projected
+    * columns), and ALL files chain through ONE
+    * [[VectorizedParquetRecordReader]] via the row-group-reader hook —
+    * Spark's reader pays its per-initialize cost (a fresh
+    * Configuration + schema conversion) once per COMPONENT per
+    * partition instead of once per file, which was the measured
+    * constant dominating small bucket tasks. Sound because every file
+    * of a component shares the store's fixed schema; row groups are
+    * self-contained (dictionary pages ride the group). Footers are
+    * read up front anyway (the filtered row-group total must be known
+    * at initialize). */
   private class FileBatches(files: Seq[String], cols: Seq[String]) {
-    private val it = files.iterator
     private var vec: VectorizedParquetRecordReader = _
-    /** Next decoded batch, or null when every file is exhausted. */
-    def nextBatch(): ColumnarBatch = {
-      while (true) {
-        if (vec == null) {
-          if (!it.hasNext) return null
-          vec = openFile(it.next())
-        }
-        if (vec != null) {
-          if (vec.nextBatch()) return vec.resultBatch()
-          vec.close(); vec = null
-        }
-      }
-      null // unreachable
-    }
-    private def openFile(f: String): VectorizedParquetRecordReader = {
+    private var opened: Seq[org.apache.parquet.hadoop.ParquetFileReader] = Nil
+    private var initialized = false
+    private def openAll(): Unit = {
+      initialized = true
       val optsB = org.apache.parquet.HadoopReadOptions.builder(conf)
       parquetFilter.foreach(optsB.withRecordFilter)
-      val pfr = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new Path(f), conf), optsB.build())
-      val fileSchema = pfr.getFooter.getFileMetaData.getSchema
-      // row groups here are ALREADY stats-filtered by the pushed range
-      val total = pfr.getRowGroups.asScala.map(_.getRowCount).sum
-      if (total == 0L) { pfr.close(); return null }
-      require(total <= Int.MaxValue, s"freqstore columnar scan: $f has " +
-        s"$total rows in one file — split the store's buckets")
+      val opts = optsB.build()
+      opened = files.flatMap { f =>
+        val pfr = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new Path(f), conf), opts)
+        // row groups here are ALREADY stats-filtered by the pushed range
+        if (pfr.getRowGroups.isEmpty) { pfr.close(); None } else Some(pfr)
+      }
+      if (opened.isEmpty) return
+      val fileSchema = opened.head.getFooter.getFileMetaData.getSchema
+      val total = opened.map(_.getRowGroups.asScala.map(_.getRowCount).sum).sum
+      require(total <= Int.MaxValue, "freqstore columnar scan: " +
+        s"$total rows in one bucket component — split the store's buckets")
       val requested = new org.apache.parquet.schema.MessageType(
         fileSchema.getName,
         cols.map(c => (fileSchema: org.apache.parquet.schema.GroupType)
           .getType(c)): _*)
-      pfr.setRequestedSchema(requested)
+      opened.foreach(_.setRequestedSchema(requested))
+      val chain = opened.iterator
+      var cur: org.apache.parquet.hadoop.ParquetFileReader = null
+      def nextRowGroup(): org.apache.parquet.column.page.PageReadStore = {
+        var pages: org.apache.parquet.column.page.PageReadStore = null
+        var exhausted = false
+        while (pages == null && !exhausted) {
+          if (cur == null) {
+            if (chain.hasNext) cur = chain.next() else exhausted = true
+          }
+          if (cur != null) {
+            pages = cur.readNextRowGroup()
+            if (pages == null) cur = null // file done; closed in close()
+          }
+        }
+        pages
+      }
       val v = new VectorizedParquetRecordReader(false, Capacity)
       org.apache.spark.sql.execution.datasources.parquet.GraftVectorizedBridge
-        .initialize(v, fileSchema, requested, pfr, total.toInt)
+        .initializeChained(v, fileSchema, requested, total.toInt,
+          () => nextRowGroup())
       v.initBatch(null, null)
       v.enableReturningBatches()
-      v
+      vec = v
     }
-    def close(): Unit = if (vec != null) { vec.close(); vec = null }
+    /** Next decoded batch, or null when the component is exhausted. */
+    def nextBatch(): ColumnarBatch = {
+      if (!initialized) openAll()
+      if (vec == null) return null
+      if (vec.nextBatch()) vec.resultBatch()
+      else { close(); null }
+    }
+    def close(): Unit = {
+      if (vec != null) { vec.close(); vec = null } // closes via the hook
+      opened.foreach(r => scala.util.Try(r.close()))
+      opened = Nil
+    }
   }
 
   /** Open-addressing position→denom map, primitive throughout — the

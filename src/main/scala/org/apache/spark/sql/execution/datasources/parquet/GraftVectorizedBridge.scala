@@ -26,4 +26,18 @@ object GraftVectorizedBridge {
         override def readNextRowGroup(): PageReadStore = pfr.readNextRowGroup()
         override def close(): Unit = pfr.close()
       }, totalRowCount)
+
+  /** Same wiring over a caller-supplied row-group SOURCE — the caller
+    * chains all of a component's files through one vectorized reader
+    * (one initialize per component, not per file) and owns the file
+    * readers' lifecycle. `next` returns null when exhausted;
+    * `totalRowCount` must equal the source's total surviving rows. */
+  def initializeChained(v: VectorizedParquetRecordReader,
+      fileSchema: MessageType, requestedSchema: MessageType,
+      totalRowCount: Int, next: () => PageReadStore): Unit =
+    v.initialize(fileSchema, requestedSchema,
+      new SpecificParquetRecordReaderBase.ParquetRowGroupReader {
+        override def readNextRowGroup(): PageReadStore = next()
+        override def close(): Unit = () // caller owns the file readers
+      }, totalRowCount)
 }
