@@ -187,7 +187,6 @@ private[sources] class FreqStoreInsertable(dir: String)
       require(cnt(2) == 0, s"freqstore INSERT: ${cnt(2)} row(s) have a " +
         "NULL observation key column")
       val store = new FreqStore(s, dir)
-      val gen = store.generations.map(_._1).maxOption.fold(0L)(_ + 1L)
       val obs = d.select(col("chromosome"), col("position"),
         col("reference"), col("observed"),
         col("numer").cast(IntegerType).as("support"))
@@ -195,7 +194,10 @@ private[sources] class FreqStoreInsertable(dir: String)
         "chromosome", "begin_pos", "end_pos", "sample_id", "pool_size")
       val emptySmp = Seq.empty[(Long, Int, Boolean)].toDF(
         "sample_id", "pool_size", "has_coverage")
-      store.commit(gen, obs, emptyCov, emptySmp)
+      // generation id chosen UNDER the writer lock — a pre-lock max+1
+      // could overwrite a generation a concurrent INSERT committed in
+      // between (appendGeneration's contract)
+      store.appendGeneration(obs, emptyCov, emptySmp)
     } finally d.unpersist()
   }
 }

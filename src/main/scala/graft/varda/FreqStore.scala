@@ -326,7 +326,25 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
   /** The store-dependent HALF of a commit: resolve the manifest, read
     * the previous generations, fold, write, mark. */
   private[graft] def commitPrepared(prep: PreparedCommit): Unit =
-      withWriterLock(s"commit batch ${prep.batchId}") {
+    withWriterLock(s"commit batch ${prep.batchId}")(commitPreparedLocked(prep))
+
+  /** Append one generation under the NEXT id from the log, the id
+    * chosen UNDER the writer lock — an appender that computed `max+1`
+    * before locking could otherwise silently OVERWRITE a generation
+    * another appender committed in between (two session threads, or a
+    * second process whose log read went stale). Under the lock, a
+    * concurrent appender fails fast at acquisition and a sequential
+    * one sees the first's marker. prepare() runs inside the lock too:
+    * correctness over concurrency here — appends are the SQL INSERT
+    * surface, not the bulk-import path (which names its ids). */
+  private[graft] def appendGeneration(obsB: DataFrame, covB: DataFrame,
+      smpB: DataFrame): Long = withWriterLock("append generation") {
+    val gen = generations.map(_._1).maxOption.fold(0L)(_ + 1L)
+    commitPreparedLocked(prepare(gen, obsB, covB, smpB))
+    gen
+  }
+
+  private def commitPreparedLocked(prep: PreparedCommit): Unit = {
     val PreparedCommit(batchId, n, obsBT, covFT, obsPtsT, smpB, manifestF,
       matF) = prep
     // deref the prepare-side lazy vals here: every use below sits inside

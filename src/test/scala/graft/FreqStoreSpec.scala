@@ -1123,6 +1123,39 @@ class FreqStoreSpec extends AnyFunSuite {
     assert(!Files.exists(Paths.get(dir, "_writer.lock")))
   }
 
+  test("appendGeneration picks its id under the lock and fails fast when held") {
+    // the SQL INSERT path: id chosen UNDER the writer lock (a pre-lock
+    // max+1 could overwrite a racing appender's generation); a held
+    // lock fails the whole append before any id is chosen or store
+    // state touched
+    import org.apache.spark.sql.functions.lit
+    val dir = tmpDir("fqs_append")
+    val store = new FreqStore(spark, dir, nBuckets = 4)
+    val obs = Seq(("1", 5000L, "A", "C", 3)).toDF(
+      "chromosome", "position", "reference", "observed", "support")
+    val cov = Seq((1L, "1", 4000L, 6000L, 1L, 2)).toDF(
+      "region_id", "chromosome", "begin_pos", "end_pos", "sample_id", "pool_size")
+    val smp = Seq((1L, 2, true)).toDF("sample_id", "pool_size", "has_coverage")
+    store.commit(0, obs, cov, smp)
+    // sequential appends take ids 1 then 2
+    assert(store.appendGeneration(obs, cov.filter(lit(false)),
+      smp.filter(lit(false))) == 1L)
+    assert(store.appendGeneration(obs, cov.filter(lit(false)),
+      smp.filter(lit(false))) == 2L)
+    assert(store.generations.map(_._1).max == 2L)
+    // a held lock fails the append loudly; nothing committed
+    Files.write(Paths.get(dir, "_writer.lock"),
+      "someone-else 0 other@host".getBytes("UTF-8"))
+    val e = intercept[IllegalStateException] {
+      store.appendGeneration(obs, cov.filter(lit(false)),
+        smp.filter(lit(false)))
+    }
+    assert(e.getMessage.contains("another writer"), e.getMessage)
+    store.breakLock()
+    assert(store.generations.map(_._1).max == 2L,
+      "failed append left a generation behind")
+  }
+
   test("NULL or negative sample ids fail the commit loudly (registry encoding)") {
     // round-11 ADVICE: a NULL coverage sample_id used to pack to NULL,
     // getLong unboxed it to 0, and the TRUE bucket's cover overlay was
