@@ -22,14 +22,14 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Inner equi-join `large ⋈ small` on `key`, salted `salts` ways.
-    * `disambig` columns must not collide; result equals the plain join
-    * row-for-row (SkewSpec proves it). */
   /** The shard a row joins under — exposed so specs can assert the
     * planted-corpus spread with the EXACT expression the join uses. */
   def saltColumn(saltBy: Column, salts: Int): Column =
     pmod(hash(saltBy), lit(salts))
 
+  /** Inner equi-join `large ⋈ small` on `key`, salted `salts` ways.
+    * `disambig` columns must not collide; result equals the plain join
+    * row-for-row (SkewSpec proves it). */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
       salts: Int, saltBy: Column): DataFrame = {
     val l = large.withColumn("__salt", saltColumn(saltBy, salts))

@@ -747,42 +747,57 @@ class FreqStoreColumnarPartitionReader(p: FreqStorePartition,
     * at initialize). */
   private class FileBatches(files: Seq[String], cols: Seq[String]) {
     private var vec: VectorizedParquetRecordReader = _
-    private var opened: Seq[org.apache.parquet.hadoop.ParquetFileReader] = Nil
+    private var cur: org.apache.parquet.hadoop.ParquetFileReader = _
     private var initialized = false
+    private lazy val opts = {
+      val b = org.apache.parquet.HadoopReadOptions.builder(conf)
+      parquetFilter.foreach(b.withRecordFilter)
+      b.build()
+    }
+    private def openFile(f: String): org.apache.parquet.hadoop.ParquetFileReader =
+      org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new Path(f), conf), opts)
     private def openAll(): Unit = {
       initialized = true
-      val optsB = org.apache.parquet.HadoopReadOptions.builder(conf)
-      parquetFilter.foreach(optsB.withRecordFilter)
-      val opts = optsB.build()
-      opened = files.flatMap { f =>
-        val pfr = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new Path(f), conf), opts)
-        // row groups here are ALREADY stats-filtered by the pushed range
-        if (pfr.getRowGroups.isEmpty) { pfr.close(); None } else Some(pfr)
+      // footer pass, each reader closed again: the chained read holds
+      // at most ONE file open at a time — keeping every component file
+      // open for the whole read would pin O(files) handles per task,
+      // i.e. fd exhaustion on a many-generation store (the second
+      // footer read at reopen is metadata-cheap)
+      var fileSchema: org.apache.parquet.schema.MessageType = null
+      val withRows = files.flatMap { f =>
+        val r = openFile(f)
+        try {
+          if (fileSchema == null)
+            fileSchema = r.getFooter.getFileMetaData.getSchema
+          // row groups here are ALREADY stats-filtered by the pushed range
+          val n = r.getRowGroups.asScala.map(_.getRowCount).sum
+          if (n > 0) Some(f -> n) else None
+        } finally r.close()
       }
-      if (opened.isEmpty) return
-      val fileSchema = opened.head.getFooter.getFileMetaData.getSchema
-      val total = opened.map(_.getRowGroups.asScala.map(_.getRowCount).sum).sum
+      if (withRows.isEmpty) return
+      val total = withRows.map(_._2).sum
       require(total <= Int.MaxValue, "freqstore columnar scan: " +
         s"$total rows in one bucket component — split the store's buckets")
       val requested = new org.apache.parquet.schema.MessageType(
         fileSchema.getName,
         cols.map(c => (fileSchema: org.apache.parquet.schema.GroupType)
           .getType(c)): _*)
-      opened.foreach(_.setRequestedSchema(requested))
-      val chain = opened.iterator
-      var cur: org.apache.parquet.hadoop.ParquetFileReader = null
+      val chain = withRows.map(_._1).iterator
       def nextRowGroup(): org.apache.parquet.column.page.PageReadStore = {
         var pages: org.apache.parquet.column.page.PageReadStore = null
         var exhausted = false
         while (pages == null && !exhausted) {
           if (cur == null) {
-            if (chain.hasNext) cur = chain.next() else exhausted = true
+            if (chain.hasNext) {
+              cur = openFile(chain.next())
+              cur.setRequestedSchema(requested)
+            } else exhausted = true
           }
           if (cur != null) {
             pages = cur.readNextRowGroup()
-            if (pages == null) cur = null // file done; closed in close()
+            if (pages == null) { cur.close(); cur = null } // file done
           }
         }
         pages
@@ -803,9 +818,8 @@ class FreqStoreColumnarPartitionReader(p: FreqStorePartition,
       else { close(); null }
     }
     def close(): Unit = {
-      if (vec != null) { vec.close(); vec = null } // closes via the hook
-      opened.foreach(r => scala.util.Try(r.close()))
-      opened = Nil
+      if (vec != null) { vec.close(); vec = null }
+      if (cur != null) { scala.util.Try(cur.close()); cur = null }
     }
   }
 
@@ -892,18 +906,26 @@ class FreqStoreColumnarPartitionReader(p: FreqStorePartition,
       if (i >= 0) return i
       val copy = UTF8String.fromBytes(u.getBytes)
       chromKeys = chromKeys :+ copy
-      ploidies = ploidies :+ ploidyOf(copy)
+      ploidies = ploidies :+ FreqStore.ploidyOf(copy.toString)
       maps = maps :+ new PosDenomMap(1024)
       lastIdx = chromKeys.length - 1
       lastIdx
     }
     def put(ci: Int, pos: Long, v: Long): Unit = maps(ci).put(pos, v)
   }
-  private val uX = UTF8String.fromString("X")
-  private val uY = UTF8String.fromString("Y")
-  private val uMT = UTF8String.fromString("MT")
-  private def ploidyOf(u: UTF8String): Long =
-    if (u == uX || u == uY || u == uMT) 1L else 2L
+  /** UTF8String mirror of [[FreqStore.HaploidChromosomes]] — the
+    * per-row fallback (chromosomes with no covered points in this
+    * bucket) must not allocate a String per row. */
+  private val haploidKeys: Array[UTF8String] =
+    FreqStore.HaploidChromosomes.map(UTF8String.fromString).toArray
+  private def ploidyOf(u: UTF8String): Long = {
+    var i = 0
+    while (i < haploidKeys.length) {
+      if (haploidKeys(i) == u) return 1L
+      i += 1
+    }
+    2L
+  }
 
   /** Bucket-local denom build, itself vectorized and boxing-free. Empty
     * when the projection pruned the denom component (denomFiles arrives
@@ -1036,10 +1058,9 @@ class FreqStorePartitionReader(p: FreqStorePartition,
     m
   }
 
-  private def denomOf(chrom: String, pos: Long): Long = {
-    val ploidy = if (chrom == "X" || chrom == "Y" || chrom == "MT") 1L else 2L
-    denomByPoint.getOrDefault((chrom, pos), 0L) + uncov * ploidy
-  }
+  private def denomOf(chrom: String, pos: Long): Long =
+    denomByPoint.getOrDefault((chrom, pos), 0L) +
+      uncov * FreqStore.ploidyOf(chrom)
 
   /** Projection compiled ONCE to extractor functions — the per-row loop
     * must not pattern-match column-name strings (round-10 review). */

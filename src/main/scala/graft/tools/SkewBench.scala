@@ -47,20 +47,26 @@ object SkewBench {
     def agg(df: DataFrame): Long =
       df.agg(sum(length(col("s_name"))), count(lit(1))).collect()(0).getLong(1)
 
-    // per-task stats: local wall on 32 cores HIDES a straggler (the
-    // hot task overlaps the rest); at 1000 executors wall ≈ max task,
-    // so the honest skew evidence is max/median task duration and
-    // shuffle-read bytes of the JOIN stage
-    val durations = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
-    val shuffleReads = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    // per-task stats, PER STAGE: local wall on 32 cores HIDES a
+    // straggler (the hot task overlaps the rest); at 1000 executors
+    // wall ≈ max task. Mixing every stage's tasks into one pool would
+    // deflate the median with the many short scan/final-agg tasks, so
+    // stats are grouped by stage and the reported numbers are the
+    // JOIN stage's — identified as the stage with the largest max task
+    // (the straggler stage; in all three variants that is the
+    // shuffle-read join stage).
+    val byStage = new java.util.concurrent.ConcurrentHashMap[Int,
+      java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]]()
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
             e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
           if (e.taskMetrics != null) {
-            durations.add(e.taskMetrics.executorRunTime)
             val sr = e.taskMetrics.shuffleReadMetrics
-            if (sr != null) shuffleReads.add(sr.totalBytesRead)
+            byStage.computeIfAbsent(e.stageId,
+              _ => new java.util.concurrent.ConcurrentLinkedQueue())
+              .add((e.taskMetrics.executorRunTime,
+                if (sr != null) sr.totalBytesRead else 0L))
           }
         }
       })
@@ -73,20 +79,24 @@ object SkewBench {
     val taskStats = scala.collection.mutable.Map[String, (Long, Long, Long, Long)]()
     def time(label: String)(body: => Long): Unit = {
       import scala.jdk.CollectionConverters._
-      durations.clear(); shuffleReads.clear()
+      byStage.clear()
       val t0 = System.nanoTime()
       val n = body
       val s = (System.nanoTime() - t0) / 1e9
-      val ds = durations.asScala.toSeq
-      val rs = shuffleReads.asScala.toSeq.filter(_ > 0)
+      // the join stage = the stage whose slowest task is the run's max
+      val stages = byStage.asScala.values.map(_.asScala.toSeq).toSeq
+      val join = stages.maxByOption(ts => ts.map(_._1).maxOption.getOrElse(0L))
+        .getOrElse(Nil)
+      val ds = join.map(_._1)
+      val rs = join.map(_._2).filter(_ > 0)
       val st = (ds.maxOption.getOrElse(0L), p(ds, 0.5),
         rs.maxOption.getOrElse(0L), p(rs, 0.5))
       if (best(label) > s) best(label) = s
       // task stats from the LAST rep (warm) — overwrite each rep
       taskStats(label) = st
       println(f"[skewbench] $label: $s%.2f s rows=$n " +
-        f"maxTask=${st._1}%d ms p50Task=${st._2}%d ms " +
-        f"maxShufRead=${st._3 / 1024 / 1024}%d MB p50=${st._4 / 1024 / 1024}%d MB")
+        f"joinStage maxTask=${st._1}%d ms p50Task=${st._2}%d ms " +
+        f"maxShufRead=${st._3 / 1024}%d KB p50=${st._4 / 1024}%d KB")
     }
     def withAqe[T](skewOn: Boolean)(body: => T): T = {
       val keys = Seq("spark.sql.adaptive.enabled",

@@ -339,6 +339,11 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     * surface, not the bulk-import path (which names its ids). */
   private[graft] def appendGeneration(obsB: DataFrame, covB: DataFrame,
       smpB: DataFrame): Long = withWriterLock("append generation") {
+    // drop the instance log cache UNDER the lock: a pre-lock read (any
+    // earlier serve/lookup on this instance) could be stale against a
+    // generation another writer committed since — max+1 off that cache
+    // would overwrite it, the exact bug this lock exists to prevent
+    logCache = None
     val gen = generations.map(_._1).maxOption.fold(0L)(_ + 1L)
     commitPreparedLocked(prepare(gen, obsB, covB, smpB))
     gen
@@ -1709,6 +1714,15 @@ object FreqStore {
     * (chromosome, cell); v2 (round 12) hashes the cell alone — see
     * [[FreqStore.bktOf]] for why. Readers refuse other versions. */
   private[graft] val LayoutVersion = 2
+
+  /** The haploid chromosomes — ONE definition of the ploidy rule for
+    * every Scala-side denominator derivation (the row and columnar
+    * DSv2 readers both build on it; the SQL serving path states the
+    * same rule inside serveFrom's expression). A naming change (e.g.
+    * 'M' vs 'MT') edits exactly this list. */
+  private[graft] val HaploidChromosomes: Seq[String] = Seq("X", "Y", "MT")
+  private[graft] def ploidyOf(chromosome: String): Long =
+    if (HaploidChromosomes.contains(chromosome)) 1L else 2L
 
   /** `gen-<id>` → (id, 0); `gen-<id>.<v>` → (id, v). */
   private def parseGenName(nm: String): Option[(Long, Int)] =

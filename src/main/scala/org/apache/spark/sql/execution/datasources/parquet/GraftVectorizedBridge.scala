@@ -15,23 +15,12 @@ import org.apache.parquet.schema.MessageType
   * Package placement is the same technique Spark connector libraries
   * use for package-private access; no Spark internals are modified. */
 object GraftVectorizedBridge {
-  /** Wire an already-opened (filtered, projected) [[ParquetFileReader]]
-    * into the vectorized reader. Closing the vectorized reader closes
-    * the file reader. */
-  def initialize(v: VectorizedParquetRecordReader, fileSchema: MessageType,
-      requestedSchema: MessageType, pfr: ParquetFileReader,
-      totalRowCount: Int): Unit =
-    v.initialize(fileSchema, requestedSchema,
-      new SpecificParquetRecordReaderBase.ParquetRowGroupReader {
-        override def readNextRowGroup(): PageReadStore = pfr.readNextRowGroup()
-        override def close(): Unit = pfr.close()
-      }, totalRowCount)
-
-  /** Same wiring over a caller-supplied row-group SOURCE — the caller
-    * chains all of a component's files through one vectorized reader
-    * (one initialize per component, not per file) and owns the file
-    * readers' lifecycle. `next` returns null when exhausted;
-    * `totalRowCount` must equal the source's total surviving rows. */
+  /** Wire a caller-supplied row-group SOURCE into the vectorized
+    * reader — the caller chains all of a component's files through one
+    * vectorized reader (one initialize per component, not per file)
+    * and owns the file readers' lifecycle. `next` returns null when
+    * exhausted; `totalRowCount` must equal the source's total
+    * surviving rows. */
   def initializeChained(v: VectorizedParquetRecordReader,
       fileSchema: MessageType, requestedSchema: MessageType,
       totalRowCount: Int, next: () => PageReadStore): Unit =
