@@ -566,9 +566,20 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
           try Some(scala.io.Source.fromInputStream(in).mkString.trim)
           finally in.close()
         } catch { case _: Exception => None }
-      if (current.forall(c => c == info || c.isEmpty))
+      if (current.forall(c => c == info || c.isEmpty)) {
+        // a blind delete (unreadable/empty holder info) is the one
+        // release that COULD evict a racing writer mid-acquire; it is
+        // unavoidable (stranding a lock we own is worse) but must not
+        // be silent — the log line is the audit trail if a subsequent
+        // writer reports interleaving (round-14, ADVICE)
+        if (!current.contains(info))
+          System.err.println(
+            s"freqstore: releasing $lockPath after $what with " +
+              s"${if (current.isEmpty) "unreadable" else "empty"} holder " +
+              "info — if another writer was acquiring at this instant " +
+              "it may have been evicted; check for a breakLock() race")
         fs.delete(lockPath, false)
-      else
+      } else
         System.err.println(
           s"freqstore: NOT releasing $lockPath after $what — held by " +
             s"'${current.get}', not this writer ('$info'). breakLock() " +
@@ -883,7 +894,12 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
       ("smpreg", () => smpregSnap, false),
       ("covidx", () => covidxSnap, false),
       ("obsidx", () => obsidxSnap, false)), Map.empty)
-    markCommitted(maxGen, newV, newN, uncovPool(before))
+    // the snapshot re-marker carries the consolidated head's FIRST
+    // bless forward: the snapshot is maintenance, not user-visible
+    // history, so `TIMESTAMP AS OF <maxGen's original commit time>`
+    // must keep resolving after the superseded v0 marker is swept
+    markCommitted(maxGen, newV, newN, uncovPool(before),
+      committed().filter(_.id == maxGen).map(_.bless).min)
     // this sweep's victims — the generations the snapshot just
     // consolidated — are protected UNCONDITIONALLY under a grace
     // policy, so the cross-process promise holds however many
@@ -993,22 +1009,23 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
   /** `TIMESTAMP AS OF` resolution: the newest generation whose commit
     * marker was blessed at or before `tsMillis` (wall-clock time travel
     * — users think in "the store as of yesterday's import", not
-    * generation ids). Per generation id the EARLIEST surviving marker
-    * mtime counts: that is its first bless; a compaction's later `vN`
-    * re-marker is maintenance, not user-visible history. The resolved
-    * generation still goes through [[serveAsOf]]'s validation at plan
-    * time, so a timestamp that lands below the newest snapshot floor
-    * fails loudly instead of serving a floored frame. A timestamp
-    * before the first commit (or an empty store) is an error — there
-    * is no state to serve. */
+    * generation ids). The bless time is the wall-clock RECORDED IN THE
+    * MARKER CONTENT at commit (round 14; mtime fallback only for
+    * markers written before the token existed), so a store that is
+    * copied, restored from backup, or rsynced keeps its wall-clock
+    * history — filesystem mtimes do not survive those. Per generation
+    * id the EARLIEST surviving bless counts: that is its first bless;
+    * a compaction's later `vN` re-marker is maintenance, not
+    * user-visible history (compact carries the consolidated head's
+    * first-bless forward into the snapshot marker for exactly this
+    * reason). The resolved generation still goes through
+    * [[serveAsOf]]'s validation at plan time, so a timestamp that
+    * lands below the newest snapshot floor fails loudly instead of
+    * serving a floored frame. A timestamp before the first commit (or
+    * an empty store) is an error — there is no state to serve. */
   def generationAt(tsMillis: Long): Long = {
-    val p = new Path(s"$dir/_commits")
-    val byId: Map[Long, Long] =
-      if (!fs.exists(p)) Map.empty
-      else fs.listStatus(p).toSeq.flatMap { st =>
-        parseGenName(st.getPath.getName).map { case (id, _) =>
-          id -> st.getModificationTime }
-      }.groupBy(_._1).map { case (id, xs) => id -> xs.map(_._2).min }
+    val byId: Map[Long, Long] = committed()
+      .groupBy(_.id).map { case (id, ms) => id -> ms.map(_.bless).min }
     require(byId.nonEmpty,
       s"freqstore: TIMESTAMP AS OF on $dir — the store has no " +
         "committed generations")
@@ -1337,21 +1354,33 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
               s"this build reads v$LayoutVersion (the bucket hash " +
               "changed) — re-import the store or read it with the " +
               "writing version")
+          // COMMIT WALL-CLOCK (4th token; round 14): the bless time is
+          // durable commit metadata, recorded in the marker CONTENT —
+          // filesystem mtimes are not (a copy/restore/rsync rewrites
+          // them, silently re-mapping all TIMESTAMP AS OF history).
+          // Markers written before round 14 lack the token; their
+          // mtime is the best remaining evidence, used as fallback.
+          val bless =
+            if (parts.length > 3) parts(3).toLongOption.getOrElse(
+              sys.error(s"unreadable bless time in marker ${st.getPath} " +
+                s"(content '$body')"))
+            else st.getModificationTime
           Marker(id, v, parts(0).toInt,
-            if (parts.length > 1) parts(1).toLong else 0L)
+            if (parts.length > 1) parts(1).toLong else 0L, bless)
         }
       }
     logCache = Some(read)
     read
   }
 
-  private def markCommitted(batchId: Long, v: Int, n: Int, uncov: Long): Unit = {
+  private def markCommitted(batchId: Long, v: Int, n: Int, uncov: Long,
+      blessMillis: Long = System.currentTimeMillis()): Unit = {
     val d = new Path(s"$dir/_commits")
     fs.mkdirs(d)
     val name = genName(batchId, v)
     val tmp = new Path(d, s".tmp-$name")
     val out = fs.create(tmp, true)
-    try out.write(s"$n $uncov $LayoutVersion".getBytes("UTF-8"))
+    try out.write(s"$n $uncov $LayoutVersion $blessMillis".getBytes("UTF-8"))
     finally out.close()
     fs.delete(new Path(d, name), false)
     // rename failures RETURN false rather than throw; a silently
@@ -1708,7 +1737,11 @@ object FreqStore {
   private val MaxBuckets = 1 << 16
   private val CellSize = 2048L
 
-  private case class Marker(id: Long, v: Int, n: Int, uncov: Long)
+  /** `bless` = the commit wall-clock (epoch millis): the 4th marker
+    * token when recorded (round 14+), else the marker file's mtime —
+    * see [[committed]]. */
+  private case class Marker(id: Long, v: Int, n: Int, uncov: Long,
+    bless: Long)
 
   /** Bucket-layout version recorded in every commit marker. v1 hashed
     * (chromosome, cell); v2 (round 12) hashes the cell alone — see

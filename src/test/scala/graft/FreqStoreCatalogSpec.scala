@@ -216,6 +216,65 @@ class FreqStoreCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("TIMESTAMP AS OF survives a marker copy/restore (bless is content, not mtime)") {
+    withSpj {
+      // a copied/restored/rsynced store rewrites every file mtime; the
+      // commit wall-clock must live in the marker CONTENT so the
+      // store's time-travel history survives the move (round-14)
+      val dir = tmpDir("fqs_clk")
+      val store = new FreqStore(spark, dir, 4)
+      val cov = Seq((10L, "1", 4000L, 6000L, 1L, 2)).toDF(
+        "region_id", "chromosome", "begin_pos", "end_pos", "sample_id", "pool_size")
+      val smp = Seq((1L, 2, true)).toDF("sample_id", "pool_size", "has_coverage")
+      store.commit(0, Seq(("1", 5000L, "A", "C", 3)).toDF(
+        "chromosome", "position", "reference", "observed", "support"), cov, smp)
+      Thread.sleep(5)
+      val tBetween = System.currentTimeMillis()
+      Thread.sleep(5)
+      store.commit(1, Seq(("1", 5000L, "A", "C", 2)).toDF(
+        "chromosome", "position", "reference", "observed", "support"),
+        cov.filter("false"), smp.filter("false"))
+      def sqlTs(ms: Long): String = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochMilli(ms))
+      val expected = rowSet(store.serveAsOf(0L))
+      // simulate the restore: rewrite each marker byte-identical (mtime
+      // becomes NOW) and then scramble mtimes into REVERSED id order
+      val commits = Paths.get(dir, "_commits")
+      val markers = Files.list(commits).toArray.map(_.toString)
+        .filter(m => Paths.get(m).getFileName.toString.startsWith("gen-"))
+        .sorted
+      def dropCrc(p: java.nio.file.Path): Unit =
+        Files.deleteIfExists(p.getParent.resolve(s".${p.getFileName}.crc"))
+      markers.zipWithIndex.foreach { case (m, i) =>
+        val p = Paths.get(m)
+        val bytes = Files.readAllBytes(p)
+        Files.delete(p); dropCrc(p); Files.write(p, bytes)
+        Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime
+          .fromMillis(System.currentTimeMillis() + (markers.length - i) * 60000L))
+      }
+      // a fresh resolution (new store instance per SQL plan) still maps
+      // the between-commits wall-clock to generation 0
+      val byTs = spark.sql(
+        s"SELECT * FROM fqs.`$dir` TIMESTAMP AS OF '${sqlTs(tBetween)}'")
+      assert(rowSet(byTs) == expected)
+      // legacy markers (no 4th token, pre-round-14) fall back to mtime:
+      // strip the bless token and resolution degrades to mtime order
+      markers.foreach { m =>
+        val p = Paths.get(m)
+        val parts = new String(Files.readAllBytes(p), "UTF-8").trim.split("\\s+")
+        Files.delete(p); dropCrc(p)
+        Files.write(p, parts.take(3).mkString(" ").getBytes("UTF-8"))
+        Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime
+          .fromMillis(tBetween - 1000L))
+      }
+      val legacy = new FreqStore(spark, dir, 4)
+      assert(legacy.generationAt(tBetween) == 1L,
+        "legacy 3-token markers must resolve through mtimes")
+    }
+  }
+
   test("a broadcast probe join against a catalog table runtime-prunes and stays correct") {
     withSpj {
       // the common serving join (annotation frame ⟕ store) must keep
