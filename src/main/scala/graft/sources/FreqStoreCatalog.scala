@@ -42,13 +42,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - a store⟗store equi-join on the point key (cohort vs cohort)
   *    becomes a storage-partitioned join — neither side shuffles.
   *
-  * Read-only as a TABLE catalog: writes go through [[FreqStore.commit]]'s
-  * transactional path, never SQL inserts — create/alter/drop are
-  * rejected. The MUTATING lifecycle is exposed as stored PROCEDURES
-  * instead (the reference runs imports/deactivations/maintenance as
-  * task endpoints [U varda/tasks.py], not as row-level DML — a batch
-  * import is one atomic generation, so `INSERT` rows-at-a-time would
-  * misrepresent the contract):
+  * Mutations: observation appends work as standard SQL —
+  * `INSERT INTO fqs.`…` (chromosome, position, reference, observed,
+  * numer) SELECT …` lands as ONE transactional generation through
+  * [[FreqStore.commit]]'s path (writer lock, marker, replay contract;
+  * see [[FreqStoreInsertable]]). Everything else in the MUTATING
+  * lifecycle — full batches with coverage/samples, retraction,
+  * compaction — is exposed as stored PROCEDURES (the reference runs
+  * those as task endpoints [U varda/tasks.py], not row-level DML), and
+  * DDL (create/alter/drop) is rejected:
   *
   * {{{
   *   CALL fqs.import_batch('/store', 1, 'obs_view', 'cov_view', 'smp_view')

@@ -85,7 +85,12 @@ object FreqStoreDataSource {
   /** Whether the most recent scan answered COUNT(*) from footers. */
   @volatile private[graft] var lastPushedCountStar: Boolean = false
   /** A/B hook: force the row-based readers (local-mode benchmarking and
-    * parity tests only — columnar is the real path). */
+    * parity tests only — columnar is the real path). Read ONCE per scan
+    * at newScanBuilder time and carried through the ScanBuilder into
+    * the ReaderFactory, so a toggle between planning and execution of
+    * one query can never mismatch BatchScanExec's columnar plan shape
+    * against the reader kind actually created (round-14 ADVICE). A
+    * per-scan `.option("columnar", "false")` overrides it. */
   @volatile private[graft] var columnarEnabled: Boolean = true
   /** The footer-statistics aggregates the most recent scan pushed
     * (partial pushdown — empty when none). */
@@ -149,7 +154,9 @@ class FreqStoreTable(dir: String, catalogPartitioned: Boolean = false,
       s.toLongOption.getOrElse(sys.error(
         s"freqstore: asOfGeneration must be a long generation id, got '$s'"))
     }.orElse(asOfFixed) // SQL `VERSION AS OF` pins via the catalog
-    new FreqStoreScanBuilder(dir, asOf, catalogPartitioned)
+    val columnar = Option(options.get("columnar")).map(_.toBoolean)
+      .getOrElse(FreqStoreDataSource.columnarEnabled)
+    new FreqStoreScanBuilder(dir, asOf, catalogPartitioned, columnar)
   }
 }
 
@@ -170,6 +177,7 @@ private[sources] class FreqStoreInsertable(dir: String)
     val d = data.persist()
     try {
       val bad = d.agg(
+        count(lit(1)).as("n"),
         sum(when(col("denom").isNotNull || col("freq_ppm").isNotNull, 1L)
           .otherwise(0L)).as("derived"),
         sum(when(col("numer").isNull || col("numer") < 0L ||
@@ -178,13 +186,18 @@ private[sources] class FreqStoreInsertable(dir: String)
           col("reference").isNull || col("observed").isNull, 1L)
           .otherwise(0L)).as("key")).collect()(0)
       def cnt(i: Int): Long = if (bad.isNullAt(i)) 0L else bad.getLong(i)
-      require(cnt(0) == 0, s"freqstore INSERT: ${cnt(0)} row(s) carry " +
+      // a zero-row SELECT is a no-op, not a generation: committing one
+      // would consume an id, write a marker, and lengthen every future
+      // fold/replay for no state change (round-14 ADVICE). The count
+      // rides the validation aggregate — no extra pass.
+      if (cnt(0) == 0) return
+      require(cnt(1) == 0, s"freqstore INSERT: ${cnt(1)} row(s) carry " +
         "denom/freq_ppm values — those columns are DERIVED from coverage; " +
         "insert observations only (chromosome, position, reference, " +
         "observed, numer) and leave the rest NULL")
-      require(cnt(1) == 0, s"freqstore INSERT: ${cnt(1)} row(s) have a " +
-        "NULL, negative or out-of-int-range numer (the support count)")
       require(cnt(2) == 0, s"freqstore INSERT: ${cnt(2)} row(s) have a " +
+        "NULL, negative or out-of-int-range numer (the support count)")
+      require(cnt(3) == 0, s"freqstore INSERT: ${cnt(3)} row(s) have a " +
         "NULL observation key column")
       val store = new FreqStore(s, dir)
       val obs = d.select(col("chromosome"), col("position"),
@@ -203,7 +216,7 @@ private[sources] class FreqStoreInsertable(dir: String)
 }
 
 class FreqStoreScanBuilder(dir: String, asOf: Option[Long] = None,
-    reportPartitioning: Boolean = false)
+    reportPartitioning: Boolean = false, columnar: Boolean = true)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with SupportsPushDownAggregates {
@@ -334,7 +347,7 @@ class FreqStoreScanBuilder(dir: String, asOf: Option[Long] = None,
         statAggs, confMap)
     else
       new FreqStoreScan(perBucket, uncov, confMap, required, bytes, n, range,
-        limit, reportPartitioning)
+        limit, reportPartitioning, columnar)
   }
 }
 
@@ -467,7 +480,7 @@ class FreqStoreScan(perBucket: Map[Int, (Seq[String], Seq[String])],
     uncov: Long, hadoopConf: Map[String, String], required: StructType,
     planBytes: (Long, Long), nBkts: Int,
     range: FreqStoreScanBuilder.PushedRange, limit: Option[Int],
-    reportPartitioning: Boolean = false)
+    reportPartitioning: Boolean = false, columnar: Boolean = true)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
   /** Storage-partitioned planning (catalog-loaded tables only — the
@@ -544,7 +557,7 @@ class FreqStoreScan(perBucket: Map[Int, (Seq[String], Seq[String])],
     }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new FreqStoreReaderFactory(hadoopConf, required.fieldNames.toSeq, uncov,
-      range, limit)
+      range, limit, columnar)
   override def description(): String =
     s"FreqStoreScan(buckets=${perBucket.keySet.toSeq.sorted.mkString(",")}, " +
       s"columns=${required.fieldNames.mkString(",")})"
@@ -655,7 +668,8 @@ class FreqStoreStatsReaderFactory(hadoopConf: Map[String, String])
 
 class FreqStoreReaderFactory(hadoopConf: Map[String, String],
     columns: Seq[String], uncov: Long,
-    range: FreqStoreScanBuilder.PushedRange, limit: Option[Int])
+    range: FreqStoreScanBuilder.PushedRange, limit: Option[Int],
+    columnar: Boolean = true)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new FreqStorePartitionReader(p.asInstanceOf[FreqStorePartition],
@@ -669,7 +683,7 @@ class FreqStoreReaderFactory(hadoopConf: Map[String, String],
     * (columns ride the factory), matching BatchScanExec's
     * all-partitions-or-none columnar contract. */
   override def supportColumnarReads(p: InputPartition): Boolean =
-    columns.nonEmpty && FreqStoreDataSource.columnarEnabled
+    columns.nonEmpty && columnar
   override def createColumnarReader(p: InputPartition):
       PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new FreqStoreColumnarPartitionReader(p.asInstanceOf[FreqStorePartition],

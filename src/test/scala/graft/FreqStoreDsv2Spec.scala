@@ -83,6 +83,16 @@ class FreqStoreDsv2Spec extends AnyFunSuite {
       .select("freq_ppm", "denom")
     val expected = store.serve().select("freq_ppm", "denom")
     assert(ppmDenom(derived) == ppmDenom(expected))
+    // the A/B switch is a PER-SCAN read option captured at plan time
+    // (round-14 ADVICE: a process-global toggle between planning and
+    // execution could mismatch the plan shape against the reader kind):
+    // columnar=false plans row reads and stays row-identical
+    val rowRead = spark.read.format("freqstore")
+      .option("columnar", "false").load(dir)
+    assert(!rowRead.queryExecution.executedPlan.toString
+      .contains("ColumnarToRow"),
+      "columnar=false must plan the row-based reader")
+    assert(rowSet(rowRead) == rowSet(store.serve()))
   }
 
   test("asOfGeneration option time-travels the scan; invalid bounds fail at plan time") {

@@ -180,6 +180,14 @@ class FreqStoreProcedureSpec extends AnyFunSuite {
       // the failed attempts committed nothing
       assert(rowSet(new FreqStore(spark, dir).serve()) ==
         rowSet(twinStore.serve()))
+      // a zero-row SELECT is a no-op: no generation id consumed, no
+      // marker written, nothing for future folds to replay (round-14)
+      val gensBefore = new FreqStore(spark, dir).generations.map(_._1)
+      spark.sql(s"""INSERT INTO fqs.`$dir` (chromosome, position,
+          reference, observed, numer)
+        SELECT '1', 1L, 'A', 'T', 1L WHERE 1 = 0""")
+      assert(new FreqStore(spark, dir).generations.map(_._1) == gensBefore,
+        "an empty INSERT must not commit a generation")
     }
   }
 
