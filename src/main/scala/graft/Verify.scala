@@ -7,8 +7,13 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional trailing args: restrict the dump to these keys (dev
-    // iteration — the driver always passes exactly two args)
-    val only = args.drop(2).toSet
+    // iteration — the driver always passes exactly two args). A
+    // "-key" arg EXCLUDES instead: the sf1 sweep materializes every
+    // key except the two result-explosion ones, which are digest-
+    // checked in-engine (graft.tools.DigestVerify) instead.
+    val (excluded, included) = args.drop(2).partition(_.startsWith("-"))
+    val only = included.toSet
+    val skip = excluded.map(_.stripPrefix("-")).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -23,7 +28,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
-      .filter { case (name, _) => only.isEmpty || only(name) }
+      .filter { case (name, _) => (only.isEmpty || only(name)) && !skip(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

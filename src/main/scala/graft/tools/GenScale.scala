@@ -27,7 +27,18 @@ import org.apache.spark.sql.functions._
   */
 object GenScale {
   private val Copies = 10
-  private val KeyOff = 10000000L
+  /** Override when stacking decades: scaling sf1 (whose keys already
+    * span 10 copies × 10M) up to sf10 needs a 100M stride so copy key
+    * ranges stay disjoint. */
+  private val KeyOff =
+    sys.env.get("GENSCALE_KEYOFF").map(_.toLong).getOrElse(10000000L)
+  /** Restrict generation to a comma-separated table subset (round-14
+    * sf10 store-tier probe: only events/orders feed the varda store
+    * fixture — scaling all 10 tables another decade would cost disk
+    * and wall for keys the probe never runs). */
+  private val only: Option[Set[String]] =
+    sys.env.get("GENSCALE_TABLES").map(_.split(",").map(_.trim).toSet)
+  private def wanted(t: String): Boolean = only.forall(_.contains(t))
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -43,7 +54,8 @@ object GenScale {
     spark.sparkContext.setLogLevel("WARN")
 
     def rd(t: String) = spark.read.parquet(s"$src/$t.parquet")
-    def wr(df: DataFrame, t: String): Unit = {
+    def wr(df: => DataFrame, t: String): Unit = {
+      if (!wanted(t)) return
       df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
       println(s"[genscale] $t: ${spark.read.parquet(s"$dst/$t.parquet").count()} rows")
     }

@@ -1462,6 +1462,32 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     if (v == 0) s"gen-$id" else s"gen-$id.$v"
   private def genPath(id: Long, v: Int): String = s"$dir/${genName(id, v)}"
 
+  /** CHANGE-STREAM addressing (round 14, [[graft.sources.FreqStoreChangesSource]]):
+    * a generation's obslog DELTA is only readable through its ORIGINAL
+    * v0 write — a snapshot's obslog (v >= 1) is the netted rewrite of
+    * all history below it, not a delta, so once compaction sweeps the
+    * v0 files the generation is no longer streamable and the stream
+    * must fail loudly (the same addressability contract serveAsOf
+    * enforces for reads). Returns the delta's parquet files, or None
+    * when generation `g`'s v0 marker is gone. An EMPTY Some is a
+    * legitimate all-coverage commit (no observation rows). */
+  private[graft] def obslogDeltaFiles(g: Long): Option[Seq[String]] = {
+    if (!committed().exists(m => m.id == g && m.v == 0)) None
+    else {
+      val cp = new Path(s"${genPath(g, 0)}/comp=obslog")
+      val bd = bucketDirs(cp)
+      val dirs = if (bd.isEmpty) Seq(cp).filter(fs.exists) else bd.map(_._2)
+      Some(dirs.flatMap(p => fs.listStatus(p).toSeq
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toString)))
+    }
+  }
+
+  /** Committed generation ids (any version) — the change stream's
+    * offset space. */
+  private[graft] def committedIds: Seq[Long] =
+    committed().map(_.id).distinct.sorted
+
   private def compPath(m: Marker, comp: String): Path =
     new Path(s"${genPath(m.id, m.v)}/comp=$comp")
 
