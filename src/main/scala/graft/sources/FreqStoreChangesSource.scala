@@ -1,0 +1,236 @@
+package graft.sources
+
+import java.util
+
+import graft.varda.FreqStore
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** CHANGE STREAM over the committed [[FreqStore]] —
+  * `spark.readStream.format("freqstore-changes").load(dir)` — the
+  * reference's poll-for-new-imports lifecycle [U varda/tasks.py ::
+  * import_variation] as a Structured Streaming micro-batch source:
+  * each committed generation's obslog DELTA (the ± observation rows
+  * that generation appended) becomes a batch, so a downstream
+  * streaming aggregate maintains exactly the running state a batch
+  * reader would refold from the store.
+  *
+  * Semantics ride the store's own commit-log algebra:
+  *
+  *  - **offset space = committed generation ids**
+  *    ([[FreqStore.committedIds]]): an offset means "every committed
+  *    generation with id <= this has been emitted". The store's
+  *    single-writer contract makes ids monotonic (appendGeneration
+  *    allocates max+1 under the writer lock), so generation discovery
+  *    is a pure commit-log listing — no file-mtime heuristics;
+  *  - **a batch is a generation's v0 obslog delta**
+  *    ([[FreqStore.obslogDeltaFiles]]): the ORIGINAL append, before any
+  *    snapshot netted it. A snapshot's obslog (v >= 1) is the rewrite
+  *    of all history below it — not a delta — so once compaction sweeps
+  *    a generation's v0 files the generation is NOT streamable and the
+  *    stream FAILS LOUDLY at plan time (the same addressability
+  *    contract [[FreqStore.serveAsOf]] enforces; a silently empty batch
+  *    would desync every downstream aggregate). Size the store's
+  *    `compact(retainGens = …)` grace window to the stream's maximum
+  *    expected lag;
+  *  - an EMPTY batch is legitimate: an all-coverage commit appends no
+  *    observation rows but still advances the offset;
+  *  - rows carry their `generation`, so per-batch provenance survives
+  *    downstream aggregation (`max(generation)` is the streamed
+  *    analogue of the commit-log high-water mark).
+  *
+  * `option("startingGeneration", g)` begins at generation `g` instead
+  * of the oldest addressable one (the usual "bootstrap from a batch
+  * `serveAsOf(g-1)`, then stream the tail" split). Reading starts at
+  * plan time from a LIVE listing, so a stream started after compaction
+  * must either start above the snapshot floor or fail — exactly like a
+  * restart from an old checkpoint.
+  *
+  * Executor-side reading is parquet-mr over the fixed obslog schema
+  * (the same zero-Spark-internals read path the batch DSv2 scan uses);
+  * one [[InputPartition]] per delta file keeps a large import's replay
+  * parallel while tiny deltas stay single-task. */
+class FreqStoreChangesSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "freqstore-changes"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    FreqStoreChangesSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val dir = Option(properties.get("path")).getOrElse(
+      sys.error("freqstore-changes source needs a path: " +
+        "spark.readStream.format(\"freqstore-changes\").load(dir)"))
+    new FreqStoreChangesTable(dir)
+  }
+}
+
+object FreqStoreChangesSource {
+  /** The obslog component schema plus the generation id that appended
+    * each row. `sample_id` is null for anonymous observations (an
+    * import without sample tags). */
+  val schema: StructType = StructType(Seq(
+    StructField("generation", LongType, nullable = false),
+    StructField("chromosome", StringType), StructField("position", LongType),
+    StructField("reference", StringType), StructField("observed", StringType),
+    StructField("sample_id", LongType), StructField("support", LongType)))
+}
+
+class FreqStoreChangesTable(dir: String) extends Table with SupportsRead {
+  override def name(): String = s"freqstore-changes:$dir"
+  override def schema(): StructType = FreqStoreChangesSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val startAt = Option(options.get("startingGeneration")).map { s =>
+      s.toLongOption.getOrElse(sys.error(
+        s"freqstore-changes: startingGeneration must be a long generation " +
+          s"id, got '$s'"))
+    }
+    new ScanBuilder {
+      override def build(): Scan = new FreqStoreChangesScan(dir, startAt)
+    }
+  }
+}
+
+class FreqStoreChangesScan(dir: String, startAt: Option[Long]) extends Scan {
+  override def readSchema(): StructType = FreqStoreChangesSource.schema
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new FreqStoreChangesStream(dir, startAt)
+  override def description(): String = s"FreqStoreChangesScan($dir)"
+}
+
+/** Offset = the highest generation id already emitted (−1 before any).
+  * JSON form `{"lastGen": N}` in the checkpoint log. */
+case class FreqStoreChangesOffset(lastGen: Long) extends Offset {
+  override def json(): String = s"""{"lastGen":$lastGen}"""
+}
+
+class FreqStoreChangesStream(dir: String, startAt: Option[Long])
+    extends MicroBatchStream {
+  /** A FRESH store instance per log question: the stream polls a live
+    * store mutated by another process (the ingest loop), so per-call
+    * construction is what keeps the commit-log cache from going stale
+    * (FreqStore's cache contract assumes the mutator is the same
+    * instance). Constructor nBuckets only seeds NEW stores — reads
+    * resolve the modulus from the log. */
+  private def store: FreqStore = new FreqStore(SparkSession.active, dir)
+
+  override def initialOffset(): Offset =
+    FreqStoreChangesOffset(startAt.map(_ - 1).getOrElse(-1L))
+
+  override def latestOffset(): Offset = {
+    val ids = store.committedIds
+    FreqStoreChangesOffset(
+      if (ids.isEmpty) startAt.map(_ - 1).getOrElse(-1L)
+      else math.max(ids.max, startAt.map(_ - 1).getOrElse(-1L)))
+  }
+
+  override def deserializeOffset(json: String): Offset = {
+    val m = """\{"lastGen":(-?\d+)\}""".r
+    json.trim match {
+      case m(g) => FreqStoreChangesOffset(g.toLong)
+      case other => sys.error(s"freqstore-changes: unreadable offset '$other'")
+    }
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[FreqStoreChangesOffset].lastGen
+    val hi = end.asInstanceOf[FreqStoreChangesOffset].lastGen
+    val st = store
+    val gens = st.committedIds.filter(g => g > lo && g <= hi)
+    gens.flatMap { g =>
+      st.obslogDeltaFiles(g) match {
+        case None =>
+          // the addressability contract: the generation committed (its
+          // id is in the log) but its v0 delta is gone — compaction
+          // consolidated it below a snapshot. Serving the netted
+          // snapshot as if it were this generation's delta would
+          // double- or under-count every downstream aggregate, so fail
+          // at plan time with the recovery options spelled out.
+          sys.error(s"freqstore-changes: generation $g of $dir is no " +
+            "longer streamable — compaction swept its original (v0) " +
+            "obslog delta; restart the stream above the snapshot floor " +
+            "(startingGeneration), re-bootstrap from a batch serveAsOf, " +
+            "or retain a longer compact(retainGens=…) grace window")
+        case Some(files) =>
+          files.map(f => FreqStoreChangesPartition(g, f): InputPartition)
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val spark = SparkSession.active
+    import scala.jdk.CollectionConverters._
+    val confMap = spark.sparkContext.hadoopConfiguration.iterator().asScala
+      .map(e => e.getKey -> e.getValue).toMap ++
+      spark.conf.getAll.collect {
+        case (k, v) if k.startsWith("spark.hadoop.") =>
+          k.stripPrefix("spark.hadoop.") -> v
+      }
+    new FreqStoreChangesReaderFactory(confMap)
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+case class FreqStoreChangesPartition(generation: Long, file: String)
+    extends InputPartition
+
+class FreqStoreChangesReaderFactory(hadoopConf: Map[String, String])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new FreqStoreChangesPartitionReader(
+      p.asInstanceOf[FreqStoreChangesPartition], hadoopConf)
+}
+
+/** One delta file → rows of (generation, chromosome, position,
+  * reference, observed, sample_id, support). */
+class FreqStoreChangesPartitionReader(p: FreqStoreChangesPartition,
+    hadoopConf: Map[String, String]) extends PartitionReader[InternalRow] {
+  import org.apache.parquet.example.data.Group
+
+  private val conf = {
+    val c = new Configuration()
+    hadoopConf.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+  private val reader: ParquetReader[Group] =
+    ParquetReader.builder(new GroupReadSupport(), new Path(p.file))
+      .withConf(conf).build()
+  private var cur: InternalRow = _
+
+  override def next(): Boolean = {
+    val g = reader.read()
+    if (g == null) { cur = null; return false }
+    val sampleId: Any =
+      if (g.getFieldRepetitionCount("sample_id") > 0)
+        java.lang.Long.valueOf(g.getLong("sample_id", 0))
+      else null
+    cur = new GenericInternalRow(Array[Any](
+      p.generation,
+      UTF8String.fromString(g.getBinary("chromosome", 0).toStringUsingUTF8),
+      g.getLong("position", 0),
+      UTF8String.fromString(g.getBinary("reference", 0).toStringUsingUTF8),
+      UTF8String.fromString(g.getBinary("observed", 0).toStringUsingUTF8),
+      sampleId,
+      g.getLong("support", 0)))
+    true
+  }
+  override def get(): InternalRow = cur
+  override def close(): Unit = reader.close()
+}

@@ -1472,14 +1472,24 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     * when generation `g`'s v0 marker is gone. An EMPTY Some is a
     * legitimate all-coverage commit (no observation rows). */
   private[graft] def obslogDeltaFiles(g: Long): Option[Seq[String]] = {
+    // the change stream polls a LIVE store: a maintenance process may
+    // have compacted between this instance's cached log read and now,
+    // so re-read the log before deciding addressability — and treat a
+    // directory swept in the marker-check-to-listing window as the
+    // marker withdrawal it accompanies (round-14 ADVICE: the stale-
+    // cache path used to surface as FileNotFoundException instead of
+    // the documented None)
+    logCache = None
     if (!committed().exists(m => m.id == g && m.v == 0)) None
-    else {
+    else try {
       val cp = new Path(s"${genPath(g, 0)}/comp=obslog")
       val bd = bucketDirs(cp)
       val dirs = if (bd.isEmpty) Seq(cp).filter(fs.exists) else bd.map(_._2)
       Some(dirs.flatMap(p => fs.listStatus(p).toSeq
         .filter(_.getPath.getName.endsWith(".parquet"))
         .map(_.getPath.toString)))
+    } catch {
+      case _: java.io.FileNotFoundException => logCache = None; None
     }
   }
 

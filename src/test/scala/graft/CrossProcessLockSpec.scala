@@ -62,6 +62,13 @@ class CrossProcessLockSpec extends AnyFunSuite {
       assert(Files.exists(held), "holder JVM never acquired the lock: " +
         new String(Files.readAllBytes(Paths.get(s"$dir/_holder.log"))))
 
+      // flake guard (round-14 ADVICE): the holder's watchdog outlives
+      // this spec's deadline by design, so the lock must still be held
+      // here — a missing file means the watchdog fired early and the
+      // intercept below would fail with a confusing "no exception"
+      assert(Files.exists(Paths.get(dir, "_writer.lock")),
+        "holder released the lock before the fail-fast commit ran")
+
       // this JVM's mutating op fails fast, naming the foreign holder
       val e = intercept[IllegalStateException] {
         store.commit(1, obs1, cov1.filter("false"), smp1.filter("false"))
@@ -76,10 +83,13 @@ class CrossProcessLockSpec extends AnyFunSuite {
       assert(Files.exists(Paths.get(dir, "_writer.lock")),
         "the failed acquire must not disturb the foreign lock")
     } finally {
+      // ONLY the release signal lives in the finally: asserting in a
+      // finally masks the primary test failure with a secondary one
+      // (round-14 ADVICE) — the waitFor/exit checks run after
       Files.write(release, Array.empty[Byte])
-      assert(proc.waitFor(120, java.util.concurrent.TimeUnit.SECONDS),
-        "holder JVM did not exit")
     }
+    assert(proc.waitFor(120, java.util.concurrent.TimeUnit.SECONDS),
+      "holder JVM did not exit")
     assert(proc.exitValue() == 0,
       "holder exited nonzero: " +
         new String(Files.readAllBytes(Paths.get(s"$dir/_holder.log"))))

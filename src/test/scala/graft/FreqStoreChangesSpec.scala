@@ -1,0 +1,162 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.varda.FreqStore
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQueryException
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The freqstore change stream (`readStream.format("freqstore-changes")`):
+  * committed generations arrive as micro-batches of their obslog deltas,
+  * a streamed running aggregate matches the batch store's served numer
+  * state, new commits are discovered incrementally, and a generation
+  * whose v0 delta was compacted away fails LOUDLY instead of silently
+  * desyncing the stream. */
+class FreqStoreChangesSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(Paths.get("/root/repo/target"), prefix).toString
+
+  // the FreqStoreSpec adversarial batch shapes: sample-tagged and
+  // untagged observations, coverage+points interleaved, a pure-coverage
+  // batch with NO observation rows (gen 1)
+  private def obsB(i: Int): DataFrame = Seq(
+    Seq(("1", 5000L, "A", "C", 3), ("X", 5000L, "A", "C", 1)),
+    Seq.empty[(String, Long, String, String, Int)],
+    Seq(("2", 700L, "G", "T", 2)))(i)
+    .toDF("chromosome", "position", "reference", "observed", "support")
+  private def covB(i: Int): DataFrame = Seq(
+    Seq((10L, "1", 4000L, 6000L, 1L, 2), (14L, "2", 600L, 800L, 2L, 5)),
+    Seq((11L, "1", 4500L, 5500L, 1L, 2)),
+    Seq((12L, "X", 4000L, 6000L, 2L, 5)))(i)
+    .toDF("region_id", "chromosome", "begin_pos", "end_pos", "sample_id",
+      "pool_size")
+  private def smpB(i: Int): DataFrame = Seq(
+    Seq((1L, 2, true)), Seq((3L, 7, false)), Seq((2L, 5, true)))(i)
+    .toDF("sample_id", "pool_size", "has_coverage")
+
+  private def build3(dir: String): FreqStore = {
+    val store = new FreqStore(spark, dir, nBuckets = 4)
+    for (i <- 0 until 3) store.commit(i, obsB(i), covB(i), smpB(i))
+    store
+  }
+
+  private def numerKey(df: DataFrame): Map[(String, Long, String, String), Long] =
+    df.select("chromosome", "position", "reference", "observed", "numer")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3)) ->
+        r.getLong(4)).toMap
+
+  test("streamed running aggregate matches the batch serve() numer state, " +
+      "and new commits are discovered incrementally") {
+    val dir = tmpDir("chg_parity")
+    val store = build3(dir)
+    val agg = spark.readStream.format("freqstore-changes").load(dir)
+      .groupBy("chromosome", "position", "reference", "observed")
+      .agg(org.apache.spark.sql.functions.sum("support").as("numer"),
+        org.apache.spark.sql.functions.max("generation").as("hwm"))
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName("chg_parity").start()
+    try {
+      q.processAllAvailable()
+      val t = spark.table("chg_parity")
+      assert(numerKey(t) == numerKey(store.serve()))
+      // the streamed high-water mark matches the commit log's
+      assert(t.select(org.apache.spark.sql.functions.max("hwm"))
+        .head().getLong(0) == 2L)
+
+      // a commit landing AFTER the stream started is picked up by the
+      // next micro-batch — the poll-for-new-imports lifecycle
+      store.commit(3,
+        Seq(("3", 42000L, "T", "G", 5)).toDF(
+          "chromosome", "position", "reference", "observed", "support"),
+        covB(1).filter("false"), smpB(1).filter("false"))
+      q.processAllAvailable()
+      val t2 = spark.table("chg_parity")
+      assert(numerKey(t2) == numerKey(store.serve()))
+      assert(numerKey(t2)(("3", 42000L, "T", "G")) == 5L)
+      assert(t2.select(org.apache.spark.sql.functions.max("hwm"))
+        .head().getLong(0) == 3L)
+    } finally q.stop()
+  }
+
+  test("rows carry their generation; an all-coverage commit is an empty " +
+      "batch that still advances the offset") {
+    val dir = tmpDir("chg_gens")
+    build3(dir)
+    val q = spark.readStream.format("freqstore-changes").load(dir)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("chg_gens").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("chg_gens").collect()
+      // gen 1 is pure coverage — observation rows come only from 0 and 2
+      assert(rows.map(_.getLong(0)).toSet == Set(0L, 2L))
+      // gen 0's two observations and gen 2's one, sample-untagged
+      assert(rows.length == 3)
+      assert(rows.forall(_.isNullAt(5)))
+      // the consumed offset still covers the empty generation 1
+      assert(q.lastProgress.sources.head.endOffset.contains("\"lastGen\":2"))
+    } finally q.stop()
+  }
+
+  test("startingGeneration streams only the tail") {
+    val dir = tmpDir("chg_tail")
+    build3(dir)
+    val q = spark.readStream.format("freqstore-changes")
+      .option("startingGeneration", "2").load(dir)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("chg_tail").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("chg_tail").collect()
+      assert(rows.map(_.getLong(0)).toSet == Set(2L))
+      assert(rows.map(r => (r.getString(1), r.getLong(2))).toSeq ==
+        Seq(("2", 700L)))
+    } finally q.stop()
+  }
+
+  test("a generation whose v0 delta was compacted away fails loudly, " +
+      "not silently empty") {
+    val dir = tmpDir("chg_compacted")
+    val store = build3(dir)
+    store.compact()
+    val q = spark.readStream.format("freqstore-changes").load(dir)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("chg_compacted").start()
+    val ex = intercept[StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("no longer streamable")),
+      s"wanted the addressability error, got: ${messages(ex)}")
+  }
+
+  test("above the snapshot floor the stream works again (post-compaction " +
+      "tail commits)") {
+    val dir = tmpDir("chg_floor")
+    val store = build3(dir)
+    store.compact()
+    // a fresh import AFTER the snapshot: its v0 delta is addressable
+    store.commit(3,
+      Seq(("7", 9000L, "C", "A", 4)).toDF(
+        "chromosome", "position", "reference", "observed", "support"),
+      covB(1).filter("false"), smpB(1).filter("false"))
+    val q = spark.readStream.format("freqstore-changes")
+      .option("startingGeneration", "3").load(dir)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("chg_floor").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("chg_floor").collect()
+      assert(rows.map(_.getLong(0)).toSet == Set(3L))
+      assert(rows.map(r => (r.getString(1), r.getLong(2), r.getLong(6))).toSeq ==
+        Seq(("7", 9000L, 4L)))
+    } finally q.stop()
+  }
+}

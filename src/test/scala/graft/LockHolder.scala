@@ -11,8 +11,11 @@ import org.apache.spark.sql.SparkSession
   *
   * Protocol (files under the store dir, created by whoever gets there
   * first): the helper touches `_test_held` once it is inside the lock,
-  * then spins until `_test_release` appears (or a 60 s watchdog trips
-  * so a failed test cannot leak a JVM), then exits the lock scope —
+  * then spins until `_test_release` appears (or a 180 s watchdog trips
+  * so a failed test cannot leak a JVM — LONGER than the spec's 120 s
+  * acquire deadline plus its assertion work, so a loaded box cannot
+  * have the watchdog release the lock before the spec's fail-fast
+  * commit runs; round-14 ADVICE), then exits the lock scope —
   * exercising the ownership-checked release from this process. */
 object LockHolder {
   def main(args: Array[String]): Unit = {
@@ -28,7 +31,7 @@ object LockHolder {
     val release = java.nio.file.Paths.get(dir, "_test_release")
     store.withWriterLock("cross-process lock test") {
       java.nio.file.Files.write(held, Array.empty[Byte])
-      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
       while (!java.nio.file.Files.exists(release) &&
         System.nanoTime() < deadline) Thread.sleep(25)
     }

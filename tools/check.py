@@ -88,9 +88,13 @@ CONTAINMENT_BINNED = (
 def digest_sql(con, sql):
     """DuckDB side of the digest oracle (round 14): COUNT + two 32-bit
     row-hash sums over the canonical rendering DigestVerify.scala uses —
-    sorted column names, each cast to VARCHAR, concat_ws('|'), md5, the
-    first/second 8 hex chars as unsigned ints. Only integer/string
-    columns render identically across engines; refuse anything else."""
+    sorted column names, each cast to VARCHAR with NULL rendered as the
+    NUL sentinel (concat_ws SKIPS null args in both engines, which would
+    make ("a",NULL,"b") hash equal to ("a","b",NULL)), concat_ws('|'),
+    md5, the first/second 8 hex chars as unsigned ints. Only
+    integer/string columns render identically across engines; refuse
+    anything else — and refuse string values embedding the '|' delimiter
+    or the sentinel (ambiguous rendering), counted in the same pass."""
     ok_types = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT", "VARCHAR",
                 "HUGEINT", "UBIGINT", "UINTEGER"}
     desc = con.execute(f"DESCRIBE SELECT * FROM ({sql}) t").fetchall()
@@ -98,14 +102,23 @@ def digest_sql(con, sql):
         if col_type not in ok_types:
             sys.exit(f"--digest: column {col_name} is {col_type}; the "
                      "digest only renders integer/string columns")
-    cols = ", ".join(f'CAST("{c}" AS VARCHAR)'
+    cols = ", ".join(f'COALESCE(CAST("{c}" AS VARCHAR), chr(0))'
                      for c, *_ in sorted(desc, key=lambda d: d[0]))
+    str_cols = [c for c, t, *_ in desc if t == "VARCHAR"]
+    bad = " + ".join(
+        f"CASE WHEN contains(\"{c}\", '|') OR contains(\"{c}\", chr(0)) "
+        f"THEN 1 ELSE 0 END" for c in str_cols) or "0"
     h = f"md5(concat_ws('|', {cols}))"
     q = (f"SELECT count(*) AS cnt, "
          f"sum(('0x' || substr({h},1,8))::BIGINT) AS h1, "
-         f"sum(('0x' || substr({h},9,8))::BIGINT) AS h2 "
+         f"sum(('0x' || substr({h},9,8))::BIGINT) AS h2, "
+         f"sum({bad}) AS bad "
          f"FROM ({sql}) t")
-    cnt, h1, h2 = con.execute(q).fetchone()
+    cnt, h1, h2, bad_n = con.execute(q).fetchone()
+    if bad_n and int(bad_n) > 0:
+        sys.exit(f"--digest: {bad_n} string value(s) embed the '|' "
+                 "delimiter or the NUL sentinel — the canonical rendering "
+                 "is ambiguous; use the full row compare for this key")
     return int(cnt), int(h1 or 0), int(h2 or 0)
 
 
@@ -131,30 +144,48 @@ def cos_of(con, pairs):
 
 
 def setcmp_topk(con, got_df, exp_df):
-    """Per-qid neighbor-SET compare for sim_topk_cosine; rank dropped.
-    Returns (ok, message)."""
+    """Per-qid neighbor compare for sim_topk_cosine. Membership may
+    differ only where the disagreeing neighbors' recomputed cosines sit
+    within one decimal cell of each other, and — round-14 ADVICE — rank
+    disagreements among SHARED neighbors get the mirrored check: every
+    shared neighbor whose rank differs must sit within one decimal cell
+    of the others it reordered against (a genuine rank-ordering
+    regression among non-tied neighbors fails; a float-boundary tie
+    swap passes). Returns (ok, message)."""
     def by_qid(df):
         out = {}
-        for qid, nid in zip(df["qid"], df["nid"]):
-            out.setdefault(int(qid), set()).add(int(nid))
+        for qid, nid, rank in zip(df["qid"], df["nid"], df["rank"]):
+            out.setdefault(int(qid), {})[int(nid)] = int(rank)
         return out
     g, e = by_qid(got_df), by_qid(exp_df)
     if set(g) != set(e):
         return False, f"qid sets differ: {sorted(set(g) ^ set(e))[:5]}"
-    swapped = 0
+    swapped = reordered = 0
     for qid in g:
-        if g[qid] == e[qid]:
+        gm, em = g[qid], e[qid]
+        if gm == em:
             continue
-        extra, missing = g[qid] - e[qid], e[qid] - g[qid]
+        extra, missing = set(gm) - set(em), set(em) - set(gm)
         if len(extra) != len(missing):
-            return False, f"qid {qid}: sizes differ ({len(g[qid])} vs {len(e[qid])})"
-        cos = cos_of(con, [(qid, n) for n in (extra | missing)])
-        scores = [cos[(qid, n)] for n in (extra | missing)]
-        if max(scores) - min(scores) > TOPK_BOUNDARY:
-            return False, (f"qid {qid}: swap spans {max(scores) - min(scores):.2e}"
-                           f" > one decimal cell (extra={extra} missing={missing})")
-        swapped += len(extra)
-    return True, f"{swapped} boundary rank swaps tolerated"
+            return False, f"qid {qid}: sizes differ ({len(gm)} vs {len(em)})"
+        if extra:
+            cos = cos_of(con, [(qid, n) for n in (extra | missing)])
+            scores = [cos[(qid, n)] for n in (extra | missing)]
+            if max(scores) - min(scores) > TOPK_BOUNDARY:
+                return False, (f"qid {qid}: swap spans {max(scores) - min(scores):.2e}"
+                               f" > one decimal cell (extra={extra} missing={missing})")
+            swapped += len(extra)
+        shared_diff = {n for n in set(gm) & set(em) if gm[n] != em[n]}
+        if shared_diff:
+            cos = cos_of(con, [(qid, n) for n in shared_diff])
+            scores = [cos[(qid, n)] for n in shared_diff]
+            if max(scores) - min(scores) > TOPK_BOUNDARY:
+                return False, (f"qid {qid}: rank reorder spans "
+                               f"{max(scores) - min(scores):.2e} > one decimal "
+                               f"cell (nids={sorted(shared_diff)})")
+            reordered += len(shared_diff)
+    return True, (f"{swapped} boundary membership swaps, "
+                  f"{reordered} boundary rank reorders tolerated")
 
 
 def setcmp_threshold(con, got_df, exp_df, thresh=0.5):
