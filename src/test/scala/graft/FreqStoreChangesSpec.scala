@@ -137,6 +137,68 @@ class FreqStoreChangesSpec extends AnyFunSuite {
       s"wanted the addressability error, got: ${messages(ex)}")
   }
 
+  test("restart from a checkpoint resumes at the stored offset — no " +
+      "replays, no gaps") {
+    val dir = tmpDir("chg_restart")
+    val ckpt = tmpDir("chg_restart_ckpt")
+    val store = build3(dir)
+    // the memory sink refuses checkpoint recovery; foreachBatch is the
+    // recoverable sink a real maintenance loop would use anyway
+    def run(buf: scala.collection.mutable.ArrayBuffer[(Long, String, Long, Long)]) =
+      spark.readStream.format("freqstore-changes").load(dir)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          buf.synchronized {
+            buf ++= df.collect().map(r =>
+              (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(6)))
+          }
+          ()
+        }.start()
+    val got1 = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long)]
+    val q1 = run(got1)
+    try {
+      q1.processAllAvailable()
+      assert(got1.map(_._1).toSet == Set(0L, 2L) && got1.size == 3)
+    } finally q1.stop()
+
+    // a commit landing while no stream is running
+    store.commit(3,
+      Seq(("9", 123000L, "A", "T", 6)).toDF(
+        "chromosome", "position", "reference", "observed", "support"),
+      covB(1).filter("false"), smpB(1).filter("false"))
+
+    // the restarted query deserializes {"lastGen":2} from the checkpoint
+    // and emits ONLY generation 3 — replaying 0-2 here would double-count
+    // every downstream aggregate
+    val got2 = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long)]
+    val q2 = run(got2)
+    try {
+      q2.processAllAvailable()
+      assert(got2.map(_._1).toSet == Set(3L))
+      assert(got2.toSeq == Seq((3L, "9", 123000L, 6L)))
+    } finally q2.stop()
+  }
+
+  test("compact(retainGens) keeps the grace window streamable — the " +
+      "documented lag-tolerance contract") {
+    val dir = tmpDir("chg_grace")
+    val store = build3(dir)
+    // the sweep's own victims are protected unconditionally under a
+    // grace policy, markers included — so a stream lagging behind the
+    // compaction still addresses every generation's v0 delta
+    store.compact(retainGens = 3)
+    val q = spark.readStream.format("freqstore-changes").load(dir)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("chg_grace").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("chg_grace").collect()
+      assert(rows.map(_.getLong(0)).toSet == Set(0L, 2L))
+      assert(rows.length == 3)
+    } finally q.stop()
+  }
+
   test("above the snapshot floor the stream works again (post-compaction " +
       "tail commits)") {
     val dir = tmpDir("chg_floor")
