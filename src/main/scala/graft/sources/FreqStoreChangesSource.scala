@@ -13,7 +13,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -59,6 +59,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * must either start above the snapshot floor or fail — exactly like a
   * restart from an old checkpoint.
   *
+  * Production trigger semantics ([[SupportsTriggerAvailableNow]]):
+  * `option("maxGensPerTrigger", n)` bounds each micro-batch to n
+  * generations — the admission unit is a GENERATION, never a row,
+  * because a transactional commit's delta must land whole in one batch
+  * — so a backlogged restart drains in bounded batches instead of one
+  * giant catchup plan. `Trigger.AvailableNow` pins the target
+  * generation at query start, drains up to it (in `maxGensPerTrigger`
+  * steps when set) and terminates; commits landing mid-run wait for
+  * the next invocation.
+  *
   * Executor-side reading is parquet-mr over the fixed obslog schema
   * (the same zero-Spark-internals read path the batch DSv2 scan uses);
   * one [[InputPartition]] per delta file keeps a large import's replay
@@ -100,16 +110,25 @@ class FreqStoreChangesTable(dir: String) extends Table with SupportsRead {
         s"freqstore-changes: startingGeneration must be a long generation " +
           s"id, got '$s'"))
     }
+    val maxGens = Option(options.get("maxGensPerTrigger")).map { s =>
+      val n = s.toIntOption.getOrElse(sys.error(
+        s"freqstore-changes: maxGensPerTrigger must be a positive int, " +
+          s"got '$s'"))
+      require(n > 0, s"freqstore-changes: maxGensPerTrigger must be " +
+        s"positive, got $n")
+      n
+    }
     new ScanBuilder {
-      override def build(): Scan = new FreqStoreChangesScan(dir, startAt)
+      override def build(): Scan = new FreqStoreChangesScan(dir, startAt, maxGens)
     }
   }
 }
 
-class FreqStoreChangesScan(dir: String, startAt: Option[Long]) extends Scan {
+class FreqStoreChangesScan(dir: String, startAt: Option[Long],
+    maxGens: Option[Int]) extends Scan {
   override def readSchema(): StructType = FreqStoreChangesSource.schema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new FreqStoreChangesStream(dir, startAt)
+    new FreqStoreChangesStream(dir, startAt, maxGens)
   override def description(): String = s"FreqStoreChangesScan($dir)"
 }
 
@@ -119,8 +138,9 @@ case class FreqStoreChangesOffset(lastGen: Long) extends Offset {
   override def json(): String = s"""{"lastGen":$lastGen}"""
 }
 
-class FreqStoreChangesStream(dir: String, startAt: Option[Long])
-    extends MicroBatchStream {
+class FreqStoreChangesStream(dir: String, startAt: Option[Long],
+    maxGens: Option[Int] = None)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
   /** A FRESH store instance per log question: the stream polls a live
     * store mutated by another process (the ingest loop), so per-call
     * construction is what keeps the commit-log cache from going stale
@@ -129,15 +149,54 @@ class FreqStoreChangesStream(dir: String, startAt: Option[Long])
     * resolve the modulus from the log. */
   private def store: FreqStore = new FreqStore(SparkSession.active, dir)
 
-  override def initialOffset(): Offset =
-    FreqStoreChangesOffset(startAt.map(_ - 1).getOrElse(-1L))
+  private def floorGen: Long = startAt.map(_ - 1).getOrElse(-1L)
 
-  override def latestOffset(): Offset = {
-    val ids = store.committedIds
-    FreqStoreChangesOffset(
-      if (ids.isEmpty) startAt.map(_ - 1).getOrElse(-1L)
-      else math.max(ids.max, startAt.map(_ - 1).getOrElse(-1L)))
+  /** `Trigger.AvailableNow` pin: the target generation is captured ONCE
+    * at query start, so commits landing while the catchup runs are the
+    * NEXT run's work and the query is guaranteed to terminate — the
+    * trigger's contract. */
+  @volatile private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(store.committedIds.maxOption.getOrElse(floorGen))
+
+  override def initialOffset(): Offset = FreqStoreChangesOffset(floorGen)
+
+  /** ADMISSION CONTROL: the unit is a GENERATION, not a row — a
+    * transactional commit's delta must land in one batch (splitting it
+    * would expose half a commit to the downstream aggregate), so
+    * `maxGensPerTrigger` caps generations per micro-batch and
+    * `ReadLimit.maxRows` is interpreted the same way (the engine's
+    * default rate limit knob; row-exact capping cannot hold the
+    * transaction boundary). A backlogged restart then drains in
+    * bounded batches instead of planning one giant catchup batch. */
+  override def getDefaultReadLimit: ReadLimit =
+    maxGens.map(n => ReadLimit.maxRows(n.toLong))
+      .getOrElse(ReadLimit.allAvailable())
+
+  private def maxRowsOf(limit: ReadLimit): Option[Long] = limit match {
+    case m: ReadMaxRows => Some(m.maxRows())
+    case c: CompositeReadLimit =>
+      c.getReadLimits.toSeq.flatMap(maxRowsOf).minOption
+    case _ => None // allAvailable / minRows etc: no cap
   }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val lo = math.max(start.asInstanceOf[FreqStoreChangesOffset].lastGen,
+      floorGen)
+    var ids = store.committedIds.filter(_ > lo)
+    availableNowCap.foreach(cap => ids = ids.filter(_ <= cap))
+    maxRowsOf(limit).foreach(n =>
+      ids = ids.take(math.max(1L, n).min(Int.MaxValue).toInt))
+    FreqStoreChangesOffset(if (ids.isEmpty) lo else ids.max)
+  }
+
+  override def reportLatestOffset(): Offset =
+    FreqStoreChangesOffset(store.committedIds.maxOption.getOrElse(floorGen))
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this " +
+        "method (freqstore-changes implements SupportsAdmissionControl)")
 
   override def deserializeOffset(json: String): Offset = {
     val m = """\{"lastGen":(-?\d+)\}""".r

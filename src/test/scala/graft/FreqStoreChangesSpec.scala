@@ -180,6 +180,60 @@ class FreqStoreChangesSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("maxGensPerTrigger bounds each micro-batch to whole generations") {
+    val dir = tmpDir("chg_throttle")
+    build3(dir)
+    // record (batchId -> generation set) per micro-batch
+    val batches = scala.collection.mutable.ArrayBuffer.empty[(Long, Set[Long], Long)]
+    val q = spark.readStream.format("freqstore-changes")
+      .option("maxGensPerTrigger", "1").load(dir)
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        val rows = df.collect()
+        batches.synchronized {
+          batches += ((id, rows.map(_.getLong(0)).toSet, rows.length.toLong))
+        }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      // 3 generations -> 3 micro-batches, one generation each (gen 1 is
+      // the empty all-coverage batch); a row-level cap could not keep
+      // the transaction boundary — the generation-unit cap must
+      assert(batches.size == 3, s"got $batches")
+      assert(batches.forall(_._2.size <= 1), s"got $batches")
+      assert(batches.flatMap(_._2).toSet == Set(0L, 2L))
+      assert(batches.map(_._3).sum == 3L)
+    } finally q.stop()
+  }
+
+  test("Trigger.AvailableNow drains to the pinned target and terminates") {
+    val dir = tmpDir("chg_availnow")
+    val store = build3(dir)
+    def drain(name: String): Seq[Long] = {
+      val gens = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = spark.readStream.format("freqstore-changes")
+        .option("maxGensPerTrigger", "1").load(dir)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$dir/_ckpt_$name")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          gens.synchronized { gens ++= df.collect().map(_.getLong(0)) }
+          ()
+        }.start()
+      // the trigger's contract IS self-termination — no stop() call
+      assert(q.awaitTermination(120000), "AvailableNow query did not terminate")
+      gens.toSeq
+    }
+    assert(drain("a").sorted == Seq(0L, 0L, 2L))
+    // a commit landing between runs is the next run's work
+    store.commit(3,
+      Seq(("5", 77000L, "G", "C", 2)).toDF(
+        "chromosome", "position", "reference", "observed", "support"),
+      covB(1).filter("false"), smpB(1).filter("false"))
+    assert(drain("b").sorted == Seq(0L, 0L, 2L, 3L))
+  }
+
   test("compact(retainGens) keeps the grace window streamable — the " +
       "documented lag-tolerance contract") {
     val dir = tmpDir("chg_grace")
