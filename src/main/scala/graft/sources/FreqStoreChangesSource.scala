@@ -181,8 +181,12 @@ class FreqStoreChangesStream(dir: String, startAt: Option[Long],
   }
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val lo = math.max(start.asInstanceOf[FreqStoreChangesOffset].lastGen,
-      floorGen)
+    // the CHECKPOINT offset wins over startingGeneration (the Kafka
+    // startingOffsets convention): the option seeds initialOffset()
+    // only — flooring it in here would make a restart with a higher
+    // startingGeneration silently skip committed generations the
+    // checkpoint had not yet consumed
+    val lo = start.asInstanceOf[FreqStoreChangesOffset].lastGen
     var ids = store.committedIds.filter(_ > lo)
     availableNowCap.foreach(cap => ids = ids.filter(_ <= cap))
     maxRowsOf(limit).foreach(n =>
@@ -209,8 +213,29 @@ class FreqStoreChangesStream(dir: String, startAt: Option[Long],
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[FreqStoreChangesOffset].lastGen
     val hi = end.asInstanceOf[FreqStoreChangesOffset].lastGen
+    // ONE fresh store instance for the whole plan: its first log read
+    // is live, and every generation in the batch is decided against
+    // the same log snapshot (obslogDeltaFiles reuses the instance
+    // cache — no O(gens × markers) re-listing)
     val st = store
-    val gens = st.committedIds.filter(g => g > lo && g <= hi)
+    val listed = st.committedIds.filter(g => g > lo && g <= hi)
+    // COMPLETENESS below the snapshot floor: compaction deletes the
+    // consolidated generations' markers outright (only the snapshot's
+    // own id keeps a v≥1 marker), so a swept generation does not show
+    // up in `listed` at all — intersecting with the live listing alone
+    // would silently SKIP it and permanently desync every downstream
+    // aggregate. The single-writer contract allocates ids densely
+    // (appendGeneration max+1; the ingest wave 2b/2b+1), so when the
+    // batch range dips below the newest snapshot id, every id in that
+    // sub-range must be individually addressable — any gap means
+    // history was consolidated out from under this stream, and the
+    // loud failure below names the recovery paths.
+    val snapFloor = st.generations.filter(_._2 > 0).map(_._1).maxOption
+    val gens = snapFloor.filter(_ > lo) match {
+      case Some(s) =>
+        ((lo + 1) to math.min(hi, s)).toSeq ++ listed.filter(_ > s)
+      case None => listed
+    }
     gens.flatMap { g =>
       st.obslogDeltaFiles(g) match {
         case None =>
@@ -231,17 +256,9 @@ class FreqStoreChangesStream(dir: String, startAt: Option[Long],
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    val spark = SparkSession.active
-    import scala.jdk.CollectionConverters._
-    val confMap = spark.sparkContext.hadoopConfiguration.iterator().asScala
-      .map(e => e.getKey -> e.getValue).toMap ++
-      spark.conf.getAll.collect {
-        case (k, v) if k.startsWith("spark.hadoop.") =>
-          k.stripPrefix("spark.hadoop.") -> v
-      }
-    new FreqStoreChangesReaderFactory(confMap)
-  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FreqStoreChangesReaderFactory(
+      FreqStoreDataSource.sessionHadoopConfMap(SparkSession.active))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

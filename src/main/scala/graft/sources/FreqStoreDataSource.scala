@@ -64,6 +64,22 @@ class FreqStoreDataSource extends TableProvider with DataSourceRegister {
 }
 
 object FreqStoreDataSource {
+  /** The SESSION's Hadoop view as serializable pairs, for executor-side
+    * parquet readers (filesystem credentials, custom schemes): the
+    * context conf overlaid with the session's `spark.hadoop.*` entries —
+    * Configuration itself is not serializable. Shared by the batch scan
+    * and the change stream so a credential/scheme fix lands once. */
+  private[sources] def sessionHadoopConfMap(
+      spark: SparkSession): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    spark.sparkContext.hadoopConfiguration.iterator().asScala
+      .map(e => e.getKey -> e.getValue).toMap ++
+      spark.conf.getAll.collect {
+        case (k, v) if k.startsWith("spark.hadoop.") =>
+          k.stripPrefix("spark.hadoop.") -> v
+      }
+  }
+
   val schema: StructType = StructType(Seq(
     StructField("chromosome", StringType), StructField("position", LongType),
     StructField("reference", StringType), StructField("observed", StringType),
@@ -323,17 +339,7 @@ class FreqStoreScanBuilder(dir: String, asOf: Option[Long] = None,
     FreqStoreDataSource.lastPushedCountStar = countStar
     val n = nPlan
     val (perBucket, uncov, bytes) = store.serveFileManifest(buckets, asOf)
-    // the SESSION's Hadoop view must reach the executor-side parquet
-    // readers (filesystem credentials, custom schemes): the context
-    // conf overlaid with the session's `spark.hadoop.*` entries —
-    // Configuration itself is not serializable, so ship the pairs
-    import scala.jdk.CollectionConverters._
-    val confMap = spark.sparkContext.hadoopConfiguration.iterator().asScala
-      .map(e => e.getKey -> e.getValue).toMap ++
-      spark.conf.getAll.collect {
-        case (k, v) if k.startsWith("spark.hadoop.") =>
-          k.stripPrefix("spark.hadoop.") -> v
-      }
+    val confMap = FreqStoreDataSource.sessionHadoopConfMap(spark)
     FreqStoreDataSource.lastPushedAggs = statAggs.map(_.label)
     if (countStar)
       // COMPLETE pushdown: the final count must arrive as ONE row, so

@@ -1472,14 +1472,16 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     * when generation `g`'s v0 marker is gone. An EMPTY Some is a
     * legitimate all-coverage commit (no observation rows). */
   private[graft] def obslogDeltaFiles(g: Long): Option[Seq[String]] = {
-    // the change stream polls a LIVE store: a maintenance process may
-    // have compacted between this instance's cached log read and now,
-    // so re-read the log before deciding addressability — and treat a
-    // directory swept in the marker-check-to-listing window as the
-    // marker withdrawal it accompanies (round-14 ADVICE: the stale-
-    // cache path used to surface as FileNotFoundException instead of
-    // the documented None)
-    logCache = None
+    // LIVENESS is the caller's job: the change stream constructs a
+    // FRESH store instance per planning call, so its first committed()
+    // read here is live, and every generation of one micro-batch plan
+    // is decided against ONE consistent log snapshot (clearing the
+    // cache per call would both re-read the log O(gens) times per plan
+    // and void the instance cache's snapshot-consistency contract for
+    // any concurrent same-instance reader). A directory swept in the
+    // marker-check-to-listing window maps to the None the marker
+    // withdrawal implies (round-14 ADVICE: the stale-cache path used
+    // to surface as FileNotFoundException).
     if (!committed().exists(m => m.id == g && m.v == 0)) None
     else try {
       val cp = new Path(s"${genPath(g, 0)}/comp=obslog")
@@ -1489,7 +1491,7 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
         .filter(_.getPath.getName.endsWith(".parquet"))
         .map(_.getPath.toString)))
     } catch {
-      case _: java.io.FileNotFoundException => logCache = None; None
+      case _: java.io.FileNotFoundException => None
     }
   }
 

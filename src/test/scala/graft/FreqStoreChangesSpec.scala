@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
+import graft.sources.{FreqStoreChangesOffset, FreqStoreChangesStream}
 import graft.varda.FreqStore
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.StreamingQueryException
@@ -251,6 +252,50 @@ class FreqStoreChangesSpec extends AnyFunSuite {
       assert(rows.map(_.getLong(0)).toSet == Set(0L, 2L))
       assert(rows.length == 3)
     } finally q.stop()
+  }
+
+  test("a generation swept OUT of the log entirely still fails loudly — " +
+      "never a silently empty batch") {
+    // the adversarial shape: gens 0-1's markers are erased outright
+    // while the snapshot head's own v0 survives in the grace window, so
+    // a live listing alone would intersect an already-pinned (lo=-1,
+    // hi=1] batch down to NOTHING and silently skip two generations.
+    // The density check below the snapshot floor must fail instead.
+    val dir = tmpDir("chg_swept")
+    val store = build3(dir)
+    store.compact(retainGens = 1)  // snapshot (2,1); grace keeps all v0s
+    store.compact(retainGens = 1)  // ages out (0,0),(1,0); keeps (2,0)
+    assert(store.obslogDeltaFiles(2L).isDefined)   // head v0 addressable
+    assert(store.obslogDeltaFiles(0L).isEmpty)     // history erased
+    org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    val stream = new FreqStoreChangesStream(dir, None)
+    val ex = intercept[RuntimeException] {
+      stream.planInputPartitions(
+        FreqStoreChangesOffset(-1L), FreqStoreChangesOffset(1L))
+    }
+    assert(ex.getMessage.contains("no longer streamable"), ex.getMessage)
+  }
+
+  test("the checkpoint offset wins over startingGeneration on restart — " +
+      "no silent generation skips") {
+    val dir = tmpDir("chg_ckptwins")
+    val store = build3(dir)
+    store.commit(3,
+      Seq(("4", 8000L, "A", "G", 1)).toDF(
+        "chromosome", "position", "reference", "observed", "support"),
+      covB(1).filter("false"), smpB(1).filter("false"))
+    org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    // restarted with a HIGHER startingGeneration than the checkpoint:
+    // the option seeds initialOffset only — latestOffset must resume
+    // from the checkpoint's lastGen=2 and emit generation 3, not skip
+    // to the option's floor
+    val stream = new FreqStoreChangesStream(dir, Some(5L))
+    val next = stream.latestOffset(FreqStoreChangesOffset(2L),
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+    assert(next.asInstanceOf[FreqStoreChangesOffset].lastGen == 3L)
+    // while a FRESH start (no checkpoint) honors the option's floor
+    assert(stream.initialOffset()
+      .asInstanceOf[FreqStoreChangesOffset].lastGen == 4L)
   }
 
   test("above the snapshot floor the stream works again (post-compaction " +

@@ -177,12 +177,32 @@ def setcmp_topk(con, got_df, exp_df):
             swapped += len(extra)
         shared_diff = {n for n in set(gm) & set(em) if gm[n] != em[n]}
         if shared_diff:
+            # cluster MUTUALLY-reordered neighbors before bounding: two
+            # independent boundary ties at different score levels (say a
+            # 2<->3 swap near cos 0.9 and a 7<->8 swap near 0.5) are each
+            # legitimate, but a single max-min span over their union
+            # would falsely fail. Neighbors reordered against each other
+            # have overlapping [min(rank_got, rank_exp), max(...)]
+            # intervals; merge overlapping intervals into clusters and
+            # bound each cluster's recomputed-cosine span independently.
             cos = cos_of(con, [(qid, n) for n in shared_diff])
-            scores = [cos[(qid, n)] for n in shared_diff]
-            if max(scores) - min(scores) > TOPK_BOUNDARY:
-                return False, (f"qid {qid}: rank reorder spans "
-                               f"{max(scores) - min(scores):.2e} > one decimal "
-                               f"cell (nids={sorted(shared_diff)})")
+            ivs = sorted((min(gm[n], em[n]), max(gm[n], em[n]), n)
+                         for n in shared_diff)
+            clusters, cur, cur_hi = [], [ivs[0][2]], ivs[0][1]
+            for lo_r, hi_r, n in ivs[1:]:
+                if lo_r <= cur_hi:
+                    cur.append(n)
+                    cur_hi = max(cur_hi, hi_r)
+                else:
+                    clusters.append(cur)
+                    cur, cur_hi = [n], hi_r
+            clusters.append(cur)
+            for cl in clusters:
+                scores = [cos[(qid, n)] for n in cl]
+                if max(scores) - min(scores) > TOPK_BOUNDARY:
+                    return False, (f"qid {qid}: rank reorder spans "
+                                   f"{max(scores) - min(scores):.2e} > one "
+                                   f"decimal cell (nids={sorted(cl)})")
             reordered += len(shared_diff)
     return True, (f"{swapped} boundary membership swaps, "
                   f"{reordered} boundary rank reorders tolerated")
