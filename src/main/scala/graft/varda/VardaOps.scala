@@ -602,6 +602,35 @@ object VardaOps {
         .getOrElseUpdate(d + "#tt", buildFreqStore(s, d, "freq_store_tt"))
     }
 
+  /** CHANGE-STREAM key [N] — the reference's poll-for-new-imports
+    * lifecycle [U varda/tasks.py] consumed THROUGH the real streaming
+    * source: `readStream.format("freqstore-changes")` over the 3-batch
+    * replayed (uncompacted) store, drained under `Trigger.AvailableNow`
+    * into a parquet FILE sink — fully distributed, no row ever crosses
+    * the driver — then returned from the sink. By the obslog contract a
+    * generation's delta is exactly its import batch's raw observation
+    * rows tagged with the generation id, so this key has a FULL hash
+    * oracle: the observations fixture partitioned by the replay's batch
+    * rule (obs_id % 3). Sink+checkpoint are fresh per invocation (a
+    * reused checkpoint would correctly resume at the end and stream
+    * nothing — the no-replay contract — but this key's semantics is the
+    * full drain). */
+  val streamStoreChanges: Q = (s, d) => {
+    val dir = timeTravelFreqStore(s, d)
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(sys.props("java.io.tmpdir")), "fqs_chg")
+    val q = s.readStream.format("freqstore-changes").load(dir)
+      .writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    require(q.awaitTermination(600000),
+      "freqstore-changes AvailableNow drain did not terminate")
+    s.read.schema(graft.sources.FreqStoreChangesSource.schema)
+      .parquet(s"$base/out")
+  }
+
   /** Generation-pinned TIME-TRAVEL read — the reference's "state as the
     * reader saw it at import N" [U varda versioned frequency serving]:
     * the generational commit log makes every historical read bound
@@ -1496,6 +1525,7 @@ object VardaOps {
     "join_range_overlap_rewrite" -> joinRangeOverlapRewrite,
     "agg_freq_ratio" -> aggFreqRatio,
     "varda_freq_incremental" -> vardaFreqIncremental,
+    "stream_store_changes" -> streamStoreChanges,
     "varda_freq_lookup" -> vardaFreqLookup,
     "varda_freq_asof" -> vardaFreqAsOf,
     "varda_freq_compare" -> vardaFreqCompare,
@@ -1521,6 +1551,16 @@ object VardaOps {
     s"sample_id IN (${sampleExprSet.mkString(", ")})"
 
   val oracle: Map[String, String] = Map(
+    // the streamed change feed IS the import batches' raw observation
+    // rows tagged with their generation — obs_id % 3 is buildFreqStore's
+    // batch-slicing rule
+    "stream_store_changes" ->
+      s"""WITH obs AS ($observations)
+         SELECT CAST(obs_id % 3 AS BIGINT) AS generation, chromosome,
+                position, reference, observed,
+                CAST(sample_id AS BIGINT) AS sample_id,
+                CAST(support AS BIGINT) AS support
+         FROM obs""",
     "varda_liftover" ->
       s"""WITH obs AS ($observations),
             chain AS (${VardaSql.chain}),

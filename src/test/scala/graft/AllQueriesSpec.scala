@@ -18,7 +18,7 @@ class AllQueriesSpec extends AnyFunSuite {
       "dedup_near_minhash", "sim_ann_lsh",
       "sim_ann_ivf", "dedup_near_embedding_lsh"),
       s"unexpected no-oracle keys: $noOracle")
-    assert(q.size == 160, s"expected 160 declared keys, got ${q.size}")
+    assert(q.size == 161, s"expected 161 declared keys, got ${q.size}")
   }
 
   test("entry returns rows") {
