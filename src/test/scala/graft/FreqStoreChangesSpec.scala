@@ -181,6 +181,43 @@ class FreqStoreChangesSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("retraction tombstones flow through the stream: cumulative sums " +
+      "net to the post-retraction serve() state") {
+    val dir = tmpDir("chg_retract")
+    val store = new FreqStore(spark, dir, nBuckets = 4)
+    // sample-TAGGED observations (retractable by sample): sample 2
+    // contributes to both variants, sample 1 to one
+    val obs0 = Seq(
+      ("1", 5000L, "A", "C", 3, 1L), ("1", 5000L, "A", "C", 2, 2L),
+      ("2", 700L, "G", "T", 4, 2L)).toDF(
+      "chromosome", "position", "reference", "observed", "support",
+      "sample_id")
+    val smp0 = Seq((1L, 2, true), (2L, 5, true)).toDF(
+      "sample_id", "pool_size", "has_coverage")
+    store.commit(0, obs0, covB(0), smp0)
+    // generation 1 IS the retraction: negated obslog tombstones for
+    // sample 2, appended through the same commit machinery
+    store.retractSamples(1, Seq((2L, 5, true)).toDF(
+      "sample_id", "pool_size", "has_coverage"))
+    val agg = spark.readStream.format("freqstore-changes").load(dir)
+      .groupBy("chromosome", "position", "reference", "observed")
+      .agg(org.apache.spark.sql.functions.sum("support").as("net"))
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName("chg_retract").start()
+    try {
+      q.processAllAvailable()
+      val net = spark.table("chg_retract").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+          r.getString(3)) -> r.getLong(4)).toMap
+      // sample 2's contributions net to zero; sample 1's survive
+      assert(net(("1", 5000L, "A", "C")) == 3L, net)
+      assert(net(("2", 700L, "G", "T")) == 0L, net)
+      // and the non-zero streamed nets equal the store's served numer
+      val served = numerKey(store.serve()).filter(_._2 != 0L)
+      assert(net.filter(_._2 != 0L) == served)
+    } finally q.stop()
+  }
+
   test("maxGensPerTrigger bounds each micro-batch to whole generations") {
     val dir = tmpDir("chg_throttle")
     build3(dir)
