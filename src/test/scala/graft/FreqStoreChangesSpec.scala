@@ -218,6 +218,68 @@ class FreqStoreChangesSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("randomized interleaving property: commits, retractions and a " +
+      "grace-window compaction — streamed nets equal serve()") {
+    val rnd = new scala.util.Random(42)
+    val dir = tmpDir("chg_prop")
+    val store = new FreqStore(spark, dir, nBuckets = 4)
+    val chroms = Seq("1", "2", "X")
+    val basesPool = Seq(("A", "C"), ("G", "T"), ("C", "A"))
+    var registered = Vector.empty[Long]
+    var nextId = 0L
+    def emptyCov = covB(1).filter("false")
+    def emptySmp = smpB(1).filter("false")
+    for (g <- 0 until 7) {
+      if (g == 4 && registered.nonEmpty) {
+        // a retraction generation for a random registered sample
+        val victim = registered(rnd.nextInt(registered.size))
+        store.retractSamples(nextId, Seq((victim, 2, true)).toDF(
+          "sample_id", "pool_size", "has_coverage"))
+        nextId += 1
+      } else if (g == 5) {
+        // mid-history snapshot with a grace window wide enough to keep
+        // every v0 delta addressable — the stream must keep working
+        // across the snapshot floor (the density check's positive path)
+        store.compact(retainGens = 100)
+      } else {
+        val n = 1 + rnd.nextInt(4)
+        val sid: java.lang.Long =
+          if (rnd.nextBoolean()) { // tagged batch registers its sample
+            val s = 10L + g
+            registered :+= s
+            s
+          } else null // untagged observations
+        val rows = (0 until n).map { _ =>
+          val (r, o) = basesPool(rnd.nextInt(basesPool.size))
+          (chroms(rnd.nextInt(chroms.size)),
+            1000L + rnd.nextInt(8) * 1000L, r, o, 1 + rnd.nextInt(3), sid)
+        }
+        val obs = rows.toDF("chromosome", "position", "reference",
+          "observed", "support", "sample_id")
+        val smp =
+          if (sid != null) Seq((sid.longValue(), 2, true)).toDF(
+            "sample_id", "pool_size", "has_coverage")
+          else emptySmp
+        store.commit(nextId, obs, emptyCov, smp)
+        nextId += 1
+      }
+    }
+    val agg = spark.readStream.format("freqstore-changes").load(dir)
+      .groupBy("chromosome", "position", "reference", "observed")
+      .agg(org.apache.spark.sql.functions.sum("support").as("net"))
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName("chg_prop").start()
+    try {
+      q.processAllAvailable()
+      val net = spark.table("chg_prop").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+          r.getString(3)) -> r.getLong(4)).toMap.filter(_._2 != 0L)
+      val served = numerKey(store.serve()).filter(_._2 != 0L)
+      assert(net == served, s"streamed=$net served=$served")
+      assert(net.nonEmpty)
+    } finally q.stop()
+  }
+
   test("maxGensPerTrigger bounds each micro-batch to whole generations") {
     val dir = tmpDir("chg_throttle")
     build3(dir)
