@@ -614,19 +614,36 @@ object VardaOps {
     * rule (obs_id % 3). Sink+checkpoint are fresh per invocation (a
     * reused checkpoint would correctly resume at the end and stream
     * nothing — the no-replay contract — but this key's semantics is the
-    * full drain). */
+    * full drain); they live under the shared scratch root
+    * ([[graft.ops.Scans.scratch]] — honors `spark.graft.scratchDir`),
+    * and each invocation sweeps its predecessors' run dirs so repeated
+    * bench/verify runs cannot grow the scratch disk unboundedly. */
   val streamStoreChanges: Q = (s, d) => {
     val dir = timeTravelFreqStore(s, d)
-    val base = java.nio.file.Files.createTempDirectory(
-      java.nio.file.Paths.get(sys.props("java.io.tmpdir")), "fqs_chg")
+    val root = new java.io.File(graft.ops.Scans.scratch(s, "chg_stream", d))
+    root.mkdirs()
+    // sweep prior invocations' run dirs (this key's scratch is
+    // exclusively its own; within one session invocations are
+    // sequential — Verify/Bench/RatioBench all run keys serially)
+    Option(root.listFiles()).getOrElse(Array.empty).foreach { f =>
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+        x.delete(); ()
+      }
+      rm(f)
+    }
+    val base = java.nio.file.Files.createTempDirectory(root.toPath, "run")
     val q = s.readStream.format("freqstore-changes").load(dir)
       .writeStream.format("parquet")
       .option("path", s"$base/out")
       .option("checkpointLocation", s"$base/ckpt")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    require(q.awaitTermination(600000),
+    // a timed-out drain must not leave an orphaned stream competing for
+    // the scheduler behind every subsequent key
+    try require(q.awaitTermination(600000),
       "freqstore-changes AvailableNow drain did not terminate")
+    finally if (q.isActive) q.stop()
     s.read.schema(graft.sources.FreqStoreChangesSource.schema)
       .parquet(s"$base/out")
   }
