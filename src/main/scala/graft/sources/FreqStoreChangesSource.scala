@@ -3,7 +3,6 @@ package graft.sources
 import java.util
 
 import graft.varda.FreqStore
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.parquet.hadoop.ParquetReader
 import org.apache.parquet.hadoop.example.GroupReadSupport
@@ -210,46 +209,83 @@ class FreqStoreChangesStream(dir: String, startAt: Option[Long],
     }
   }
 
+  /** The spelled-out recovery paths every loud plan-time failure names.
+    * `startingGeneration` only seeds a FRESH checkpoint's initial
+    * offset (the checkpoint-wins rule), so recovery from a pinned WAL
+    * batch requires a new checkpoint location. */
+  private def recovery: String =
+    "start a NEW checkpoint above the snapshot floor (startingGeneration " +
+      "only seeds a fresh checkpoint's initial offset), re-bootstrap " +
+      "from a batch serveAsOf, or retain a longer compact(retainGens=…) " +
+      "grace window"
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[FreqStoreChangesOffset].lastGen
     val hi = end.asInstanceOf[FreqStoreChangesOffset].lastGen
-    // ONE fresh store instance for the whole plan: its first log read
-    // is live, and every generation in the batch is decided against
-    // the same log snapshot (obslogDeltaFiles reuses the instance
-    // cache — no O(gens × markers) re-listing)
+    // ONE fresh store instance for the whole plan: one live names-only
+    // log listing decides the batch's membership, one cached content
+    // read serves every obslogDeltaFiles call — no O(gens × markers)
+    // re-listing
     val st = store
-    val listed = st.committedIds.filter(g => g > lo && g <= hi)
-    // COMPLETENESS below the snapshot floor: compaction deletes the
-    // consolidated generations' markers outright (only the snapshot's
-    // own id keeps a v≥1 marker), so a swept generation does not show
-    // up in `listed` at all — intersecting with the live listing alone
-    // would silently SKIP it and permanently desync every downstream
-    // aggregate. The single-writer contract allocates ids densely
-    // (appendGeneration max+1; the ingest wave 2b/2b+1), so when the
-    // batch range dips below the newest snapshot id, every id in that
-    // sub-range must be individually addressable — any gap means
-    // history was consolidated out from under this stream, and the
-    // loud failure below names the recovery paths.
-    val snapFloor = st.generations.filter(_._2 > 0).map(_._1).maxOption
-    val gens = snapFloor.filter(_ > lo) match {
-      case Some(s) =>
-        ((lo + 1) to math.min(hi, s)).toSeq ++ listed.filter(_ > s)
-      case None => listed
+    val names = st.markerNames
+    val ids = names.map(_._1).distinct.sorted
+    val listed = ids.filter(g => g > lo && g <= hi)
+    // COMPLETENESS below the snapshot floor: compaction erases the
+    // consolidated generations' markers outright, so a swept generation
+    // does not show up in `listed` at all — intersecting with the live
+    // listing alone would silently SKIP it and permanently desync every
+    // downstream aggregate. Generation ids are NOT necessarily dense
+    // (the ingest wave commits 2b always but 2b+1 only when retractions
+    // exist; bulk imports name their own ids), so absence alone proves
+    // nothing. What IS provable: [[FreqStore.sweepSuperseded]] ages v0
+    // markers out OLDEST FIRST (keepGens = takeRight of the newest,
+    // plus the just-consolidated protectNow set), so the surviving v0
+    // markers at or below the floor are a SUFFIX of the true committed
+    // history there — every erased id is older than the oldest
+    // survivor. A batch range is therefore provably complete iff it
+    // starts at or above that oldest surviving delta; anything earlier
+    // MAY contain erased history and must fail loudly.
+    val snapFloor = names.filter(_._2 > 0).map(_._1).maxOption
+    for (s <- snapFloor if lo < s) {
+      val v0Below = names.collect { case (id, 0) if id <= s => id }
+      val oldest = v0Below.minOption
+      if (!oldest.exists(lo + 1 >= _))
+        sys.error(s"freqstore-changes: generations at or below the " +
+          s"gen-$s snapshot floor of $dir are no longer streamable from " +
+          s"offset $lo — compaction consolidated that history" +
+          oldest.fold("")(o => s" (oldest surviving delta: gen-$o)") +
+          s"; $recovery")
     }
-    gens.flatMap { g =>
+    // WITHDRAWAL race (checked AFTER floor completeness — an hi erased
+    // by compaction is the permanent case above, not this transient
+    // one): `hi` was a listed committed id when the offset was pinned
+    // (latestOffset returned it), so its absence now proves a marker
+    // withdrawal in the pin-to-plan window — the ingest wave replay's
+    // unmarkGeneration(2b+1) is exactly this shape. Planning without it
+    // would advance the offset past a generation the replay is about to
+    // RECOMMIT — a silent permanent skip. Fail loudly instead; once the
+    // replay recommits, a restart finds hi listed again and resumes
+    // losslessly. (Withdrawals strictly between lo and hi cannot occur:
+    // the single-maintenance-loop contract replays a wave before any
+    // later wave commits, so a withdrawn marker is always the newest
+    // committed id — i.e. hi — when in range.)
+    if (hi > lo && !ids.contains(hi))
+      sys.error(s"freqstore-changes: generation $hi of $dir was listed " +
+        "when this batch's offset was pinned but its marker is now " +
+        "withdrawn (a crash-replayed ingest wave re-folding in place) — " +
+        "the batch is temporarily unplannable, not lost: restart the " +
+        "stream after the replay recommits the generation")
+    listed.flatMap { g =>
       st.obslogDeltaFiles(g) match {
         case None =>
           // the addressability contract: the generation committed (its
           // id is in the log) but its v0 delta is gone — compaction
           // consolidated it below a snapshot. Serving the netted
           // snapshot as if it were this generation's delta would
-          // double- or under-count every downstream aggregate, so fail
-          // at plan time with the recovery options spelled out.
+          // double- or under-count every downstream aggregate.
           sys.error(s"freqstore-changes: generation $g of $dir is no " +
             "longer streamable — compaction swept its original (v0) " +
-            "obslog delta; restart the stream above the snapshot floor " +
-            "(startingGeneration), re-bootstrap from a batch serveAsOf, " +
-            "or retain a longer compact(retainGens=…) grace window")
+            s"obslog delta; $recovery")
         case Some(files) =>
           files.map(f => FreqStoreChangesPartition(g, f): InputPartition)
       }
@@ -280,14 +316,9 @@ class FreqStoreChangesPartitionReader(p: FreqStoreChangesPartition,
     hadoopConf: Map[String, String]) extends PartitionReader[InternalRow] {
   import org.apache.parquet.example.data.Group
 
-  private val conf = {
-    val c = new Configuration()
-    hadoopConf.foreach { case (k, v) => c.set(k, v) }
-    c
-  }
   private val reader: ParquetReader[Group] =
     ParquetReader.builder(new GroupReadSupport(), new Path(p.file))
-      .withConf(conf).build()
+      .withConf(GroupReads.hadoopConf(hadoopConf)).build()
   private var cur: InternalRow = _
 
   override def next(): Boolean = {
@@ -299,10 +330,10 @@ class FreqStoreChangesPartitionReader(p: FreqStoreChangesPartition,
       else null
     cur = new GenericInternalRow(Array[Any](
       p.generation,
-      UTF8String.fromString(g.getBinary("chromosome", 0).toStringUsingUTF8),
+      GroupReads.utf8(g, "chromosome"),
       g.getLong("position", 0),
-      UTF8String.fromString(g.getBinary("reference", 0).toStringUsingUTF8),
-      UTF8String.fromString(g.getBinary("observed", 0).toStringUsingUTF8),
+      GroupReads.utf8(g, "reference"),
+      GroupReads.utf8(g, "observed"),
       sampleId,
       g.getLong("support", 0)))
     true

@@ -63,6 +63,23 @@ class FreqStoreDataSource extends TableProvider with DataSourceRegister {
   }
 }
 
+/** Executor-side helpers shared by every parquet-mr Group reader in this
+  * package (the batch scan's row reader and the change stream's): a fix
+  * to conf handling or string decoding lands once. */
+private[sources] object GroupReads {
+  def hadoopConf(m: Map[String, String]): Configuration = {
+    val c = new Configuration()
+    m.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+  /** Wrap a parquet Binary's UTF-8 bytes into a UTF8String DIRECTLY —
+    * `fromString(…toStringUsingUTF8)` decodes to a java String and
+    * re-encodes the chars, two allocations per string cell on the
+    * per-row hot path for nothing. */
+  def utf8(g: org.apache.parquet.example.data.Group, field: String): UTF8String =
+    UTF8String.fromBytes(g.getBinary(field, 0).getBytes)
+}
+
 object FreqStoreDataSource {
   /** The SESSION's Hadoop view as serializable pairs, for executor-side
     * parquet readers (filesystem credentials, custom schemes): the
@@ -622,11 +639,7 @@ class FreqStoreStatsReaderFactory(hadoopConf: Map[String, String])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
-      private val conf = {
-        val c = new Configuration()
-        hadoopConf.foreach { case (k, v) => c.set(k, v) }
-        c
-      }
+      private val conf = GroupReads.hadoopConf(hadoopConf)
       private var emitted = false
       private var row: InternalRow = _
       override def next(): Boolean = {
@@ -731,11 +744,7 @@ class FreqStoreColumnarPartitionReader(p: FreqStorePartition,
   import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
   import scala.jdk.CollectionConverters._
 
-  private val conf = {
-    val c = new Configuration()
-    hadoopConf.foreach { case (k, v) => c.set(k, v) }
-    c
-  }
+  private val conf = GroupReads.hadoopConf(hadoopConf)
   private val parquetFilter = range.toParquetFilter
   private val Capacity = 4096
 
@@ -1041,11 +1050,7 @@ class FreqStorePartitionReader(p: FreqStorePartition,
     extends PartitionReader[InternalRow] {
   import org.apache.parquet.example.data.Group
 
-  private val conf = {
-    val c = new Configuration()
-    hadoopConf.foreach { case (k, v) => c.set(k, v) }
-    c
-  }
+  private val conf = GroupReads.hadoopConf(hadoopConf)
 
   /** The pushed (chromosome, position-range) predicate compiled to a
     * parquet filter, applied to BOTH components: row groups whose
@@ -1085,13 +1090,10 @@ class FreqStorePartitionReader(p: FreqStorePartition,
   /** Projection compiled ONCE to extractor functions — the per-row loop
     * must not pattern-match column-name strings (round-10 review). */
   private val extractors: Array[Group => Any] = columns.map[Group => Any] {
-    case "chromosome" => g =>
-      UTF8String.fromString(g.getBinary("chromosome", 0).toStringUsingUTF8)
+    case "chromosome" => g => GroupReads.utf8(g, "chromosome")
     case "position" => g => g.getLong("position", 0)
-    case "reference" => g =>
-      UTF8String.fromString(g.getBinary("reference", 0).toStringUsingUTF8)
-    case "observed" => g =>
-      UTF8String.fromString(g.getBinary("observed", 0).toStringUsingUTF8)
+    case "reference" => g => GroupReads.utf8(g, "reference")
+    case "observed" => g => GroupReads.utf8(g, "observed")
     case "numer" => g => g.getLong("numer", 0)
     case "denom" => g =>
       denomOf(g.getBinary("chromosome", 0).toStringUsingUTF8,

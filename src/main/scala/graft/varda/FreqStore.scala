@@ -1495,10 +1495,23 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     }
   }
 
+  /** Marker (id, version) pairs from the commit-log FILE NAMES alone —
+    * a LIVE listing (never cached) that opens NO marker content. The
+    * change stream's offset-space and addressability questions need
+    * only names; content parsing (modulus, layout version, bless time)
+    * stays in [[committed]]. One `listStatus` per call, so a streaming
+    * trigger's poll costs one directory listing instead of O(markers)
+    * file opens. */
+  private[graft] def markerNames: Seq[(Long, Int)] = {
+    val p = new Path(s"$dir/_commits")
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.flatMap(st => parseGenName(st.getPath.getName))
+  }
+
   /** Committed generation ids (any version) — the change stream's
-    * offset space. */
+    * offset space. Names-only and live (see [[markerNames]]). */
   private[graft] def committedIds: Seq[Long] =
-    committed().map(_.id).distinct.sorted
+    markerNames.map(_._1).distinct.sorted
 
   private def compPath(m: Marker, comp: String): Path =
     new Path(s"${genPath(m.id, m.v)}/comp=$comp")

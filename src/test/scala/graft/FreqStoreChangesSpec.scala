@@ -375,6 +375,49 @@ class FreqStoreChangesSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("no longer streamable"), ex.getMessage)
   }
 
+  test("SPARSE generation ids stream fine below a grace-kept snapshot " +
+      "floor — the wave-ingest allocation (2b, conditional 2b+1)") {
+    // the ingest loop commits gen 2b always and 2b+1 only when
+    // retractions exist, so odd-id gaps are NORMAL; a dense-id
+    // reconstruction would declare gen 1/3 "no longer streamable" on a
+    // perfectly healthy compacted store. The completeness rule is the
+    // sweep's oldest-first erasure: the range is provably complete iff
+    // it starts at or above the OLDEST SURVIVING v0 delta.
+    val dir = tmpDir("chg_sparse")
+    val store = new FreqStore(spark, dir, nBuckets = 4)
+    for (i <- 0 until 3)
+      store.commit(2L * i, obsB(if (i == 1) 0 else i % 3), covB(i), smpB(i))
+    store.compact(retainGens = 100) // snapshot floor; all v0s survive
+    val q = spark.readStream.format("freqstore-changes").load(dir)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("chg_sparse").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("chg_sparse").collect()
+      assert(rows.map(_.getLong(0)).toSet == Set(0L, 2L, 4L))
+      assert(rows.length == 5) // 2 + 2 + 1 observation rows
+    } finally q.stop()
+  }
+
+  test("a generation withdrawn between offset pinning and planning fails " +
+      "loudly — the ingest wave-replay unmark window") {
+    val dir = tmpDir("chg_unmark")
+    val store = build3(dir)
+    org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    val stream = new FreqStoreChangesStream(dir, None)
+    // the offset pinned hi=2 while gen 2 was committed; the crash
+    // replay then withdraws its marker before refolding — planning the
+    // batch without it would advance the offset past a generation the
+    // replay is about to RECOMMIT (silent permanent skip)
+    store.unmarkGeneration(2L)
+    val ex = intercept[RuntimeException] {
+      stream.planInputPartitions(
+        FreqStoreChangesOffset(-1L), FreqStoreChangesOffset(2L))
+    }
+    assert(ex.getMessage.contains("withdrawn"), ex.getMessage)
+    assert(ex.getMessage.contains("not lost"), ex.getMessage)
+  }
+
   test("the checkpoint offset wins over startingGeneration on restart — " +
       "no silent generation skips") {
     val dir = tmpDir("chg_ckptwins")
