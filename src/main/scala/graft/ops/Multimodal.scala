@@ -92,12 +92,13 @@ object Multimodal {
     val pool = udf((b: Array[Byte], w: Int, h: Int) => {
       val px = decodeF32(b)
       val (w2, h2) = (w / 2, h / 2)
-      encodeF32(Array.tabulate(w2 * h2) { i =>
+      encodeF32(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+        Array.tabulate(w2 * h2) { i =>
         val (x, y) = (i % w2, i / w2)
         val s = px(2 * y * w + 2 * x) + px(2 * y * w + 2 * x + 1) +
           px((2 * y + 1) * w + 2 * x) + px((2 * y + 1) * w + 2 * x + 1)
         s / 4
-      })
+      }))
     })
     media
       .withColumn("payload",

@@ -660,7 +660,8 @@ class FreqStoreStatsReaderFactory(hadoopConf: Map[String, String])
                 .find(_.getPath.toDotString == "position")
                 .getOrElse(sys.error(s"freqstore stats scan: no position " +
                   s"column chunk in $f"))
-              val st = col.getStatistics
+              val st: org.apache.parquet.column.statistics.Statistics[_] =
+                col.getStatistics
               require(st != null && !st.isEmpty && st.hasNonNullValue,
                 s"freqstore stats scan: $f row group lacks position " +
                   "statistics — cannot answer min/max from footers")
