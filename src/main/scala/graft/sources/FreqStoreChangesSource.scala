@@ -68,7 +68,26 @@ import org.apache.spark.unsafe.types.UTF8String
   * steps when set) and terminates; commits landing mid-run wait for
   * the next invocation.
   *
-  * Executor-side reading is parquet-mr over the fixed obslog schema
+  * **The denominator side streams too** (round 16): by default the feed
+  * is the legacy obslog-only form, but
+  * `option("components", "obslog,cover,registry")` (or `"all"`) switches
+  * to a MULTIPLEXED wide schema carrying, per generation, all three
+  * append-store deltas — observation rows (`component = 'obs'`), SIGNED
+  * coverage-log fragments (`'cover'` — the covlog component: +segments
+  * newly covered by a commit, -fragments removed by a retraction) and
+  * sample-registry rows (`'registry'`, ± pool deltas). One generation's
+  * three deltas land atomically in ONE micro-batch (the admission unit
+  * is still a generation), so a downstream consumer can maintain
+  * FREQUENCIES, not just numerators: [[graft.varda.FreqStore.refoldChanges]]
+  * rebuilds the `serve()` frame bit-exactly from the drained feed alone
+  * — the reference's continuous-import lifecycle folds coverage
+  * continuously [U varda/tasks.py :: import_coverage], and this is its
+  * CDC read side. Generations written before the covlog component
+  * existed fail LOUDLY when `cover` is requested (the same
+  * addressability discipline as the compaction floor) instead of
+  * streaming a silently incomplete generation.
+  *
+  * Executor-side reading is parquet-mr over the fixed component schemas
   * (the same zero-Spark-internals read path the batch DSv2 scan uses);
   * one [[InputPartition]] per delta file keeps a large import's replay
   * parallel while tiny deltas stay single-task. */
@@ -76,14 +95,16 @@ class FreqStoreChangesSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "freqstore-changes"
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    FreqStoreChangesSource.schema
+    FreqStoreChangesSource.schemaFor(
+      FreqStoreChangesSource.parseComponents(options.get("components")))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val dir = Option(properties.get("path")).getOrElse(
       sys.error("freqstore-changes source needs a path: " +
         "spark.readStream.format(\"freqstore-changes\").load(dir)"))
-    new FreqStoreChangesTable(dir)
+    new FreqStoreChangesTable(dir,
+      FreqStoreChangesSource.parseComponents(properties.get("components")))
   }
 }
 
@@ -96,11 +117,59 @@ object FreqStoreChangesSource {
     StructField("chromosome", StringType), StructField("position", LongType),
     StructField("reference", StringType), StructField("observed", StringType),
     StructField("sample_id", LongType), StructField("support", LongType)))
+
+  /** The MULTIPLEXED schema (the `components` option): one row stream
+    * tagged by `component`, so one generation's three deltas share a
+    * micro-batch. Per component the populated columns are
+    *
+    *  - `obs`: chromosome, position, reference, observed, sample_id
+    *    (null = anonymous), support (± — tombstones are negative),
+    *  - `cover`: chromosome, cell, fbegin, fend, sample_id, pool_size
+    *    (SIGNED: + newly-covered segment, - retracted fragment),
+    *  - `registry`: sample_id, pool_size (± delta), has_coverage;
+    *
+    * everything else null. `pool_size` widens to LONG so consumer sums
+    * need no cast. */
+  val wideSchema: StructType = StructType(Seq(
+    StructField("generation", LongType, nullable = false),
+    StructField("component", StringType, nullable = false),
+    StructField("chromosome", StringType), StructField("position", LongType),
+    StructField("reference", StringType), StructField("observed", StringType),
+    StructField("sample_id", LongType), StructField("support", LongType),
+    StructField("cell", LongType), StructField("fbegin", LongType),
+    StructField("fend", LongType), StructField("pool_size", LongType),
+    StructField("has_coverage", BooleanType)))
+
+  /** Feed components in canonical order. `None` = the option was not
+    * given: the legacy obslog-only narrow schema (backward compat for
+    * checkpointed streams). Any explicit option value — even just
+    * `obslog` — selects the wide multiplexed schema. */
+  private[graft] def parseComponents(opt: String): Option[Seq[String]] =
+    Option(opt).map { s =>
+      val all = Seq("obslog", "cover", "registry")
+      val asked =
+        if (s.trim.equalsIgnoreCase("all")) all
+        else s.split(',').map(_.trim.toLowerCase).filter(_.nonEmpty).toSeq
+      val bad = asked.filterNot(all.contains)
+      require(bad.isEmpty && asked.nonEmpty,
+        s"freqstore-changes: components must be a comma list drawn from " +
+          s"${all.mkString("{", ", ", "}")} (or 'all'); got '$s'")
+      all.filter(asked.contains)
+    }
+
+  private[graft] def schemaFor(components: Option[Seq[String]]): StructType =
+    if (components.isEmpty) schema else wideSchema
+
+  /** option component name → the store's append component it streams. */
+  private[graft] val storeComponent: Map[String, String] = Map(
+    "obslog" -> "obslog", "cover" -> "covlog", "registry" -> "smpreg")
 }
 
-class FreqStoreChangesTable(dir: String) extends Table with SupportsRead {
+class FreqStoreChangesTable(dir: String, components: Option[Seq[String]])
+    extends Table with SupportsRead {
   override def name(): String = s"freqstore-changes:$dir"
-  override def schema(): StructType = FreqStoreChangesSource.schema
+  override def schema(): StructType =
+    FreqStoreChangesSource.schemaFor(components)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
@@ -118,16 +187,18 @@ class FreqStoreChangesTable(dir: String) extends Table with SupportsRead {
       n
     }
     new ScanBuilder {
-      override def build(): Scan = new FreqStoreChangesScan(dir, startAt, maxGens)
+      override def build(): Scan =
+        new FreqStoreChangesScan(dir, startAt, maxGens, components)
     }
   }
 }
 
 class FreqStoreChangesScan(dir: String, startAt: Option[Long],
-    maxGens: Option[Int]) extends Scan {
-  override def readSchema(): StructType = FreqStoreChangesSource.schema
+    maxGens: Option[Int], components: Option[Seq[String]]) extends Scan {
+  override def readSchema(): StructType =
+    FreqStoreChangesSource.schemaFor(components)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new FreqStoreChangesStream(dir, startAt, maxGens)
+    new FreqStoreChangesStream(dir, startAt, maxGens, components)
   override def description(): String = s"FreqStoreChangesScan($dir)"
 }
 
@@ -138,7 +209,7 @@ case class FreqStoreChangesOffset(lastGen: Long) extends Offset {
 }
 
 class FreqStoreChangesStream(dir: String, startAt: Option[Long],
-    maxGens: Option[Int] = None)
+    maxGens: Option[Int] = None, components: Option[Seq[String]] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
   /** A FRESH store instance per log question: the stream polls a live
     * store mutated by another process (the ingest loop), so per-call
@@ -275,19 +346,37 @@ class FreqStoreChangesStream(dir: String, startAt: Option[Long],
         "withdrawn (a crash-replayed ingest wave re-folding in place) — " +
         "the batch is temporarily unplannable, not lost: restart the " +
         "stream after the replay recommits the generation")
+    val comps = components.getOrElse(Seq("obslog"))
+    val wide = components.isDefined
     listed.flatMap { g =>
-      st.obslogDeltaFiles(g) match {
-        case None =>
-          // the addressability contract: the generation committed (its
-          // id is in the log) but its v0 delta is gone — compaction
-          // consolidated it below a snapshot. Serving the netted
-          // snapshot as if it were this generation's delta would
-          // double- or under-count every downstream aggregate.
-          sys.error(s"freqstore-changes: generation $g of $dir is no " +
-            "longer streamable — compaction swept its original (v0) " +
-            s"obslog delta; $recovery")
-        case Some(files) =>
-          files.map(f => FreqStoreChangesPartition(g, f): InputPartition)
+      comps.flatMap { c =>
+        val storeComp = FreqStoreChangesSource.storeComponent(c)
+        // a generation written before the covlog component existed has
+        // NO cover delta to stream — emitting the generation without it
+        // would hand the consumer a numerator update with no matching
+        // denominator delta, a silent permanent desync. (The obslog and
+        // smpreg components have existed since the store's first
+        // layout, so only covlog can be absent.)
+        if (c == "cover" && !st.hasDeltaComponent(storeComp, g)
+            && st.obslogDeltaFiles(g).isDefined)
+          sys.error(s"freqstore-changes: generation $g of $dir was " +
+            "written before the coverage change log (covlog) existed — " +
+            "its cover delta cannot be streamed; re-import the store " +
+            "with a covlog-writing build, or stream components=obslog")
+        st.deltaFiles(storeComp, g) match {
+          case None =>
+            // the addressability contract: the generation committed (its
+            // id is in the log) but its v0 delta is gone — compaction
+            // consolidated it below a snapshot. Serving the netted
+            // snapshot as if it were this generation's delta would
+            // double- or under-count every downstream aggregate.
+            sys.error(s"freqstore-changes: generation $g of $dir is no " +
+              "longer streamable — compaction swept its original (v0) " +
+              s"$storeComp delta; $recovery")
+          case Some(files) =>
+            files.map(f =>
+              FreqStoreChangesPartition(g, f, c, wide): InputPartition)
+        }
       }
     }.toArray
   }
@@ -300,7 +389,12 @@ class FreqStoreChangesStream(dir: String, startAt: Option[Long],
   override def stop(): Unit = ()
 }
 
-case class FreqStoreChangesPartition(generation: Long, file: String)
+/** `component` names the FEED component ("obslog"/"cover"/"registry");
+  * `wide` selects the multiplexed 13-column row form (the legacy
+  * obslog-only stream keeps its original 7-column rows so checkpointed
+  * consumers never see a schema change). */
+case class FreqStoreChangesPartition(generation: Long, file: String,
+    component: String = "obslog", wide: Boolean = false)
     extends InputPartition
 
 class FreqStoreChangesReaderFactory(hadoopConf: Map[String, String])
@@ -310,8 +404,9 @@ class FreqStoreChangesReaderFactory(hadoopConf: Map[String, String])
       p.asInstanceOf[FreqStoreChangesPartition], hadoopConf)
 }
 
-/** One delta file → rows of (generation, chromosome, position,
-  * reference, observed, sample_id, support). */
+/** One delta file → rows in the partition's declared form: the legacy
+  * narrow obslog rows, or the wide multiplexed rows with the
+  * non-component columns null. */
 class FreqStoreChangesPartitionReader(p: FreqStoreChangesPartition,
     hadoopConf: Map[String, String]) extends PartitionReader[InternalRow] {
   import org.apache.parquet.example.data.Group
@@ -321,21 +416,59 @@ class FreqStoreChangesPartitionReader(p: FreqStoreChangesPartition,
       .withConf(GroupReads.hadoopConf(hadoopConf)).build()
   private var cur: InternalRow = _
 
+  private def optLong(g: Group, field: String): Any =
+    if (g.getFieldRepetitionCount(field) > 0)
+      java.lang.Long.valueOf(g.getLong(field, 0))
+    else null
+
+  /** component tag interned once per partition, not per row. */
+  private val tag = UTF8String.fromString(p.component match {
+    case "obslog" => "obs"
+    case other => other
+  })
+
   override def next(): Boolean = {
     val g = reader.read()
     if (g == null) { cur = null; return false }
-    val sampleId: Any =
-      if (g.getFieldRepetitionCount("sample_id") > 0)
-        java.lang.Long.valueOf(g.getLong("sample_id", 0))
-      else null
-    cur = new GenericInternalRow(Array[Any](
-      p.generation,
-      GroupReads.utf8(g, "chromosome"),
-      g.getLong("position", 0),
-      GroupReads.utf8(g, "reference"),
-      GroupReads.utf8(g, "observed"),
-      sampleId,
-      g.getLong("support", 0)))
+    cur =
+      if (!p.wide)
+        new GenericInternalRow(Array[Any](
+          p.generation,
+          GroupReads.utf8(g, "chromosome"),
+          g.getLong("position", 0),
+          GroupReads.utf8(g, "reference"),
+          GroupReads.utf8(g, "observed"),
+          optLong(g, "sample_id"),
+          g.getLong("support", 0)))
+      else p.component match {
+        case "obslog" => new GenericInternalRow(Array[Any](
+          p.generation, tag,
+          GroupReads.utf8(g, "chromosome"),
+          g.getLong("position", 0),
+          GroupReads.utf8(g, "reference"),
+          GroupReads.utf8(g, "observed"),
+          optLong(g, "sample_id"),
+          g.getLong("support", 0),
+          null, null, null, null, null))
+        case "cover" => new GenericInternalRow(Array[Any](
+          p.generation, tag,
+          GroupReads.utf8(g, "chromosome"),
+          null, null, null,
+          java.lang.Long.valueOf(g.getLong("sample_id", 0)),
+          null,
+          g.getLong("cell", 0),
+          g.getLong("fbegin", 0),
+          g.getLong("fend", 0),
+          g.getInteger("pool_size", 0).toLong,
+          null))
+        case _ => new GenericInternalRow(Array[Any](
+          p.generation, tag,
+          null, null, null, null,
+          java.lang.Long.valueOf(g.getLong("sample_id", 0)),
+          null, null, null, null,
+          g.getInteger("pool_size", 0).toLong,
+          java.lang.Boolean.valueOf(g.getBoolean("has_coverage", 0))))
+      }
     true
   }
   override def get(): InternalRow = cur

@@ -455,6 +455,14 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
       bucketed = true)
     def obslogNew = obsB.select("chromosome", "position", "reference",
       "observed", "sample_id", "support")
+    // the coverage CHANGE LOG delta (round 16): exactly the segments
+    // this commit newly covered, already computed (and persisted) for
+    // the denominator fold — the +side of the signed coverage measure
+    // the change feed streams (see the covlog schema note). Reuses
+    // segsNew's cached blocks, so the append costs one map-only write.
+    def covlogNew = segsNew.select(col("chromosome"), col("cell"),
+      col("fbegin"), col("fend"), col("sample_id"),
+      col("pool_size").cast(IntegerType).as("pool_size"))
     def smpregNew = smpB.select(col("sample_id").cast(LongType).as("sample_id"),
       col("pool_size").cast(IntegerType).as("pool_size"), col("has_coverage"))
     // sample → cover-bucket registry (round-11): which buckets hold
@@ -494,6 +502,7 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
       ("pts", () => newPts, true),
       ("obslog", () => obslogNew, false),
       ("cover", () => coverNew, true),
+      ("covlog", () => covlogNew, false),
       ("smpreg", () => smpregNew, false),
       ("covidx", () => covidxNew, false),
       ("obsidx", () => obsidxNew, false)),
@@ -705,6 +714,14 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
       .filter(col("numer") =!= 0)
     val smpregTomb = regNet.select(col("sample_id"),
       (-col("pool_size")).cast(IntegerType).as("pool_size"), col("has_coverage"))
+    // covlog -side: the retracted samples' current merged fragments,
+    // negated — nets the signed coverage measure to zero everywhere for
+    // those samples (a later re-import's segments subtract against an
+    // EMPTY store and re-append whole, so the measure transitions back
+    // to 1 exactly where re-covered)
+    def covlogTomb = fragsGone.select(col("chromosome"), col("cell"),
+      col("fbegin"), col("fend"), col("sample_id"),
+      (-col("pool_size")).cast(IntegerType).as("pool_size"))
     def obsidxTomb = {
       import spark.implicits._
       obsSets.toSeq.filter(_._1 > 0)
@@ -719,6 +736,7 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
       ("obslog", () => obsN, false),
       ("cover", () => bucketize(coverNew,
         bktOf(col("cell"), n), n), true),
+      ("covlog", () => covlogTomb, false),
       ("smpreg", () => smpregTomb, false),
       ("obsidx", () => obsidxTomb, false)),
       Map("numer" -> oBkts, "denom" -> cBkts, "cover" -> cBkts))
@@ -891,6 +909,14 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
       ("cover", () => bucketize(mergeRead("cover", before, None),
         bktOf(col("cell"), newN), newN)
         .sortWithinPartitions("bkt", "chromosome", "cell"), true),
+      // the signed coverage log nets to the consolidated cover store's
+      // content (every +/- pair below the snapshot cancels as a
+      // measure): rewrite it AS that content, so a consumer
+      // bootstrapping from the snapshot + streaming the tail refolds
+      // the same denominators the netted history would have
+      ("covlog", () => mergeRead("cover", before, None)
+        .select("chromosome", "cell", "fbegin", "fend", "sample_id",
+          "pool_size"), false),
       ("smpreg", () => smpregSnap, false),
       ("covidx", () => covidxSnap, false),
       ("obsidx", () => obsidxSnap, false)), Map.empty)
@@ -1471,7 +1497,13 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     * enforces for reads). Returns the delta's parquet files, or None
     * when generation `g`'s v0 marker is gone. An EMPTY Some is a
     * legitimate all-coverage commit (no observation rows). */
-  private[graft] def obslogDeltaFiles(g: Long): Option[Seq[String]] = {
+  private[graft] def obslogDeltaFiles(g: Long): Option[Seq[String]] =
+    deltaFiles("obslog", g)
+
+  /** The general form (round 16): any APPEND component's v0 delta files
+    * for generation `g` — the multiplexed change feed streams obslog,
+    * covlog and smpreg deltas through the same addressability contract. */
+  private[graft] def deltaFiles(comp: String, g: Long): Option[Seq[String]] = {
     // LIVENESS is the caller's job: the change stream constructs a
     // FRESH store instance per planning call, so its first committed()
     // read here is live, and every generation of one micro-batch plan
@@ -1484,7 +1516,7 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     // to surface as FileNotFoundException).
     if (!committed().exists(m => m.id == g && m.v == 0)) None
     else try {
-      val cp = new Path(s"${genPath(g, 0)}/comp=obslog")
+      val cp = new Path(s"${genPath(g, 0)}/comp=$comp")
       val bd = bucketDirs(cp)
       val dirs = if (bd.isEmpty) Seq(cp).filter(fs.exists) else bd.map(_._2)
       Some(dirs.flatMap(p => fs.listStatus(p).toSeq
@@ -1494,6 +1526,14 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
       case _: java.io.FileNotFoundException => None
     }
   }
+
+  /** Whether generation `g`'s v0 directory carries component `comp` AT
+    * ALL — distinguishes "empty delta" (dir present, no rows; a
+    * legitimate batch shape) from "written before the component
+    * existed" (dir absent; the change feed must fail loudly rather than
+    * stream an incomplete generation). */
+  private[graft] def hasDeltaComponent(comp: String, g: Long): Boolean =
+    fs.exists(new Path(s"${genPath(g, 0)}/comp=$comp"))
 
   /** Marker (id, version) pairs from the commit-log FILE NAMES alone —
     * a LIVE listing (never cached) that opens NO marker content. The
@@ -1808,6 +1848,52 @@ object FreqStore {
   private[graft] def ploidyOf(chromosome: String): Long =
     if (HaploidChromosomes.contains(chromosome)) 1L else 2L
 
+  /** Reconstruct the store's SERVED frequency state from the multiplexed
+    * change feed ALONE (round 16 — the denominator-side change stream):
+    * `changes` is the wide `freqstore-changes` frame
+    * (`option("components", "obslog,cover,registry")` —
+    * [[graft.sources.FreqStoreChangesSource.wideSchema]]), a prefix-
+    * complete drain of the feed. Bit-exact to the [[FreqStore.serve]]
+    * frame as of the drained high-water generation:
+    *
+    *  - numerators: the obslog rows' net support per variant (tombstones
+    *    cancel; zero nets drop — the overlay's retraction rule),
+    *  - denominators: one containment join of the observed points
+    *    against the SIGNED covlog fragments + a SUM — each (point,
+    *    sample) pair's net signed count is its current 0/1 coverage
+    *    indicator (the covlog invariant), so the sum IS the covered
+    *    pool mass, with no per-epoch bookkeeping and independent of
+    *    when each point first appeared,
+    *  - coverage-less pool: the registry rows' net pool where
+    *    `has_coverage = false`.
+    *
+    * The plan is the consumer side of the 100-TB CDC story: two hash
+    * aggregates and one (chromosome, cell)-equi containment join —
+    * no store reads, no history rescan, every input a streamed delta. */
+  def refoldChanges(changes: DataFrame): DataFrame = {
+    val obs = changes.filter(col("component") === "obs")
+    val numer = obs
+      .groupBy("chromosome", "position", "reference", "observed")
+      .agg(sum(col("support")).cast(LongType).as("numer"))
+      .filter(col("numer") =!= 0)
+    val pts = obs.select("chromosome", "position").distinct()
+    val denom = pts
+      .withColumn("cell", shiftright(col("position"), CellShift))
+      .join(changes.filter(col("component") === "cover")
+          .select("chromosome", "cell", "fbegin", "fend", "pool_size"),
+        Seq("chromosome", "cell"))
+      .filter(col("position") >= col("fbegin")
+        && col("position") <= col("fend"))
+      .groupBy("chromosome", "position")
+      .agg(sum(col("pool_size") * VardaOps.ploidy).cast(LongType)
+        .as("denom_cov"))
+    val uncov = changes.filter(col("component") === "registry"
+        && !col("has_coverage"))
+      .agg(coalesce(sum(col("pool_size")), lit(0L)).cast(LongType)
+        .as("uncov_pool"))
+    VardaOps.serveFrom(numer, denom, uncov)
+  }
+
   /** `gen-<id>` → (id, 0); `gen-<id>.<v>` → (id, v). */
   private def parseGenName(nm: String): Option[(Long, Int)] =
     if (!nm.startsWith("gen-")) None
@@ -1869,6 +1955,22 @@ object FreqStore {
       StructField("reference", StringType), StructField("observed", StringType),
       StructField("sample_id", LongType), StructField("support", LongType))),
     "cover" -> StructType(Seq(
+      StructField("chromosome", StringType), StructField("cell", LongType),
+      StructField("fbegin", LongType), StructField("fend", LongType),
+      StructField("sample_id", LongType), StructField("pool_size", IntegerType))),
+    // the COVERAGE CHANGE LOG (round 16): an append store of SIGNED
+    // cell-clipped fragments — a commit appends its newly-covered
+    // segments with +pool_size, a retraction appends the retracted
+    // samples' merged fragments with -pool_size, and a snapshot nets
+    // the log to the consolidated cover store's content. The signed
+    // MEASURE form is what makes the change feed denominator-complete:
+    // each (point, sample) pair's net signed containment count is
+    // exactly its current 0/1 coverage indicator (every + marks the
+    // transition into coverage, every - the transition out), so a
+    // downstream consumer reconstructs denominators by one containment
+    // join + SUM over the feed — time-independent of when points
+    // appeared ([[FreqStore.refoldChanges]]).
+    "covlog" -> StructType(Seq(
       StructField("chromosome", StringType), StructField("cell", LongType),
       StructField("fbegin", LongType), StructField("fend", LongType),
       StructField("sample_id", LongType), StructField("pool_size", IntegerType))),

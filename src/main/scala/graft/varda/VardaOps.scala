@@ -618,9 +618,17 @@ object VardaOps {
     * ([[graft.ops.Scans.scratch]] — honors `spark.graft.scratchDir`),
     * and each invocation sweeps its predecessors' run dirs so repeated
     * bench/verify runs cannot grow the scratch disk unboundedly. */
-  val streamStoreChanges: Q = (s, d) => {
+  val streamStoreChanges: Q = (s, d) =>
+    drainChangesStream(s, d, "chg_stream", components = None)
+
+  /** Run the REAL freqstore-changes streaming path over the 3-batch
+    * replayed store and return the drained feed: fresh sink+checkpoint
+    * per invocation under the shared scratch root, predecessors swept
+    * (see [[streamStoreChanges]]'s scaladoc for the full contract). */
+  private def drainChangesStream(s: SparkSession, d: String,
+      scratchName: String, components: Option[String]): DataFrame = {
     val dir = timeTravelFreqStore(s, d)
-    val root = new java.io.File(graft.ops.Scans.scratch(s, "chg_stream", d))
+    val root = new java.io.File(graft.ops.Scans.scratch(s, scratchName, d))
     root.mkdirs()
     // sweep prior invocations' run dirs (this key's scratch is
     // exclusively its own; within one session invocations are
@@ -633,7 +641,9 @@ object VardaOps {
       rm(f)
     }
     val base = java.nio.file.Files.createTempDirectory(root.toPath, "run")
-    val q = s.readStream.format("freqstore-changes").load(dir)
+    val reader = s.readStream.format("freqstore-changes")
+    components.foreach(c => reader.option("components", c))
+    val q = reader.load(dir)
       .writeStream.format("parquet")
       .option("path", s"$base/out")
       .option("checkpointLocation", s"$base/ckpt")
@@ -644,9 +654,29 @@ object VardaOps {
     try require(q.awaitTermination(600000),
       "freqstore-changes AvailableNow drain did not terminate")
     finally if (q.isActive) q.stop()
-    s.read.schema(graft.sources.FreqStoreChangesSource.schema)
+    s.read.schema(
+        if (components.isDefined) graft.sources.FreqStoreChangesSource.wideSchema
+        else graft.sources.FreqStoreChangesSource.schema)
       .parquet(s"$base/out")
   }
+
+  /** FREQUENCY-COMPLETE change feed [N] (round 16 — the denominator
+    * side): drain the MULTIPLEXED `freqstore-changes` stream
+    * (`components = obslog,cover,registry`) over the same replayed
+    * store and reconstruct the served ppm frequencies from the feed
+    * ALONE ([[FreqStore.refoldChanges]]) — numerators from the obslog
+    * deltas, denominators from one containment join against the SIGNED
+    * covlog fragments, the coverage-less pool from the registry deltas.
+    * The reference's continuous-import lifecycle folds coverage
+    * continuously [U varda/tasks.py :: import_coverage]; this key is
+    * its CDC read side, and the oracle is the FULL one-shot frequency
+    * SQL — a downstream consumer of the feed must be indistinguishable
+    * from a reader of the store. */
+  val streamStoreChangesFreq: Q = (s, d) =>
+    FreqStore.refoldChanges(
+      drainChangesStream(s, d, "chg_freq_stream",
+        components = Some("obslog,cover,registry")))
+      .orderBy("chromosome", "position", "reference", "observed")
 
   /** Generation-pinned TIME-TRAVEL read — the reference's "state as the
     * reader saw it at import N" [U varda versioned frequency serving]:
@@ -1543,6 +1573,7 @@ object VardaOps {
     "agg_freq_ratio" -> aggFreqRatio,
     "varda_freq_incremental" -> vardaFreqIncremental,
     "stream_store_changes" -> streamStoreChanges,
+    "stream_store_changes_freq" -> streamStoreChangesFreq,
     "varda_freq_lookup" -> vardaFreqLookup,
     "varda_freq_asof" -> vardaFreqAsOf,
     "varda_freq_compare" -> vardaFreqCompare,
@@ -1824,6 +1855,12 @@ object VardaOps {
     // incremental maintenance must converge to the one-shot answer: the
     // oracle IS the one-shot frequency SQL
     "varda_freq_incremental" ->
+      s"""${frequencySql(withZyg = false, None, idivDuck)}
+          ORDER BY n.chromosome, n.position, n.reference, n.observed""",
+    // frequencies reconstructed from the drained change feed alone must
+    // equal the one-shot frequency computation — the CDC consumer is
+    // indistinguishable from a reader of the store
+    "stream_store_changes_freq" ->
       s"""${frequencySql(withZyg = false, None, idivDuck)}
           ORDER BY n.chromosome, n.position, n.reference, n.observed""",
     // retraction must converge to the one-shot over the REMAINING samples

@@ -440,6 +440,166 @@ class FreqStoreChangesSpec extends AnyFunSuite {
       .asInstanceOf[FreqStoreChangesOffset].lastGen == 4L)
   }
 
+  // ---- the DENOMINATOR side (round 16): components=obslog,cover,registry
+
+  private def freqKey(df: DataFrame): Set[(String, Long, String, String,
+      Long, Long, Any)] =
+    df.select("chromosome", "position", "reference", "observed", "numer",
+        "denom", "freq_ppm")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getLong(4), r.getLong(5), if (r.isNullAt(6)) null else r.getLong(6)))
+      .toSet
+
+  test("a foreachBatch consumer of the multiplexed feed reconstructs " +
+      "serve() frequency state bit-exactly — retraction wave included") {
+    val dir = tmpDir("chg_freq")
+    val store = new FreqStore(spark, dir, nBuckets = 4)
+    // adversarial shapes: tagged + untagged observations, coverage
+    // overlapping ACROSS batches (gen 1's fragment is inside gen 0's, so
+    // its covlog delta must be EMPTY), a coverage-less sample feeding
+    // the uncov pool, then a retraction wave for a sample whose merged
+    // fragment coalesced two commits' pieces
+    val obs0 = Seq(
+      ("1", 5000L, "A", "C", 3, 1L), ("1", 5000L, "A", "C", 2, 2L),
+      ("2", 700L, "G", "T", 4, 2L)).toDF(
+      "chromosome", "position", "reference", "observed", "support",
+      "sample_id")
+    store.commit(0, obs0, covB(0),
+      Seq((1L, 2, true), (2L, 5, true)).toDF(
+        "sample_id", "pool_size", "has_coverage"))
+    store.commit(1, obsB(1), covB(1), smpB(1)) // pure coverage + uncov sample
+    store.commit(2, obsB(2), covB(2), smpB(2))
+    // the retraction WAVE: sample 2 held coverage and observations
+    store.retractSamples(3, Seq((2L, 5, true)).toDF(
+      "sample_id", "pool_size", "has_coverage"))
+
+    // the streamed consumer: foreachBatch (the recoverable sink a real
+    // maintenance loop uses), accumulating the feed — then the rebuild
+    // is ONE refold over the accumulated deltas, no store read anywhere
+    val got = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val q = spark.readStream.format("freqstore-changes")
+      .option("components", "all").load(dir)
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        got.synchronized { got ++= df.collect() }
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+
+    val feed = spark.createDataFrame(
+      spark.sparkContext.parallelize(got.toSeq),
+      graft.sources.FreqStoreChangesSource.wideSchema)
+    val rebuilt = FreqStore.refoldChanges(feed)
+    assert(freqKey(rebuilt) == freqKey(store.serve()))
+    assert(rebuilt.count() > 0)
+
+    // covlog shape pins: gen 1's cover delta is EMPTY (its fragment is
+    // strictly inside gen 0's stored coverage — the subtraction
+    // invariant), and gen 3's retraction emits NEGATIVE fragments that
+    // net sample 2's measure to zero
+    val cover = feed.filter(org.apache.spark.sql.functions
+      .col("component") === "cover").collect()
+    assert(!cover.exists(r => r.getLong(0) == 1L))
+    val s2net = cover.filter(_.getLong(6) == 2L)
+      .map(r => (r.getLong(9) to r.getLong(10)).length * r.getLong(11)).sum
+    assert(s2net == 0L, s"sample 2's signed coverage measure must net to " +
+      s"zero after retraction, got $s2net")
+    // the registry streamed the uncov sample (gen 1: sample 3, pool 7,
+    // has_coverage=false) — the denominators' uncov-pool side
+    val reg = feed.filter(org.apache.spark.sql.functions
+      .col("component") === "registry").collect()
+    assert(reg.exists(r => r.getLong(6) == 3L && r.getLong(11) == 7L
+      && !r.getBoolean(12)))
+  }
+
+  test("the multiplexed feed keeps frequency parity at EVERY prefix — a " +
+      "consumer is never mid-generation inconsistent") {
+    val dir = tmpDir("chg_freq_prefix")
+    val store = new FreqStore(spark, dir, nBuckets = 4)
+    val obs0 = Seq(("1", 5000L, "A", "C", 3, 1L)).toDF(
+      "chromosome", "position", "reference", "observed", "support", "sample_id")
+    store.commit(0, obs0, covB(0),
+      Seq((1L, 2, true), (2L, 5, true)).toDF(
+        "sample_id", "pool_size", "has_coverage"))
+    store.commit(1, obsB(1), covB(1), smpB(1))
+    store.commit(2, obsB(2), covB(2), smpB(2))
+    // one generation per micro-batch: after batch k the accumulated
+    // feed must refold to serveAsOf(k) — the transactional-batch
+    // contract (a row-capped source could not hold this)
+    val perBatch = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Seq[org.apache.spark.sql.Row])]
+    val q = spark.readStream.format("freqstore-changes")
+      .option("components", "obslog,cover,registry")
+      .option("maxGensPerTrigger", "1").load(dir)
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val rows = df.collect()
+        perBatch.synchronized {
+          if (rows.nonEmpty)
+            perBatch += ((rows.map(_.getLong(0)).max, rows.toSeq))
+        }
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(perBatch.map(_._1).toSeq == Seq(0L, 1L, 2L))
+    var acc = Seq.empty[org.apache.spark.sql.Row]
+    for ((g, rows) <- perBatch) {
+      acc ++= rows
+      val feed = spark.createDataFrame(
+        spark.sparkContext.parallelize(acc),
+        graft.sources.FreqStoreChangesSource.wideSchema)
+      assert(freqKey(FreqStore.refoldChanges(feed)) ==
+        freqKey(store.serveAsOf(g)),
+        s"prefix through generation $g diverged from serveAsOf($g)")
+    }
+  }
+
+  test("components=cover on a generation written without a covlog fails " +
+      "loudly — never a silently incomplete generation") {
+    val dir = tmpDir("chg_precovlog")
+    build3(dir)
+    // simulate a pre-round-16 store: erase one generation's covlog dir
+    def rm(x: java.io.File): Unit = {
+      Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+      x.delete(); ()
+    }
+    rm(new java.io.File(s"$dir/gen-1/comp=covlog"))
+    val q = spark.readStream.format("freqstore-changes")
+      .option("components", "all").load(dir)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("chg_precovlog").start()
+    val ex = intercept[StreamingQueryException] { q.processAllAvailable() }
+    q.stop()
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("covlog")),
+      s"wanted the covlog-upgrade error, got: ${messages(ex)}")
+  }
+
+  test("a compacted store's covlog snapshot is the netted coverage " +
+      "measure — bootstrap + tail streaming refolds serve() exactly") {
+    val dir = tmpDir("chg_freq_compact")
+    val store = new FreqStore(spark, dir, nBuckets = 4)
+    val obs0 = Seq(("1", 5000L, "A", "C", 3, 1L)).toDF(
+      "chromosome", "position", "reference", "observed", "support", "sample_id")
+    store.commit(0, obs0, covB(0),
+      Seq((1L, 2, true), (2L, 5, true)).toDF(
+        "sample_id", "pool_size", "has_coverage"))
+    store.retractSamples(1, Seq((2L, 5, true)).toDF(
+      "sample_id", "pool_size", "has_coverage"))
+    store.compact()
+    // post-snapshot: the netted covlog must hold sample 1's fragments
+    // only (sample 2's +/- pairs cancelled as a measure)
+    val snapDir = new java.io.File(s"$dir/gen-1.1/comp=covlog")
+    assert(snapDir.exists, "compaction must write the netted covlog")
+    val snap = spark.read.parquet(snapDir.toString)
+    assert(snap.select("sample_id").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(1L))
+    assert(snap.agg(org.apache.spark.sql.functions.min("pool_size"))
+      .head().getInt(0) > 0, "a netted snapshot carries no negative rows")
+  }
+
   test("above the snapshot floor the stream works again (post-compaction " +
       "tail commits)") {
     val dir = tmpDir("chg_floor")
