@@ -18,7 +18,7 @@ class AllQueriesSpec extends AnyFunSuite {
       "dedup_near_minhash", "sim_ann_lsh",
       "sim_ann_ivf", "dedup_near_embedding_lsh"),
       s"unexpected no-oracle keys: $noOracle")
-    assert(q.size == 161, s"expected 161 declared keys, got ${q.size}")
+    assert(q.size == 162, s"expected 162 declared keys, got ${q.size}")
   }
 
   test("entry returns rows") {
@@ -52,9 +52,10 @@ class AllQueriesSpec extends AnyFunSuite {
       val c2 = fn(spark, sf0001).count()
       assert(c1 == c2, s"$name row count not stable: $c1 vs $c2")
       // these can legitimately be empty at tiny scale; everything else
-      // must produce rows.
-      val mayBeEmpty = Set("join_left_anti", "dedup_near_embedding",
-        "dedup_near_embedding_lsh")
+      // must produce rows (dedup_near_embedding_lsh left this set in
+      // round 16: its declared fixture now plants near-identical pairs,
+      // so an empty frame would be a bug, not tiny-scale sparsity)
+      val mayBeEmpty = Set("join_left_anti", "dedup_near_embedding")
       if (!mayBeEmpty(name)) assert(c1 > 0, s"$name returned 0 rows")
     }
   }

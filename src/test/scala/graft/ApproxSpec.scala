@@ -113,9 +113,23 @@ class ApproxSpec extends AnyFunSuite {
     assert(lsh == exact,
       s"missed=${exact.diff(lsh).take(5)} extra=${lsh.diff(exact).take(5)}")
     info(s"lsh pair set equals exact (${exact.size} pairs)")
-    // on the raw corpus no pair reaches 0.9 (measured max cosine ~0.51),
-    // and structural precision means the declared key must agree
-    assert(ops.Analysis.dedupNearEmbeddingLsh(spark, sf001).count() == 0)
+    // the DECLARED key plants one clone per vec_id ≡ 0 (mod 97) at
+    // cosine ≈ 0.9999 (round 16 — the raw corpus holds no >= 0.9 pair,
+    // so the unplanted key certified an empty frame): its output must
+    // be EXACTLY the (original, clone) pairs — every planted pair found
+    // (recall 1.0 on the declared fixture), nothing else (structural
+    // precision + clones of different originals stay dissimilar)
+    val declared = pairSet(ops.Analysis.dedupNearEmbeddingLsh(spark, sf001))
+    val expected = Tables.embeddings(spark, sf001)
+      .filter(col("vec_id") % ops.Analysis.PlantStride === 0)
+      .select("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(0) + ops.Analysis.PlantOffset))
+      .toSet
+    assert(expected.nonEmpty, "the planted fixture must be non-vacuous")
+    assert(declared == expected,
+      s"missed=${expected.diff(declared).take(5)} " +
+        s"extra=${declared.diff(expected).take(5)}")
+    info(s"declared key carries the ${expected.size} planted pairs")
   }
 
   test("stream_late_watermark drops exactly the late rows") {
