@@ -46,8 +46,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * `INSERT INTO fqs.`…` (chromosome, position, reference, observed,
   * numer) SELECT …` lands as ONE transactional generation through
   * [[FreqStore.commit]]'s path (writer lock, marker, replay contract;
-  * see [[FreqStoreInsertable]]). Everything else in the MUTATING
-  * lifecycle — full batches with coverage/samples, retraction,
+  * see [[FreqStoreInsertable]]) — and sample deactivation works as
+  * standard SQL DELETE on the observation-log component view
+  * (round 16): `DELETE FROM fqs.`…#obslog` WHERE sample_id IN (…)`
+  * maps to the retraction fold ([[FreqStoreObslogTable]]). Everything
+  * else in the MUTATING lifecycle — full batches with coverage/samples,
   * compaction — is exposed as stored PROCEDURES (the reference runs
   * those as task endpoints [U varda/tasks.py], not row-level DML), and
   * DDL (create/alter/drop) is rejected:
@@ -73,9 +76,20 @@ class FreqStoreCatalog extends TableCatalog with FunctionCatalog
     * an empty cohort. */
   override def loadTable(ident: Identifier): Table = {
     requireRootNamespace(ident)
-    val dir = ident.name()
-    requireStoreDir(dir)
-    new FreqStoreTable(dir, catalogPartitioned = true)
+    // `/path/to/store#obslog` selects the observation-log component
+    // view (round 16): readable audit log + the DELETE surface mapping
+    // `WHERE sample_id IN (…)` to the retraction fold
+    FreqStoreCatalog.componentOf(ident.name()) match {
+      case Some((dir, "obslog")) =>
+        requireStoreDir(dir)
+        new FreqStoreObslogTable(dir)
+      case Some((_, comp)) =>
+        sys.error(s"freqstore: no component view '#$comp' " +
+          s"(in '${ident.name()}') — available: #obslog")
+      case None =>
+        requireStoreDir(ident.name())
+        new FreqStoreTable(ident.name(), catalogPartitioned = true)
+    }
   }
 
   /** Same guard as the procedure side: a namespaced identifier
@@ -103,12 +117,22 @@ class FreqStoreCatalog extends TableCatalog with FunctionCatalog
     * OF g` of the SAME store co-partitions and shuffles neither side. */
   override def loadTable(ident: Identifier, version: String): Table = {
     requireRootNamespace(ident)
+    requireNoComponent(ident, "VERSION AS OF")
     val asOf = version.toLongOption.getOrElse(sys.error(
       s"freqstore: VERSION AS OF takes a generation id, got '$version'"))
     requireStoreDir(ident.name())
     new FreqStoreTable(ident.name(), catalogPartitioned = true,
       asOfFixed = Some(asOf))
   }
+
+  /** Component views do not time-travel (audit reads pin history with
+    * the MAIN table's AS OF; the log view always shows the full
+    * retained log) — fail loudly rather than silently serving the head. */
+  private def requireNoComponent(ident: Identifier, what: String): Unit =
+    FreqStoreCatalog.componentOf(ident.name()).foreach { case (_, c) =>
+      sys.error(s"freqstore: $what is not supported on the #$c component " +
+        s"view ('${ident.name()}') — time-travel the main table instead")
+    }
   /** SQL-standard wall-clock time travel — `SELECT … FROM fqs.`…`
     * TIMESTAMP AS OF '2026-08-01 12:00:00'`. The DSv2 contract hands the
     * timestamp in MICROSECONDS since the epoch; it resolves to the
@@ -119,6 +143,7 @@ class FreqStoreCatalog extends TableCatalog with FunctionCatalog
     * A timestamp before the store's first commit is an error. */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     requireRootNamespace(ident)
+    requireNoComponent(ident, "TIMESTAMP AS OF")
     requireStoreDir(ident.name())
     val gen = new FreqStore(org.apache.spark.sql.SparkSession.active,
       ident.name()).generationAt(Math.floorDiv(timestamp, 1000L))
@@ -179,6 +204,14 @@ class FreqStoreCatalog extends TableCatalog with FunctionCatalog
 }
 
 object FreqStoreCatalog {
+  /** `"<dir>#<component>"` → (dir, component); None for a plain store
+    * path. Split at the LAST '#' so a (pathological) directory name
+    * containing '#' still addresses its components. */
+  private[sources] def componentOf(name: String): Option[(String, String)] = {
+    val i = name.lastIndexOf('#')
+    if (i < 0) None else Some((name.substring(0, i), name.substring(i + 1)))
+  }
+
   private val BucketFn = "point_bucket_(\\d+)".r
   private[sources] def parseBucketFn(name: String): Option[UnboundFunction] =
     name match {

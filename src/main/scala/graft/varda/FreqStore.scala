@@ -626,7 +626,11 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     * [[retractSamples]] derives `obsR` from the obslog store, so the
     * stream needs only the sample rows. */
   def retract(batchId: Long, obsR: DataFrame, smpR: DataFrame): Unit =
-      withWriterLock(s"retract batch $batchId") {
+    withWriterLock(s"retract batch $batchId")(
+      retractLocked(batchId, obsR, smpR))
+
+  private def retractLocked(batchId: Long, obsR: DataFrame,
+      smpR: DataFrame): Unit = {
     // a retraction's obslog tombstones MUST be sample-tagged: a
     // null-sample_id tombstone can never net against the sample-tagged
     // +rows, so a later retractSamples() for the same samples would
@@ -766,19 +770,39 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     * minus tombstones), so the caller supplies only the sample rows —
     * how the streaming inbox routes a `.rm` file
     * ([[graft.streaming.Ingest.startFreqStateMaintenance]]). */
-  def retractSamples(batchId: Long, smpR: DataFrame): Unit = {
-    // the obsidx registry names the buckets that can hold the samples'
-    // tagged observations (untagged rows never match the semi-join, so
-    // skipping their buckets is lossless); once compaction has bucketed
-    // the obslog, the read opens only those directories
-    val obsR = appendRead("obslog", batchId,
+  def retractSamples(batchId: Long, smpR: DataFrame): Unit =
+    retract(batchId, netObsOf(batchId, smpR), smpR)
+
+  /** The samples' NET observations off the obslog store, as of
+    * generation `batchId` — the derivation [[retractSamples]] and the
+    * SQL DELETE path share. The obsidx registry names the buckets that
+    * can hold the samples' tagged observations (untagged rows never
+    * match the semi-join, so skipping their buckets is lossless); once
+    * compaction has bucketed the obslog, the read opens only those
+    * directories. */
+  private def netObsOf(batchId: Long, smpR: DataFrame): DataFrame =
+    appendRead("obslog", batchId,
         Some(obsBucketsOf(batchId, smpR)))
       .join(broadcast(smpR.select("sample_id")), Seq("sample_id"), "left_semi")
       .groupBy("sample_id", "chromosome", "position", "reference", "observed")
       .agg(sum(col("support")).cast(LongType).as("support"))
       .filter(col("support") =!= 0)
-    retract(batchId, obsR, smpR)
-  }
+
+  /** [[retractSamples]] under the NEXT generation id from the log, the
+    * id chosen UNDER the writer lock (the [[appendGeneration]] twin) —
+    * how SQL `DELETE FROM fqs.`…`#obslog WHERE sample_id IN (…)` lands
+    * ([[graft.sources.FreqStoreObslogTable]]): the DELETE statement has
+    * no batch-id argument, so the store allocates one exactly as the
+    * INSERT path does. Returns the retraction's generation id. */
+  def retractSamplesNext(smpR: DataFrame): Long =
+    withWriterLock("retract samples (next generation)") {
+      // drop the instance log cache UNDER the lock — same staleness
+      // hazard appendGeneration documents
+      logCache = None
+      val gen = generations.map(_._1).maxOption.fold(0L)(_ + 1L)
+      retractLocked(gen, netObsOf(gen, smpR), smpR)
+      gen
+    }
 
   /** Retention compaction: consolidate every live generation `< before`
     * into ONE snapshot — written as a NEW versioned directory
@@ -1534,6 +1558,23 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     * stream an incomplete generation). */
   private[graft] def hasDeltaComponent(comp: String, g: Long): Boolean =
     fs.exists(new Path(s"${genPath(g, 0)}/comp=$comp"))
+
+  /** Every LIVE generation's obslog parquet files, tagged with the
+    * generation id — the observation-log catalog table's scan manifest
+    * ([[graft.sources.FreqStoreObslogTable]]): one consistent log
+    * snapshot per call (per-marker resolution, snapshot floor), same
+    * contract as every other read. Rows from a snapshot (v >= 1) are
+    * the NETTED rewrite of all history at or below it and carry the
+    * snapshot head's generation id. */
+  private[graft] def obslogLiveFiles(): Seq[(Long, String)] =
+    live(Long.MaxValue).flatMap { m =>
+      val cp = compPath(m, "obslog")
+      val bd = bucketDirs(cp)
+      val dirs = if (bd.isEmpty) Seq(cp).filter(fs.exists) else bd.map(_._2)
+      dirs.flatMap(p => fs.listStatus(p).toSeq
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(st => (m.id, st.getPath.toString)))
+    }
 
   /** Marker (id, version) pairs from the commit-log FILE NAMES alone —
     * a LIVE listing (never cached) that opens NO marker content. The

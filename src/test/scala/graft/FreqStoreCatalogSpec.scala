@@ -354,4 +354,125 @@ class FreqStoreCatalogSpec extends AnyFunSuite {
       assert(spark.table(s"fqs.`$dir`").count() > 0)
     }
   }
+
+  // ---- SQL DELETE on the observation-log component view (round 16)
+
+  /** Twin stores with sample-TAGGED observations across two commits —
+    * the shape where a retraction touches numerators, coverage,
+    * denominators and the registry at once. */
+  private def taggedStore(): String = {
+    val dir = tmpDir("fqs_del")
+    val store = new FreqStore(spark, dir, nBuckets = 4)
+    val obs0 = Seq(
+      ("1", 5000L, "A", "C", 3, 1L), ("1", 5000L, "A", "C", 2, 2L),
+      ("2", 700L, "G", "T", 4, 2L)).toDF(
+      "chromosome", "position", "reference", "observed", "support",
+      "sample_id")
+    val cov0 = Seq(
+      (10L, "1", 4000L, 6000L, 1L, 2), (14L, "2", 600L, 800L, 2L, 5))
+      .toDF("region_id", "chromosome", "begin_pos", "end_pos",
+        "sample_id", "pool_size")
+    val smp0 = Seq((1L, 2, true), (2L, 5, true)).toDF(
+      "sample_id", "pool_size", "has_coverage")
+    store.commit(0, obs0, cov0, smp0)
+    store.commit(1,
+      Seq(("X", 9000L, "T", "A", 1, 2L)).toDF("chromosome", "position",
+        "reference", "observed", "support", "sample_id"),
+      cov0.filter("false"),
+      Seq((3L, 7, false)).toDF("sample_id", "pool_size", "has_coverage"))
+    dir
+  }
+
+  test("SQL DELETE on the #obslog view is row-identical to CALL " +
+      "retract_samples on a twin store — lock and generation contract " +
+      "intact") {
+    withSpj {
+      val dirA = taggedStore()
+      val dirB = taggedStore()
+      // the DML form: DELETE allocates the next generation (2) under
+      // the writer lock, exactly as INSERT INTO allocates for commits
+      spark.sql(s"DELETE FROM fqs.`$dirA#obslog` WHERE sample_id IN (2)")
+      // the procedural form on the twin, pinned to the same generation
+      spark.sql(s"CALL fqs.retract_samples('$dirB', 2, array(2L))")
+      val a = new FreqStore(spark, dirA)
+      val b = new FreqStore(spark, dirB)
+      assert(rowSet(a.serve()) == rowSet(b.serve()))
+      assert(a.generations == b.generations)
+      assert(a.generations.map(_._1).max == 2L,
+        "DELETE must land as the next generation from the commit log")
+      // the log view shows the retraction as tombstones (negative
+      // support), netting sample 2 to zero — and the twin's log agrees
+      assert(rowSet(spark.table(s"fqs.`$dirA#obslog`")) ==
+        rowSet(spark.table(s"fqs.`$dirB#obslog`")))
+      val net = spark.table(s"fqs.`$dirA#obslog`")
+        .groupBy("sample_id")
+        .agg(org.apache.spark.sql.functions.sum("support").as("net"))
+        .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) ->
+          r.getLong(1)).toMap
+      assert(net(2L) == 0L, s"sample 2 must net to zero, got $net")
+      assert(net(1L) == 3L, s"sample 1 must survive, got $net")
+      // no lock left behind: a later mutation acquires cleanly
+      spark.sql(s"CALL fqs.compact('$dirA')")
+    }
+  }
+
+  test("DELETE is idempotent through the log algebra: a second DELETE " +
+      "of the same samples changes nothing") {
+    withSpj {
+      val dir = taggedStore()
+      spark.sql(s"DELETE FROM fqs.`$dir#obslog` WHERE sample_id = 2")
+      val once = rowSet(new FreqStore(spark, dir).serve())
+      spark.sql(s"DELETE FROM fqs.`$dir#obslog` WHERE sample_id = 2")
+      assert(rowSet(new FreqStore(spark, dir).serve()) == once)
+    }
+  }
+
+  test("DELETE refuses predicates the retraction algebra cannot honor " +
+      "— and bare DELETE (truncate)") {
+    withSpj {
+      val dir = taggedStore()
+      val before = rowSet(spark.table(s"fqs.`$dir#obslog`"))
+      val e1 = intercept[Exception] {
+        spark.sql(s"DELETE FROM fqs.`$dir#obslog` WHERE position = 5000")
+      }
+      assert(e1.getMessage.toLowerCase.contains("delete"), e1.getMessage)
+      val e2 = intercept[Exception] {
+        spark.sql(s"DELETE FROM fqs.`$dir#obslog`")
+      }
+      assert(e2.getMessage.toLowerCase.contains("delete") ||
+        e2.getMessage.toLowerCase.contains("truncate"), e2.getMessage)
+      // refused statements mutated nothing
+      assert(rowSet(spark.table(s"fqs.`$dir#obslog`")) == before)
+    }
+  }
+
+  test("the #obslog view reads the observation LOG (generation-tagged; " +
+      "snapshots net it) and refuses time travel") {
+    withSpj {
+      val dir = taggedStore()
+      val t = spark.table(s"fqs.`$dir#obslog`")
+      assert(t.columns.toSeq == Seq("generation", "chromosome", "position",
+        "reference", "observed", "sample_id", "support"))
+      assert(t.select("generation").distinct().collect()
+        .map(_.getLong(0)).toSet == Set(0L, 1L))
+      assert(t.count() == 4L)
+      val ev = intercept[Exception] {
+        spark.sql(s"SELECT * FROM fqs.`$dir#obslog` VERSION AS OF 0").collect()
+      }
+      assert(ev.getMessage.contains("component"), ev.getMessage)
+      // DELETE + compact: tombstones fold away, rows carry the snapshot
+      // head's generation id
+      spark.sql(s"DELETE FROM fqs.`$dir#obslog` WHERE sample_id IN (2)")
+      spark.sql(s"CALL fqs.compact('$dir')")
+      val snap = spark.table(s"fqs.`$dir#obslog`").collect()
+      assert(snap.forall(_.getLong(6) > 0), "netted log has no tombstones")
+      assert(snap.map(r => (r.getString(1), r.getLong(2))).toSet ==
+        Set(("1", 5000L)), "only sample 1's observation survives")
+      // an unknown component view fails with the available list
+      val eu = intercept[Exception] {
+        spark.table(s"fqs.`$dir#covlog`").collect()
+      }
+      assert(eu.getMessage.contains("obslog"), eu.getMessage)
+    }
+  }
 }
