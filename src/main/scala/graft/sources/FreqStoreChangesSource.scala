@@ -250,6 +250,20 @@ class FreqStoreChangesStream(dir: String, startAt: Option[Long],
     case _ => None // allAvailable / minRows etc: no cap
   }
 
+  /** The ROW-limit-as-GENERATION-limit reinterpretation is documented
+    * but invisible to operators (round-15 ADVICE) — log it ONCE per
+    * stream so an engine-injected row cap is observable. */
+  @volatile private var loggedRowCapReinterpretation = false
+  private def noteRowCap(n: Long): Unit =
+    if (!loggedRowCapReinterpretation) {
+      loggedRowCapReinterpretation = true
+      System.err.println(s"freqstore-changes: interpreting a " +
+        s"ReadLimit.maxRows($n) admission cap as $n GENERATIONS per " +
+        "micro-batch — a transactional commit's delta must land whole " +
+        "in one batch, so row-exact capping cannot hold the " +
+        "transaction boundary")
+    }
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     // the CHECKPOINT offset wins over startingGeneration (the Kafka
     // startingOffsets convention): the option seeds initialOffset()
@@ -259,8 +273,10 @@ class FreqStoreChangesStream(dir: String, startAt: Option[Long],
     val lo = start.asInstanceOf[FreqStoreChangesOffset].lastGen
     var ids = store.committedIds.filter(_ > lo)
     availableNowCap.foreach(cap => ids = ids.filter(_ <= cap))
-    maxRowsOf(limit).foreach(n =>
-      ids = ids.take(math.max(1L, n).min(Int.MaxValue).toInt))
+    maxRowsOf(limit).foreach { n =>
+      noteRowCap(n)
+      ids = ids.take(math.max(1L, n).min(Int.MaxValue).toInt)
+    }
     FreqStoreChangesOffset(if (ids.isEmpty) lo else ids.max)
   }
 

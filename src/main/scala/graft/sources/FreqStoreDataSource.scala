@@ -75,7 +75,19 @@ private[sources] object GroupReads {
   /** Wrap a parquet Binary's UTF-8 bytes into a UTF8String DIRECTLY —
     * `fromString(…toStringUsingUTF8)` decodes to a java String and
     * re-encodes the chars, two allocations per string cell on the
-    * per-row hot path for nothing. */
+    * per-row hot path for nothing.
+    *
+    * WRITER-ENCODING CONTRACT (round-15 ADVICE): `getBytes` may return
+    * the Binary's BACKING array without copying, which is only safe
+    * when that array is not recycled across rows — true for the
+    * store's own files (written by Spark's parquet v1 writer:
+    * PLAIN / dictionary encodings materialize per-value arrays), NOT
+    * for reused-buffer encodings like parquet v2's DELTA_BYTE_ARRAY.
+    * Every file this helper reads is store-written (the components and
+    * the change feed), so the contract holds by construction; if a
+    * foreign-written parquet ever enters these paths, copy here
+    * (`getBytesUnsafe` vs `getBytes` semantics) before widening the
+    * contract. */
   def utf8(g: org.apache.parquet.example.data.Group, field: String): UTF8String =
     UTF8String.fromBytes(g.getBinary(field, 0).getBytes)
 }

@@ -175,18 +175,30 @@ def setcmp_topk(con, got_df, exp_df):
                 return False, (f"qid {qid}: swap spans {max(scores) - min(scores):.2e}"
                                f" > one decimal cell (extra={extra} missing={missing})")
             swapped += len(extra)
-        shared_diff = {n for n in set(gm) & set(em) if gm[n] != em[n]}
+        # compare shared neighbors by their RANK-COMPRESSED positions
+        # (each side's order restricted to the shared set), not raw
+        # ranks: a membership swap at rank r displaces every shared
+        # neighbor below it by one raw rank, and those unit shifts used
+        # to chain the intervals below into ONE cluster spanning many
+        # score levels — a legitimate tie swap then failed the
+        # one-cell bound (round-15 ADVICE: false failure, not a false
+        # pass). Compression cancels insertion/deletion displacement
+        # exactly; genuine mutual reorders still differ.
+        shared = set(gm) & set(em)
+        gorder = {n: i for i, n in enumerate(sorted(shared, key=lambda n: gm[n]))}
+        eorder = {n: i for i, n in enumerate(sorted(shared, key=lambda n: em[n]))}
+        shared_diff = {n for n in shared if gorder[n] != eorder[n]}
         if shared_diff:
             # cluster MUTUALLY-reordered neighbors before bounding: two
             # independent boundary ties at different score levels (say a
             # 2<->3 swap near cos 0.9 and a 7<->8 swap near 0.5) are each
             # legitimate, but a single max-min span over their union
             # would falsely fail. Neighbors reordered against each other
-            # have overlapping [min(rank_got, rank_exp), max(...)]
+            # have overlapping [min(pos_got, pos_exp), max(...)]
             # intervals; merge overlapping intervals into clusters and
             # bound each cluster's recomputed-cosine span independently.
             cos = cos_of(con, [(qid, n) for n in shared_diff])
-            ivs = sorted((min(gm[n], em[n]), max(gm[n], em[n]), n)
+            ivs = sorted((min(gorder[n], eorder[n]), max(gorder[n], eorder[n]), n)
                          for n in shared_diff)
             clusters, cur, cur_hi = [], [ivs[0][2]], ivs[0][1]
             for lo_r, hi_r, n in ivs[1:]:
