@@ -219,9 +219,16 @@ object Analysis {
     * (original, clone) pairs — non-vacuous at every gate scale, and
     * ApproxSpec pins it equal to the exact kernel over the same planted
     * frame. */
-  val dedupNearEmbeddingLsh: Q = (s, d) =>
-    nearIdenticalLsh(plantNearPairs(Tables.embeddings(s, d)))
-      .orderBy("d1", "d2")
+  val dedupNearEmbeddingLsh: Q = (s, d) => {
+    val planted = plantNearPairs(Tables.embeddings(s, d))
+    // the fit-step count memoizes per (session, corpus) like the
+    // sibling ANN keys' (round-16 review: an unmemoized count was a
+    // full extra corpus scan on every timed invocation)
+    val n = Llm.cachedModel(s, s"near_lsh_n:$d") {
+      java.lang.Long.valueOf(planted.count())
+    }.longValue()
+    nearIdenticalLsh(planted, nHint = Some(n)).orderBy("d1", "d2")
+  }
 
   /** Clone ids sit PlantOffset above their original (disjoint from any
     * corpus id at every measured scale — GenScale strides by 10^7). */
@@ -261,14 +268,15 @@ object Analysis {
     *    the measured 7.9×/decade wall-clock (RATIO_SF1 round 15).
     *  - Exact cosine via the codegen'd float_dot on the joined vectors,
     *    DECIMAL-rounded threshold compare. */
-  private[graft] def nearIdenticalLsh(e: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
+  private[graft] def nearIdenticalLsh(e: org.apache.spark.sql.DataFrame,
+      nHint: Option[Long] = None): org.apache.spark.sql.DataFrame = {
     graft.functions.GraftFunctions.registerAll(e.sparkSession)
     // the fit step: ONE count sizes the shape (cheap against the banded
-    // join it right-sizes; the 1024-band cap bounds the signature
-    // budget — past ~10^13 rows the miss bound degrades gracefully
-    // rather than the cost exploding)
-    val (bits, bands) = lshShape(e.count(), cosTarget = 0.9,
+    // join it right-sizes, and memoizable by the caller via nHint; the
+    // 1024-band cap bounds the signature budget — past ~10^13 rows the
+    // miss bound degrades gracefully rather than the cost exploding)
+    val (bits, bands) = lshShape(nHint.getOrElse(e.count()),
+      cosTarget = 0.9,
       missTarget = 2e-5, minBits = 8, occupancy = 4, maxBands = 1024)
     // no persist: the codegen'd signature pass is cheap enough that the
     // self-join's two evaluations beat leaking one cache entry per call

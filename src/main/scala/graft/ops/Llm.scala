@@ -105,7 +105,7 @@ object Llm {
     * contract. Stopped sessions' entries are swept on the next miss. */
   private val modelCache = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String), AnyRef]
-  private def cachedModel[T <: AnyRef](s: org.apache.spark.sql.SparkSession,
+  private[ops] def cachedModel[T <: AnyRef](s: org.apache.spark.sql.SparkSession,
       key: String)(fit: => T): T =
     modelCache.get((s, key)) match {
       case Some(m) => m.asInstanceOf[T]

@@ -100,11 +100,16 @@ class FreqStoreChangesSource extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val dir = Option(properties.get("path")).getOrElse(
+    // DataSourceV2Utils hands getTable the ORIGINAL-CASE option map —
+    // re-wrap it case-insensitively so a miscased `Components` cannot
+    // silently fall back to the legacy narrow feed (round-16 review:
+    // every other option of this source is case-insensitive)
+    val opts = new CaseInsensitiveStringMap(properties)
+    val dir = Option(opts.get("path")).getOrElse(
       sys.error("freqstore-changes source needs a path: " +
         "spark.readStream.format(\"freqstore-changes\").load(dir)"))
     new FreqStoreChangesTable(dir,
-      FreqStoreChangesSource.parseComponents(properties.get("components")))
+      FreqStoreChangesSource.parseComponents(opts.get("components")))
   }
 }
 

@@ -80,6 +80,9 @@ class FreqStoreObslogTable(dir: String) extends Table
     if (ids.isEmpty) return // a vacuous conjunction deletes nothing
     val s = SparkSession.active
     import s.implicits._
+    // retractSamplesNext is a NO-OP (None, no generation committed)
+    // when the named samples have nothing to retract — so a repeated or
+    // mistargeted DELETE never grows the commit log
     new FreqStore(s, dir).retractSamplesNext(ids.toDF("sample_id"))
     ()
   }

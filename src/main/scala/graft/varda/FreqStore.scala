@@ -793,15 +793,40 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
     * how SQL `DELETE FROM fqs.`…`#obslog WHERE sample_id IN (…)` lands
     * ([[graft.sources.FreqStoreObslogTable]]): the DELETE statement has
     * no batch-id argument, so the store allocates one exactly as the
-    * INSERT path does. Returns the retraction's generation id. */
-  def retractSamplesNext(smpR: DataFrame): Long =
+    * INSERT path does. Returns the retraction's generation id, or None
+    * when the samples have NOTHING to retract (never observed, never
+    * registered, no stored coverage — OR already fully retracted):
+    * committing a generation for a vacuous DELETE would grow the log,
+    * emit an empty change-feed batch and lengthen every replay for no
+    * state change (the INSERT path's zero-row rule, round-16 review) —
+    * so idempotent maintenance DML is a true no-op. The explicit-id
+    * [[retract]] keeps committing empties: a crash-REPLAYED retraction
+    * must rewrite its own generation even when net-empty. */
+  def retractSamplesNext(smpR: DataFrame): Option[Long] =
     withWriterLock("retract samples (next generation)") {
       // drop the instance log cache UNDER the lock — same staleness
       // hazard appendGeneration documents
       logCache = None
       val gen = generations.map(_._1).maxOption.fold(0L)(_ + 1L)
-      retractLocked(gen, netObsOf(gen, smpR), smpR)
-      gen
+      val sids = broadcast(smpR.select("sample_id"))
+      // short-circuit order: the common live-sample case answers on the
+      // first (bucket-pruned) probe; the fully-vacuous case costs three
+      // limit-1 jobs over pruned reads
+      def hasObs = netObsOf(gen, smpR).limit(1).count() > 0
+      def hasReg = appendRead("smpreg", gen, None)
+        .join(sids, Seq("sample_id"), "left_semi")
+        .groupBy("sample_id", "has_coverage")
+        .agg(sum(col("pool_size")).as("p")).filter(col("p") =!= 0)
+        .limit(1).count() > 0
+      def hasCover = mergeRead("cover", gen,
+          Some(covBucketsOf(gen, smpR.select("sample_id"))))
+        .join(sids, Seq("sample_id"), "left_semi")
+        .limit(1).count() > 0
+      if (!hasObs && !hasReg && !hasCover) None
+      else {
+        retractLocked(gen, netObsOf(gen, smpR), smpR)
+        Some(gen)
+      }
     }
 
   /** Retention compaction: consolidate every live generation `< before`
@@ -891,11 +916,18 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
       .agg(sum(col("pool_size")).cast(IntegerType).as("pool_size"))
       .filter(col("pool_size") =!= 0)
       .select("sample_id", "pool_size", "has_coverage")
+    // the consolidated cover content feeds THREE snapshot components
+    // (covidx, the re-bucketed cover store, the netted covlog) — read
+    // and merge it ONCE, persisted so the concurrent write thunks share
+    // blocks instead of each re-running the interval-merge fold
+    // (round-16 review; persist() not localCheckpoint for the round-12
+    // concurrent-jobs deadlock reason)
+    lazy val coverAll = mergeRead("cover", before, None).persist()
     // the covidx registry is rewritten EXACTLY from the consolidated
     // cover store — retraction residue ages out and, when the snapshot
     // splits, the bucket ids are re-derived under the new modulus (the
     // per-commit appends are only ever a superset hint)
-    val covidxSnap = mergeRead("cover", before, None)
+    def covidxSnap = coverAll
       .select(col("sample_id"),
         bktOf(col("cell"), newN).cast(IntegerType).as("bkt_id"))
       .distinct()
@@ -930,7 +962,7 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
       // cover sorts by its own point key, (chromosome, cell): the
       // range-filtered lookup prunes its cover probe with a cell-range
       // predicate, which row-group stats answer on this layout
-      ("cover", () => bucketize(mergeRead("cover", before, None),
+      ("cover", () => bucketize(coverAll,
         bktOf(col("cell"), newN), newN)
         .sortWithinPartitions("bkt", "chromosome", "cell"), true),
       // the signed coverage log nets to the consolidated cover store's
@@ -938,12 +970,13 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
       // measure): rewrite it AS that content, so a consumer
       // bootstrapping from the snapshot + streaming the tail refolds
       // the same denominators the netted history would have
-      ("covlog", () => mergeRead("cover", before, None)
+      ("covlog", () => coverAll
         .select("chromosome", "cell", "fbegin", "fend", "sample_id",
           "pool_size"), false),
       ("smpreg", () => smpregSnap, false),
       ("covidx", () => covidxSnap, false),
       ("obsidx", () => obsidxSnap, false)), Map.empty)
+    coverAll.unpersist(false) // all three consumers are written
     // the snapshot re-marker carries the consolidated head's FIRST
     // bless forward: the snapshot is maintenance, not user-visible
     // history, so `TIMESTAMP AS OF <maxGen's original commit time>`

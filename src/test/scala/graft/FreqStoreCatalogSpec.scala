@@ -416,14 +416,29 @@ class FreqStoreCatalogSpec extends AnyFunSuite {
     }
   }
 
-  test("DELETE is idempotent through the log algebra: a second DELETE " +
-      "of the same samples changes nothing") {
+  test("DELETE is idempotent AND vacuous DELETEs are true no-ops: no " +
+      "generation committed for nothing-to-retract") {
     withSpj {
       val dir = taggedStore()
       spark.sql(s"DELETE FROM fqs.`$dir#obslog` WHERE sample_id = 2")
-      val once = rowSet(new FreqStore(spark, dir).serve())
+      val st = new FreqStore(spark, dir)
+      val once = rowSet(st.serve())
+      val gensOnce = st.generations
+      // repeated DELETE of an already-retracted sample: state unchanged
+      // AND the commit log does not grow (round-16 review — a vacuous
+      // retraction generation would emit an empty change-feed batch and
+      // lengthen every replay for no state change)
       spark.sql(s"DELETE FROM fqs.`$dir#obslog` WHERE sample_id = 2")
       assert(rowSet(new FreqStore(spark, dir).serve()) == once)
+      assert(new FreqStore(spark, dir).generations == gensOnce,
+        "a repeated DELETE must not commit a generation")
+      // DELETE of a sample that never existed: same no-op contract
+      spark.sql(s"DELETE FROM fqs.`$dir#obslog` WHERE sample_id IN (999)")
+      assert(new FreqStore(spark, dir).generations == gensOnce,
+        "a mistargeted DELETE must not commit a generation")
+      // and a REAL retraction afterwards still lands cleanly
+      spark.sql(s"DELETE FROM fqs.`$dir#obslog` WHERE sample_id = 1")
+      assert(new FreqStore(spark, dir).generations.size == gensOnce.size + 1)
     }
   }
 

@@ -555,6 +555,20 @@ class FreqStoreChangesSpec extends AnyFunSuite {
     }
   }
 
+  test("the components option is case-insensitive — a miscased key must " +
+      "not silently fall back to the narrow feed") {
+    val dir = tmpDir("chg_case")
+    build3(dir)
+    // round-16 review: getTable used to read the ORIGINAL-CASE
+    // properties map, so option("Components", …) silently served the
+    // legacy obslog-only schema — the exact numerator-without-
+    // denominator desync the covlog guard fails loudly to prevent
+    val df = spark.readStream.format("freqstore-changes")
+      .option("Components", "ALL").load(dir)
+    assert(df.schema == graft.sources.FreqStoreChangesSource.wideSchema,
+      s"miscased components option fell back to ${df.schema.simpleString}")
+  }
+
   test("components=cover on a generation written without a covlog fails " +
       "loudly — never a silently incomplete generation") {
     val dir = tmpDir("chg_precovlog")
