@@ -555,6 +555,54 @@ class FreqStoreChangesSpec extends AnyFunSuite {
     }
   }
 
+  test("END-TO-END: the typed-inbox ingest loop's waves stream a " +
+      "frequency-complete feed — refold == serve() through the REAL " +
+      "write path, sparse wave ids and retraction included") {
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    val base = JFiles.createTempDirectory(
+      JPaths.get("/root/repo/target"), "chg_e2e")
+    val (src, store, ckpt) = (s"$base/src", s"$base/store", s"$base/ckpt")
+    JFiles.createDirectories(JPaths.get(src))
+    def put(name: String, rows: Seq[String]): Unit =
+      JFiles.write(JPaths.get(s"$src/$name"),
+        String.join("\n", rows: _*).getBytes)
+    // wave 1 (gens 2b/2b+1 allocation — SPARSE ids are normal): imports
+    // with coverage + an uncovered sample; wave 2 carries BOTH a new
+    // import and a deactivation (the reference's normal lifecycle)
+    put("a.obs", Seq("1;1;5000;A;C;3;1", "2;X;5000;A;C;1;2"))
+    put("a.bed", Seq("10;1;4000;6000;1;2", "12;X;4000;6000;2;5"))
+    put("a.smp", Seq("1;2;true", "2;5;true", "3;7;false"))
+    graft.streaming.Ingest.startFreqStateMaintenance(spark, src, store, ckpt)
+      .awaitTermination()
+    put("b.obs", Seq("3;X;5000;A;C;2;2"))
+    put("b.rm", Seq("1;2;true", "3;7;false"))
+    graft.streaming.Ingest.startFreqStateMaintenance(spark, src, store, ckpt)
+      .awaitTermination()
+
+    val got = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val q = spark.readStream.format("freqstore-changes")
+      .option("components", "all").load(store)
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        got.synchronized { got ++= df.collect() }
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val feed = spark.createDataFrame(
+      spark.sparkContext.parallelize(got.toSeq),
+      graft.sources.FreqStoreChangesSource.wideSchema)
+    val st = new FreqStore(spark, store)
+    assert(freqKey(FreqStore.refoldChanges(feed)) == freqKey(st.serve()))
+    // the retraction wave's -fragments flowed: sample 1's coverage nets
+    // to zero in the feed's signed measure
+    val s1 = feed.filter(org.apache.spark.sql.functions
+        .col("component") === "cover")
+      .filter(org.apache.spark.sql.functions.col("sample_id") === 1L)
+      .collect()
+    assert(s1.nonEmpty && s1.map(r =>
+      (r.getLong(10) - r.getLong(9) + 1) * r.getLong(11)).sum == 0L)
+  }
+
   test("the components option is case-insensitive — a miscased key must " +
       "not silently fall back to the narrow feed") {
     val dir = tmpDir("chg_case")
