@@ -595,6 +595,12 @@ object VardaOps {
     * history is exactly what compaction has not yet consolidated
     * (the lakehouse time-travel/vacuum trade). Build amortized into
     * warmup like every other standing index. */
+  /** The memoized time-travel store's directory, for tooling that
+    * compares a declared key's output against the SAME store's direct
+    * reads ([[graft.tools.ChangesParity]]). */
+  private[graft] def ttStoreDirFor(s: SparkSession, d: String): String =
+    timeTravelFreqStore(s, d)
+
   private def timeTravelFreqStore(s: SparkSession, d: String): String =
     builtStores.synchronized {
       builtStores.computeIfAbsent(s,
