@@ -617,6 +617,68 @@ class FreqStoreChangesSpec extends AnyFunSuite {
       s"miscased components option fell back to ${df.schema.simpleString}")
   }
 
+  test("the wide feed restarts from its checkpoint: accumulated rows " +
+      "across two runs refold to the post-commit serve()") {
+    val dir = tmpDir("chg_wide_restart")
+    val ckpt = tmpDir("chg_wide_restart_ckpt")
+    val store = new FreqStore(spark, dir, nBuckets = 4)
+    val obs0 = Seq(("1", 5000L, "A", "C", 3, 1L)).toDF(
+      "chromosome", "position", "reference", "observed", "support", "sample_id")
+    store.commit(0, obs0, covB(0),
+      Seq((1L, 2, true), (2L, 5, true)).toDF(
+        "sample_id", "pool_size", "has_coverage"))
+    val got = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    def drain(): Unit = {
+      val q = spark.readStream.format("freqstore-changes")
+        .option("components", "all").load(dir)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          got.synchronized { got ++= df.collect() }
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain()
+    val afterFirst = got.size
+    // a commit landing while no stream runs; the restarted query must
+    // resume at the checkpoint offset — re-emitting gen 0's deltas here
+    // would double every component in the refold below
+    store.commit(1, obsB(2), covB(2), smpB(2))
+    drain()
+    assert(got.size > afterFirst, "the restart must emit only the tail")
+    val feed = spark.createDataFrame(
+      spark.sparkContext.parallelize(got.toSeq),
+      graft.sources.FreqStoreChangesSource.wideSchema)
+    assert(freqKey(FreqStore.refoldChanges(feed)) == freqKey(store.serve()))
+  }
+
+  test("a component SUBSET streams without the others — obslog+registry " +
+      "works on a store whose covlog was never written") {
+    val dir = tmpDir("chg_subset")
+    build3(dir)
+    // strip every covlog (a pre-round-16 store): the subset that does
+    // not ask for cover must still stream fine
+    def rm(x: java.io.File): Unit = {
+      Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+      x.delete(); ()
+    }
+    for (g <- 0 until 3) rm(new java.io.File(s"$dir/gen-$g/comp=covlog"))
+    val q = spark.readStream.format("freqstore-changes")
+      .option("components", "obslog,registry").load(dir)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("chg_subset").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("chg_subset").collect()
+      val comps = rows.map(_.getString(1)).toSet
+      assert(comps == Set("obs", "registry"), s"got components $comps")
+      // all three generations' registry rows arrived (one sample each)
+      assert(rows.count(_.getString(1) == "registry") == 3)
+      assert(rows.count(_.getString(1) == "obs") == 3)
+    } finally q.stop()
+  }
+
   test("components=cover on a generation written without a covlog fails " +
       "loudly — never a silently incomplete generation") {
     val dir = tmpDir("chg_precovlog")
