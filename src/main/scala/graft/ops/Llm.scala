@@ -567,6 +567,29 @@ object Llm {
       .orderBy("qid", "rank")
   }
 
+  /** The PERSISTED-index lifecycle as a declared key (round 16 —
+    * [[AnnIndex]]): build the IVF index on two thirds of the corpus,
+    * INCREMENTALLY append the remaining third against the persisted
+    * centroids (no refit — the 100 TB maintenance path), then answer
+    * the standard top-5 query FROM THE INDEX DIRECTORY (partitioned
+    * parquet + broadcast centroid probes), not from session state.
+    * Build+append run once per (session, corpus) — the amortized-build
+    * contract every ANN key here uses; the timed cost of a repeat
+    * invocation is load + query, which is what a serving job pays. No
+    * oracle (approx); AnnIndexSpec pins recall vs the exact kernel,
+    * build/append assignment parity, the pruned point-lookup plan, and
+    * append-visibility of planted neighbors. */
+  val simAnnIvfPersist: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val dir = Scans.scratch(s, "ann_ivf_index", d)
+    cachedModel(s, s"ivf_persist:$d") {
+      AnnIndex.build(s, e.filter(col("vec_id") % 3 =!= 0), dir)
+      AnnIndex.append(s, e.filter(col("vec_id") % 3 === 0), dir)
+      java.lang.Boolean.TRUE
+    }
+    AnnIndex.query(s, dir, k = 5).orderBy("qid", "rank")
+  }
+
   /** Language-bucketed term frequency: top-10 terms per lang with
     * deterministic (count desc, term asc) tiebreak. */
   val textTokensTf: Q = (s, d) => {
@@ -695,6 +718,7 @@ object Llm {
     "sim_topk_cosine" -> simTopkCosine,
     "sim_ann_lsh" -> simAnnLsh,
     "sim_ann_ivf" -> simAnnIvf,
+    "sim_ann_ivf_persist" -> simAnnIvfPersist,
     "text_tokens_tf" -> textTokensTf,
     "text_tfidf" -> textTfidf,
     "multimodal_join" -> multimodalJoin)

@@ -901,6 +901,30 @@ object VardaOps {
       .orderBy("obs_id", "alt_index")
   }
 
+  /** Annotated-VCF EXPORT round trip (round 16) — the write-back half of
+    * the reference's lifecycle as a DECLARED key: `varda_annotate`'s
+    * frequency-annotated frame is rendered to a sites-only VCF
+    * ([[graft.varda.Annotate.writeAnnotatedVcf]] — distributed text
+    * write, `FREQ_PPM=<ppm>` INFO fields, a header part alongside the
+    * data parts), then parsed BACK with the same [[Vcf.parseVcfLines]]
+    * reader the import path uses. The oracle is `varda_annotate`'s own
+    * SQL: the export is lossless exactly when the round-tripped frame
+    * hash-matches the annotation it serialized — which also certifies
+    * the emitted file is valid input for a re-import (the reference
+    * feeds annotated VCFs back through import_variation [U
+    * varda/tasks.py]). Scale: one map-only text write + one map-only
+    * parse; the only join inside the parse is the per-FILE header
+    * frame, broadcast. */
+  val sinkVcf: Q = (s, d) => {
+    val tmp = graft.ops.Scans.scratch(s, "sink_vcf", d)
+    Annotate.writeAnnotatedVcf(s, d, tmp)
+    Vcf.parseVcfLines(s.read.text(tmp))
+      .select(col("chromosome"), col("position"), col("reference"),
+        col("observed"),
+        element_at(col("info"), "FREQ_PPM").cast(LongType).as("freq_ppm"))
+      .orderBy("chromosome", "position", "reference", "observed")
+  }
+
   /** BED-shaped interval ingest (varda/tasks.py :: import_coverage [U]). */
   val sourceBed: Q = (s, d) => {
     val lines = cov(s, d).select(concat_ws(";",
@@ -1572,6 +1596,7 @@ object VardaOps {
     "varda_trio_denovo" -> vardaTrioDenovo,
     "source_vcf" -> sourceVcf,
     "source_vcf_file" -> sourceVcfFile,
+    "sink_vcf" -> sinkVcf,
     "source_bed" -> sourceBed,
     "join_range_interval" -> joinRangeInterval,
     "join_range_rewrite" -> joinRangeRewrite,
@@ -1935,6 +1960,20 @@ object VardaOps {
       s"""${frequencySql(withZyg = false, Some(sampleWhere), idivDuck)}
           ORDER BY n.chromosome, n.position, n.reference, n.observed""",
     "varda_annotate" ->
+      s"""WITH freq AS (${frequencySql(withZyg = false, None, idivDuck)}),
+          input AS (SELECT DISTINCT chromosome,
+                      position + CASE WHEN obs_id % 4 = 0 THEN 1 ELSE 0 END AS position,
+                      reference, observed
+                    FROM ($observations) oo WHERE obs_id % 2 = 0)
+          SELECT i.chromosome, i.position, i.reference, i.observed,
+            COALESCE(f.freq_ppm, 0) AS freq_ppm
+          FROM input i LEFT JOIN freq f
+            ON i.chromosome = f.chromosome AND i.position = f.position
+            AND i.reference = f.reference AND i.observed = f.observed
+          ORDER BY i.chromosome, i.position, i.reference, i.observed""",
+    // the export round trip is lossless ⇔ the parsed-back VCF equals the
+    // annotation it serialized — identical oracle to varda_annotate
+    "sink_vcf" ->
       s"""WITH freq AS (${frequencySql(withZyg = false, None, idivDuck)}),
           input AS (SELECT DISTINCT chromosome,
                       position + CASE WHEN obs_id % 4 = 0 THEN 1 ELSE 0 END AS position,

@@ -16,9 +16,9 @@ class AllQueriesSpec extends AnyFunSuite {
     val noOracle = q.diff(o)
     assert(noOracle == Set("agg_approx_hll", "agg_approx_quantile",
       "dedup_near_minhash", "sim_ann_lsh",
-      "sim_ann_ivf", "dedup_near_embedding_lsh"),
+      "sim_ann_ivf", "sim_ann_ivf_persist", "dedup_near_embedding_lsh"),
       s"unexpected no-oracle keys: $noOracle")
-    assert(q.size == 162, s"expected 162 declared keys, got ${q.size}")
+    assert(q.size == 165, s"expected 165 declared keys, got ${q.size}")
   }
 
   test("entry returns rows") {

@@ -44,6 +44,26 @@ class ApproxSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_hll_merge: merged monthly partials == one-shot sketch == exact count") {
+    val merged = ops.Aggs.aggHllMerge(spark, sf001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the mergeability contract: unioning per-month partials must lose
+    // nothing vs sketching the whole column in one pass
+    val oneshot = Tables.events(spark, sf001)
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .groupBy("event_type")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(day, 12))").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // and the calendar-bounded domain keeps the sketch in its exact
+    // regime (the declared key's oracle relies on this)
+    val exact = Tables.events(spark, sf001)
+      .select(col("event_type"), to_date(col("ts")).as("d"))
+      .groupBy("event_type").agg(countDistinct(col("d")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged == oneshot, s"merge lost coupons: $merged vs $oneshot")
+    assert(merged == exact, s"sketch left exact regime: $merged vs $exact")
+  }
+
   test("jaccardPairs df-cap: no-cap equals the declared exact set; a cap only removes pairs") {
     val docs = Tables.documents(spark, sf001)
     def pairs(maxDf: Int) = ops.Llm.jaccardPairs(docs, maxDf)
