@@ -24,7 +24,7 @@ import org.apache.spark.sql.types._
   * PARTITION PRUNING, so a point lookup touches nprobe directories out
   * of ~√n, never the corpus ([[queryPoint]] — AnnIndexSpec asserts the
   * pruned plan). Centroid assignment is pure Column arithmetic (one
-  * broadcast of the KB-sized centroid frame + a rank-1 window), shared
+  * broadcast of the KB-sized centroid frame + a `min_by` argmin), shared
   * verbatim by the build and append paths, so "build then append" and
   * "build everything" place any given vector in the SAME cell by
   * construction — the incremental-maintenance parity the store's commit

@@ -151,9 +151,14 @@ class PlanShapeSpec extends AnyFunSuite {
     // text_line_dedup's is the 1-row corpus-doc-count broadcast its
     // relative (df·20 > ndocs) hot-line threshold compares against;
     // graph_pagerank's is the 1-row vertex-count broadcast feeding the
-    // base-rank term of every message round
+    // base-rank term of every message round;
+    // sim_ann_ivf_persist's is the KB-sized centroid-frame broadcast its
+    // probe step scores every query against (cells ~ √n — the quantizer
+    // IS the dimension table of an IVF index);
+    // sink_vcf inherits source_vcf_file's 1-row-per-file #CHROM-header
+    // broadcast through the shared Vcf.parseVcfLines reader
     val sanctioned = Set("join_cross", "text_tfidf", "win_ntile_pct",
-      "graph_pagerank",
+      "graph_pagerank", "sim_ann_ivf_persist", "sink_vcf",
       "sim_topk_cosine", "dedup_near_embedding", "varda_frequency",
       "agg_freq_ratio", "varda_sample_expr", "varda_annotate",
       "source_vcf_file", "varda_freq_incremental", "varda_freq_lookup",
