@@ -58,16 +58,18 @@ object AnnIndex {
     * n×cells distance rows collapse to one row per vector map-side
     * (partial aggregation) before any shuffle — a window would move
     * the full cross product. */
-  private def assign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
-    val v = vecs.select("vec_id", "label", "embedding")
-    val best = v.select("vec_id", "embedding")
+  private def assign(vecs: DataFrame, centroids: DataFrame): DataFrame =
+    // label and embedding are constant per vec_id, so first() carries
+    // them through the SAME aggregate — one pass over the input, no
+    // second scan + argmin-join (round-16 review)
+    vecs.select("vec_id", "label", "embedding")
       .crossJoin(broadcast(centroids))
       .withColumn("dist", sqdist)
       .groupBy("vec_id")
-      .agg(min_by(col("cell"), struct(col("dist"), col("cell"))).as("cell"))
-    v.join(best, "vec_id")
+      .agg(first(col("label")).as("label"),
+        first(col("embedding")).as("embedding"),
+        min_by(col("cell"), struct(col("dist"), col("cell"))).as("cell"))
       .select("vec_id", "label", "embedding", "cell")
-  }
 
   private def readCentroids(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/centroids.parquet")
@@ -94,9 +96,17 @@ object AnnIndex {
     import org.apache.spark.ml.linalg.Vectors
     import s.implicits._
     val vecs = corpus.select("vec_id", "label", "embedding")
-    val n = vecs.count()
+    // one aggregate pass yields the count AND proves the corpus is not
+    // ragged — a first-row-only dim probe would let a truncated vector
+    // slide through and be scored on a zip_with prefix (round-16 review)
+    val stats = vecs.agg(count(lit(1)), min(size(col("embedding"))),
+      max(size(col("embedding")))).head()
+    val n = stats.getLong(0)
     require(n > 0, s"ann index build on an empty corpus: $dir")
-    val dim = vecs.select(size(col("embedding"))).head().getInt(0)
+    val dim = stats.getInt(1)
+    require(dim == stats.getInt(2),
+      s"ann index build on ragged embeddings: dims $dim..${stats.getInt(2)}")
+    require(dim > 0, s"ann index build on empty embeddings: $dir")
     val nCells = cellsFor(n)
     val toVec = udf((a: Seq[Float]) =>
       Vectors.dense(a.map(_.toDouble).toArray))
@@ -130,10 +140,15 @@ object AnnIndex {
   def append(s: SparkSession, newVecs: DataFrame, dir: String): Unit = {
     val (n, nCells, dim) = readMeta(s, dir)
     val vecs = newVecs.select("vec_id", "label", "embedding")
-    val newDim = vecs.select(size(col("embedding"))).head().getInt(0)
-    require(newDim == dim,
-      s"ann index append dim mismatch: index=$dim, appended=$newDim")
-    val added = vecs.count()
+    // count + EVERY row's dim in one aggregate pass (not a first-row
+    // probe — see build)
+    val stats = vecs.agg(count(lit(1)), min(size(col("embedding"))),
+      max(size(col("embedding")))).head()
+    val added = stats.getLong(0)
+    if (added == 0) return
+    require(stats.getInt(1) == dim && stats.getInt(2) == dim,
+      s"ann index append dim mismatch: index=$dim, " +
+        s"appended=${stats.getInt(1)}..${stats.getInt(2)}")
     assign(vecs, readCentroids(s, dir))
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$dir/vectors")
@@ -148,7 +163,12 @@ object AnnIndex {
   def query(s: SparkSession, dir: String, k: Int): DataFrame = {
     val (_, nCells, _) = readMeta(s, dir)
     val nProbe = probesFor(nCells)
+    graft.functions.GraftFunctions.registerAll(s)
+    // cosine is undefined on a zero vector: a null cos_d would sort
+    // DESC-first and serve k arbitrary nids as confident "neighbors" —
+    // exclude zero-norm rows from both sides instead (round-16 review)
     val vecs = s.read.parquet(s"$dir/vectors")
+      .filter(expr("float_dot(embedding, embedding)") > 0)
     val probeW = Window.partitionBy("vec_id").orderBy(col("dist"), col("cell"))
     val probes = vecs.filter(col("label") === 0)
       .select(col("vec_id"), col("embedding"))
@@ -159,7 +179,6 @@ object AnnIndex {
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell"))
     val cands = vecs.select(col("vec_id").as("nid"),
       col("embedding").as("ne"), col("cell"))
-    graft.functions.GraftFunctions.registerAll(s)
     val cosd = expr("float_dot(qe, ne)") /
       (sqrt(expr("float_dot(qe, qe)")) * sqrt(expr("float_dot(ne, ne)")))
     val w = Window.partitionBy("qid").orderBy(col("cos_d").desc, col("nid"))
@@ -185,6 +204,8 @@ object AnnIndex {
     require(queryVec.length == dim,
       s"query dim ${queryVec.length} != index dim $dim")
     val nProbe = probesFor(nCells)
+    require(queryVec.exists(_ != 0f),
+      "cosine point lookup on a zero query vector is undefined")
     val cells = readCentroids(s, dir).collect()
       .map { r =>
         val c = r.getAs[scala.collection.Seq[Double]]("centroid")
@@ -198,6 +219,8 @@ object AnnIndex {
       (sqrt(expr("float_dot(qe, qe)")) * sqrt(expr("float_dot(ne, ne)")))
     s.read.parquet(s"$dir/vectors")
       .filter(col("cell").isin(cells: _*))
+      // zero-norm index rows: same undefined-cosine exclusion as query()
+      .filter(expr("float_dot(embedding, embedding)") > 0)
       .select(col("vec_id").as("nid"), col("embedding").as("ne"))
       .withColumn("qe", q.cast(ArrayType(FloatType)))
       .withColumn("cos_d", cosd.cast(DecimalType(18, 6)))

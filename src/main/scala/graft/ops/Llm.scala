@@ -103,19 +103,20 @@ object Llm {
     * fitted model would persist alongside the data (it is KB-sized:
     * hyperplane matrix / centroid list); in-session the memo is the same
     * contract. Stopped sessions' entries are swept on the next miss. */
-  private val modelCache = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String), AnyRef]
+  private val modelCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), AnyRef]
   private[ops] def cachedModel[T <: AnyRef](s: org.apache.spark.sql.SparkSession,
-      key: String)(fit: => T): T =
-    modelCache.get((s, key)) match {
-      case Some(m) => m.asInstanceOf[T]
-      case None =>
-        modelCache.filterInPlace { case ((sess, _), _) =>
-          !sess.sparkContext.isStopped }
-        val m = fit
-        modelCache.put((s, key), m)
-        m
-    }
+      key: String)(fit: => T): T = {
+    // computeIfAbsent runs the fit AT MOST ONCE per key and blocks
+    // concurrent first callers until it lands — a plain get-then-put
+    // only wasted a duplicate re-fit while every memoized value was
+    // session state, but sim_ann_ivf_persist's fit MUTATES a shared
+    // index directory (build overwrite + append), where two racing
+    // builders would corrupt the on-disk index (round-16 review)
+    if (modelCache.get((s, key)) == null)
+      modelCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    modelCache.computeIfAbsent((s, key), _ => fit).asInstanceOf[T]
+  }
 
   /** Jaccard >= 0.5 pairs via the inverted index; `maxDf` drops posting
     * lists longer than that many documents before pair explosion — the
@@ -523,9 +524,11 @@ object Llm {
     val nCorpus = cachedModel(s, s"ivf_n:$d") {
       java.lang.Long.valueOf(e.count())
     }.longValue()
-    val nCells = math.max(16, math.ceil(math.sqrt(nCorpus.toDouble)).toInt)
-    val nProbe = math.max(4,
-      math.ceil(math.log(nCells.toDouble) / math.log(2)).toInt)
+    // ONE definition of the IVF shape, shared with the persisted index
+    // (AnnIndex.cellsFor/probesFor) so the in-session and on-disk keys
+    // cannot silently desynchronize
+    val nCells = AnnIndex.cellsFor(nCorpus)
+    val nProbe = AnnIndex.probesFor(nCells)
     val toVec = udf((a: Seq[Float]) =>
       Vectors.dense(a.map(_.toDouble).toArray))
     val feats = e.select(col("vec_id"), col("label"), col("embedding"),

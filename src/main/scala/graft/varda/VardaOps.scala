@@ -1629,6 +1629,21 @@ object VardaOps {
   private val sampleWhere =
     s"sample_id IN (${sampleExprSet.mkString(", ")})"
 
+  /** The annotate-convergence oracle, shared verbatim by
+    * `varda_annotate` / `varda_annotate_store` / `sink_vcf`. */
+  private lazy val annotateOracle: String =
+    s"""WITH freq AS (${frequencySql(withZyg = false, None, idivDuck)}),
+          input AS (SELECT DISTINCT chromosome,
+                      position + CASE WHEN obs_id % 4 = 0 THEN 1 ELSE 0 END AS position,
+                      reference, observed
+                    FROM ($observations) oo WHERE obs_id % 2 = 0)
+          SELECT i.chromosome, i.position, i.reference, i.observed,
+            COALESCE(f.freq_ppm, 0) AS freq_ppm
+          FROM input i LEFT JOIN freq f
+            ON i.chromosome = f.chromosome AND i.position = f.position
+            AND i.reference = f.reference AND i.observed = f.observed
+          ORDER BY i.chromosome, i.position, i.reference, i.observed"""
+
   val oracle: Map[String, String] = Map(
     // the streamed change feed IS the import batches' raw observation
     // rows tagged with their generation — obs_id % 3 is buildFreqStore's
@@ -1959,46 +1974,15 @@ object VardaOps {
     "varda_sample_expr" ->
       s"""${frequencySql(withZyg = false, Some(sampleWhere), idivDuck)}
           ORDER BY n.chromosome, n.position, n.reference, n.observed""",
-    "varda_annotate" ->
-      s"""WITH freq AS (${frequencySql(withZyg = false, None, idivDuck)}),
-          input AS (SELECT DISTINCT chromosome,
-                      position + CASE WHEN obs_id % 4 = 0 THEN 1 ELSE 0 END AS position,
-                      reference, observed
-                    FROM ($observations) oo WHERE obs_id % 2 = 0)
-          SELECT i.chromosome, i.position, i.reference, i.observed,
-            COALESCE(f.freq_ppm, 0) AS freq_ppm
-          FROM input i LEFT JOIN freq f
-            ON i.chromosome = f.chromosome AND i.position = f.position
-            AND i.reference = f.reference AND i.observed = f.observed
-          ORDER BY i.chromosome, i.position, i.reference, i.observed""",
-    // the export round trip is lossless ⇔ the parsed-back VCF equals the
-    // annotation it serialized — identical oracle to varda_annotate
-    "sink_vcf" ->
-      s"""WITH freq AS (${frequencySql(withZyg = false, None, idivDuck)}),
-          input AS (SELECT DISTINCT chromosome,
-                      position + CASE WHEN obs_id % 4 = 0 THEN 1 ELSE 0 END AS position,
-                      reference, observed
-                    FROM ($observations) oo WHERE obs_id % 2 = 0)
-          SELECT i.chromosome, i.position, i.reference, i.observed,
-            COALESCE(f.freq_ppm, 0) AS freq_ppm
-          FROM input i LEFT JOIN freq f
-            ON i.chromosome = f.chromosome AND i.position = f.position
-            AND i.reference = f.reference AND i.observed = f.observed
-          ORDER BY i.chromosome, i.position, i.reference, i.observed""",
-    // annotation from the committed store must converge to annotation
-    // from the one-shot computation — identical oracle to varda_annotate
-    "varda_annotate_store" ->
-      s"""WITH freq AS (${frequencySql(withZyg = false, None, idivDuck)}),
-          input AS (SELECT DISTINCT chromosome,
-                      position + CASE WHEN obs_id % 4 = 0 THEN 1 ELSE 0 END AS position,
-                      reference, observed
-                    FROM ($observations) oo WHERE obs_id % 2 = 0)
-          SELECT i.chromosome, i.position, i.reference, i.observed,
-            COALESCE(f.freq_ppm, 0) AS freq_ppm
-          FROM input i LEFT JOIN freq f
-            ON i.chromosome = f.chromosome AND i.position = f.position
-            AND i.reference = f.reference AND i.observed = f.observed
-          ORDER BY i.chromosome, i.position, i.reference, i.observed""",
+    // ONE oracle text for the three annotate-convergence keys: the
+    // one-shot annotate, the committed-store annotate (must converge to
+    // it), and the VCF export round trip (lossless ⇔ the parsed-back
+    // file equals the annotation it serialized). Identity by REFERENCE
+    // — a hand-maintained triplicate could silently diverge (round-16
+    // review).
+    "varda_annotate" -> annotateOracle,
+    "sink_vcf" -> annotateOracle,
+    "varda_annotate_store" -> annotateOracle,
     "varda_annotate_multi" -> {
       val ctes = multiExprs.map { case (n, _, ids) =>
         s"""freq_$n AS (${frequencySql(withZyg = false,

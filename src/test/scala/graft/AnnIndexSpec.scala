@@ -121,6 +121,31 @@ class AnnIndexSpec extends AnyFunSuite {
       s"streamed vector not served after foreachBatch append: $top")
   }
 
+  test("concurrent first invocations build the shared index exactly once") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // a fresh corpus path busts the (session, corpus) memo so BOTH
+    // threads race the first build — computeIfAbsent must run the
+    // build+append side effects once and block the loser (a get-then-put
+    // memo let the loser's overwrite/append interleave into the same
+    // directory: duplicated vec_ids or vanishing files)
+    val d = java.nio.file.Files.createTempDirectory("annidx_conc")
+    java.nio.file.Files.createSymbolicLink(
+      d.resolve("embeddings.parquet"),
+      java.nio.file.Paths.get(sf0001, "embeddings.parquet"))
+    val fn = () => ops.Llm.simAnnIvfPersist(spark, d.toString)
+      .collect().map(_.toString).toSeq
+    val (f1, f2) = (Future(fn()), Future(fn()))
+    val (r1, r2) = (Await.result(f1, 5.minutes), Await.result(f2, 5.minutes))
+    assert(r1 == r2, "concurrent first invocations diverged")
+    val idx = graft.ops.Scans.scratch(spark, "ann_ivf_index", d.toString)
+    val vecs = spark.read.parquet(s"$idx/vectors")
+    assert(vecs.count() == vecs.select("vec_id").distinct().count(),
+      "racing builders duplicated vectors in the shared index")
+    assert(vecs.count() == Tables.embeddings(spark, d.toString).count())
+  }
+
   test("meta tracks n across appends; dim mismatch is refused") {
     val dir = freshDir("meta")
     val e = Tables.embeddings(spark, sf001)
