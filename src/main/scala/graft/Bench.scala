@@ -80,6 +80,14 @@ object Bench {
       // without this, whichever family key runs first alphabetically
       // (dedup_cluster) absorbs the build the others amortize.
       SparkEntry.queries.get("dedup_near_jaccard").foreach(_(spark, sfDir).count())
+      // … and the round-17 standing state: the bootstrap key's
+      // mid-history-compacted store (memoized replay — its import is the
+      // fixture; the timed line measures the late-attach composition)
+      // and the persisted HLL partials table (memoized write; the timed
+      // line measures re-aggregation from the partials alone)
+      SparkEntry.queries.get("stream_store_changes_bootstrap")
+        .foreach(_(spark, sfDir).count())
+      SparkEntry.queries.get("agg_hll_partials").foreach(_(spark, sfDir).count())
       warmupOk = true
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup aborted: $e")

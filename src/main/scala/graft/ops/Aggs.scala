@@ -81,6 +81,43 @@ object Aggs {
       .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("n_days"))
       .orderBy("event_type")
 
+  /** PERSISTED sketch partials (round 17): [[aggHllMerge]] demonstrates
+    * partial→merge inside one query; the 100 TB pattern it cites
+    * persists the partials PER INGEST SLICE and re-aggregates them later
+    * — at any grouping — without rescanning history. Here the partials
+    * TABLE — one row per (slice = calendar month, event_type) carrying
+    * that slice's day-domain HLL sketch as a binary — is written once
+    * per (application, corpus) to scratch, PARTITIONED BY the slice
+    * column (a new ingest slice appends exactly one partition, the
+    * [[Pipeline]] digest-store discipline), and the declared query reads
+    * the partials table ALONE: merge across event types per MONTH — a
+    * grouping the write-time key did not anticipate, answered from
+    * O(slices × groups) bytes with the events history never rescanned
+    * (ApproxSpec pins both properties). Oracle: exact per-month
+    * COUNT(DISTINCT day) — the same bounded-domain coupon-regime
+    * argument as [[aggHllMerge]] (≤ 31 days per month). */
+  val aggHllPartials: Q = (s, d) => {
+    // the write is the INGEST side's job — amortized once, like every
+    // standing index (the ANN builds, the serving freq store)
+    val dir = Llm.cachedModel(s, s"hll_partials:$d") {
+      val p = Scans.scratch(s, "hll_partials", d)
+      Tables.events(s, d)
+        .select(col("event_type"),
+          date_format(col("ts"), "yyyy-MM").as("month"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .groupBy("month", "event_type")
+        .agg(expr("hll_sketch_agg(day, 12)").as("sk"))
+        .repartition(col("month"))
+        .write.mode("overwrite").partitionBy("month").parquet(p)
+      p
+    }
+    s.read.parquet(dir)
+      .groupBy("month")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("n_days"))
+      .select(col("month").cast(StringType).as("month"), col("n_days"))
+      .orderBy("month")
+  }
+
   /** KLL/GK-style quantile sketch — the 100 TB percentile: constant
     * memory per group, mergeable across partitions, vs a full sort for
     * exact quantiles. Approx ⇒ no oracle; AggsSpec bounds the rank error
@@ -337,6 +374,7 @@ object Aggs {
     "agg_multi_distinct" -> aggMultiDistinct,
     "agg_approx_hll" -> aggApproxHll,
     "agg_hll_merge" -> aggHllMerge,
+    "agg_hll_partials" -> aggHllPartials,
     "agg_approx_quantile" -> aggApproxQuantile,
     "agg_pivot" -> aggPivot,
     "agg_profile_stats" -> aggProfileStats,
@@ -354,6 +392,13 @@ object Aggs {
       """SELECT event_type,
            count(DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS n_days
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // per-month distinct active days, answered by the engine from the
+    // PERSISTED partials table alone (≤ 31 days/month keeps the sketch
+    // in its exact coupon regime — see agg_hll_merge)
+    "agg_hll_partials" ->
+      """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m') AS month,
+           count(DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS n_days
+         FROM events GROUP BY 1 ORDER BY 1""",
     "agg_moments" ->
       """WITH e AS (SELECT event_type, CAST(value AS DECIMAL(18,4)) AS v
                     FROM events)

@@ -1,23 +1,28 @@
 package graft.ops
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** PERSISTED inverted-file (IVF) ANN index — the serving-side missing
-  * half of [[Llm.simAnnIvf]] (round 16).
+  * half of [[Llm.simAnnIvf]] (round 16; LIFECYCLE guarantees round 17).
   *
   * The in-session keys amortize their quantizer fit through a memo, but
   * a 100 TB corpus is not re-fit per session: the index is BUILT once,
-  * WRITTEN next to the data, LOADED by every later job, and new vectors
-  * are APPENDED by assigning them to the existing centroids — no refit,
-  * no rescan of the indexed corpus. This object is that lifecycle, with
-  * the layout chosen so Spark's own machinery does the serving work:
+  * WRITTEN next to the data, LOADED by every later job, new vectors are
+  * APPENDED by assigning them to the existing centroids — no refit, no
+  * rescan of the indexed corpus — and retracted vectors are DELETED
+  * (the FAISS `remove_ids` analog, round 17: a dedup pipeline that
+  * retracts documents must retract their vectors too). This object is
+  * that lifecycle, with the layout chosen so Spark's own machinery does
+  * the serving work:
   *
-  *   <dir>/centroids.parquet   cell INT, centroid ARRAY<DOUBLE>   (KB-sized)
-  *   <dir>/vectors/            vec_id, label, embedding — PARTITIONED BY cell
-  *   <dir>/meta.parquet        n BIGINT, n_cells INT, dim INT
+  *   <dir>/centroids.parquet    cell INT, centroid ARRAY<DOUBLE>  (KB-sized)
+  *   <dir>/meta.parquet         n_cells INT, dim INT  (the quantizer shape)
+  *   <dir>/vectors/gen=<g>/cell=<k>/   vec_id, label, embedding
+  *   <dir>/tombstones/gen=<g>/         vec_id  (deleted ids)
+  *   <dir>/_commits/gen-<g>            marker: "add <n>" | "del <n>"
   *
   * `vectors/` partitioned by cell is the load-bearing decision: a probe
   * of `nprobe` cells is a parquet scan with `cell IN (...)` — static
@@ -30,10 +35,22 @@ import org.apache.spark.sql.types._
   * construction — the incremental-maintenance parity the store's commit
   * path establishes for frequencies, here for the vector index.
   *
-  * Rebuild policy is the caller's (FAISS contract): appends keep cell
-  * count fixed, so occupancy drifts up with n; when it outgrows the
-  * design point, build a fresh index and swap directories. Single
-  * writer, like the frequency store.
+  * **Mutations are TRANSACTIONAL** (round 17 — the freqstore
+  * generation-marker pattern, closing round-16's documented crash
+  * window): every append/delete writes its rows under a fresh `gen=<g>`
+  * partition and only then blesses the generation with an atomic
+  * commit-marker rename; readers plan `gen IN (committed)` — static
+  * partition pruning again — so a crash anywhere leaves uncommitted
+  * debris INVISIBLE, never a half-applied mutation, and the next writer
+  * reclaims the debris before reusing its generation id. The vector
+  * count lives in the markers (summed at read), so there is no separate
+  * meta rewrite to desync. Deletes append tombstoned vec_ids; serving
+  * anti-joins the (O(deleted), broadcast) tombstone set. Rebuild policy
+  * is the caller's (FAISS contract): appends keep the cell count fixed
+  * and tombstones accrete, so when occupancy or tombstone mass outgrows
+  * the design point, build a fresh index and swap directories. Single
+  * writer, like the frequency store (callers serialize through
+  * [[Llm.cachedModel]]'s per-application at-most-once guard).
   */
 object AnnIndex {
 
@@ -74,39 +91,133 @@ object AnnIndex {
   private def readCentroids(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/centroids.parquet")
 
+  // ---- the generation commit log (round 17) ------------------------------
+
+  private def fsOf(s: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** Committed generations from the marker log: (gen, kind, n) with
+    * kind ∈ {add, del}. Uncommitted `gen=` directories are debris a
+    * crash left behind — invisible to every reader. */
+  private def committed(s: SparkSession, dir: String): Seq[(Int, String, Long)] = {
+    val d = new Path(s"$dir/_commits")
+    val fs = fsOf(s, dir)
+    if (!fs.exists(d)) Nil
+    else fs.listStatus(d).toSeq.flatMap { st =>
+      val nm = st.getPath.getName
+      if (!nm.startsWith("gen-")) None
+      else nm.stripPrefix("gen-").toIntOption.map { g =>
+        val in = fs.open(st.getPath)
+        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        body.trim.split(' ') match {
+          case Array(kind, n) if (kind == "add" || kind == "del")
+              && n.toLongOption.isDefined => (g, kind, n.toLong)
+          case _ => sys.error(s"ann index: unreadable commit marker " +
+            s"${st.getPath} (content '$body')")
+        }
+      }
+    }.sortBy(_._1)
+  }
+
+  /** Bless generation `g`: temp write + ATOMIC rename — the one commit
+    * point. A reader either sees the marker (and the generation's
+    * complete rows) or neither. */
+  private def markCommitted(s: SparkSession, dir: String, g: Int,
+      kind: String, n: Long): Unit = {
+    val fs = fsOf(s, dir)
+    val d = new Path(s"$dir/_commits")
+    fs.mkdirs(d)
+    val tmp = new Path(d, s".tmp-gen-$g")
+    val out = fs.create(tmp, true)
+    try out.write(s"$kind $n".getBytes("UTF-8")) finally out.close()
+    require(fs.rename(tmp, new Path(d, s"gen-$g")),
+      s"ann index: commit-marker rename failed for gen-$g — " +
+        "generation left uncommitted")
+  }
+
+  /** Next generation id + debris reclaim: ids come from the COMMITTED
+    * log alone, so a crashed attempt's uncommitted `gen=` directory is
+    * deleted here before its id is reused — a replay serves exactly
+    * once (AnnIndexSpec pins the crash-replay path). */
+  private def nextGen(s: SparkSession, dir: String): Int = {
+    val g = committed(s, dir).map(_._1).maxOption.getOrElse(-1) + 1
+    val fs = fsOf(s, dir)
+    for (sub <- Seq("vectors", "tombstones")) {
+      val debris = new Path(s"$dir/$sub/gen=$g")
+      if (fs.exists(debris)) fs.delete(debris, true)
+    }
+    g
+  }
+
+  /** (live n, n_cells, dim): the quantizer shape from `meta.parquet`,
+    * the live count from the commit log (adds − dels) — no mutable
+    * count file to desync from the data. */
   private[graft] def readMeta(s: SparkSession, dir: String): (Long, Int, Int) = {
     val r = s.read.parquet(s"$dir/meta.parquet").head()
-    (r.getAs[Long]("n"), r.getAs[Int]("n_cells"), r.getAs[Int]("dim"))
+    val n = committed(s, dir).map { case (_, kind, c) =>
+      if (kind == "add") c else -c }.sum
+    (n, r.getAs[Int]("n_cells"), r.getAs[Int]("dim"))
   }
 
   private def writeMeta(s: SparkSession, dir: String,
-      n: Long, nCells: Int, dim: Int): Unit = {
+      nCells: Int, dim: Int): Unit = {
     import s.implicits._
-    Seq((n, nCells, dim)).toDF("n", "n_cells", "dim")
+    Seq((nCells, dim)).toDF("n_cells", "dim")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta.parquet")
+  }
+
+  /** The SERVED vector set: committed add-generations' rows minus the
+    * committed tombstone ids. The gen filter is a literal IN over
+    * partition values — static pruning, debris never read; the
+    * tombstone side is O(deleted) and broadcast. */
+  private def liveVectors(s: SparkSession, dir: String): DataFrame = {
+    val marks = committed(s, dir)
+    val addGens = marks.collect { case (g, "add", _) => g }
+    val delGens = marks.collect { case (g, "del", _) => g }
+    require(addGens.nonEmpty, s"ann index at $dir has no committed " +
+      "generations — build it first")
+    val v = s.read.parquet(s"$dir/vectors")
+      .filter(col("gen").isin(addGens: _*))
+      .select("vec_id", "label", "embedding", "cell")
+    if (delGens.isEmpty) v
+    else v.join(broadcast(s.read.parquet(s"$dir/tombstones")
+        .filter(col("gen").isin(delGens: _*)).select("vec_id")),
+      Seq("vec_id"), "left_anti")
+  }
+
+  // ---- mutations ----------------------------------------------------------
+
+  /** One aggregate pass yields the count AND proves the input is not
+    * ragged — a first-row-only dim probe would let a truncated vector
+    * slide through and be scored on a zip_with prefix (round-16
+    * review). Returns (rows, dim). */
+  private def checkedStats(vecs: DataFrame, what: String): (Long, Int) = {
+    val stats = vecs.agg(count(lit(1)), min(size(col("embedding"))),
+      max(size(col("embedding")))).head()
+    val n = stats.getLong(0)
+    if (n == 0) return (0L, 0)
+    require(stats.getInt(1) == stats.getInt(2),
+      s"ann index $what on ragged embeddings: dims " +
+        s"${stats.getInt(1)}..${stats.getInt(2)}")
+    (n, stats.getInt(1))
   }
 
   /** Build the index from `corpus` (vec_id, label, embedding) at `dir`.
     * The coarse quantizer is MLlib k-means on a deterministic half of
     * the corpus (seed 42, 2 Lloyd iterations — [[Llm.simAnnIvf]]'s
     * training contract); everything downstream of the fit is Column
-    * arithmetic. */
+    * arithmetic. A fresh build clears the directory (the
+    * rebuild-and-swap contract's in-place form). */
   def build(s: SparkSession, corpus: DataFrame, dir: String): Unit = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.linalg.Vectors
-    import s.implicits._
     val vecs = corpus.select("vec_id", "label", "embedding")
-    // one aggregate pass yields the count AND proves the corpus is not
-    // ragged — a first-row-only dim probe would let a truncated vector
-    // slide through and be scored on a zip_with prefix (round-16 review)
-    val stats = vecs.agg(count(lit(1)), min(size(col("embedding"))),
-      max(size(col("embedding")))).head()
-    val n = stats.getLong(0)
+    val (n, dim) = checkedStats(vecs, "build")
     require(n > 0, s"ann index build on an empty corpus: $dir")
-    val dim = stats.getInt(1)
-    require(dim == stats.getInt(2),
-      s"ann index build on ragged embeddings: dims $dim..${stats.getInt(2)}")
     require(dim > 0, s"ann index build on empty embeddings: $dir")
+    val fs = fsOf(s, dir)
+    if (fs.exists(new Path(dir))) fs.delete(new Path(dir), true)
     val nCells = cellsFor(n)
     val toVec = udf((a: Seq[Float]) =>
       Vectors.dense(a.map(_.toDouble).toArray))
@@ -114,82 +225,132 @@ object AnnIndex {
       .setFeaturesCol("features").setPredictionCol("cell")
       .fit(vecs.filter(col("vec_id") % 2 === 0)
         .select(toVec(col("embedding")).as("features")))
+    import s.implicits._
     model.clusterCenters.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toArray.toSeq) }
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+    writeMeta(s, dir, nCells, dim)
     // co-locate each cell's rows before the partitioned write: without
     // the repartition every task writes a sliver of every cell
     // (tasks × cells small files); with it a cell is ~one file
     assign(vecs, readCentroids(s, dir))
+      .withColumn("gen", lit(0))
       .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/vectors")
-    writeMeta(s, dir, n, nCells, dim)
+      .write.mode("overwrite").partitionBy("gen", "cell")
+      .parquet(s"$dir/vectors")
+    markCommitted(s, dir, 0, "add", n)
   }
 
   /** Incrementally add vectors to an existing index: assign against the
-    * PERSISTED centroids (no refit), append the new rows to their cell
-    * partitions, bump `meta.n`. Cost is O(new vectors), independent of
-    * the indexed corpus size. Caller contract: vec_ids unique across
-    * the index (the registry discipline), single writer; the append is
-    * NOT transactional (a crash between the vector write and the meta
-    * rewrite leaves meta.n stale — readers still serve every written
-    * row, since queries scan `vectors/` and use meta only for probe
-    * shape) — callers needing commit atomicity stage a fresh index dir
-    * and swap, the rebuild contract above. */
+    * PERSISTED centroids (no refit), write the new rows under a fresh
+    * generation partition, bless the marker. Cost is O(new vectors),
+    * independent of the indexed corpus size. Caller contract: vec_ids
+    * unique across the index (the registry discipline), single writer.
+    * A crash before the marker leaves the generation uncommitted and
+    * invisible; the replayed append reclaims its debris and serves the
+    * rows exactly once. */
   def append(s: SparkSession, newVecs: DataFrame, dir: String): Unit = {
-    val (n, nCells, dim) = readMeta(s, dir)
+    val (_, _, dim) = readMeta(s, dir)
     val vecs = newVecs.select("vec_id", "label", "embedding")
-    // count + EVERY row's dim in one aggregate pass (not a first-row
-    // probe — see build)
-    val stats = vecs.agg(count(lit(1)), min(size(col("embedding"))),
-      max(size(col("embedding")))).head()
-    val added = stats.getLong(0)
+    val (added, newDim) = checkedStats(vecs, "append")
     if (added == 0) return
-    require(stats.getInt(1) == dim && stats.getInt(2) == dim,
-      s"ann index append dim mismatch: index=$dim, " +
-        s"appended=${stats.getInt(1)}..${stats.getInt(2)}")
+    require(newDim == dim,
+      s"ann index append dim mismatch: index=$dim, appended=$newDim")
+    val g = nextGen(s, dir)
     assign(vecs, readCentroids(s, dir))
+      .withColumn("gen", lit(g))
       .repartition(col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$dir/vectors")
-    writeMeta(s, dir, n + added, nCells, dim)
+      .write.mode("append").partitionBy("gen", "cell")
+      .parquet(s"$dir/vectors")
+    markCommitted(s, dir, g, "add", added)
   }
+
+  /** DELETE vectors from the index (the FAISS `remove_ids` analog,
+    * round 17): tombstone the ids under a fresh committed generation —
+    * O(deleted) cost, no cell rewrite — and every serving path
+    * ([[query]], [[queryPoint]]) stops returning them atomically with
+    * the marker. Tombstones accrete until the caller's periodic rebuild
+    * (which starts from a clean slate); `ids` needs a `vec_id` column.
+    * Same crash contract as [[append]]: no marker, no deletion. */
+  def delete(s: SparkSession, ids: DataFrame, dir: String): Unit = {
+    readMeta(s, dir) // fails loudly on a never-built index
+    // net against the EXISTING tombstones (an O(deleted) broadcast
+    // anti-join): a re-deleted id must not decrement the marker-derived
+    // live count twice. Ids never ingested remain the caller's
+    // discipline (checking would scan the index; FAISS remove_ids makes
+    // the same contract).
+    val delGens = committed(s, dir).collect { case (g, "del", _) => g }
+    val prior =
+      if (delGens.isEmpty) None
+      else Some(s.read.parquet(s"$dir/tombstones")
+        .filter(col("gen").isin(delGens: _*)).select("vec_id"))
+    val ds = prior.foldLeft(ids.select("vec_id").distinct()) { (d, p) =>
+      d.join(broadcast(p), Seq("vec_id"), "left_anti") }
+    val n = ds.count()
+    if (n == 0) return
+    val g = nextGen(s, dir)
+    ds.withColumn("gen", lit(g))
+      .coalesce(1)
+      .write.mode("append").partitionBy("gen").parquet(s"$dir/tombstones")
+    markCommitted(s, dir, g, "del", n)
+  }
+
+  // ---- serving ------------------------------------------------------------
 
   /** Top-k neighbors for EVERY label-0 vector in the index (the declared
     * key's shape, [[Llm.simAnnIvf]] semantics): probe each query's
     * nprobe nearest cells via one broadcast of the centroid frame, join
-    * candidates BY CELL, rank with the exact cosine. No UDF anywhere on
-    * the query path. */
+    * candidates BY CELL, rank with the exact cosine through the BOUNDED
+    * top-k aggregate ([[graft.functions.TopKByScore]] — map-side partials
+    * truncate to k, so the rank stage shuffles O(k · queries) rows, not
+    * the candidate set; round 17, replacing the row_number window). No
+    * UDF anywhere on the query path.
+    *
+    * Zero-norm CONTRACT NOTE (round-16 ADVICE): cosine is undefined on a
+    * zero vector — a null cos_d would sort DESC-first and serve k
+    * arbitrary nids as confident "neighbors" — so zero-norm rows are
+    * excluded from the shared vecs frame. That drops a zero-norm label-0
+    * vector as a QUERY too: its qid is absent from the output
+    * (refuse-to-serve), whereas the in-session [[Llm.simAnnIvf]] still
+    * emits rows for such qids (NaN cosines rank last). Deliberate: an
+    * index SERVING path must not return confident neighbors for an
+    * undefined similarity. */
   def query(s: SparkSession, dir: String, k: Int): DataFrame = {
     val (_, nCells, _) = readMeta(s, dir)
     val nProbe = probesFor(nCells)
     graft.functions.GraftFunctions.registerAll(s)
-    // cosine is undefined on a zero vector: a null cos_d would sort
-    // DESC-first and serve k arbitrary nids as confident "neighbors" —
-    // exclude zero-norm rows from both sides instead (round-16 review)
-    val vecs = s.read.parquet(s"$dir/vectors")
+    val vecs = liveVectors(s, dir)
       .filter(expr("float_dot(embedding, embedding)") > 0)
-    val probeW = Window.partitionBy("vec_id").orderBy(col("dist"), col("cell"))
     val probes = vecs.filter(col("label") === 0)
       .select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(readCentroids(s, dir)))
       .withColumn("dist", sqdist)
-      .withColumn("prn", row_number().over(probeW))
-      .filter(col("prn") <= nProbe)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell"))
+      .groupBy("vec_id")
+      // nprobe smallest (dist, cell) pairs per query — the same bounded
+      // aggregate, scores negated because it keeps the LARGEST; the
+      // query embedding rides through via first() (constant per vec_id)
+      .agg(first(col("embedding")).as("qe"),
+        graft.functions.TopKByScore.topk(nProbe,
+          -(col("dist") * 1000000d).cast(LongType), col("cell")).as("pc"))
+      .select(col("vec_id").as("qid"), col("qe"),
+        explode(col("pc.id")).as("cell"))
     val cands = vecs.select(col("vec_id").as("nid"),
       col("embedding").as("ne"), col("cell"))
     val cosd = expr("float_dot(qe, ne)") /
       (sqrt(expr("float_dot(qe, qe)")) * sqrt(expr("float_dot(ne, ne)")))
-    val w = Window.partitionBy("qid").orderBy(col("cos_d").desc, col("nid"))
     // no (qid, nid) dedup needed: unlike LSH banding, each nid lives in
     // exactly ONE cell, so a pair meets at most once
     probes.join(cands, Seq("cell"))
       .filter(col("qid") =!= col("nid"))
       .withColumn("cos_d", cosd.cast(DecimalType(18, 6)))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("qid", "rank", "nid")
+      .groupBy("qid")
+      .agg(graft.functions.TopKByScore.topk(k,
+        coalesce((col("cos_d") * 1000000).cast(LongType),
+          lit(Long.MinValue)), col("nid")).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("i", "sc")))
+      .select(col("qid"), (col("i") + 1).cast(IntegerType).as("rank"),
+        col("sc.id").as("nid"))
   }
 
   /** SERVING-path point lookup: top-k neighbors of one query vector.
@@ -217,7 +378,7 @@ object AnnIndex {
     val q = array(queryVec.map(v => lit(v)): _*)
     val cosd = expr("float_dot(qe, ne)") /
       (sqrt(expr("float_dot(qe, qe)")) * sqrt(expr("float_dot(ne, ne)")))
-    s.read.parquet(s"$dir/vectors")
+    liveVectors(s, dir)
       .filter(col("cell").isin(cells: _*))
       // zero-norm index rows: same undefined-cosine exclusion as query()
       .filter(expr("float_dot(embedding, embedding)") > 0)

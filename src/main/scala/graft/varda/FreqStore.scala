@@ -1627,6 +1627,69 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
   private[graft] def committedIds: Seq[Long] =
     markerNames.map(_._1).distinct.sorted
 
+  /** CDC BOOTSTRAP for a consumer attaching AFTER compaction (round 17 —
+    * the reference's continuous-import lifecycle implies consumers that
+    * attach late [U varda/tasks.py]): once a snapshot sweeps the v0
+    * deltas below its floor, those generations are no longer streamable,
+    * so a new consumer must start from the snapshot STATE and tail the
+    * feed above it. This method assembles that initial state — the
+    * newest committed snapshot's NETTED obslog / covlog / smpreg
+    * components, rendered as wide-schema change rows
+    * ([[graft.sources.FreqStoreChangesSource.wideSchema]]) tagged with
+    * the snapshot's generation id — and names the tail's first
+    * generation. The composition contract (FreqStoreChangesSpec pins it
+    * bit-exactly):
+    *
+    * {{{
+    *   val (boot, from) = store.bootstrapChanges()
+    *   // drain freqstore-changes with option("startingGeneration", from),
+    *   // option("components", "all") into `tail`; then
+    *   FreqStore.refoldChanges(boot.unionByName(tail)) == store.serve()
+    * }}}
+    *
+    * Legality rides the snapshot's own netting guarantees: the covlog
+    * snapshot IS the consolidated signed coverage measure, the obslog
+    * snapshot the net ± observation rows, the smpreg snapshot the net
+    * registry — so the bootstrap frame is EXACTLY what refolding the
+    * swept history's deltas would have produced, by the compaction
+    * contract rather than by replay. A never-compacted store bootstraps
+    * EMPTY and tails from the beginning. Cost: one pruned read of the
+    * snapshot's three append components — O(state), never O(history). */
+  def bootstrapChanges(): (DataFrame, Long) = {
+    val snap = committed().filter(_.v > 0).sortBy(m => (m.id, m.v)).lastOption
+    def compRead(comp: String): DataFrame =
+      readPaths(comp, snap.toSeq.flatMap { mk =>
+        val cp = compPath(mk, comp)
+        val bd = bucketDirs(cp)
+        if (bd.isEmpty) Seq(cp).filter(fs.exists) else bd.map(_._2)
+      })
+    val gen = lit(snap.map(_.id).getOrElse(-1L)).as("generation")
+    val nullS = lit(null).cast(StringType)
+    val nullL = lit(null).cast(LongType)
+    val nullB = lit(null).cast(BooleanType)
+    val obs = compRead("obslog").select(
+      gen, lit("obs").as("component"),
+      col("chromosome"), col("position"), col("reference"), col("observed"),
+      col("sample_id"), col("support"),
+      nullL.as("cell"), nullL.as("fbegin"), nullL.as("fend"),
+      nullL.as("pool_size"), nullB.as("has_coverage"))
+    val cover = compRead("covlog").select(
+      gen, lit("cover").as("component"),
+      col("chromosome"), nullL.as("position"), nullS.as("reference"),
+      nullS.as("observed"), col("sample_id"), nullL.as("support"),
+      col("cell"), col("fbegin"), col("fend"),
+      col("pool_size").cast(LongType).as("pool_size"),
+      nullB.as("has_coverage"))
+    val reg = compRead("smpreg").select(
+      gen, lit("registry").as("component"),
+      nullS.as("chromosome"), nullL.as("position"), nullS.as("reference"),
+      nullS.as("observed"), col("sample_id"), nullL.as("support"),
+      nullL.as("cell"), nullL.as("fbegin"), nullL.as("fend"),
+      col("pool_size").cast(LongType).as("pool_size"), col("has_coverage"))
+    (obs.unionByName(cover).unionByName(reg),
+      snap.map(_.id + 1).getOrElse(0L))
+  }
+
   private def compPath(m: Marker, comp: String): Path =
     new Path(s"${genPath(m.id, m.v)}/comp=$comp")
 

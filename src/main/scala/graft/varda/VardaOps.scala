@@ -506,7 +506,8 @@ object VardaOps {
     * invisible to concurrent callers), and the fixture is materialized
     * ONCE and sliced per batch — deriving it is the harness's job, not
     * the store's. */
-  private def buildFreqStore(s: SparkSession, d: String, name: String): String = {
+  private def buildFreqStore(s: SparkSession, d: String, name: String,
+      compactAfter: Option[Long] = None): String = {
     val dir = graft.ops.Scans.scratch(s, name, d)
     val s2 = s.newSession()
     s2.conf.set("spark.sql.shuffle.partitions", "8")
@@ -545,7 +546,15 @@ object VardaOps {
     // the context's lifetime. Double-unpersist on the success path is
     // a no-op. Tables.releaseSession rides the same finally so a
     // failed replay cannot leak the clone's memoized frames either.
-    try preps.foreach(store.commitPrepared)
+    // `compactAfter` snapshots MID-HISTORY (round 17 — the bootstrap
+    // key's store shape): the generations at or below it consolidate
+    // and their v0 deltas sweep, so a late-attaching change consumer
+    // MUST compose bootstrapChanges() + the tail — exactly the
+    // composition the key proves
+    try preps.foreach { p =>
+      store.commitPrepared(p)
+      if (compactAfter.contains(p.batchId)) store.compact()
+    }
     finally {
       preps.foreach { p =>
         import scala.concurrent.Await
@@ -608,6 +617,19 @@ object VardaOps {
         .getOrElseUpdate(d + "#tt", buildFreqStore(s, d, "freq_store_tt"))
     }
 
+  /** The BOOTSTRAP key's store: same 3-batch replay, but compaction
+    * lands MID-HISTORY (after batch 1), so generations 0-1 consolidate
+    * into a snapshot whose v0 deltas are swept while batch 2 commits as
+    * a streamable tail — the store shape every late-attaching CDC
+    * consumer faces. Memoized per (session, sfDir) like its siblings. */
+  private def bootstrapFreqStore(s: SparkSession, d: String): String =
+    builtStores.synchronized {
+      builtStores.computeIfAbsent(s,
+          _ => scala.collection.mutable.Map.empty[String, String])
+        .getOrElseUpdate(d + "#boot",
+          buildFreqStore(s, d, "freq_store_boot", compactAfter = Some(1L)))
+    }
+
   /** CHANGE-STREAM key [N] — the reference's poll-for-new-imports
     * lifecycle [U varda/tasks.py] consumed THROUGH the real streaming
     * source: `readStream.format("freqstore-changes")` over the 3-batch
@@ -632,8 +654,10 @@ object VardaOps {
     * per invocation under the shared scratch root, predecessors swept
     * (see [[streamStoreChanges]]'s scaladoc for the full contract). */
   private def drainChangesStream(s: SparkSession, d: String,
-      scratchName: String, components: Option[String]): DataFrame = {
-    val dir = timeTravelFreqStore(s, d)
+      scratchName: String, components: Option[String],
+      storeDir: Option[String] = None,
+      startingGeneration: Option[Long] = None): DataFrame = {
+    val dir = storeDir.getOrElse(timeTravelFreqStore(s, d))
     val root = new java.io.File(graft.ops.Scans.scratch(s, scratchName, d))
     root.mkdirs()
     // sweep prior invocations' run dirs (this key's scratch is
@@ -649,6 +673,8 @@ object VardaOps {
     val base = java.nio.file.Files.createTempDirectory(root.toPath, "run")
     val reader = s.readStream.format("freqstore-changes")
     components.foreach(c => reader.option("components", c))
+    startingGeneration.foreach(g =>
+      reader.option("startingGeneration", g.toString))
     val q = reader.load(dir)
       .writeStream.format("parquet")
       .option("path", s"$base/out")
@@ -683,6 +709,28 @@ object VardaOps {
       drainChangesStream(s, d, "chg_freq_stream",
         components = Some("obslog,cover,registry")))
       .orderBy("chromosome", "position", "reference", "observed")
+
+  /** CDC BOOTSTRAP-AFTER-COMPACTION [N] (round 17): a consumer that
+    * attaches AFTER a snapshot swept the early generations cannot drain
+    * them — it must compose [[FreqStore.bootstrapChanges]] (the
+    * snapshot's netted obslog/covlog/smpreg components rendered as
+    * wide-schema change rows) with the REAL streamed tail
+    * (`startingGeneration` = the snapshot floor + 1), then refold the
+    * union. This key runs that composition over a store compacted
+    * MID-HISTORY (batches 0-1 consolidated, batch 2 a streamable tail)
+    * and serves the reconstructed frequencies; the oracle is the FULL
+    * one-shot frequency SQL, so a late-attaching consumer must be
+    * indistinguishable from a reader of the store — the same contract
+    * [[streamStoreChangesFreq]] pins for a from-the-beginning consumer. */
+  val streamStoreChangesBootstrap: Q = (s, d) => {
+    val dir = bootstrapFreqStore(s, d)
+    val (boot, from) = new FreqStore(s, dir).bootstrapChanges()
+    val tail = drainChangesStream(s, d, "chg_boot_stream",
+      components = Some("all"), storeDir = Some(dir),
+      startingGeneration = Some(from))
+    FreqStore.refoldChanges(boot.unionByName(tail))
+      .orderBy("chromosome", "position", "reference", "observed")
+  }
 
   /** Generation-pinned TIME-TRAVEL read — the reference's "state as the
     * reader saw it at import N" [U varda versioned frequency serving]:
@@ -922,6 +970,30 @@ object VardaOps {
       .select(col("chromosome"), col("position"), col("reference"),
         col("observed"),
         element_at(col("info"), "FREQ_PPM").cast(LongType).as("freq_ppm"))
+      .orderBy("chromosome", "position", "reference", "observed")
+  }
+
+  /** MULTI-expression annotated-VCF export (round 17): the reference's
+    * write_annotation emits one INFO field per CONFIGURED sample query
+    * [U varda/tasks.py] — the engine already computes that frame in one
+    * pass ([[vardaAnnotateMulti]]); this key serializes it
+    * ([[graft.varda.Annotate.writeAnnotatedVcfMulti]] — one
+    * `FREQ_PPM_<NAME>` INFO entry per expression) and parses it BACK
+    * with the shared [[Vcf.parseVcfLines]] reader. The oracle is
+    * `varda_annotate_multi`'s own SQL: lossless export ⇔ the
+    * round-tripped frame hash-matches the multi-annotation it
+    * serialized. Same scale shape as [[sinkVcf]]: one map-only text
+    * write + one map-only parse, the per-file header frame broadcast. */
+  val sinkVcfMulti: Q = (s, d) => {
+    val tmp = graft.ops.Scans.scratch(s, "sink_vcf_multi", d)
+    Annotate.writeAnnotatedVcfMulti(s, d, tmp)
+    val ppm = multiExprs.map { case (n, _, _) =>
+      element_at(col("info"), Annotate.infoId(n)).cast(LongType)
+        .as(s"freq_ppm_$n")
+    }
+    Vcf.parseVcfLines(s.read.text(tmp))
+      .select(Seq(col("chromosome"), col("position"), col("reference"),
+        col("observed")) ++ ppm: _*)
       .orderBy("chromosome", "position", "reference", "observed")
   }
 
@@ -1597,6 +1669,7 @@ object VardaOps {
     "source_vcf" -> sourceVcf,
     "source_vcf_file" -> sourceVcfFile,
     "sink_vcf" -> sinkVcf,
+    "sink_vcf_multi" -> sinkVcfMulti,
     "source_bed" -> sourceBed,
     "join_range_interval" -> joinRangeInterval,
     "join_range_rewrite" -> joinRangeRewrite,
@@ -1605,6 +1678,7 @@ object VardaOps {
     "varda_freq_incremental" -> vardaFreqIncremental,
     "stream_store_changes" -> streamStoreChanges,
     "stream_store_changes_freq" -> streamStoreChangesFreq,
+    "stream_store_changes_bootstrap" -> streamStoreChangesBootstrap,
     "varda_freq_lookup" -> vardaFreqLookup,
     "varda_freq_asof" -> vardaFreqAsOf,
     "varda_freq_compare" -> vardaFreqCompare,
@@ -1909,6 +1983,11 @@ object VardaOps {
     "stream_store_changes_freq" ->
       s"""${frequencySql(withZyg = false, None, idivDuck)}
           ORDER BY n.chromosome, n.position, n.reference, n.observed""",
+    // the late-attaching consumer (snapshot bootstrap + streamed tail)
+    // must ALSO converge to the one-shot frequency computation
+    "stream_store_changes_bootstrap" ->
+      s"""${frequencySql(withZyg = false, None, idivDuck)}
+          ORDER BY n.chromosome, n.position, n.reference, n.observed""",
     // retraction must converge to the one-shot over the REMAINING samples
     "varda_sample_retract" ->
       s"""${frequencySql(withZyg = false, Some("sample_id NOT IN (4, 14)"), idivDuck)}
@@ -1983,30 +2062,36 @@ object VardaOps {
     "varda_annotate" -> annotateOracle,
     "sink_vcf" -> annotateOracle,
     "varda_annotate_store" -> annotateOracle,
-    "varda_annotate_multi" -> {
-      val ctes = multiExprs.map { case (n, _, ids) =>
-        s"""freq_$n AS (${frequencySql(withZyg = false,
-          Some(s"sample_id IN (${ids.mkString(", ")})"), idivDuck)})"""
-      }.mkString(",\n          ")
-      val joins = multiExprs.map { case (n, _, _) =>
-        s"""LEFT JOIN freq_$n ON i.chromosome = freq_$n.chromosome
-            AND i.position = freq_$n.position
-            AND i.reference = freq_$n.reference
-            AND i.observed = freq_$n.observed"""
-      }.mkString("\n          ")
-      val outs = multiExprs.map { case (n, _, _) =>
-        s"COALESCE(freq_$n.freq_ppm, 0) AS freq_ppm_$n"
-      }.mkString(", ")
-      s"""WITH $ctes,
-          input AS (SELECT DISTINCT chromosome,
-                      position + CASE WHEN obs_id % 4 = 0 THEN 1 ELSE 0 END AS position,
-                      reference, observed
-                    FROM ($observations) oo WHERE obs_id % 2 = 0)
-          SELECT i.chromosome, i.position, i.reference, i.observed, $outs
-          FROM input i
-          $joins
-          ORDER BY i.chromosome, i.position, i.reference, i.observed"""
-    })
+    // ONE oracle text for the multi-annotate key and its VCF export
+    // round trip — the same identity-by-reference discipline as the
+    // single-expression annotate triple above
+    "varda_annotate_multi" -> annotateMultiOracle,
+    "sink_vcf_multi" -> annotateMultiOracle)
+
+  private lazy val annotateMultiOracle: String = {
+    val ctes = multiExprs.map { case (n, _, ids) =>
+      s"""freq_$n AS (${frequencySql(withZyg = false,
+        Some(s"sample_id IN (${ids.mkString(", ")})"), idivDuck)})"""
+    }.mkString(",\n          ")
+    val joins = multiExprs.map { case (n, _, _) =>
+      s"""LEFT JOIN freq_$n ON i.chromosome = freq_$n.chromosome
+          AND i.position = freq_$n.position
+          AND i.reference = freq_$n.reference
+          AND i.observed = freq_$n.observed"""
+    }.mkString("\n          ")
+    val outs = multiExprs.map { case (n, _, _) =>
+      s"COALESCE(freq_$n.freq_ppm, 0) AS freq_ppm_$n"
+    }.mkString(", ")
+    s"""WITH $ctes,
+        input AS (SELECT DISTINCT chromosome,
+                    position + CASE WHEN obs_id % 4 = 0 THEN 1 ELSE 0 END AS position,
+                    reference, observed
+                  FROM ($observations) oo WHERE obs_id % 2 = 0)
+        SELECT i.chromosome, i.position, i.reference, i.observed, $outs
+        FROM input i
+        $joins
+        ORDER BY i.chromosome, i.position, i.reference, i.observed"""
+  }
 }
 
 /** Plain-Scala reference implementation of the variant normalization —

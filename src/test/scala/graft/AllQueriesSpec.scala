@@ -18,7 +18,7 @@ class AllQueriesSpec extends AnyFunSuite {
       "dedup_near_minhash", "sim_ann_lsh",
       "sim_ann_ivf", "sim_ann_ivf_persist", "dedup_near_embedding_lsh"),
       s"unexpected no-oracle keys: $noOracle")
-    assert(q.size == 165, s"expected 165 declared keys, got ${q.size}")
+    assert(q.size == 168, s"expected 168 declared keys, got ${q.size}")
   }
 
   test("entry returns rows") {

@@ -146,6 +146,90 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(vecs.count() == Tables.embeddings(spark, d.toString).count())
   }
 
+  test("append is TRANSACTIONAL: uncommitted debris is invisible, and a " +
+      "replayed append serves exactly once") {
+    val dir = freshDir("txn")
+    val e = Tables.embeddings(spark, sf001)
+    AnnIndex.build(spark, e.filter(col("vec_id") % 3 =!= 0), dir)
+    val (n1, _, _) = AnnIndex.readMeta(spark, dir)
+    val add = e.filter(col("vec_id") % 3 === 0)
+    val probeId = add.select("vec_id").orderBy("vec_id").head().getLong(0)
+    val probe = add.filter(col("vec_id") === probeId)
+      .select("embedding").head().getAs[scala.collection.Seq[Float]](0).toSeq
+    AnnIndex.append(spark, add, dir)
+    // CRASH SIMULATION: the generation's vector files landed but the
+    // commit marker did not — delete it (the round-16 layout's exact
+    // desync window, now closed by the marker being the one commit point)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_commits/gen-1"),
+      false))
+    // readers serve the PRE-append state: count back, appended vector
+    // invisible (it would be its own top-1 at cosine 1.0 if served)
+    val (nCrash, _, _) = AnnIndex.readMeta(spark, dir)
+    assert(nCrash == n1, s"crashed append leaked into meta: $nCrash != $n1")
+    val served = AnnIndex.queryPoint(spark, dir, probe, k = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(!served.contains(probeId),
+      s"uncommitted generation's vector $probeId was served: $served")
+    // REPLAY: the re-run append reclaims the debris and commits — the
+    // rows serve exactly once, never duplicated
+    AnnIndex.append(spark, add, dir)
+    val (n2, _, _) = AnnIndex.readMeta(spark, dir)
+    assert(n2 == e.count(), s"replayed append: meta n $n2 != ${e.count()}")
+    assert(AnnIndex.queryPoint(spark, dir, probe, k = 1)
+      .head().getLong(0) == probeId)
+    val vecs = spark.read.parquet(s"$dir/vectors")
+      .filter(col("gen") === 1)
+    assert(vecs.count() == vecs.select("vec_id").distinct().count()
+      && vecs.count() == add.count(),
+      "replayed append duplicated (or lost) the crashed generation's rows")
+  }
+
+  test("delete (remove_ids) stops serving a vec from BOTH paths; " +
+      "re-append restores it") {
+    import spark.implicits._
+    val dir = freshDir("delete")
+    val e = Tables.embeddings(spark, sf001)
+    AnnIndex.build(spark, e, dir)
+    val victim = 5L
+    val probe = e.filter(col("vec_id") === victim)
+      .select("embedding").head().getAs[scala.collection.Seq[Float]](0).toSeq
+    assert(AnnIndex.queryPoint(spark, dir, probe, k = 1)
+      .head().getLong(0) == victim, "sanity: a vector is its own top-1")
+    val (n0, _, _) = AnnIndex.readMeta(spark, dir)
+    AnnIndex.delete(spark, Seq(victim).toDF("vec_id"), dir)
+    // the point-lookup path no longer serves it
+    val top = AnnIndex.queryPoint(spark, dir, probe, k = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(!top.contains(victim), s"deleted vec $victim still served: $top")
+    // the batch query path neither returns it as a neighbor NOR answers
+    // for it as a query
+    val full = AnnIndex.query(spark, dir, k = 3).collect()
+    assert(!full.exists(_.getLong(2) == victim),
+      "deleted vec still appears as a neighbor in query()")
+    assert(!full.exists(_.getLong(0) == victim),
+      "deleted vec still answered as a query in query()")
+    val (n1, _, _) = AnnIndex.readMeta(spark, dir)
+    assert(n1 == n0 - 1, s"live count after delete: $n1 != ${n0 - 1}")
+    // deleting an already-deleted id is a no-op fold (idempotent enough
+    // for the caller's retract-then-retract): still not served
+    AnnIndex.delete(spark, Seq(victim).toDF("vec_id"), dir)
+    assert(!AnnIndex.queryPoint(spark, dir, probe, k = 3)
+      .collect().map(_.getLong(0)).contains(victim))
+    val (nRedel, _, _) = AnnIndex.readMeta(spark, dir)
+    assert(nRedel == n0 - 1,
+      "a re-deleted id decremented the live count twice")
+    // the retract → re-import cycle: a fresh append under a NEW vec_id
+    // serves again (vec_ids are unique across the index's lifetime —
+    // the registry discipline, so a restore imports under a fresh id)
+    val restored = e.filter(col("vec_id") === victim)
+      .select(lit(9000005L).as("vec_id"), col("label"), col("embedding"))
+    AnnIndex.append(spark, restored, dir)
+    assert(AnnIndex.queryPoint(spark, dir, probe, k = 1)
+      .head().getLong(0) == 9000005L)
+  }
+
   test("meta tracks n across appends; dim mismatch is refused") {
     val dir = freshDir("meta")
     val e = Tables.embeddings(spark, sf001)

@@ -62,6 +62,47 @@ class ApproxSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(merged == oneshot, s"merge lost coupons: $merged vs $oneshot")
     assert(merged == exact, s"sketch left exact regime: $merged vs $exact")
+    // PRECONDITION PIN (round-16 ADVICE): the key's FULL hash oracle is
+    // exact only while distinct days per type stays inside the lgK=12
+    // coupon regime (~hundreds). If a future fixture/GenScale change
+    // widens the event time span past this bound, fail HERE with a
+    // named cause instead of intermittently at the Verify sweep.
+    exact.foreach { case (k, n) =>
+      assert(n <= 256, s"agg_hll_merge precondition broken: event_type " +
+        s"'$k' spans $n distinct days — past ~hundreds the lgK=12 sketch " +
+        "leaves its exact coupon regime and the key's hash oracle goes " +
+        "flaky. Narrow the fixture's time span or demote the key to " +
+        "tolerance-only.")
+    }
+  }
+
+  test("agg_hll_partials: the persisted-partials answer is exact, the " +
+      "table is O(slices × groups), and serving never rescans events") {
+    val got = ops.Aggs.aggHllPartials(spark, sf001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, sf001)
+      .select(date_format(col("ts"), "yyyy-MM").as("month"),
+        to_date(col("ts")).as("d"))
+      .groupBy("month").agg(countDistinct(col("d")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == exact, s"partials-served answer diverged: $got vs $exact")
+    // the partials table holds ONE row per (slice, group) — the
+    // persisted surface a later re-aggregation reads instead of history
+    val dir = ops.Scans.scratch(spark, "hll_partials", sf001)
+    val nPartials = spark.read.parquet(dir).count()
+    val nSliceGroups = Tables.events(spark, sf001)
+      .select(date_format(col("ts"), "yyyy-MM").as("month"), col("event_type"))
+      .distinct().count()
+    assert(nPartials == nSliceGroups,
+      s"partials table is not O(slices × groups): $nPartials vs $nSliceGroups")
+    // and the SERVING plan scans the partials directory, never the
+    // events history (the no-rescan contract)
+    val plan = ops.Aggs.aggHllPartials(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("events.parquet"),
+      "the serving query rescanned the events history")
+    assert(plan.contains("hll_partials"),
+      "the serving query did not read the persisted partials table")
   }
 
   test("jaccardPairs df-cap: no-cap equals the declared exact set; a cap only removes pairs") {

@@ -702,7 +702,7 @@ class FreqStoreChangesSpec extends AnyFunSuite {
   }
 
   test("a compacted store's covlog snapshot is the netted coverage " +
-      "measure — bootstrap + tail streaming refolds serve() exactly") {
+      "measure (retraction +/- pairs cancel)") {
     val dir = tmpDir("chg_freq_compact")
     val store = new FreqStore(spark, dir, nBuckets = 4)
     val obs0 = Seq(("1", 5000L, "A", "C", 3, 1L)).toDF(
@@ -722,6 +722,85 @@ class FreqStoreChangesSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSet == Set(1L))
     assert(snap.agg(org.apache.spark.sql.functions.min("pool_size"))
       .head().getInt(0) > 0, "a netted snapshot carries no negative rows")
+  }
+
+  test("LATE-ATTACH COMPOSITION: bootstrapChanges() + the streamed tail " +
+      "refold serve() bit-exactly on a compacted store, and match an " +
+      "uncompacted twin's full-feed refold") {
+    val dir = tmpDir("chg_boot")
+    val twinDir = tmpDir("chg_boot_twin")
+    // adversarial history: tagged + untagged observations, a pure-
+    // coverage commit whose covlog delta is empty, an uncov-pool sample,
+    // a FULL retraction of sample 2 — then compaction sweeps it all into
+    // a snapshot — then a tail that RE-IMPORTS the retracted sample
+    def history(store: FreqStore): Unit = {
+      val obs0 = Seq(
+        ("1", 5000L, "A", "C", 3, 1L), ("1", 5000L, "A", "C", 2, 2L),
+        ("2", 700L, "G", "T", 4, 2L)).toDF(
+        "chromosome", "position", "reference", "observed", "support",
+        "sample_id")
+      store.commit(0, obs0, covB(0),
+        Seq((1L, 2, true), (2L, 5, true)).toDF(
+          "sample_id", "pool_size", "has_coverage"))
+      store.commit(1, obsB(1), covB(1), smpB(1))
+      store.retractSamples(2, Seq((2L, 5, true)).toDF(
+        "sample_id", "pool_size", "has_coverage"))
+    }
+    def tail(store: FreqStore): Unit = {
+      store.commit(3, obsB(2), covB(2), smpB(2))
+      store.commit(4,
+        Seq(("4", 8000L, "A", "G", 1)).toDF(
+          "chromosome", "position", "reference", "observed", "support"),
+        covB(1).filter("false"), smpB(1).filter("false"))
+    }
+    val store = new FreqStore(spark, dir, nBuckets = 4)
+    history(store)
+    store.compact() // snapshot gen-2.1: generations 0-2's v0 deltas sweep
+    tail(store)
+    val twin = new FreqStore(spark, twinDir, nBuckets = 4)
+    history(twin); tail(twin)
+
+    def drainAll(d: String, from: Option[Long]): DataFrame = {
+      val got = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.sql.Row]
+      val reader = spark.readStream.format("freqstore-changes")
+        .option("components", "all")
+      from.foreach(g => reader.option("startingGeneration", g.toString))
+      val q = reader.load(d)
+        .writeStream.outputMode("append")
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          got.synchronized { got ++= df.collect() }
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(got.toSeq),
+        graft.sources.FreqStoreChangesSource.wideSchema)
+    }
+
+    // the late-attaching consumer reconstructs state as it MUST: the
+    // snapshot's netted components as the initial feed, the REAL stream
+    // from the floor for the rest
+    val (boot, from) = store.bootstrapChanges()
+    assert(from == 3L, s"tail must start above the gen-2 snapshot, got $from")
+    val tailFeed = drainAll(dir, Some(from))
+    assert(tailFeed.select("generation").collect()
+      .forall(_.getLong(0) >= from), "the tail leaked pre-floor generations")
+    val composed = FreqStore.refoldChanges(boot.unionByName(tailFeed))
+    assert(freqKey(composed) == freqKey(store.serve()),
+      "bootstrap + tail diverged from serve()")
+    assert(composed.count() > 0)
+    // the same state a from-the-beginning consumer of the UNCOMPACTED
+    // twin reconstructs — the snapshot bootstrap is indistinguishable
+    // from having drained the swept history
+    val twinFeed = drainAll(twinDir, None)
+    assert(freqKey(composed) == freqKey(FreqStore.refoldChanges(twinFeed)),
+      "bootstrap composition diverged from the uncompacted twin's refold")
+    // a never-compacted store bootstraps EMPTY and tails from the start
+    val (eboot, efrom) = twin.bootstrapChanges()
+    assert(eboot.count() == 0L && efrom == 0L)
+    assert(freqKey(FreqStore.refoldChanges(eboot.unionByName(twinFeed)))
+      == freqKey(twin.serve()))
   }
 
   test("above the snapshot floor the stream works again (post-compaction " +
