@@ -166,6 +166,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "varda_freq_lookup_expr", "varda_freq_lookup_multi",
       "varda_freq_asof", // serveFrom's 1-row coverage-less pool broadcast
       "stream_store_changes_freq", // refoldChanges ends in the same serveFrom
+      "stream_store_changes_bootstrap", // bootstrap refold: same serveFrom
+      "sink_vcf_multi", // inherits the per-file #CHROM-header broadcast
       "varda_annotate_store", "varda_annotate_multi",
       "stream_late_watermark", "win_global_rank",
       "pack_sequences", "sample_mixture", "sample_temperature",
