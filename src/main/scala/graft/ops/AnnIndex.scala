@@ -22,7 +22,7 @@ import org.apache.spark.sql.types._
   *   <dir>/meta.parquet         n_cells INT, dim INT  (the quantizer shape)
   *   <dir>/vectors/gen=<g>/cell=<k>/   vec_id, label, embedding
   *   <dir>/tombstones/gen=<g>/         vec_id  (deleted ids)
-  *   <dir>/_commits/gen-<g>            marker: "add <n>" | "del <n>"
+  *   <dir>/_commits/gen-<g>            marker: "add <n>"|"del <n>"|"snap <n>"
   *
   * `vectors/` partitioned by cell is the load-bearing decision: a probe
   * of `nprobe` cells is a parquet scan with `cell IN (...)` — static
@@ -45,12 +45,15 @@ import org.apache.spark.sql.types._
   * reclaims the debris before reusing its generation id. The vector
   * count lives in the markers (summed at read), so there is no separate
   * meta rewrite to desync. Deletes append tombstoned vec_ids; serving
-  * anti-joins the (O(deleted), broadcast) tombstone set. Rebuild policy
-  * is the caller's (FAISS contract): appends keep the cell count fixed
-  * and tombstones accrete, so when occupancy or tombstone mass outgrows
-  * the design point, build a fresh index and swap directories. Single
-  * writer, like the frequency store (callers serialize through
-  * [[Llm.cachedModel]]'s per-application at-most-once guard).
+  * anti-joins the (O(deleted), broadcast) tombstone set. When accreted
+  * generations and tombstone mass outgrow the design point, [[compact]]
+  * folds the live set into one `snap` generation in place — same marker
+  * contract, no refit, served results bit-identical. Only cell-count
+  * drift (occupancy far from √n after heavy growth) still calls for a
+  * fresh [[build]] + directory swap, because that needs a new quantizer
+  * (the FAISS contract). Single writer, like the frequency store
+  * (callers serialize through [[Llm.cachedModel]]'s per-application
+  * at-most-once guard).
   */
 object AnnIndex {
 
@@ -97,8 +100,8 @@ object AnnIndex {
     new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
 
   /** Committed generations from the marker log: (gen, kind, n) with
-    * kind ∈ {add, del}. Uncommitted `gen=` directories are debris a
-    * crash left behind — invisible to every reader. */
+    * kind ∈ {add, del, snap}. Uncommitted `gen=` directories are debris
+    * a crash left behind — invisible to every reader. */
   private def committed(s: SparkSession, dir: String): Seq[(Int, String, Long)] = {
     val d = new Path(s"$dir/_commits")
     val fs = fsOf(s, dir)
@@ -111,14 +114,25 @@ object AnnIndex {
         val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
           finally in.close()
         body.trim.split(' ') match {
-          case Array(kind, n) if (kind == "add" || kind == "del")
-              && n.toLongOption.isDefined => (g, kind, n.toLong)
+          case Array(kind, n) if (kind == "add" || kind == "del"
+              || kind == "snap") && n.toLongOption.isDefined =>
+            (g, kind, n.toLong)
           case _ => sys.error(s"ann index: unreadable commit marker " +
             s"${st.getPath} (content '$body')")
         }
       }
     }.sortBy(_._1)
   }
+
+  /** The marks that define the SERVED set: a `snap` generation holds
+    * the compacted live rows of everything at or below it, so only the
+    * NEWEST snap and the add/del generations above it are effective —
+    * older marks are history the snapshot already folded. */
+  private def effective(marks: Seq[(Int, String, Long)]): Seq[(Int, String, Long)] =
+    marks.collect { case (g, "snap", _) => g }.maxOption match {
+      case None => marks
+      case Some(gs) => marks.filter(_._1 >= gs)
+    }
 
   /** Bless generation `g`: temp write + ATOMIC rename — the one commit
     * point. A reader either sees the marker (and the generation's
@@ -151,12 +165,12 @@ object AnnIndex {
   }
 
   /** (live n, n_cells, dim): the quantizer shape from `meta.parquet`,
-    * the live count from the commit log (adds − dels) — no mutable
-    * count file to desync from the data. */
+    * the live count from the commit log (snap + adds − dels over the
+    * effective marks) — no mutable count file to desync from the data. */
   private[graft] def readMeta(s: SparkSession, dir: String): (Long, Int, Int) = {
     val r = s.read.parquet(s"$dir/meta.parquet").head()
-    val n = committed(s, dir).map { case (_, kind, c) =>
-      if (kind == "add") c else -c }.sum
+    val n = effective(committed(s, dir)).map { case (_, kind, c) =>
+      if (kind == "del") -c else c }.sum
     (n, r.getAs[Int]("n_cells"), r.getAs[Int]("dim"))
   }
 
@@ -172,8 +186,8 @@ object AnnIndex {
     * partition values — static pruning, debris never read; the
     * tombstone side is O(deleted) and broadcast. */
   private def liveVectors(s: SparkSession, dir: String): DataFrame = {
-    val marks = committed(s, dir)
-    val addGens = marks.collect { case (g, "add", _) => g }
+    val marks = effective(committed(s, dir))
+    val addGens = marks.collect { case (g, k, _) if k != "del" => g }
     val delGens = marks.collect { case (g, "del", _) => g }
     require(addGens.nonEmpty, s"ann index at $dir has no committed " +
       "generations — build it first")
@@ -239,7 +253,7 @@ object AnnIndex {
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("gen", "cell")
       .parquet(s"$dir/vectors")
-    markCommitted(s, dir, 0, "add", n)
+    markCommitted(s, dir, 0, "add", writtenCount(s, s"$dir/vectors", 0))
   }
 
   /** Incrementally add vectors to an existing index: assign against the
@@ -263,37 +277,94 @@ object AnnIndex {
       .repartition(col("cell"))
       .write.mode("append").partitionBy("gen", "cell")
       .parquet(s"$dir/vectors")
-    markCommitted(s, dir, g, "add", added)
+    markCommitted(s, dir, g, "add", writtenCount(s, s"$dir/vectors", g))
+  }
+
+  /** The marker's count comes from the generation's DURABLE rows, not
+    * from a recomputation of the input frame — a nondeterministic input
+    * (a re-evaluated sample, a changed-underneath view) could otherwise
+    * count one row set and write another, desyncing the marker-derived
+    * live count from the data it blesses. One footer-only scan of the
+    * single fresh partition, pruned statically. A zero-row write leaves
+    * no `gen=` directory at all (Spark writes no partition dirs for an
+    * empty frame), so existence is the 0 case — also what keeps this
+    * readable when the root holds nothing else yet. */
+  private def writtenCount(s: SparkSession, path: String, g: Int): Long = {
+    val p = new Path(s"$path/gen=$g")
+    if (!p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)) 0L
+    else s.read.parquet(path).filter(col("gen") === g).count()
   }
 
   /** DELETE vectors from the index (the FAISS `remove_ids` analog,
     * round 17): tombstone the ids under a fresh committed generation —
-    * O(deleted) cost, no cell rewrite — and every serving path
-    * ([[query]], [[queryPoint]]) stops returning them atomically with
-    * the marker. Tombstones accrete until the caller's periodic rebuild
-    * (which starts from a clean slate); `ids` needs a `vec_id` column.
-    * Same crash contract as [[append]]: no marker, no deletion. */
+    * no cell rewrite — and every serving path ([[query]],
+    * [[queryPoint]]) stops returning them atomically with the marker.
+    * Tombstones accrete until [[compact]] folds them away; `ids` needs
+    * a `vec_id` column. Same crash contract as [[append]]: no marker,
+    * no deletion. */
   def delete(s: SparkSession, ids: DataFrame, dir: String): Unit = {
     readMeta(s, dir) // fails loudly on a never-built index
-    // net against the EXISTING tombstones (an O(deleted) broadcast
-    // anti-join): a re-deleted id must not decrement the marker-derived
-    // live count twice. Ids never ingested remain the caller's
-    // discipline (checking would scan the index; FAISS remove_ids makes
-    // the same contract).
-    val delGens = committed(s, dir).collect { case (g, "del", _) => g }
-    val prior =
-      if (delGens.isEmpty) None
-      else Some(s.read.parquet(s"$dir/tombstones")
-        .filter(col("gen").isin(delGens: _*)).select("vec_id"))
-    val ds = prior.foldLeft(ids.select("vec_id").distinct()) { (d, p) =>
-      d.join(broadcast(p), Seq("vec_id"), "left_anti") }
-    val n = ds.count()
-    if (n == 0) return
+    // tombstone only ids that are LIVE right now — a re-deleted id
+    // (tombstoned in an effective generation OR folded away by a
+    // snapshot) and an id never ingested must not decrement the
+    // marker-derived live count. The validation is one single-column
+    // scan of the live id set semi-joined with the broadcast delete
+    // batch — what makes the count exact by construction (the FAISS
+    // remove_ids id-scan, columnar)
+    val ds = liveVectors(s, dir).select("vec_id")
+      .join(broadcast(ids.select("vec_id").distinct()),
+        Seq("vec_id"), "left_semi")
     val g = nextGen(s, dir)
     ds.withColumn("gen", lit(g))
       .coalesce(1)
       .write.mode("append").partitionBy("gen").parquet(s"$dir/tombstones")
+    // count the DURABLE tombstones (see writtenCount) — and an all-
+    // already-deleted request writes zero rows, which must not commit:
+    // nextGen reclaims the empty debris on the next mutation
+    val n = writtenCount(s, s"$dir/tombstones", g)
+    if (n == 0) return
     markCommitted(s, dir, g, "del", n)
+  }
+
+  /** COMPACT the index in place (round 17 — the freqstore snapshot's
+    * analog): rewrite the LIVE vector set (committed adds minus
+    * tombstones) into ONE fresh `snap` generation under the same
+    * commit-marker contract, then sweep the superseded generation and
+    * tombstone directories. No refit — the centroids and cell layout
+    * are untouched, so served results are BIT-IDENTICAL before and
+    * after (AnnIndexSpec pins query/queryPoint parity); what changes is
+    * the physics: k accreted generations' files collapse to ~one file
+    * per cell and the per-query tombstone anti-join disappears.
+    * Crash contract: before the snap marker lands, readers serve the
+    * pre-compact state (the half-written snap generation is debris,
+    * reclaimed like any other); after it, the old directories are
+    * already invisible (readers plan only the newest snap + later
+    * generations), so the sweep is pure space reclaim and a crash
+    * mid-sweep costs nothing but bytes — the next compact re-sweeps
+    * everything below its own snap. An index whose live set is EMPTY
+    * (everything deleted) is left untouched: there is no state to
+    * snapshot, and removing the directory outright is the caller's
+    * decision, not a compaction. */
+  def compact(s: SparkSession, dir: String): Unit = {
+    val marks = committed(s, dir)
+    require(marks.nonEmpty, s"ann index at $dir has no committed " +
+      "generations — build it first")
+    val g = nextGen(s, dir)
+    liveVectors(s, dir)
+      .withColumn("gen", lit(g))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("gen", "cell")
+      .parquet(s"$dir/vectors")
+    val n = writtenCount(s, s"$dir/vectors", g)
+    if (n == 0) { nextGen(s, dir); return } // empty live set: reclaim, no-op
+    markCommitted(s, dir, g, "snap", n)
+    // space reclaim — everything below the snap is already invisible
+    val fs = fsOf(s, dir)
+    for ((og, kind, _) <- marks) {
+      val sub = if (kind == "del") "tombstones" else "vectors"
+      val p = new Path(s"$dir/$sub/gen=$og")
+      if (fs.exists(p)) fs.delete(p, true)
+    }
   }
 
   // ---- serving ------------------------------------------------------------

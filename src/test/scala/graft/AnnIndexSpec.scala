@@ -247,4 +247,88 @@ class AnnIndexSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("dim mismatch"))
   }
+
+  test("compact folds adds + deletes into one snap generation: served " +
+      "results bit-identical, superseded dirs swept, lifecycle continues") {
+    import spark.implicits._
+    val dir = freshDir("compact")
+    val e = Tables.embeddings(spark, sf001)
+    AnnIndex.build(spark, e.filter(col("vec_id") % 3 =!= 0), dir)
+    AnnIndex.append(spark, e.filter(col("vec_id") % 3 === 0), dir)
+    AnnIndex.delete(spark, Seq(5L, 7L).toDF("vec_id"), dir)
+    val (n0, _, _) = AnnIndex.readMeta(spark, dir)
+    def served() = AnnIndex.query(spark, dir, k = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val before = served()
+    val probe5 = e.filter(col("vec_id") === 5L)
+      .select("embedding").head().getAs[scala.collection.Seq[Float]](0).toSeq
+
+    AnnIndex.compact(spark, dir)
+
+    // semantics: BIT-IDENTICAL serving (no refit — same centroids, same
+    // cells), same live count, deleted ids stay gone
+    val (n1, _, _) = AnnIndex.readMeta(spark, dir)
+    assert(n1 == n0, s"compact changed the live count: $n0 -> $n1")
+    assert(served() == before, "compact changed served results")
+    assert(!AnnIndex.queryPoint(spark, dir, probe5, k = 3)
+      .collect().map(_.getLong(0)).contains(5L),
+      "a pre-compact-deleted vec resurfaced after compact")
+    // physics: ONE snap generation remains (gens 0=build, 1=append,
+    // 2=tombstones are swept; 3 = the snap), tombstones gone entirely
+    val gens = spark.read.parquet(s"$dir/vectors")
+      .select("gen").distinct().collect().map(_.getInt(0)).toSet
+    assert(gens == Set(3), s"expected only the snap generation, got $gens")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/tombstones/gen=2")), "swept tombstones still on disk")
+    // a re-delete of an id the snapshot already folded away is a no-op
+    // (the live-set validation, not the tombstone net, is what guards
+    // the count now)
+    AnnIndex.delete(spark, Seq(5L).toDF("vec_id"), dir)
+    val (nRedel, _, _) = AnnIndex.readMeta(spark, dir)
+    assert(nRedel == n1, "re-delete after compact corrupted the count")
+    // the lifecycle continues: append after compact is served
+    val clone = e.filter(col("vec_id") === 11L)
+      .select(lit(8000011L).as("vec_id"), col("label"), col("embedding"))
+    AnnIndex.append(spark, clone, dir)
+    val probe11 = e.filter(col("vec_id") === 11L)
+      .select("embedding").head().getAs[scala.collection.Seq[Float]](0).toSeq
+    assert(AnnIndex.queryPoint(spark, dir, probe11, k = 2)
+      .collect().map(_.getLong(0)).contains(8000011L),
+      "post-compact append not served")
+  }
+
+  test("a half-written snap generation (crash before the marker) is " +
+      "debris: serving unchanged, the replayed compact reclaims it") {
+    val dir = freshDir("compactcrash")
+    val e = Tables.embeddings(spark, sf001)
+    AnnIndex.build(spark, e.filter(col("vec_id") < 150), dir)
+    AnnIndex.append(spark, e.filter(col("vec_id") >= 150
+      && col("vec_id") < 200), dir)
+    def served() = AnnIndex.query(spark, dir, k = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val before = served()
+    // simulate the crash: a PARTIAL snap generation on disk, no marker
+    // (same schema as real rows — only the marker blesses a generation)
+    spark.read.parquet(s"$dir/vectors").limit(7)
+      .withColumn("gen", lit(2))
+      .write.mode("overwrite").partitionBy("gen", "cell")
+      .parquet(s"$dir/vectors_debris")
+    fsMove(s"$dir/vectors_debris/gen=2", s"$dir/vectors/gen=2")
+    assert(served() == before,
+      "an uncommitted snap generation leaked into serving")
+    AnnIndex.compact(spark, dir)
+    assert(served() == before, "replayed compact diverged")
+    val gens = spark.read.parquet(s"$dir/vectors")
+      .select("gen").distinct().collect().map(_.getInt(0)).toSet
+    assert(gens == Set(2), s"expected only the replayed snap, got $gens")
+  }
+
+  private def fsMove(from: String, to: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(from)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(from),
+      new org.apache.hadoop.fs.Path(to)))
+  }
 }
