@@ -602,14 +602,15 @@ object Llm {
   /** The PERSISTED-index lifecycle as a declared key (round 16 —
     * [[AnnIndex]]): build the IVF index on two thirds of the corpus,
     * INCREMENTALLY append the remaining third against the persisted
-    * centroids (no refit — the 100 TB maintenance path), COMPACT the
-    * accreted generations into one snapshot (round 17 — bit-identical
-    * serving, so the key's output is untouched while the Verify/Bench
-    * path proves the full build→append→compact→serve lifecycle at
-    * every scale), then answer the standard top-5 query FROM THE INDEX
-    * DIRECTORY (partitioned parquet + broadcast centroid probes), not
-    * from session state. Build+append+compact run once per (session,
-    * corpus) — the amortized-build contract every ANN key here uses;
+    * centroids (no refit — the 100 TB maintenance path), DELETE the
+    * planted decoy clones (the retraction path), COMPACT the accreted
+    * generations into one snapshot (round 17 — bit-identical serving),
+    * so the Verify/Bench path proves the FULL mutation lifecycle
+    * (build→append→delete→compact→serve) at every scale, then answer
+    * the standard top-5 query FROM THE INDEX DIRECTORY (partitioned
+    * parquet + broadcast centroid probes), not from session state. The
+    * mutations run once per (session, corpus) — the amortized-build
+    * contract every ANN key here uses;
     * the timed cost of a repeat invocation is load + query, which is
     * what a serving job pays. No oracle (approx); AnnIndexSpec pins
     * recall vs the exact kernel, build/append assignment parity, the
@@ -623,8 +624,19 @@ object Llm {
     val e = Tables.embeddings(s, d)
     val dir = Scans.scratch(s, "ann_ivf_index", d)
     cachedModel(s, s"ivf_persist:$d") {
-      AnnIndex.build(s, e.filter(col("vec_id") % 3 =!= 0), dir)
+      // deterministic DECOYS — clones of every 37th vector under offset
+      // ids — ride the build so DELETE runs on the declared path too:
+      // the full mutation lifecycle (build → append → delete → compact
+      // → serve) is what Verify/Bench then prove at every scale. Clones
+      // of real vectors leave the space (and the k-means fit) honest,
+      // and deleting them restores the undistorted candidate set.
+      val decoys = e.filter(col("vec_id") % 37 === 0)
+        .select((col("vec_id") + 50000000L).as("vec_id"),
+          lit(1).as("label"), col("embedding"))
+      AnnIndex.build(s, e.filter(col("vec_id") % 3 =!= 0).unionByName(decoys),
+        dir)
       AnnIndex.append(s, e.filter(col("vec_id") % 3 === 0), dir)
+      AnnIndex.delete(s, decoys.select("vec_id"), dir)
       AnnIndex.compact(s, dir)
       java.lang.Boolean.TRUE
     }
