@@ -344,11 +344,24 @@ object AnnIndex {
     * everything below its own snap. An index whose live set is EMPTY
     * (everything deleted) is left untouched: there is no state to
     * snapshot, and removing the directory outright is the caller's
-    * decision, not a compaction. */
-  def compact(s: SparkSession, dir: String): Unit = {
+    * decision, not a compaction.
+    *
+    * `retainGens` is the retention grace for CROSS-PROCESS serving
+    * (the [[graft.varda.FreqStore.compact]] policy): with
+    * `retainGens > 0` the sweep keeps (a) EVERY generation superseded
+    * by THIS compact — unconditionally, so a reader in another process
+    * holding a plan listed any time before this compact still finds
+    * every file — plus (b) the newest `retainGens` generations
+    * superseded by EARLIER compacts, which is how old grace ages out.
+    * The snap FLOORS the effective commit log, so retained directories
+    * are invisible to any new read; they only keep old plans
+    * executable. A later `compact(retainGens = 0)` (the default)
+    * reclaims everything. */
+  def compact(s: SparkSession, dir: String, retainGens: Int = 0): Unit = {
     val marks = committed(s, dir)
     require(marks.nonEmpty, s"ann index at $dir has no committed " +
       "generations — build it first")
+    val prevFloor = marks.collect { case (g0, "snap", _) => g0 }.maxOption
     val g = nextGen(s, dir)
     liveVectors(s, dir)
       .withColumn("gen", lit(g))
@@ -358,9 +371,16 @@ object AnnIndex {
     val n = writtenCount(s, s"$dir/vectors", g)
     if (n == 0) { nextGen(s, dir); return } // empty live set: reclaim, no-op
     markCommitted(s, dir, g, "snap", n)
-    // space reclaim — everything below the snap is already invisible
+    // space reclaim — everything below the snap is already invisible.
+    // fresh = superseded by THIS compact; aged = superseded earlier
+    val (fresh, aged) = marks.partition { case (og, _, _) =>
+      prevFloor.forall(og >= _) }
+    val agedKeep = aged.map(_._1).sorted.takeRight(retainGens).toSet
+    val sweep =
+      if (retainGens > 0) aged.filterNot(m => agedKeep(m._1))
+      else fresh ++ aged
     val fs = fsOf(s, dir)
-    for ((og, kind, _) <- marks) {
+    for ((og, kind, _) <- sweep) {
       val sub = if (kind == "del") "tombstones" else "vectors"
       val p = new Path(s"$dir/$sub/gen=$og")
       if (fs.exists(p)) fs.delete(p, true)

@@ -325,6 +325,40 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(gens == Set(2), s"expected only the replayed snap, got $gens")
   }
 
+  test("compact(retainGens) keeps superseded directories so an in-flight " +
+      "cross-process plan stays executable; grace ages out and the " +
+      "default compact reclaims everything") {
+    val dir = freshDir("retain")
+    val e = Tables.embeddings(spark, sf001)
+    AnnIndex.build(spark, e.filter(col("vec_id") % 2 === 0), dir)
+    AnnIndex.append(spark, e.filter(col("vec_id") % 2 =!= 0), dir)
+    def served() = AnnIndex.query(spark, dir, k = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    def genDir(g: Int) = new java.io.File(s"$dir/vectors/gen=$g")
+    val before = served()
+    // a plan LISTED before the compact (stand-in for another process's
+    // served DataFrame — file listing happens at read creation)
+    val oldPlan = AnnIndex.query(spark, dir, k = 3)
+    AnnIndex.compact(spark, dir, retainGens = 1)
+    // (a) gens superseded by THIS compact retained unconditionally: the
+    // old plan still finds every file it listed, new reads see the snap
+    assert(genDir(0).exists && genDir(1).exists && genDir(2).exists)
+    assert(oldPlan.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2))).toSet == before,
+      "a pre-compact plan broke under retention grace")
+    assert(served() == before)
+    // (b) a second graced compact ages old grace out: of the gens an
+    // EARLIER sweep superseded (0, 1) only the newest survives
+    AnnIndex.compact(spark, dir, retainGens = 1)
+    assert(!genDir(0).exists && genDir(1).exists && genDir(2).exists
+      && genDir(3).exists)
+    // the final default compact reclaims everything below its snap
+    AnnIndex.compact(spark, dir)
+    assert(!genDir(1).exists && !genDir(2).exists && !genDir(3).exists
+      && genDir(4).exists)
+    assert(served() == before, "serving changed across graced compacts")
+  }
+
   private def fsMove(from: String, to: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(from)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
