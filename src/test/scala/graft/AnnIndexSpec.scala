@@ -121,6 +121,37 @@ class AnnIndexSpec extends AnyFunSuite {
       s"streamed vector not served after foreachBatch append: $top")
   }
 
+  test("streaming retraction: vec_ids arriving on a stream are deleted " +
+      "and stop being served") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = freshDir("streamdel")
+    val e = Tables.embeddings(spark, sf001)
+    AnnIndex.build(spark, e, dir)
+    val victim = 13L
+    val probe = e.filter(col("vec_id") === victim)
+      .select("embedding").head().getAs[scala.collection.Seq[Float]](0).toSeq
+    assert(AnnIndex.queryPoint(spark, dir, probe, k = 1)
+      .head().getLong(0) == victim)
+    // the dedup pipeline's retraction feed: a stream of vec_ids to
+    // remove, folded per micro-batch — the delete() counterpart of the
+    // append maintenance loop above
+    val ms = MemoryStream[Long](spark)
+    ms.addData(victim)
+    val q = ms.toDF().toDF("vec_id")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) => AnnIndex.delete(spark, b.toDF(), dir); () }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val top = AnnIndex.queryPoint(spark, dir, probe, k = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(!top.contains(victim),
+      s"streamed retraction still served: $top")
+    val (n, _, _) = AnnIndex.readMeta(spark, dir)
+    assert(n == e.count() - 1, "streamed delete did not maintain the count")
+  }
+
   test("concurrent first invocations build the shared index exactly once") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
