@@ -506,14 +506,23 @@ object Llm {
     val cosd = (expr("float_dot(qe, ne)") /
       (sqrt(expr("float_dot(qe, qe)")) * sqrt(expr("float_dot(ne, ne)"))))
       .cast(DecimalType(18, 6))
-    val w = Window.partitionBy("qid").orderBy(col("cos_d").desc, col("nid"))
+    // the same BOUNDED top-k aggregate as the IVF keys (round 17):
+    // banding already keeps candidates/query ~constant (the measured
+    // 1.02×/decade), but the map-side-truncated aggregate still beats
+    // shuffling the full candidate set to each query's reducer, and the
+    // three ANN rank stages now share one machinery (AnnTopkSpec pins
+    // it row-identical to the window form; null cosines floor last)
     cands
       .join(e.select(col("vec_id").as("qid"), col("embedding").as("qe")), "qid")
       .join(e.select(col("vec_id").as("nid"), col("embedding").as("ne")), "nid")
       .withColumn("cos_d", cosd)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select("qid", "rank", "nid")
+      .groupBy("qid")
+      .agg(graft.functions.TopKByScore.topk(5,
+        coalesce((col("cos_d") * 1000000).cast(LongType),
+          lit(Long.MinValue)), col("nid")).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("i", "sc")))
+      .select(col("qid"), (col("i") + 1).cast(IntegerType).as("rank"),
+        col("sc.id").as("nid"))
       .orderBy("qid", "rank")
   }
 
