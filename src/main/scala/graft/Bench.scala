@@ -60,6 +60,10 @@ object Bench {
       // … and the PERSISTED index build+append (one-time by design —
       // the timed line measures the load+query serving path)
       SparkEntry.queries.get("sim_ann_ivf_persist").foreach(_(spark, sfDir).count())
+      // … and the rebuild key's build→append→delete→rebuild fixture
+      // (round 18; one-time by design — the timed line measures the
+      // post-swap load+query serving path)
+      SparkEntry.queries.get("sim_ann_ivf_rebuild").foreach(_(spark, sfDir).count())
       // … and the minhash family, for the same reason — warming the BRP
       // and IVF builds but not this one made the ANN/near-dup families'
       // bench lines non-comparable (round-8 verdict): its line paid the

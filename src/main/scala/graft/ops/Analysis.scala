@@ -174,6 +174,43 @@ object Analysis {
     * At the fixtures' smallest scale the formula reproduces the old
     * constants exactly (n = 500, cos 0.9, miss 2e-5 → 8 bits × 32
     * bands), so this is a strict generalization. */
+  /** MULTI-PROBE shape (round 18 — raising [[graft.ops.Llm.simAnnLsh]]'s
+    * recall at a held candidate budget): the query side probes, per
+    * band, its own bucket PLUS every bucket at Hamming distance 1
+    * (`bits` flipped variants), so a true pair hits a band when their
+    * signatures agree on all bits OR differ in exactly one —
+    *
+    *   pBand = pBit^bits · (1 + bits · (1 − pBit) / pBit)
+    *
+    * — the classic multi-probe LSH trade: each band does the recall
+    * work of ~(1 + bits·(1−pBit)/pBit) OR-ed bands for ONE signature
+    * row per item. To hold candidates/query at the single-probe
+    * budget, `bits` grows by ~log2(1 + bits): per-band probed buckets
+    * multiply by (1 + bits), so 2^bits must absorb that factor for
+    * expected occupancy·bands candidates to stay put (one fixed-point
+    * step below — the bits → probes dependency converges immediately
+    * because probes enters the log). Same n-scaling as [[lshShape]]:
+    * bucket count tracks n, so candidates/query stays ~flat per
+    * decade; what changes is the all-bands miss bound at the design
+    * cosine — e.g. n = 5000: single-probe (10 bits × 64 bands) misses
+    * a cosine-0.5 pair with p ≈ 0.33, multi-probe (13 bits × 59
+    * bands × 14 probes) with p ≈ 0.10, at ~1.6× the candidate
+    * volume. */
+  private[graft] def lshShapeMultiProbe(n: Long, cosTarget: Double,
+      missTarget: Double, minBits: Int, occupancy: Int,
+      maxBands: Int): (Int, Int) = {
+    val pBit = 1.0 - math.acos(cosTarget) / math.Pi
+    def bitsFor(probes: Int): Int = math.min(30, math.max(minBits,
+      math.ceil(math.log(math.max(1.0,
+        n.toDouble * probes / occupancy)) / math.log(2)).toInt))
+    val bits = bitsFor(1 + bitsFor(1))
+    val pBand = math.min(0.999999,
+      math.pow(pBit, bits) * (1.0 + bits * (1.0 - pBit) / pBit))
+    val bands = math.min(maxBands, math.max(1,
+      math.ceil(math.log(missTarget) / math.log1p(-pBand)).toInt))
+    (bits, bands)
+  }
+
   private[graft] def lshShape(n: Long, cosTarget: Double, missTarget: Double,
       minBits: Int, occupancy: Int, maxBands: Int): (Int, Int) = {
     val pBit = 1.0 - math.acos(cosTarget) / math.Pi

@@ -18,11 +18,20 @@ import org.apache.spark.sql.types._
   * that lifecycle, with the layout chosen so Spark's own machinery does
   * the serving work:
   *
-  *   <dir>/centroids.parquet    cell INT, centroid ARRAY<DOUBLE>  (KB-sized)
-  *   <dir>/meta.parquet         n_cells INT, dim INT  (the quantizer shape)
-  *   <dir>/vectors/gen=<g>/cell=<k>/   vec_id, label, embedding
-  *   <dir>/tombstones/gen=<g>/         vec_id  (deleted ids)
-  *   <dir>/_commits/gen-<g>            marker: "add <n>"|"del <n>"|"snap <n>"
+  *   <root>/centroids.parquet   cell INT, centroid ARRAY<DOUBLE>  (KB-sized)
+  *   <root>/meta.parquet        n_cells INT, dim INT, codec STRING
+  *   <root>/vectors/gen=<g>/cell=<k>/  vec_id, label, embedding
+  *                                     (codec sq8: qembedding ARRAY<TINYINT>,
+  *                                      qscale FLOAT instead of embedding)
+  *   <root>/tombstones/gen=<g>/        vec_id  (deleted ids)
+  *   <root>/_commits/gen-<g>           marker: "add <n>"|"del <n>"|"snap <n>"
+  *
+  * where <root> is <dir> itself (the flat layout [[build]] writes) until
+  * the first [[rebuild]], after which it is the newest version root
+  * <dir>/v<k> blessed by an atomic <dir>/_versions/v<k> marker — the
+  * rebuild-and-swap contract (round 18): a quantizer refit publishes a
+  * whole new root and readers swap atomically, with the predecessor
+  * retained one grace cycle for in-flight cross-process plans.
   *
   * `vectors/` partitioned by cell is the load-bearing decision: a probe
   * of `nprobe` cells is a parquet scan with `cell IN (...)` — static
@@ -59,9 +68,9 @@ object AnnIndex {
 
   /** Same n-adaptive shape as [[Llm.simAnnIvf]]: cells ~ √n (per-cell
     * occupancy and probed candidates both ∝ √n), probes ~ log2(cells). */
-  private[ops] def cellsFor(n: Long): Int =
+  private[graft] def cellsFor(n: Long): Int =
     math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
-  private[ops] def probesFor(nCells: Int): Int =
+  private[graft] def probesFor(nCells: Int): Int =
     math.max(4, math.ceil(math.log(nCells.toDouble) / math.log(2)).toInt)
 
   /** Squared L2 distance between `embedding` (array<float>) and
@@ -93,6 +102,34 @@ object AnnIndex {
 
   private def readCentroids(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/centroids.parquet")
+
+  /** Driver-side centroid table for [[queryPoint]]'s probe-cell choice,
+    * MEMOIZED per (directory, centroid-file mtime) — round-17 ADVICE:
+    * at the 10^11-vector design point cells ~ √n means ~3×10^5 rows
+    * collected and sorted PER point lookup; a serving loop pays that
+    * once per index state instead. The mtime in the key keeps the memo
+    * honest across rebuilds (a fresh quantizer rewrites the file) and
+    * across processes (the key is derived from the filesystem, not
+    * session state): the fingerprint is the child part-file listing —
+    * names carry a per-write-job UUID, so any rewrite changes the key
+    * even within one mtime tick. Bounded: entries are KB-sized and the
+    * map is cleared past 64 states. */
+  private val centroidMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String),
+      Array[(Int, Array[Double])]]()
+
+  private def centroidsLocal(s: SparkSession,
+      dir: String): Array[(Int, Array[Double])] = {
+    val p = new Path(s"$dir/centroids.parquet")
+    val fp = fsOf(s, dir).listStatus(p).toSeq
+      .map(st => s"${st.getPath.getName}:${st.getLen}").sorted.mkString(",")
+    if (centroidMemo.size > 64) centroidMemo.clear()
+    centroidMemo.computeIfAbsent((p.toString, fp), _ =>
+      readCentroids(s, dir).collect().map { r =>
+        (r.getAs[Int]("cell"),
+          r.getAs[scala.collection.Seq[Double]]("centroid").toArray)
+      })
+  }
 
   // ---- the generation commit log (round 17) ------------------------------
 
@@ -164,28 +201,176 @@ object AnnIndex {
     g
   }
 
+  // ---- quantizer versions: rebuild-and-swap (round 18) -------------------
+
+  /** Version markers at `<dir>/_versions/v<k>`: each is an atomic
+    * rename-created file blessing the COMPLETE index root `<dir>/v<k>`.
+    * No markers → the legacy flat layout (data at `<dir>` itself,
+    * implicitly version 1) — what [[build]] writes, so every
+    * pre-rebuild index reads unchanged. */
+  private def versionMarkers(s: SparkSession, dir: String): Seq[Int] = {
+    val d = new Path(s"$dir/_versions")
+    val fs = fsOf(s, dir)
+    if (!fs.exists(d)) Nil
+    else fs.listStatus(d).toSeq.flatMap(st =>
+      st.getPath.getName.stripPrefix("v").toIntOption
+        .filter(_ => st.getPath.getName.startsWith("v"))).sorted
+  }
+
+  /** The data root every reader and mutator operates on: the newest
+    * BLESSED version, or the flat layout when none exists. One listing
+    * — same cost class as the commit-log read it precedes. */
+  private[graft] def resolveRoot(s: SparkSession, dir: String): String =
+    versionMarkers(s, dir).lastOption
+      .map(v => s"$dir/v$v").getOrElse(dir)
+
+  /** REBUILD-AND-SWAP (round 18 — the last lifecycle edge the round-17
+    * scaladoc acknowledged): refit the coarse quantizer from the LIVE
+    * vector set into a fresh version root and publish it atomically,
+    * for when heavy append/delete traffic has drifted per-cell
+    * occupancy off the √n design point ([[compact]] fixes file-count
+    * physics but can never fix cell COUNT — that needs a new quantizer,
+    * the FAISS retrain contract).
+    *
+    * Isolation: the new root is invisible until its `_versions/v<k>`
+    * marker lands (atomic rename — the same one-commit-point discipline
+    * as the generation log). A reader planned against the old root
+    * keeps executing against it: the PREVIOUS current version's
+    * directories are retained unconditionally (cross-process grace,
+    * the [[compact]] `retainGens` policy lifted to whole versions);
+    * versions superseded EARLIER are swept here, which is how grace
+    * ages out. A crash before the marker leaves debris the next
+    * rebuild reclaims; a crash after it costs only un-swept bytes.
+    * Mutations against the swapped index land in the new root because
+    * every entry point resolves [[resolveRoot]] first.
+    *
+    * The storage codec carries over from the live index unless
+    * `codec` overrides it. Single writer, like every mutation. */
+  def rebuild(s: SparkSession, dir: String, codec: String = ""): Unit = {
+    val root = resolveRoot(s, dir)
+    val marks = versionMarkers(s, dir)
+    val prevVer = marks.lastOption.getOrElse(1)
+    val newVer = prevVer + 1
+    val newRoot = s"$dir/v$newVer"
+    val fs = fsOf(s, dir)
+    if (fs.exists(new Path(newRoot))) fs.delete(new Path(newRoot), true)
+    val useCodec = if (codec.nonEmpty) codec else codecOf(s, root)
+    buildInto(s, liveVectors(s, root), newRoot, useCodec)
+    // bless: temp write + atomic rename — readers see old or new, never
+    // a half-built root
+    val vd = new Path(s"$dir/_versions")
+    fs.mkdirs(vd)
+    val tmp = new Path(vd, s".tmp-v$newVer")
+    val out = fs.create(tmp, true)
+    try out.write(Array.emptyByteArray) finally out.close()
+    require(fs.rename(tmp, new Path(vd, s"v$newVer")),
+      s"ann index: version-marker rename failed for v$newVer")
+    // sweep versions superseded BEFORE this swap (keep the immediate
+    // predecessor as cross-process grace). The flat layout is version
+    // 1: swept by deleting its subpaths, so `dir` itself (which now
+    // holds v<k> roots) survives.
+    for (v <- marks :+ 1 if v < prevVer) {
+      if (v == 1)
+        for (sub <- Seq("centroids.parquet", "meta.parquet", "vectors",
+            "tombstones", "_commits")) {
+          val p = new Path(s"$dir/$sub")
+          if (fs.exists(p)) fs.delete(p, true)
+        }
+      else {
+        val p = new Path(s"$dir/v$v")
+        if (fs.exists(p)) fs.delete(p, true)
+        fs.delete(new Path(vd, s"v$v"), false)
+      }
+    }
+  }
+
+  /** Occupancy-triggered [[rebuild]]: refit when the live count has
+    * drifted the cell count more than `factor`× off [[cellsFor]]'s √n
+    * design point (either direction — an index grown 100× probes
+    * oversized cells; one shrunk 100× pays per-cell overhead for
+    * near-empty cells). Returns whether a rebuild ran, so a
+    * maintenance loop can log/measure it. The check is one meta read +
+    * one commit-log listing — cheap enough to run after every
+    * maintenance wave. */
+  def rebuildIfDrifted(s: SparkSession, dir: String,
+      factor: Double = 2.0): Boolean = {
+    require(factor > 1.0, s"drift factor must exceed 1: $factor")
+    val (n, nCells, _) = readMeta(s, dir)
+    val ideal = cellsFor(math.max(n, 1L))
+    val drifted = nCells * factor < ideal || ideal * factor < nCells
+    if (drifted) rebuild(s, dir)
+    drifted
+  }
+
   /** (live n, n_cells, dim): the quantizer shape from `meta.parquet`,
     * the live count from the commit log (snap + adds − dels over the
     * effective marks) — no mutable count file to desync from the data. */
   private[graft] def readMeta(s: SparkSession, dir: String): (Long, Int, Int) = {
-    val r = s.read.parquet(s"$dir/meta.parquet").head()
-    val n = effective(committed(s, dir)).map { case (_, kind, c) =>
+    val root = resolveRoot(s, dir)
+    val r = s.read.parquet(s"$root/meta.parquet").head()
+    val n = effective(committed(s, root)).map { case (_, kind, c) =>
       if (kind == "del") -c else c }.sum
     (n, r.getAs[Int]("n_cells"), r.getAs[Int]("dim"))
   }
 
   private def writeMeta(s: SparkSession, dir: String,
-      nCells: Int, dim: Int): Unit = {
+      nCells: Int, dim: Int, codec: String): Unit = {
     import s.implicits._
-    Seq((nCells, dim)).toDF("n_cells", "dim")
+    Seq((nCells, dim, codec)).toDF("n_cells", "dim", "codec")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta.parquet")
   }
+
+  /** Storage codec of the index: "f32" (raw float32 vectors) or "sq8"
+    * (symmetric per-vector int8 scalar quantization — round 18, the
+    * standard IVF companion: ~4× less probe-side I/O at a bounded
+    * recall cost, pinned in AnnIndexSpec). Pre-round-18 indexes have
+    * no codec column in meta → f32. */
+  private def codecOf(s: SparkSession, root: String): String = {
+    val m = s.read.parquet(s"$root/meta.parquet")
+    if (m.columns.contains("codec")) m.head().getAs[String]("codec")
+    else "f32"
+  }
+
+  /** Encode assigned rows (vec_id, label, embedding, cell) into the
+    * codec's STORED schema. sq8: per-vector symmetric scale
+    * qscale = max|x|/127 (float), codes round(x/qscale) ∈ [-127, 127];
+    * a zero vector stores qscale 0 with all-zero codes. Pure Column
+    * arithmetic — the encode stays in codegen on the write path. */
+  private def encodeStored(df: DataFrame, codec: String): DataFrame =
+    codec match {
+      case "f32" => df
+      case "sq8" => df
+        .withColumn("qscale", expr(
+          """cast(aggregate(embedding, cast(0 as float),
+               (a, x) -> greatest(a, abs(x))) / 127.0 as float)"""))
+        .withColumn("qembedding", expr(
+          """transform(embedding, x -> if(qscale = 0f,
+               cast(0 as tinyint),
+               cast(round(cast(x as double) / cast(qscale as double))
+                 as tinyint)))"""))
+        .select("vec_id", "label", "qembedding", "qscale", "cell")
+      case other => sys.error(s"ann index: unknown codec '$other'")
+    }
+
+  /** Decode STORED rows back to the serving schema (vec_id, label,
+    * embedding, cell). sq8 decodes in-kernel — codes × scale inside
+    * codegen, so a probe reads int8 payload off disk and never
+    * materializes a float copy outside the scan's own projection. */
+  private def decodeStored(df: DataFrame, codec: String): DataFrame =
+    codec match {
+      case "f32" => df.select("vec_id", "label", "embedding", "cell")
+      case "sq8" => df
+        .withColumn("embedding", expr(
+          "transform(qembedding, c -> cast(c as float) * qscale)"))
+        .select("vec_id", "label", "embedding", "cell")
+      case other => sys.error(s"ann index: unknown codec '$other'")
+    }
 
   /** The SERVED vector set: committed add-generations' rows minus the
     * committed tombstone ids. The gen filter is a literal IN over
     * partition values — static pruning, debris never read; the
     * tombstone side is O(deleted) and broadcast. */
-  private def liveVectors(s: SparkSession, dir: String): DataFrame = {
+  private def liveStored(s: SparkSession, dir: String): DataFrame = {
     val marks = effective(committed(s, dir))
     val addGens = marks.collect { case (g, k, _) if k != "del" => g }
     val delGens = marks.collect { case (g, "del", _) => g }
@@ -193,12 +378,15 @@ object AnnIndex {
       "generations — build it first")
     val v = s.read.parquet(s"$dir/vectors")
       .filter(col("gen").isin(addGens: _*))
-      .select("vec_id", "label", "embedding", "cell")
+      .drop("gen")
     if (delGens.isEmpty) v
     else v.join(broadcast(s.read.parquet(s"$dir/tombstones")
         .filter(col("gen").isin(delGens: _*)).select("vec_id")),
       Seq("vec_id"), "left_anti")
   }
+
+  private def liveVectors(s: SparkSession, dir: String): DataFrame =
+    decodeStored(liveStored(s, dir), codecOf(s, dir))
 
   // ---- mutations ----------------------------------------------------------
 
@@ -218,42 +406,63 @@ object AnnIndex {
   }
 
   /** Build the index from `corpus` (vec_id, label, embedding) at `dir`.
-    * The coarse quantizer is MLlib k-means on a deterministic half of
-    * the corpus (seed 42, 2 Lloyd iterations — [[Llm.simAnnIvf]]'s
-    * training contract); everything downstream of the fit is Column
-    * arithmetic. A fresh build clears the directory (the
-    * rebuild-and-swap contract's in-place form). */
-  def build(s: SparkSession, corpus: DataFrame, dir: String): Unit = {
+    * The coarse quantizer is MLlib k-means (seed 42, 2 Lloyd
+    * iterations — [[Llm.simAnnIvf]]'s training contract) on a
+    * deterministic BOUNDED sample: the even-id half of the corpus,
+    * hash-thinned to ~256 rows per centroid once the half outgrows
+    * that (round 18 — the FAISS training contract, ~39–256 points per
+    * centroid; training on a fixed FRACTION made the fit, not the
+    * index, the 100 TB scale-killer: O(n·k·dim) per Lloyd iteration
+    * with k ~ √n). The thinning predicate is pure arithmetic on
+    * vec_id (xxhash64 bucket), so the sample is reproducible across
+    * runs and processes, and at every scale where n/2 ≤ 256·cells it
+    * keeps bucket modulus 1 — bit-identical to the pre-round-18 fit.
+    * Everything downstream of the fit is Column arithmetic. A fresh
+    * build clears the directory (the rebuild-and-swap contract's
+    * in-place form); [[rebuild]] is the online form — fresh quantizer
+    * into a new VERSION root, atomically published, readers isolated.
+    * `codec` picks the vector storage: "f32" raw, or "sq8" int8
+    * scalar-quantized ([[encodeStored]]). */
+  def build(s: SparkSession, corpus: DataFrame, dir: String,
+      codec: String = "f32"): Unit = {
+    val fs = fsOf(s, dir)
+    if (fs.exists(new Path(dir))) fs.delete(new Path(dir), true)
+    buildInto(s, corpus, dir, codec)
+  }
+
+  private def buildInto(s: SparkSession, corpus: DataFrame, root: String,
+      codec: String): Unit = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.linalg.Vectors
     val vecs = corpus.select("vec_id", "label", "embedding")
     val (n, dim) = checkedStats(vecs, "build")
-    require(n > 0, s"ann index build on an empty corpus: $dir")
-    require(dim > 0, s"ann index build on empty embeddings: $dir")
-    val fs = fsOf(s, dir)
-    if (fs.exists(new Path(dir))) fs.delete(new Path(dir), true)
+    require(n > 0, s"ann index build on an empty corpus: $root")
+    require(dim > 0, s"ann index build on empty embeddings: $root")
     val nCells = cellsFor(n)
+    // expected sample ≈ (n/2) / thin, sized to ≤ ~256 rows per centroid
+    val thin = math.max(1L, n / 2 / math.max(1L, 256L * nCells))
     val toVec = udf((a: Seq[Float]) =>
       Vectors.dense(a.map(_.toDouble).toArray))
     val model = new KMeans().setK(nCells).setSeed(42).setMaxIter(2)
       .setFeaturesCol("features").setPredictionCol("cell")
-      .fit(vecs.filter(col("vec_id") % 2 === 0)
+      .fit(vecs.filter(col("vec_id") % 2 === 0
+          && pmod(xxhash64(col("vec_id")), lit(thin)) === 0)
         .select(toVec(col("embedding")).as("features")))
     import s.implicits._
     model.clusterCenters.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toArray.toSeq) }
       .toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids.parquet")
-    writeMeta(s, dir, nCells, dim)
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids.parquet")
+    writeMeta(s, root, nCells, dim, codec)
     // co-locate each cell's rows before the partitioned write: without
     // the repartition every task writes a sliver of every cell
     // (tasks × cells small files); with it a cell is ~one file
-    assign(vecs, readCentroids(s, dir))
+    encodeStored(assign(vecs, readCentroids(s, root)), codec)
       .withColumn("gen", lit(0))
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("gen", "cell")
-      .parquet(s"$dir/vectors")
-    markCommitted(s, dir, 0, "add", writtenCount(s, s"$dir/vectors", 0))
+      .parquet(s"$root/vectors")
+    markCommitted(s, root, 0, "add", writtenCount(s, s"$root/vectors", 0))
   }
 
   /** Incrementally add vectors to an existing index: assign against the
@@ -265,19 +474,20 @@ object AnnIndex {
     * invisible; the replayed append reclaims its debris and serves the
     * rows exactly once. */
   def append(s: SparkSession, newVecs: DataFrame, dir: String): Unit = {
+    val root = resolveRoot(s, dir)
     val (_, _, dim) = readMeta(s, dir)
     val vecs = newVecs.select("vec_id", "label", "embedding")
     val (added, newDim) = checkedStats(vecs, "append")
     if (added == 0) return
     require(newDim == dim,
       s"ann index append dim mismatch: index=$dim, appended=$newDim")
-    val g = nextGen(s, dir)
-    assign(vecs, readCentroids(s, dir))
+    val g = nextGen(s, root)
+    encodeStored(assign(vecs, readCentroids(s, root)), codecOf(s, root))
       .withColumn("gen", lit(g))
       .repartition(col("cell"))
       .write.mode("append").partitionBy("gen", "cell")
-      .parquet(s"$dir/vectors")
-    markCommitted(s, dir, g, "add", writtenCount(s, s"$dir/vectors", g))
+      .parquet(s"$root/vectors")
+    markCommitted(s, root, g, "add", writtenCount(s, s"$root/vectors", g))
   }
 
   /** The marker's count comes from the generation's DURABLE rows, not
@@ -303,6 +513,7 @@ object AnnIndex {
     * a `vec_id` column. Same crash contract as [[append]]: no marker,
     * no deletion. */
   def delete(s: SparkSession, ids: DataFrame, dir: String): Unit = {
+    val root = resolveRoot(s, dir)
     readMeta(s, dir) // fails loudly on a never-built index
     // tombstone only ids that are LIVE right now — a re-deleted id
     // (tombstoned in an effective generation OR folded away by a
@@ -310,20 +521,25 @@ object AnnIndex {
     // marker-derived live count. The validation is one single-column
     // scan of the live id set semi-joined with the broadcast delete
     // batch — what makes the count exact by construction (the FAISS
-    // remove_ids id-scan, columnar)
-    val ds = liveVectors(s, dir).select("vec_id")
+    // remove_ids id-scan, columnar; liveStored — no decode needed for
+    // an id-only projection)
+    val ds = liveStored(s, root).select("vec_id")
       .join(broadcast(ids.select("vec_id").distinct()),
         Seq("vec_id"), "left_semi")
-    val g = nextGen(s, dir)
+    val g = nextGen(s, root)
+    // repartition — a shuffle barrier — NOT coalesce: coalesce(1)
+    // propagates up the narrow plan and would run the whole live-set
+    // validation scan in one task (round-17 ADVICE); the barrier keeps
+    // the scan parallel and moves only the O(deleted) output to 1 file
     ds.withColumn("gen", lit(g))
-      .coalesce(1)
-      .write.mode("append").partitionBy("gen").parquet(s"$dir/tombstones")
+      .repartition(1)
+      .write.mode("append").partitionBy("gen").parquet(s"$root/tombstones")
     // count the DURABLE tombstones (see writtenCount) — and an all-
     // already-deleted request writes zero rows, which must not commit:
     // nextGen reclaims the empty debris on the next mutation
-    val n = writtenCount(s, s"$dir/tombstones", g)
+    val n = writtenCount(s, s"$root/tombstones", g)
     if (n == 0) return
-    markCommitted(s, dir, g, "del", n)
+    markCommitted(s, root, g, "del", n)
   }
 
   /** COMPACT the index in place (round 17 — the freqstore snapshot's
@@ -358,19 +574,20 @@ object AnnIndex {
     * executable. A later `compact(retainGens = 0)` (the default)
     * reclaims everything. */
   def compact(s: SparkSession, dir: String, retainGens: Int = 0): Unit = {
-    val marks = committed(s, dir)
-    require(marks.nonEmpty, s"ann index at $dir has no committed " +
+    val root = resolveRoot(s, dir)
+    val marks = committed(s, root)
+    require(marks.nonEmpty, s"ann index at $root has no committed " +
       "generations — build it first")
     val prevFloor = marks.collect { case (g0, "snap", _) => g0 }.maxOption
-    val g = nextGen(s, dir)
-    liveVectors(s, dir)
+    val g = nextGen(s, root)
+    liveStored(s, root)
       .withColumn("gen", lit(g))
       .repartition(col("cell"))
       .write.mode("append").partitionBy("gen", "cell")
-      .parquet(s"$dir/vectors")
-    val n = writtenCount(s, s"$dir/vectors", g)
-    if (n == 0) { nextGen(s, dir); return } // empty live set: reclaim, no-op
-    markCommitted(s, dir, g, "snap", n)
+      .parquet(s"$root/vectors")
+    val n = writtenCount(s, s"$root/vectors", g)
+    if (n == 0) { nextGen(s, root); return } // empty live set: reclaim, no-op
+    markCommitted(s, root, g, "snap", n)
     // space reclaim — everything below the snap is already invisible.
     // fresh = superseded by THIS compact; aged = superseded earlier
     val (fresh, aged) = marks.partition { case (og, _, _) =>
@@ -379,11 +596,20 @@ object AnnIndex {
     val sweep =
       if (retainGens > 0) aged.filterNot(m => agedKeep(m._1))
       else fresh ++ aged
-    val fs = fsOf(s, dir)
+    val fs = fsOf(s, root)
     for ((og, kind, _) <- sweep) {
       val sub = if (kind == "del") "tombstones" else "vectors"
-      val p = new Path(s"$dir/$sub/gen=$og")
+      val p = new Path(s"$root/$sub/gen=$og")
       if (fs.exists(p)) fs.delete(p, true)
+      // fold the marker WITH its directory (round-17 ADVICE: the log
+      // otherwise accretes one driver-side FS open per historical
+      // generation on every mutation/read, without bound). Markers for
+      // RETAINED directories stay — the next compact's aging logic
+      // reads them to know what grace to expire — so the log is
+      // bounded by snap + grace + mutations-since-compact. Idempotent
+      // under a crash mid-fold: the next compact re-sweeps everything
+      // below its own snap.
+      fs.delete(new Path(s"$root/_commits/gen-$og"), false)
     }
   }
 
@@ -408,14 +634,15 @@ object AnnIndex {
     * index SERVING path must not return confident neighbors for an
     * undefined similarity. */
   def query(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val root = resolveRoot(s, dir)
     val (_, nCells, _) = readMeta(s, dir)
     val nProbe = probesFor(nCells)
     graft.functions.GraftFunctions.registerAll(s)
-    val vecs = liveVectors(s, dir)
+    val vecs = liveVectors(s, root)
       .filter(expr("float_dot(embedding, embedding)") > 0)
     val probes = vecs.filter(col("label") === 0)
       .select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(readCentroids(s, dir)))
+      .crossJoin(broadcast(readCentroids(s, root)))
       .withColumn("dist", sqdist)
       .groupBy("vec_id")
       // nprobe smallest (dist, cell) pairs per query — the same bounded
@@ -452,24 +679,24 @@ object AnnIndex {
     * the job reads nprobe cell directories, not the corpus. */
   def queryPoint(s: SparkSession, dir: String, queryVec: Seq[Float],
       k: Int): DataFrame = {
+    val root = resolveRoot(s, dir)
     val (_, nCells, dim) = readMeta(s, dir)
     require(queryVec.length == dim,
       s"query dim ${queryVec.length} != index dim $dim")
     val nProbe = probesFor(nCells)
     require(queryVec.exists(_ != 0f),
       "cosine point lookup on a zero query vector is undefined")
-    val cells = readCentroids(s, dir).collect()
-      .map { r =>
-        val c = r.getAs[scala.collection.Seq[Double]]("centroid")
+    val cells = centroidsLocal(s, root)
+      .map { case (cell, c) =>
         val d2 = c.iterator.zip(queryVec.iterator)
           .map { case (ci, qi) => (qi - ci) * (qi - ci) }.sum
-        (d2, r.getAs[Int]("cell"))
+        (d2, cell)
       }.sorted.take(nProbe).map(_._2).toSeq
     graft.functions.GraftFunctions.registerAll(s)
     val q = array(queryVec.map(v => lit(v)): _*)
     val cosd = expr("float_dot(qe, ne)") /
       (sqrt(expr("float_dot(qe, qe)")) * sqrt(expr("float_dot(ne, ne)")))
-    liveVectors(s, dir)
+    liveVectors(s, root)
       .filter(col("cell").isin(cells: _*))
       // zero-norm index rows: same undefined-cosine exclusion as query()
       .filter(expr("float_dot(embedding, embedding)") > 0)

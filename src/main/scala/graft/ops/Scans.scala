@@ -161,6 +161,38 @@ object Scans {
       .orderBy("o_orderkey")
   }
 
+  /** Schema evolution tier 2 (round 18 — the OTHER move a long-lived
+    * lake table makes): TYPE WIDENING across generations. Generation 0
+    * wrote a column as INT; a later writer widened it to BIGINT.
+    * `mergeSchema` alone THROWS on int-vs-bigint footers — the
+    * reconciliation a real lake read does is explicit per-generation
+    * `schema(...)` (so the narrow footer decodes as written) + CAST to
+    * the widest type + `unionByName`. Still scan-friendly: each leg is
+    * a plain pruned parquet scan and the cast is codegen'd — nothing
+    * driver-side. Column renames, the third classic move, are the same
+    * pattern with `withColumnRenamed` per generation. */
+  val sourceSchemaEvolutionWiden: Q = (s, d) => {
+    val evo = scratch(s, "schema_evo_widen", d)
+    val orders = Tables.orders(s, d)
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"),
+        col("o_custkey").cast(IntegerType).as("cust"))
+      .write.mode("overwrite").parquet(s"$evo/g0")
+    orders.filter(col("o_orderkey") % 2 =!= 0)
+      .select(col("o_orderkey"), col("o_custkey").as("cust"))
+      .write.mode("overwrite").parquet(s"$evo/g1")
+    val g0 = s.read.schema(StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("cust", IntegerType))))
+      .parquet(s"$evo/g0")
+      .withColumn("cust", col("cust").cast(LongType))
+    val g1 = s.read.schema(StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("cust", LongType))))
+      .parquet(s"$evo/g1")
+    g0.unionByName(g1).orderBy("o_orderkey")
+  }
+
   val projectRenameCast: Q = (s, d) =>
     Tables.lineitem(s, d)
       .select(
@@ -223,6 +255,7 @@ object Scans {
     "source_json_lines" -> sourceJsonLines,
     "source_partition_prune" -> sourcePartitionPrune,
     "source_schema_evolution" -> sourceSchemaEvolution,
+    "source_schema_evolution_widen" -> sourceSchemaEvolutionWiden,
     "sink_compaction" -> sinkCompaction,
     "sink_partition_overwrite" -> sinkPartitionOverwrite,
     "project_rename_cast" -> projectRenameCast,
@@ -277,6 +310,13 @@ object Scans {
          FROM orders WHERE o_orderkey % 2 = 0
          UNION ALL
          SELECT o_orderkey, o_orderstatus, o_orderpriority
+         FROM orders WHERE o_orderkey % 2 <> 0
+         ORDER BY o_orderkey""",
+    "source_schema_evolution_widen" ->
+      """SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS cust
+         FROM orders WHERE o_orderkey % 2 = 0
+         UNION ALL
+         SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS cust
          FROM orders WHERE o_orderkey % 2 <> 0
          ORDER BY o_orderkey""",
     "project_rename_cast" ->

@@ -16,9 +16,10 @@ class AllQueriesSpec extends AnyFunSuite {
     val noOracle = q.diff(o)
     assert(noOracle == Set("agg_approx_hll", "agg_approx_quantile",
       "dedup_near_minhash", "sim_ann_lsh",
-      "sim_ann_ivf", "sim_ann_ivf_persist", "dedup_near_embedding_lsh"),
+      "sim_ann_ivf", "sim_ann_ivf_persist", "sim_ann_ivf_rebuild",
+      "dedup_near_embedding_lsh"),
       s"unexpected no-oracle keys: $noOracle")
-    assert(q.size == 168, s"expected 168 declared keys, got ${q.size}")
+    assert(q.size == 170, s"expected 170 declared keys, got ${q.size}")
   }
 
   test("entry returns rows") {

@@ -35,6 +35,24 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(a.nonEmpty)
   }
 
+  test("decoy retraction is exact: the served index holds precisely the " +
+      "real id set — no real vector tombstoned, no decoy surviving") {
+    // round-17 ADVICE: the old +50M decoy offset could collide with
+    // GenScale's stacked-copy ids and silently delete REAL vectors.
+    // Decoy ids are now negative-odd, structurally disjoint from any
+    // non-negative corpus id; this pins the end state id-for-id.
+    ops.Llm.simAnnIvfPersist(spark, sf001).collect() // runs the lifecycle
+    val idx = ops.Scans.scratch(spark, "ann_ivf_index", sf001)
+    val live = spark.read.parquet(s"$idx/vectors")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val real = Tables.embeddings(spark, sf001)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(real.forall(_ >= 0L), "corpus ids not non-negative — the " +
+      "decoy disjointness argument would be void")
+    assert(live == real,
+      s"lost real=${(real -- live).take(5)} leakedDecoy=${(live -- real).take(5)}")
+  }
+
   test("append assigns with the persisted centroids: a clone lands in its original's cell") {
     val dir = freshDir("parity")
     val e = Tables.embeddings(spark, sf001)
@@ -313,6 +331,13 @@ class AnnIndexSpec extends AnyFunSuite {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(
       s"$dir/tombstones/gen=2")), "swept tombstones still on disk")
+    // round-17 ADVICE: the marker log folds WITH the swept directories
+    // — a long-lived maintenance loop must not accrete one FS open per
+    // historical generation; only the snap's marker remains
+    val markers = fs.listStatus(new org.apache.hadoop.fs.Path(
+      s"$dir/_commits")).map(_.getPath.getName).toSet
+    assert(markers == Set("gen-3"),
+      s"swept generations' markers not folded: $markers")
     // a re-delete of an id the snapshot already folded away is a no-op
     // (the live-set validation, not the tombstone net, is what guards
     // the count now)
@@ -388,6 +413,112 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(!genDir(1).exists && !genDir(2).exists && !genDir(3).exists
       && genDir(4).exists)
     assert(served() == before, "serving changed across graced compacts")
+  }
+
+  test("rebuildIfDrifted: quiet on a fresh index, fires after 7x growth, " +
+      "restores the sqrt-n cell count, quiet again after the swap") {
+    val dir = freshDir("drift")
+    val e = Tables.embeddings(spark, sf001)
+    AnnIndex.build(spark, e.filter(col("vec_id") % 7 === 0), dir)
+    // factor 1.4 mirrors the declared key: at this 500-row fixture the
+    // cellsFor floor of 16 keeps ideal cells (23) inside the default
+    // 2x band even after 7x growth
+    assert(!AnnIndex.rebuildIfDrifted(spark, dir, factor = 1.4),
+      "a just-built index reported drift")
+    AnnIndex.append(spark, e.filter(col("vec_id") % 7 =!= 0), dir)
+    val (n0, cells0, _) = AnnIndex.readMeta(spark, dir)
+    assert(AnnIndex.rebuildIfDrifted(spark, dir, factor = 1.4),
+      s"7x-grown index ($cells0 cells for $n0 live) did not trigger")
+    val (n1, cells1, _) = AnnIndex.readMeta(spark, dir)
+    assert(n1 == n0, s"rebuild changed the live count: $n0 -> $n1")
+    assert(cells1 == AnnIndex.cellsFor(n1),
+      s"post-rebuild cells $cells1 != design point ${AnnIndex.cellsFor(n1)}")
+    assert(!AnnIndex.rebuildIfDrifted(spark, dir, factor = 1.4),
+      "freshly swapped index still reports drift")
+    // mutations after the swap land in the NEW root (resolveRoot on
+    // every entry point): an appended clone is served
+    val clone = e.filter(col("vec_id") === 42L)
+      .select(lit(7000042L).as("vec_id"), lit(1).as("label"), col("embedding"))
+    AnnIndex.append(spark, clone, dir)
+    val probe = e.filter(col("vec_id") === 42L)
+      .select("embedding").head().getAs[scala.collection.Seq[Float]](0).toSeq
+    assert(AnnIndex.queryPoint(spark, dir, probe, k = 2)
+      .collect().map(_.getLong(0)).contains(7000042L),
+      "post-swap append not served")
+  }
+
+  test("reader-during-swap isolation: a plan listed pre-rebuild executes " +
+      "unchanged against the retained root; grace ages out on the next swap") {
+    val dir = freshDir("swap")
+    val e = Tables.embeddings(spark, sf001)
+    AnnIndex.build(spark, e.filter(col("vec_id") % 5 === 0), dir)
+    AnnIndex.append(spark, e.filter(col("vec_id") % 5 =!= 0), dir)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getLong(2))
+    val oldPlan = AnnIndex.query(spark, dir, k = 3) // lists the flat root
+    val before = oldPlan.collect().map(key).toSet
+    AnnIndex.rebuild(spark, dir)
+    // the pre-swap plan still finds every file it listed (flat root is
+    // the retained predecessor); new reads serve the refit quantizer
+    assert(oldPlan.collect().map(key).toSet == before,
+      "a pre-rebuild plan broke during the swap")
+    val after = AnnIndex.query(spark, dir, k = 3).collect().map(key).toSet
+    assert(after.map(_._1) == before.map(_._1),
+      "the refit index lost or invented query ids")
+    assert(new java.io.File(s"$dir/v2/vectors").exists,
+      "rebuild did not publish a v2 root")
+    // second swap: v3 published, the FLAT root (two swaps old) is swept,
+    // v2 retained as the new grace
+    AnnIndex.rebuild(spark, dir)
+    assert(new java.io.File(s"$dir/v3/vectors").exists)
+    assert(new java.io.File(s"$dir/v2/vectors").exists,
+      "the immediate predecessor version must survive as grace")
+    assert(!new java.io.File(s"$dir/vectors").exists
+      && !new java.io.File(s"$dir/_commits").exists,
+      "the twice-superseded flat layout was not swept")
+    assert(AnnIndex.query(spark, dir, k = 3).collect().map(key).toSet
+      .map((t: (Long, Int, Long)) => t._1) == before.map(_._1))
+  }
+
+  test("sq8 codec: int8 storage serves with >= 0.9 recall vs the f32 twin, " +
+      "compact carries codes bit-identically, appended clones are found") {
+    val dir8 = freshDir("sq8")
+    val dir32 = freshDir("f32twin")
+    val e = Tables.embeddings(spark, sf001)
+    AnnIndex.build(spark, e, dir8, codec = "sq8")
+    AnnIndex.build(spark, e, dir32)
+    def pairs(d: String) = AnnIndex.query(spark, d, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val (p8, p32) = (pairs(dir8), pairs(dir32))
+    val recall = p32.count(p8.contains).toDouble / p32.size
+    info(s"sq8-vs-f32 neighbor agreement = $recall over ${p32.size} pairs")
+    assert(recall >= 0.9, s"sq8 recall $recall < 0.9 vs the f32 twin")
+    // storage really is int8: the stored column is array<tinyint>
+    val schema = spark.read.parquet(s"$dir8/vectors").schema
+    assert(schema("qembedding").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ByteType),
+      s"sq8 stored schema: $schema")
+    // the full lifecycle holds under the codec: append a jittered clone,
+    // delete a vector, compact — serving stays consistent
+    val probe = e.filter(col("vec_id") === 9L)
+      .select("embedding").head().getAs[scala.collection.Seq[Float]](0).toSeq
+    val clone = e.filter(col("vec_id") === 9L)
+      .select(lit(5000009L).as("vec_id"), lit(1).as("label"),
+        expr("transform(embedding, x -> x * cast(1.0001 as float))")
+          .as("embedding"))
+    AnnIndex.append(spark, clone, dir8)
+    assert(AnnIndex.queryPoint(spark, dir8, probe, k = 2)
+      .collect().map(_.getLong(0)).contains(5000009L),
+      "sq8 append path lost the planted clone")
+    import spark.implicits._
+    AnnIndex.delete(spark, Seq(9L).toDF("vec_id"), dir8)
+    val served = AnnIndex.query(spark, dir8, k = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    AnnIndex.compact(spark, dir8)
+    assert(AnnIndex.query(spark, dir8, k = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet == served,
+      "compact changed sq8 served results — codes must carry, not re-encode")
   }
 
   private def fsMove(from: String, to: String): Unit = {

@@ -135,7 +135,11 @@ class ApproxSpec extends AnyFunSuite {
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = exact.count(approx.contains).toDouble / exact.size
     info(s"ann-lsh recall = $recall over ${exact.size} exact neighbor pairs")
-    assert(recall >= 0.5, s"recall $recall < 0.5")
+    // round 18: multi-probe + the 0.35 design cosine lifted measured
+    // recall 0.73 → 0.912 on this fixture (deterministic — sign-LSH
+    // buckets are hash arithmetic, no fitted model), so the floor moves
+    // to the production bar the round-17 verdict asked for
+    assert(recall >= 0.9, s"recall $recall < 0.9")
   }
 
   test("sim_ann_ivf recall vs exact cosine top-5") {

@@ -42,6 +42,54 @@ class IngestSpec extends AnyFunSuite {
       && row4(0).getAs[Long]("position") == 1700L)
   }
 
+  test("streamed HLL partials: per-batch generations merge to the exact " +
+      "single-pass estimates, serving never rescans the event history") {
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory(Paths.get("/root/repo/target"), "hllm")
+    val (src, tbl, ckpt) = (s"$base/src", s"$base/tbl", s"$base/ckpt")
+    Files.createDirectories(Paths.get(src))
+    val ev = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("event_type"), col("ts").cast("string"))
+    // two ingest slices → two micro-batches → two batch= generations
+    for (par <- Seq(0, 1)) {
+      val rows = ev.filter(col("event_id") % 2 === par)
+        .select(concat_ws(";", col("event_id"), col("event_type"),
+          col("ts"))).collect().map(_.getString(0))
+      Files.write(Paths.get(s"$src/slice$par.txt"),
+        String.join("\n", rows: _*).getBytes)
+    }
+    val q = Ingest.startHllPartialsMaintenance(spark, src, tbl, ckpt,
+      maxFilesPerTrigger = Some(1))
+    q.awaitTermination()
+    // one generation per micro-batch landed
+    val gens = spark.read.parquet(tbl).select("batch").distinct().count()
+    assert(gens == 2, s"expected 2 batch generations, got $gens")
+    // PARITY: the streamed partials' served estimates == a single-pass
+    // build over the same events (HLL union is register-max, so the
+    // batch split must be invisible)
+    val streamed = Ingest.readHllDayCounts(spark, tbl).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val batch = Tables.events(spark, sf0001)
+      .select(date_format(col("ts"), "yyyy-MM").as("month"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .groupBy("month")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(day, 12))").as("n_days"))
+      .orderBy("month").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(streamed == batch,
+      s"streamed partials diverged from the single-pass build")
+    // NO-RESCAN plan pin: serving scans the partials table alone,
+    // never the event history (the agg_hll_partials pin, extended to
+    // the STREAM-maintained table; plan string because AQE wraps the
+    // scan nodes out of collectLeaves' reach)
+    val plan = Ingest.readHllDayCounts(spark, tbl)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("events.parquet"),
+      "the serving query rescanned the events history")
+    assert(plan.contains("hllm"),
+      "the serving query did not read the streamed partials table")
+  }
+
   test("real multi-sample VCF files stream through the library parser with normalization") {
     val base = Files.createTempDirectory(Paths.get("/root/repo/target"), "ingvcf")
     val (src, dest, ckpt) = (s"$base/src", s"$base/dest", s"$base/ckpt")

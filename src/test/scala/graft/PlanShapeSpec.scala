@@ -157,8 +157,12 @@ class PlanShapeSpec extends AnyFunSuite {
     // IS the dimension table of an IVF index);
     // sink_vcf inherits source_vcf_file's 1-row-per-file #CHROM-header
     // broadcast through the shared Vcf.parseVcfLines reader
+    // sim_ann_ivf_rebuild shares sim_ann_ivf_persist's serving path —
+    // the same KB-sized centroid-frame broadcast, against the
+    // post-rebuild quantizer
     val sanctioned = Set("join_cross", "text_tfidf", "win_ntile_pct",
-      "graph_pagerank", "sim_ann_ivf_persist", "sink_vcf",
+      "graph_pagerank", "sim_ann_ivf_persist", "sim_ann_ivf_rebuild",
+      "sink_vcf",
       "sim_topk_cosine", "dedup_near_embedding", "varda_frequency",
       "agg_freq_ratio", "varda_sample_expr", "varda_annotate",
       "source_vcf_file", "varda_freq_incremental", "varda_freq_lookup",
