@@ -296,7 +296,12 @@ object AnnIndex {
       factor: Double = 2.0): Boolean = {
     require(factor > 1.0, s"drift factor must exceed 1: $factor")
     val (n, nCells, _) = readMeta(s, dir)
-    val ideal = cellsFor(math.max(n, 1L))
+    // a fully-retracted index has nothing to refit FROM — declining is
+    // the maintenance-loop-safe answer (rebuild's empty-corpus require
+    // would crash the loop); removing the directory is the caller's
+    // decision, the same contract as compact's empty-live-set no-op
+    if (n == 0) return false
+    val ideal = cellsFor(n)
     val drifted = nCells * factor < ideal || ideal * factor < nCells
     if (drifted) rebuild(s, dir)
     drifted

@@ -447,6 +447,18 @@ class AnnIndexSpec extends AnyFunSuite {
       "post-swap append not served")
   }
 
+  test("rebuildIfDrifted declines on a fully-retracted index instead of " +
+      "crashing the maintenance loop") {
+    val dir = freshDir("empty")
+    val e = Tables.embeddings(spark, sf001).filter(col("vec_id") < 40)
+    AnnIndex.build(spark, e, dir)
+    AnnIndex.delete(spark, e.select("vec_id"), dir)
+    val (n, _, _) = AnnIndex.readMeta(spark, dir)
+    assert(n == 0, "fixture: index should be fully retracted")
+    assert(!AnnIndex.rebuildIfDrifted(spark, dir, factor = 1.4),
+      "an empty index must decline a rebuild, not attempt a refit")
+  }
+
   test("reader-during-swap isolation: a plan listed pre-rebuild executes " +
       "unchanged against the retained root; grace ages out on the next swap") {
     val dir = freshDir("swap")
