@@ -458,34 +458,6 @@ object Llm {
     pairwiseCosine(s, e, e, allPairs = true, minCos = minCos)
   }
 
-  /** Approximate nearest neighbors via banded sign-random-projection LSH
-    * (cosine family — sign quantization on the unit sphere, so no
-    * normalization pass is even needed): candidates from a banded bucket
-    * equi-join, then the EXACT cosine ranks the top 5 per query, so
-    * precision is structural and only a candidate miss can lose a true
-    * neighbor. No oracle; ApproxSpec asserts recall vs sim_topk_cosine.
-    *
-    * Round 16 (closing the verdict's fixed-hyperparameter caveat): the
-    * round-3 cut was MLlib BRP-LSH (`approxSimilarityJoin` at radius
-    * 1.2, 4 tables, bucketLength 0.5) — OR-only amplification with a
-    * FIXED bucket width, whose per-bucket occupancy grows linearly with
-    * the corpus and whose candidate join therefore grows ~n²
-    * (8.2×/decade measured, RATIO_SF1 round 15). OR-composition
-    * fundamentally cannot hold both recall and occupancy as n grows;
-    * AND-OR banding can. This rewrite shares the near-dup family's
-    * codegen'd [[graft.functions.LshBandBuckets]] signature (one
-    * expression per row, zero shuffles before the candidate join, no
-    * model to fit or broadcast — the MLlib vector-bridge UDF is gone
-    * too) with the n-ADAPTIVE MULTI-PROBE shape (round 18,
-    * [[Analysis.lshShapeMultiProbe]]; single-probe ancestry below): bits
-    * grows with log2(n·probes/8) to pin expected candidates/query flat,
-    * bands targets a 10% miss bound at cosine 0.35 (the measured
-    * neighbor-cosine regime — see the shape call below), capped at 64 —
-    * past the cap, recall at a
-    * FIXED cosine decays slowly, but a growing corpus densifies every
-    * neighborhood (the 5th neighbor's cosine rises with n), which is
-    * exactly the regime where sign-LSH recall climbs back; the
-    * fixed-radius regime at scale is [[simAnnIvf]]'s job. */
   /** The candidate stage of [[simAnnLsh]], shared with the decade
     * measurement tool ([[graft.tools.LshProbe]]) so the measured
     * candidates-per-query property is the DECLARED key's, not a
@@ -531,6 +503,34 @@ object Llm {
       .distinct() // a pair may collide in several bands/probes — rank it once
   }
 
+  /** Approximate nearest neighbors via banded sign-random-projection LSH
+    * (cosine family — sign quantization on the unit sphere, so no
+    * normalization pass is even needed): candidates from a banded bucket
+    * equi-join, then the EXACT cosine ranks the top 5 per query, so
+    * precision is structural and only a candidate miss can lose a true
+    * neighbor. No oracle; ApproxSpec asserts recall vs sim_topk_cosine.
+    *
+    * Round 16 (closing the verdict's fixed-hyperparameter caveat): the
+    * round-3 cut was MLlib BRP-LSH (`approxSimilarityJoin` at radius
+    * 1.2, 4 tables, bucketLength 0.5) — OR-only amplification with a
+    * FIXED bucket width, whose per-bucket occupancy grows linearly with
+    * the corpus and whose candidate join therefore grows ~n²
+    * (8.2×/decade measured, RATIO_SF1 round 15). OR-composition
+    * fundamentally cannot hold both recall and occupancy as n grows;
+    * AND-OR banding can. This rewrite shares the near-dup family's
+    * codegen'd [[graft.functions.LshBandBuckets]] signature (one
+    * expression per row, zero shuffles before the candidate join, no
+    * model to fit or broadcast — the MLlib vector-bridge UDF is gone
+    * too) with the n-ADAPTIVE MULTI-PROBE shape (round 18,
+    * [[Analysis.lshShapeMultiProbe]]; single-probe ancestry below): bits
+    * grows with log2(n·probes/8) to pin expected candidates/query flat,
+    * bands targets a 10% miss bound at cosine 0.35 (the measured
+    * neighbor-cosine regime — see the shape call below), capped at 64 —
+    * past the cap, recall at a
+    * FIXED cosine decays slowly, but a growing corpus densifies every
+    * neighborhood (the 5th neighbor's cosine rises with n), which is
+    * exactly the regime where sign-LSH recall climbs back; the
+    * fixed-radius regime at scale is [[simAnnIvf]]'s job. */
   val simAnnLsh: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
     val cands = lshCandidatePairs(s, d)
