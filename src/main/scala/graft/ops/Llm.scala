@@ -593,14 +593,21 @@ object Llm {
     // coarse quantizers are trained on a sample in every real IVF build
     // (FAISS-style): the cells only need to partition space roughly, and
     // assignment below still covers every vector. Deterministic half via
-    // the id, 2 Lloyd iterations — fit cost halves, recall unchanged
-    // (ApproxSpec pins the bound).
+    // the id, hash-thinned to ≤ ~256 rows/centroid once the half
+    // outgrows that (round 19 — AnnIndex.fitThin, the SAME bounded-fit
+    // arithmetic the persisted build adopted in round 18; training on a
+    // fixed fraction left the fit O(n·k·dim) per Lloyd iteration with
+    // k ~ √n, the one remaining unbounded stage of this key). thin = 1
+    // at every gate scale, so fixtures stay bit-identical; 2 Lloyd
+    // iterations, recall unchanged (ApproxSpec pins the bound).
     // quantizer build memoized per (session, corpus) — same contract as
     // the BRP-LSH model above (the scaladoc's "persisted quantizer")
+    val thin = AnnIndex.fitThin(nCorpus, nCells)
     val model = cachedModel(s, s"ivf_kmeans:$d") {
       new KMeans().setK(nCells).setSeed(42).setMaxIter(2)
         .setFeaturesCol("features").setPredictionCol("cell")
-        .fit(feats.filter(col("vec_id") % 2 === 0))
+        .fit(feats.filter(col("vec_id") % 2 === 0
+          && pmod(xxhash64(col("vec_id")), lit(thin)) === 0))
     }
     val assigned = model.transform(feats)
       .select(col("vec_id"), col("label"), col("embedding"), col("cell"))
@@ -719,12 +726,17 @@ object Llm {
       AnnIndex.append(s, e.filter(col("vec_id") % 7 =!= 0), dir)
       AnnIndex.delete(s,
         e.filter(col("vec_id") % 91 === 0).select("vec_id"), dir)
-      // factor 1.4, not the default 2: at the smallest Verify scale
+      // factor 1.25, not the default 2: at the smallest Verify scale
       // (500 vectors) cellsFor's floor of 16 cells means a 7× growth
       // only moves ideal cells 16 → 23, inside the 2× band — a tighter
       // maintenance policy keeps the swap path exercised at EVERY gate
-      // scale (the require below makes a silently-dead fixture loud)
-      val fired = AnnIndex.rebuildIfDrifted(s, dir, factor = 1.4)
+      // scale (the require below makes a silently-dead fixture loud).
+      // 1.25, not 1.4 (round-19 ADVICE): 16·1.4 = 22.4 vs ideal 23 was
+      // knife-edge — a few corpus rows fewer flips the fixture into a
+      // hard crash; 16·1.25 = 20 keeps the drift outside the band until
+      // the corpus shrinks ~20%, and the factor choice cannot change
+      // the SERVED result (the refit reads the same live set either way)
+      val fired = AnnIndex.rebuildIfDrifted(s, dir, factor = 1.25)
       require(fired, "rebuild fixture did not drift — the key would " +
         "silently stop exercising the swap path")
       java.lang.Boolean.TRUE

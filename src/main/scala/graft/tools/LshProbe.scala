@@ -25,10 +25,15 @@ object LshProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val n = graft.Tables.embeddings(spark, sfDir).count()
-    val stats = graft.ops.Llm.lshCandidatePairs(spark, sfDir)
-      .agg(count(lit(1)).as("cands"),
-        countDistinct(col("qid")).as("queries")).head()
-    val (cands, queries) = (stats.getLong(0), stats.getLong(1))
+    // denominator = the CORPUS's query count (label-0 rows), not the
+    // distinct qids in the candidate pairs (round-19 ADVICE: a query
+    // producing zero candidates must stay in the denominator, else
+    // cands_per_query reads biased high exactly in the sparse-bucket
+    // regime the decade comparison cares about)
+    val queries = graft.Tables.embeddings(spark, sfDir)
+      .filter(col("label") === 0).count()
+    val cands = graft.ops.Llm.lshCandidatePairs(spark, sfDir)
+      .agg(count(lit(1)).as("cands")).head().getLong(0)
     val perQ = if (queries == 0) 0.0 else cands.toDouble / queries
     val line = s"""{"sf":"$sfDir","n":$n,"queries":$queries,""" +
       s""""candidates":$cands,"cands_per_query":$perQ}"""

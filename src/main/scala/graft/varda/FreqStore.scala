@@ -527,75 +527,17 @@ class FreqStore(spark: SparkSession, dir: String, nBuckets: Int = 16) {
 
   /** Best-effort cross-process single-writer GUARD (the concurrency
     * contract above, enforced loudly instead of by convention): every
-    * mutating operation holds `_writer.lock` for its duration — created
-    * exclusively, deleted on completion — so a second writer process
-    * (or a concurrent thread in this one) fails fast with a clear
-    * message instead of interleaving generation writes. Crash recovery
-    * is an explicit operator action ([[breakLock]]): a stale lock is
-    * evidence a writer died mid-operation, which deserves a human
-    * look, not silent takeover. Create-exclusive is atomic on HDFS and
-    * best-effort on local/object stores — a GUARD for the contract,
-    * not a distributed lock service. */
-  private[graft] def withWriterLock[T](what: String)(body: => T): T = {
-    val lockPath = new Path(s"$dir/_writer.lock")
-    val info = s"${java.util.UUID.randomUUID()} " +
-      s"${System.currentTimeMillis()} " +
-      java.lang.management.ManagementFactory.getRuntimeMXBean.getName
-    val out =
-      try fs.create(lockPath, false)
-      catch { case _: java.io.IOException =>
-        val held =
-          try {
-            val in = fs.open(lockPath)
-            try scala.io.Source.fromInputStream(in).mkString.trim
-            finally in.close()
-          } catch { case _: Exception => "<unreadable>" }
-        throw new IllegalStateException(
-          s"freqstore: cannot $what — another writer holds $lockPath " +
-            s"($held). The store is single-writer; if that writer " +
-            "crashed, inspect the store and call breakLock().")
-      }
-    // from here the lock EXISTS: everything — including writing the
-    // holder info — must sit inside the try whose finally deletes it,
-    // or a failed info write strands the lock and wedges every future
-    // mutating op behind a phantom holder
-    try {
-      try out.write(info.getBytes("UTF-8")) finally out.close()
-      body
-    } finally {
-      // release only OUR lock: if an operator broke this lock mid-run
-      // and writer B re-acquired, deleting unconditionally would evict
-      // B and silently admit a third writer — the interleaving the lock
-      // exists to prevent. Unreadable content (partial info write /
-      // racing delete) still releases: stranding a lock we own wedges
-      // the store worse than the already-operator-visible break did.
-      val current =
-        try {
-          val in = fs.open(lockPath)
-          try Some(scala.io.Source.fromInputStream(in).mkString.trim)
-          finally in.close()
-        } catch { case _: Exception => None }
-      if (current.forall(c => c == info || c.isEmpty)) {
-        // a blind delete (unreadable/empty holder info) is the one
-        // release that COULD evict a racing writer mid-acquire; it is
-        // unavoidable (stranding a lock we own is worse) but must not
-        // be silent — the log line is the audit trail if a subsequent
-        // writer reports interleaving (round-14, ADVICE)
-        if (!current.contains(info))
-          System.err.println(
-            s"freqstore: releasing $lockPath after $what with " +
-              s"${if (current.isEmpty) "unreadable" else "empty"} holder " +
-              "info — if another writer was acquiring at this instant " +
-              "it may have been evicted; check for a breakLock() race")
-        fs.delete(lockPath, false)
-      } else
-        System.err.println(
-          s"freqstore: NOT releasing $lockPath after $what — held by " +
-            s"'${current.get}', not this writer ('$info'). breakLock() " +
-            "was called while this writer ran; the store may have " +
-            "interleaved writers. Inspect the commit log.")
-    }
-  }
+    * mutating operation holds `_writer.lock` for its duration. The
+    * mechanics — create-exclusive acquire, fail-fast with the holder's
+    * identity, ownership-checked release — live in the shared
+    * [[graft.util.FsWriterLock]] (round 19: the ANN index adopted the
+    * same guard, so the one implementation serves both components).
+    * Crash recovery is an explicit operator action ([[breakLock]]): a
+    * stale lock is evidence a writer died mid-operation, which
+    * deserves a human look, not silent takeover. */
+  private[graft] def withWriterLock[T](what: String)(body: => T): T =
+    graft.util.FsWriterLock.withLock(fs,
+      new Path(s"$dir/_writer.lock"), "freqstore", what)(body)
 
   /** Remove a stale `_writer.lock` after a crashed writer (operator
     * action — see [[withWriterLock]]). */
