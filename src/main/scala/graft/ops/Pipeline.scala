@@ -370,6 +370,69 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Substring-level duplicated-SPAN detection (round 19 — the
+    * published exact-substring dedup step for pretraining corpora:
+    * remove any span whose every `SpanW`-gram occurs elsewhere in the
+    * corpus, the criterion suffix-array pipelines implement; here the
+    * shingle-run formulation that fits the existing inverted-index
+    * machinery). Doc-level dedup keeps or drops whole documents;
+    * boilerplate licenses, disclaimers and copied paragraphs INSIDE
+    * otherwise-unique documents survive it — this key flags them at
+    * token resolution:
+    *
+    *  1. every doc explodes to its `SpanW`-token shingles with start
+    *     positions (one pass, O(tokens) rows);
+    *  2. a shingle VALUE occurring in ≥ 2 distinct docs is "shared" —
+    *     a plain group-by inverted index, NO doc-pair join anywhere
+    *     (a hot boilerplate shingle in a million docs costs one
+    *     aggregate row, not 10^12 pairs);
+    *  3. per doc, maximal runs of CONSECUTIVE shared positions
+    *     (gaps-and-islands over a per-doc window — partitioned by
+    *     doc_id, so the window state is bounded by document length)
+    *     become spans; runs of ≥ `SpanMinRun` shingles (≥ 15 tokens)
+    *     are emitted as (span_start, span_end, span_tokens).
+    *
+    * A planted 20-token license boiler (prepended to doc_id % 9 = 0,
+    * appended to % 9 = 4) exercises both span placements at every
+    * scale. Consecutive shared positions need not share ONE partner
+    * doc — exactly the published criterion (every window of the span
+    * is duplicated somewhere). Integer span arithmetic end to end, so
+    * the oracle hash-matches. */
+  private val SpanW = 8
+  private val SpanMinRun = 8
+  private val spanBoiler = "limited liability clause the software is " +
+    "provided as is without warranty of any kind either express or " +
+    "implied stated herein"
+  val textSpanDedup: Q = (s, d) => {
+    val docs = Tables.documents(s, d).withColumn("t2",
+      when(col("doc_id") % 9 === 0, concat(lit(spanBoiler + " "), col("text")))
+        .when(col("doc_id") % 9 === 4, concat(col("text"), lit(" " + spanBoiler)))
+        .otherwise(col("text")))
+    val sh = docs
+      .withColumn("ws", split(col("t2"), " "))
+      .filter(size(col("ws")) >= SpanW)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, size(ws) - $SpanW),
+                      p -> array_join(slice(ws, p + 1, $SpanW), ' '))"""))
+        .as(Seq("pos", "sg")))
+    val shared = sh.groupBy("sg")
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2)
+      .select("sg")
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+    sh.join(shared, Seq("sg"), "left_semi")
+      .withColumn("grp", col("pos") - row_number().over(win))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("a"), max(col("pos")).as("b"),
+        count(lit(1)).as("nsh"))
+      .filter(col("nsh") >= SpanMinRun)
+      .select(col("doc_id"),
+        col("a").cast(LongType).as("span_start"),
+        (col("b") + (SpanW - 1)).cast(LongType).as("span_end"),
+        (col("b") + SpanW - col("a")).cast(LongType).as("span_tokens"))
+      .orderBy("doc_id", "span_start")
+  }
+
   private val stopListSql = "('the','a','of','and','to','in','is','it')"
 
   /** Reason-coded quality filter — the C4/Gopher-style keep/drop decision
@@ -401,6 +464,7 @@ object Pipeline {
 
   val queries: Map[String, Q] = Map(
     "text_line_dedup" -> textLineDedup,
+    "text_span_dedup" -> textSpanDedup,
     "text_quality_filter" -> textQualityFilter,
     "text_decontaminate" -> textDecontaminate,
     "dedup_incremental" -> dedupIncremental,
@@ -420,6 +484,35 @@ object Pipeline {
        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) w"""
 
   val oracle: Map[String, String] = Map(
+    "text_span_dedup" ->
+      s"""WITH d0 AS (SELECT doc_id,
+               CASE WHEN doc_id % 9 = 0 THEN '$spanBoiler' || ' ' || text
+                    WHEN doc_id % 9 = 4 THEN text || ' ' || '$spanBoiler'
+                    ELSE text END AS t2
+             FROM documents),
+          w AS (SELECT doc_id, string_split(t2, ' ') AS ws FROM d0),
+          px AS (SELECT doc_id, ws,
+                        unnest(range(0, len(ws) - ${SpanW - 1})) AS pos
+                 FROM w WHERE len(ws) >= $SpanW),
+          sgs AS (SELECT doc_id, pos,
+                         array_to_string(ws[pos + 1 : pos + $SpanW], ' ') AS sg
+                  FROM px),
+          shared AS (SELECT sg FROM sgs
+                     GROUP BY sg HAVING count(DISTINCT doc_id) >= 2),
+          f AS (SELECT doc_id, pos FROM sgs
+                WHERE sg IN (SELECT sg FROM shared)),
+          r AS (SELECT doc_id, pos,
+                       pos - row_number() OVER
+                         (PARTITION BY doc_id ORDER BY pos) AS grp
+                FROM f),
+          sp AS (SELECT doc_id, min(pos) AS a, max(pos) AS b,
+                        count(*) AS nsh
+                 FROM r GROUP BY doc_id, grp)
+       SELECT doc_id, CAST(a AS BIGINT) AS span_start,
+              CAST(b + ${SpanW - 1} AS BIGINT) AS span_end,
+              CAST(b + $SpanW - a AS BIGINT) AS span_tokens
+       FROM sp WHERE nsh >= $SpanMinRun
+       ORDER BY doc_id, span_start""",
     "text_line_dedup" ->
       """WITH d0 AS (SELECT doc_id,
                CASE WHEN doc_id % 7 = 0 THEN

@@ -193,6 +193,35 @@ object Scans {
     g0.unionByName(g1).orderBy("o_orderkey")
   }
 
+  /** Schema evolution tier 3 (round 19 — the third classic move of a
+    * long-lived lake table, after add-column and type-widening): a
+    * column RENAME across generations. Generation 0 wrote the customer
+    * key as `cust`; a later writer renamed it to `customer_id`. A
+    * plain `mergeSchema` read silently treats that as drop+add —
+    * history surfaces the new name as NULL, which is data loss in all
+    * but name. The lake-format fix (Iceberg-style name mapping) is a
+    * per-generation rename applied at read: each leg stays a plain
+    * pruned parquet scan decoded under its own written schema, the
+    * mapping is pure metadata (`withColumnRenamed` — no expression,
+    * nothing row-wise), and the legs union by the POST-mapping names.
+    * Same per-generation machinery as [[sourceSchemaEvolutionWiden]];
+    * at 100 TB the mapping lives in table metadata and applies to any
+    * number of generations without touching a written file. */
+  val sourceSchemaEvolutionRename: Q = (s, d) => {
+    val evo = scratch(s, "schema_evo_rename", d)
+    val orders = Tables.orders(s, d)
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_custkey").as("cust"))
+      .write.mode("overwrite").parquet(s"$evo/g0")
+    orders.filter(col("o_orderkey") % 2 =!= 0)
+      .select(col("o_orderkey"), col("o_custkey").as("customer_id"))
+      .write.mode("overwrite").parquet(s"$evo/g1")
+    val g0 = s.read.parquet(s"$evo/g0")
+      .withColumnRenamed("cust", "customer_id")
+    val g1 = s.read.parquet(s"$evo/g1")
+    g0.unionByName(g1).orderBy("o_orderkey")
+  }
+
   val projectRenameCast: Q = (s, d) =>
     Tables.lineitem(s, d)
       .select(
@@ -256,6 +285,7 @@ object Scans {
     "source_partition_prune" -> sourcePartitionPrune,
     "source_schema_evolution" -> sourceSchemaEvolution,
     "source_schema_evolution_widen" -> sourceSchemaEvolutionWiden,
+    "source_schema_evolution_rename" -> sourceSchemaEvolutionRename,
     "sink_compaction" -> sinkCompaction,
     "sink_partition_overwrite" -> sinkPartitionOverwrite,
     "project_rename_cast" -> projectRenameCast,
@@ -317,6 +347,13 @@ object Scans {
          FROM orders WHERE o_orderkey % 2 = 0
          UNION ALL
          SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS cust
+         FROM orders WHERE o_orderkey % 2 <> 0
+         ORDER BY o_orderkey""",
+    "source_schema_evolution_rename" ->
+      """SELECT o_orderkey, o_custkey AS customer_id
+         FROM orders WHERE o_orderkey % 2 = 0
+         UNION ALL
+         SELECT o_orderkey, o_custkey AS customer_id
          FROM orders WHERE o_orderkey % 2 <> 0
          ORDER BY o_orderkey""",
     "project_rename_cast" ->

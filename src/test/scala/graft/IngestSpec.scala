@@ -90,6 +90,59 @@ class IngestSpec extends AnyFunSuite {
       "the serving query did not read the streamed partials table")
   }
 
+  test("hll partials compaction: fold+sweep bounds the generation count, " +
+      "estimates stay bit-identical through the crash window, and the " +
+      "stream keeps writing after a compaction") {
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory(Paths.get("/root/repo/target"), "hllc")
+    val (src, tbl, ckpt) = (s"$base/src", s"$base/tbl", s"$base/ckpt")
+    Files.createDirectories(Paths.get(src))
+    val ev = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("event_type"), col("ts").cast("string"))
+    def slice(name: String, par: Int): Unit = {
+      val rows = ev.filter(col("event_id") % 3 === par)
+        .select(concat_ws(";", col("event_id"), col("event_type"),
+          col("ts"))).collect().map(_.getString(0))
+      Files.write(Paths.get(s"$src/$name"),
+        String.join("\n", rows: _*).getBytes)
+    }
+    for (par <- Seq(0, 1, 2)) slice(s"slice$par.txt", par)
+    Ingest.startHllPartialsMaintenance(spark, src, tbl, ckpt,
+      maxFilesPerTrigger = Some(1)).awaitTermination()
+    def gens = new java.io.File(tbl).list().toSeq
+      .filter(_.startsWith("batch=")).sorted
+    def est = Ingest.readHllDayCounts(spark, tbl).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(gens.size == 3, s"expected 3 stream generations, got $gens")
+    val before = est
+    // CRASH WINDOW between fold and sweep: the snapshot COEXISTS with
+    // every generation it folded — register-max idempotence must make
+    // the double representation invisible to the served estimates
+    val folded = Ingest.foldHllPartials(spark, tbl)
+    assert(folded.size == 3, s"folded $folded")
+    assert(gens.size == 4, s"snapshot did not land: $gens")
+    assert(est == before,
+      "snapshot+parts coexistence changed the served estimates")
+    // sweep: the table is bounded at ONE generation, estimates intact
+    Ingest.sweepHllPartials(spark, tbl, folded)
+    assert(gens.size == 1 && gens.head.startsWith("batch=-"),
+      s"post-sweep generations: $gens")
+    assert(est == before, "sweep changed the served estimates")
+    // the stream keeps writing after compaction (checkpoint untouched);
+    // a re-delivered slice adds no new days, so estimates must hold —
+    // and the second compaction folds snapshot + new batch together
+    slice("slice0redeliver.txt", 0)
+    Ingest.startHllPartialsMaintenance(spark, src, tbl, ckpt,
+      maxFilesPerTrigger = Some(1)).awaitTermination()
+    assert(gens.size == 2, s"post-compaction batch missing: $gens")
+    assert(est == before, "idempotent re-delivery changed estimates")
+    assert(Ingest.compactHllPartials(spark, tbl) == 2)
+    assert(gens.size == 1, s"second compaction left $gens")
+    assert(est == before, "second compaction changed estimates")
+    // a lone snapshot is already compact: no-op
+    assert(Ingest.compactHllPartials(spark, tbl) == 0)
+  }
+
   test("real multi-sample VCF files stream through the library parser with normalization") {
     val base = Files.createTempDirectory(Paths.get("/root/repo/target"), "ingvcf")
     val (src, dest, ckpt) = (s"$base/src", s"$base/dest", s"$base/ckpt")

@@ -214,6 +214,38 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("text_span_dedup: planted boiler spans surface at token " +
+      "resolution, at both placements, and span arithmetic is exact") {
+    val out = ops.Pipeline.textSpanDedup(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"), r.getAs[Long]("span_tokens")))
+    assert(out.nonEmpty)
+    // arithmetic invariants: spans are [start, end] token ranges of at
+    // least w + minRun - 1 = 15 tokens
+    out.foreach { case (id, a, b, n) =>
+      assert(n == b - a + 1, s"doc $id: span ($a,$b) claims $n tokens")
+      assert(n >= 15, s"doc $id: span of $n tokens below the floor")
+    }
+    val spans = out.groupBy(_._1)
+    val nTokens = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // every PREPENDED doc (id % 9 = 0) carries a span starting at
+    // token 0 covering at least the 20-token boiler; every APPENDED
+    // doc (id % 9 = 4) carries one ending at its last token
+    for (id <- nTokens.keys) {
+      if (id % 9 == 0)
+        assert(spans.get(id).exists(_.exists(s => s._2 == 0L && s._3 >= 19L)),
+          s"doc $id: prepended boiler span missing (${spans.get(id)})")
+      if (id % 9 == 4) {
+        val last = nTokens(id) + 20 - 1 // boiler appended after the text
+        assert(spans.get(id).exists(_.exists(s =>
+            s._3 == last && s._3 - s._2 >= 19L)),
+          s"doc $id: appended boiler span missing (${spans.get(id)})")
+      }
+    }
+  }
+
   test("text_quality_filter: mask bits recompute from the signals") {
     val out = ops.Pipeline.textQualityFilter(spark, sf0001).collect()
     assert(out.exists(_.getAs[Boolean]("keep")) &&
