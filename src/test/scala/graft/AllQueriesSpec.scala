@@ -19,7 +19,7 @@ class AllQueriesSpec extends AnyFunSuite {
       "sim_ann_ivf", "sim_ann_ivf_persist", "sim_ann_ivf_rebuild",
       "dedup_near_embedding_lsh"),
       s"unexpected no-oracle keys: $noOracle")
-    assert(q.size == 170, s"expected 170 declared keys, got ${q.size}")
+    assert(q.size == 172, s"expected 172 declared keys, got ${q.size}")
   }
 
   test("entry returns rows") {
