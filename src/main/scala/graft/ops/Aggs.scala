@@ -272,14 +272,16 @@ object Aggs {
   val aggExactMedian: Q = (s, d) => {
     val ev = Tables.events(s, d)
       .select(col("event_type"), dec4(col("value")).as("v"), col("event_id"))
-    val ranked = GlobalRank.withGroupedRowNumber(ev, Seq("event_type"),
-      Seq(col("v"), col("event_id")), "rn")
-    val n = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
-    val lo = floor((col("n") + 1) / 2).cast(LongType)
-    val hi = floor((col("n") + 2) / 2).cast(LongType)
-    ranked.join(broadcast(n), "event_type")
-      .filter(col("rn") === lo || col("rn") === hi)
-      .groupBy("event_type")
+    // rank-SELECTING form (r19): only the chunks holding the two middle
+    // ranks are window-sorted, instead of ranking every row and
+    // discarding all but 1-2 per group — rank assignment (and thus the
+    // selected rows) is identical by construction
+    val sel = GlobalRank.groupedRowsAtRanks(ev, Seq("event_type"),
+      Seq(col("v"), col("event_id")), "rn",
+      n => n.select(col("event_type"), explode(array(
+        floor((col("n") + 1) / 2).cast(LongType),
+        floor((col("n") + 2) / 2).cast(LongType))).as("__gr_want")))
+    sel.groupBy("event_type")
       .agg(scaledLong(
         (sum(col("v")) * when(count(lit(1)) === 1, 2).otherwise(1))
           .cast(DecimalType(38, 4)), 4).as("med2_e4"))
@@ -345,17 +347,19 @@ object Aggs {
   val aggQuartiles: Q = (s, d) => {
     val ev = Tables.events(s, d)
       .select(col("event_type"), dec4(col("value")).as("v"), col("event_id"))
-    val ranked = GlobalRank.withGroupedRowNumber(ev, Seq("event_type"),
-      Seq(col("v"), col("event_id")), "rn")
-    val n = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
     val r25 = floor((col("n") + 3) / 4).cast(LongType)
     val r50 = floor((col("n") + 1) / 2).cast(LongType)
     val r75 = floor((col("n") * 3 + 3) / 4).cast(LongType)
+    // rank-SELECTING form (r19, the [[aggExactMedian]] rewrite): only
+    // the chunks holding the three quartile ranks are window-sorted
+    val sel = GlobalRank.groupedRowsAtRanks(ev, Seq("event_type"),
+      Seq(col("v"), col("event_id")), "rn",
+      n => n.select(col("event_type"),
+        explode(array(r25, r50, r75)).as("__gr_want")))
     def pick(r: org.apache.spark.sql.Column, out: String) =
       scaledLong(max(when(col("rn") === r, col("v")))
         .cast(DecimalType(38, 4)), 4).as(out)
-    ranked.join(broadcast(n), "event_type")
-      .filter(col("rn") === r25 || col("rn") === r50 || col("rn") === r75)
+    sel.withColumn("n", col("__gr_n"))
       .groupBy("event_type", "n")
       .agg(pick(r25, "p25_e4"), pick(r50, "p50_e4"), pick(r75, "p75_e4"))
       .select("event_type", "p25_e4", "p50_e4", "p75_e4")

@@ -113,6 +113,72 @@ object GlobalRank {
       .drop("__gr_pid", "__gr_local", "__gr_offset")
   }
 
+  /** The rows of each `groupCols` group at caller-chosen in-group RANKS
+    * (1-based, under the total order `keys`) — the order-statistics
+    * sibling of [[withGroupedRowNumber]] for queries that keep only a
+    * few ranks per group (exact median, discrete quantiles). Ranking
+    * every row to then discard all but 2-3 per group pays a full sort
+    * exchange over the fact table; here only the chunks whose rank
+    * interval [offset+1, offset+count] contains a wanted rank are
+    * window-sorted — with the default chunk count that is a ~3/32
+    * slice, and the chunk-count aggregate that decides it ships
+    * O(groups × chunks) rows (r19: this halved agg_exact_median /
+    * agg_quartiles). Selection is rank-identical to ranking everything:
+    * chunk ids, offsets and the in-chunk total order are byte-identical
+    * to [[withGroupedRowNumber]]'s, so the surviving rows carry the
+    * same `out` rank they would have had there.
+    *
+    * `wanted` maps the per-group count frame (groupCols + `n` BIGINT) to
+    * a frame of (groupCols + `__gr_want` BIGINT) wanted ranks — both are
+    * group-cardinality-sized and ride broadcasts. Returns the selected
+    * rows with `out` (the in-group rank) and `__gr_n` (the group's row
+    * count) appended. */
+  def groupedRowsAtRanks(df: DataFrame, groupCols: Seq[String],
+      keys: Seq[Column], out: String,
+      wanted: DataFrame => DataFrame, chunkKey: Option[Column] = None,
+      numPartitions: Int = 0): DataFrame = {
+    val gcols = groupCols.map(col)
+    val bucketed = withGroupedChunkId(df, groupCols, keys, chunkKey,
+      numPartitions)
+    // O(groups × chunks); referenced by the offsets window AND the
+    // per-group totals — materialize once instead of re-running the
+    // count aggregate (and its scan) per reference
+    val chunkCounts = bucketed.groupBy(gcols :+ col("__gr_pid"): _*).count()
+      .localCheckpoint(eager = false)
+    val withOff = chunkCounts
+      .withColumn("__gr_offset",
+        coalesce(sum(col("count")).over(
+          Window.partitionBy(gcols: _*).orderBy("__gr_pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val nPer = chunkCounts.groupBy(gcols: _*)
+      .agg(sum(col("count")).as("n"))
+    val want = wanted(nPer)
+    def nullSafeOn(l: DataFrame, r: DataFrame, cs: Seq[String],
+        extra: Column): DataFrame = {
+      val rr = cs.foldLeft(r)((d, c) => d.withColumnRenamed(c, s"__gr_w_$c"))
+      l.join(broadcast(rr),
+        cs.map(c => col(c) <=> col(s"__gr_w_$c")).reduce(_ && _) && extra)
+    }
+    // chunks whose global-rank interval contains a wanted rank
+    val needed = nullSafeOn(withOff, want, groupCols,
+        col("__gr_want") > col("__gr_offset") &&
+          col("__gr_want") <= col("__gr_offset") + col("count"))
+      .select(gcols :+ col("__gr_pid") :+ col("__gr_offset"): _*)
+      .distinct()
+    val localW = Window.partitionBy(gcols :+ col("__gr_pid"): _*)
+      .orderBy(keys: _*)
+    val ranked = nullSafeBroadcastJoin(bucketed, needed,
+        groupCols :+ "__gr_pid")
+      .withColumn(out, col("__gr_offset") + row_number().over(localW))
+    // keep exactly the wanted ranks; attach the group's row count
+    val sel = nullSafeOn(ranked, want.select(gcols :+ col("__gr_want"): _*)
+        .distinct(), groupCols, col(out) === col("__gr_want"))
+      .drop(groupCols.map(c => s"__gr_w_$c") :+ "__gr_want": _*)
+    nullSafeBroadcastJoin(sel,
+        nPer.withColumnRenamed("n", "__gr_n"), groupCols)
+      .drop("__gr_pid", "__gr_offset")
+  }
+
   /** Append `out` = inclusive running sum of `value` within each
     * `groupCols` group under the total order `keys` — the PER-GROUP
     * sibling of [[withGlobalRunningSum]], same contract as

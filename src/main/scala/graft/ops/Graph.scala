@@ -48,24 +48,30 @@ object Graph {
     * sf0.1 — which is the structure component analysis exists to find. */
   private val ComponentSupport = 9
 
-  /** Per-(session, sfDir, support) memo of the materialized edge list:
-    * the graph keys (triangles, pagerank, components) all derive the
-    * SAME co-occurrence graph — one lineitem self-join + pair aggregate
-    * per corpus is the honest cost, not one per query (the
-    * standing-index contract `Llm.cachedModel` / the shared shingle
+  /** Per-(session, sfDir) memo of the materialized SUPPORT-ANNOTATED
+    * pair aggregate: the graph keys (triangles, pagerank, components)
+    * all derive the SAME co-occurrence graph — one lineitem self-join +
+    * pair aggregate per corpus is the honest cost, not one per query
+    * (the standing-index contract `Llm.cachedModel` / the shared shingle
     * index already use; at 100 TB the edge list is a materialized
-    * derived table). Stopped sessions' entries sweep on the next miss. */
+    * derived table). Since round 19 the memo keys on the CORPUS only,
+    * not (corpus, support): the support column is kept on the cached
+    * frame, so every threshold (triangles/pagerank's 5, components' 9)
+    * is a filter over one shared aggregate instead of re-running the
+    * self-join per support level — the second self-join was ~1.5 s of
+    * graph_components' bench line at sf0.1. The aggregate output is
+    * pair-count-sized (bounded by the supplier-pair space) whatever the
+    * threshold, so caching the unthresholded frame costs nothing extra.
+    * Stopped sessions' entries sweep on the next miss. */
   private val edgeCache = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String, Int), DataFrame]
+    .empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
 
-  /** Undirected co-occurrence edges (u < v), one row per pair whose
-    * co-occurrence support meets `minSupport`. */
-  private[graft] def supplierEdges(s: org.apache.spark.sql.SparkSession,
-      d: String, minSupport: Int = MinSupport): DataFrame =
-    edgeCache.get((s, d, minSupport)) match {
+  private def pairSupport(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    edgeCache.get((s, d)) match {
       case Some(e) => e
       case None =>
-        edgeCache.filterInPlace { case ((sess, _, _), e) =>
+        edgeCache.filterInPlace { case ((sess, _), e) =>
           val live = !sess.sparkContext.isStopped
           if (!live) scala.util.Try(e.unpersist(false))
           live }
@@ -75,19 +81,28 @@ object Graph {
             col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
           .select(col("a.sk").as("u"), col("b.sk").as("v"))
           .groupBy("u", "v").agg(count(lit(1)).as("support"))
-          .filter(col("support") >= minSupport)
-          .select("u", "v")
           // each consumer fans the edge list into 3-6 plan references;
           // without materialization every reference re-runs the
           // self-join + aggregate. The edge list is the SMALL derived
-          // frame here (pairs above support, two BIGINTs). persist, not
-          // localCheckpoint: persisted blocks keep their lineage, so an
-          // executor loss recomputes the lost partitions instead of
+          // frame here (supplier pairs, two BIGINTs + a count). persist,
+          // not localCheckpoint: persisted blocks keep their lineage, so
+          // an executor loss recomputes the lost partitions instead of
           // failing every later graph query for the session's lifetime
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        edgeCache.put((s, d, minSupport), e)
-        e
+        edgeCache.putIfAbsent((s, d), e) match {
+          case Some(winner) => e.unpersist(false); winner
+          case None => e
+        }
     }
+
+  /** Undirected co-occurrence edges (u < v), one row per pair whose
+    * co-occurrence support meets `minSupport` — a filter over the shared
+    * [[pairSupport]] aggregate. */
+  private[graft] def supplierEdges(s: org.apache.spark.sql.SparkSession,
+      d: String, minSupport: Int = MinSupport): DataFrame =
+    pairSupport(s, d)
+      .filter(col("support") >= minSupport)
+      .select("u", "v")
 
   /** Degree-orient an undirected edge list (u < v): every edge directed
     * from its lower-(degree, id) endpoint to its higher one, with the

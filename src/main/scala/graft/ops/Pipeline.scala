@@ -415,6 +415,13 @@ object Pipeline {
         s"""transform(sequence(0, size(ws) - $SpanW),
                       p -> array_join(slice(ws, p + 1, $SpanW), ' '))"""))
         .as(Seq("pos", "sg")))
+      // referenced by the inverted-index aggregate AND the probe side of
+      // the semi join: materialize the shingle table once instead of
+      // re-running the slice/array_join explosion over the whole corpus
+      // per reference (r19 plan: two Generate+FileScan subtrees) — the
+      // same one-pass shingle-table materialization suffix-array dedup
+      // pipelines do
+      .localCheckpoint(eager = false)
     val shared = sh.groupBy("sg")
       .agg(count_distinct(col("doc_id")).as("df"))
       .filter(col("df") >= 2)

@@ -249,6 +249,15 @@ object VardaOps {
     val ev = deltas.unionByName(
       pts.select(col("chromosome"), col("position").as("coord"),
         lit(1).as("kind"), lit(0L).as("dp")))
+      // change-point-sized (distinct coords + probe points). The chunked
+      // running sum evaluates its input in four subtrees (local window,
+      // its chunk bounds, the offsets aggregate, ITS bounds) — without
+      // this the delta aggregate AND the probe-point distinct (a full
+      // observation-scan exchange) re-run four times per sweep (r19
+      // measured: 6 events.parquet scans per frequency query, 23
+      // exchanges). Same narrow-frame materialization trade
+      // [[nearestRegionFrom]] documents.
+      .localCheckpoint(eager = false)
     // grouped running sum per chromosome (chunked two-pass — never a
     // single-partition window), read off at the probe events
     graft.ops.GlobalRank.withGroupedRunningSum(ev, Seq("chromosome"),
@@ -1182,7 +1191,11 @@ object VardaOps {
     * fixture). CoverageSweepSpec pins row-identity with the join form. */
   private[graft] def coverageAggBySweep(obsDf: DataFrame,
       covDf: DataFrame): DataFrame = {
+    // points-sized, referenced by the event union AND the final
+    // obs_id-mapping join — materialize once (the [[nearestRegionFrom]]
+    // narrow-frame trade) instead of re-running the observation scan
     val pts = obsDf.select("obs_id", "chromosome", "position")
+      .localCheckpoint(eager = false)
     val ev = covDf.select(col("chromosome"), col("begin_pos").as("coord"),
         lit(0).as("kind"), lit(1L).as("dc"),
         col("pool_size").cast(LongType).as("dp"))
@@ -1197,8 +1210,13 @@ object VardaOps {
         df: DataFrame): DataFrame =
       graft.ops.GlobalRank.withGroupedRunningSum(df, Seq("chromosome"),
         Seq(col("coord"), col("kind")), value, out)
+    // the outer sweep evaluates its input in four subtrees (the chunked
+    // running sum's two branches + their bounds) — checkpoint the inner
+    // sweep's event-sized result so its window/exchange runs once, not
+    // four times (r19: this key executed 4 Window nodes over 36
+    // exchanges before the cut)
     val at = sweep(col("dp"), "total_pool")(
-      sweep(col("dc"), "n_regions")(ev))
+      sweep(col("dc"), "n_regions")(ev).localCheckpoint(eager = false))
       .filter(col("kind") === 1 && col("n_regions") > 0)
       .select(col("chromosome"), col("coord").as("position"),
         col("n_regions"), col("total_pool"))
