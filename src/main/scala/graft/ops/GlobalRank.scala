@@ -218,24 +218,44 @@ object GlobalRank {
     * group — exactly the open-left-edge semantics a sweep wants). */
   def withGroupedRunningMax(df: DataFrame, groupCols: Seq[String],
       keys: Seq[Column], value: Column, out: String,
+      chunkKey: Option[Column] = None, numPartitions: Int = 0): DataFrame =
+    withGroupedRunningMaxes(df, groupCols, keys, Seq(value -> out),
+      chunkKey, numPartitions)
+
+  /** N independent running maxes over ONE sweep (r19): every `values`
+    * pair (value, out) gets its own inclusive running max under the
+    * shared total order — one window pass, one offsets aggregate, one
+    * broadcast join, however many monoids ride along. Callers that used
+    * to run one sweep per value column (nearest-region's coverage flag
+    * + prev-end distance) fuse them by tagging each event row with one
+    * non-null value column and nulls elsewhere: max skips nulls, so each
+    * output column sees only its own events. */
+  def withGroupedRunningMaxes(df: DataFrame, groupCols: Seq[String],
+      keys: Seq[Column], values: Seq[(Column, String)],
       chunkKey: Option[Column] = None, numPartitions: Int = 0): DataFrame = {
     val gcols = groupCols.map(col)
-    val bucketed = withGroupedChunkId(df.withColumn("__gr_val", value),
-      groupCols, keys, chunkKey, numPartitions)
+    val idx = values.indices
+    val tagged = idx.foldLeft(df)((d, i) =>
+      d.withColumn(s"__gr_val$i", values(i)._1))
+    val bucketed = withGroupedChunkId(tagged, groupCols, keys, chunkKey,
+      numPartitions)
     val localW = Window.partitionBy(gcols :+ col("__gr_pid"): _*)
       .orderBy(keys: _*).rowsBetween(Window.unboundedPreceding, 0)
-    val local = bucketed.withColumn("__gr_local",
-      max(col("__gr_val")).over(localW))
+    val local = idx.foldLeft(bucketed)((d, i) =>
+      d.withColumn(s"__gr_local$i", max(col(s"__gr_val$i")).over(localW)))
+    val offW = Window.partitionBy(gcols: _*).orderBy("__gr_pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tots = idx.map(i => max(col(s"__gr_val$i")).as(s"__gr_tot$i"))
     val offsets = bucketed.groupBy(gcols :+ col("__gr_pid"): _*)
-      .agg(max(col("__gr_val")).as("__gr_tot"))
-      .withColumn("__gr_offset",
-        max(col("__gr_tot")).over(
-          Window.partitionBy(gcols: _*).orderBy("__gr_pid")
-            .rowsBetween(Window.unboundedPreceding, -1)))
-      .select(gcols :+ col("__gr_pid") :+ col("__gr_offset"): _*)
-    nullSafeBroadcastJoin(local, offsets, groupCols :+ "__gr_pid")
-      .withColumn(out, greatest(col("__gr_offset"), col("__gr_local")))
-      .drop("__gr_pid", "__gr_local", "__gr_offset", "__gr_val")
+      .agg(tots.head, tots.tail: _*)
+      .select(gcols ++ Seq(col("__gr_pid")) ++
+        idx.map(i => max(col(s"__gr_tot$i")).over(offW).as(s"__gr_offset$i")): _*)
+    val joined = nullSafeBroadcastJoin(local, offsets, groupCols :+ "__gr_pid")
+    idx.foldLeft(joined)((d, i) =>
+        d.withColumn(values(i)._2,
+          greatest(col(s"__gr_offset$i"), col(s"__gr_local$i"))))
+      .drop("__gr_pid" +: idx.flatMap(i =>
+        Seq(s"__gr_local$i", s"__gr_offset$i", s"__gr_val$i")): _*)
   }
 
   /** Broadcast inner join on `keys` with NULL-SAFE equality (`<=>`):

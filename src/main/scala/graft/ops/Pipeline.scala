@@ -422,9 +422,14 @@ object Pipeline {
       // same one-pass shingle-table materialization suffix-array dedup
       // pipelines do
       .localCheckpoint(eager = false)
+    // "occurs in ≥ 2 distinct docs" ⟺ min(doc_id) ≠ max(doc_id): same
+    // predicate, but min/max are plain map-side-combinable aggregates —
+    // count_distinct planned a (sg, doc_id) distinct pre-aggregate whose
+    // exchange re-shuffled every 8-gram STRING a second time (r19,
+    // guide §2.3 "shuffle fewer bytes"; the exact df count is never used)
     val shared = sh.groupBy("sg")
-      .agg(count_distinct(col("doc_id")).as("df"))
-      .filter(col("df") >= 2)
+      .agg(min(col("doc_id")).as("d_lo"), max(col("doc_id")).as("d_hi"))
+      .filter(col("d_lo") =!= col("d_hi"))
       .select("sg")
     val win = Window.partitionBy("doc_id").orderBy("pos")
     sh.join(shared, Seq("sg"), "left_semi")

@@ -227,7 +227,7 @@ object VardaOps {
     * with non-zero covered mass; the coverage-less pool is the
     * caller's separate broadcast scalar (the [[serveFrom]] shape). */
   private[graft] def sweepMassMerged(pts: DataFrame,
-      merged: DataFrame): DataFrame = {
+      merged: DataFrame, materialize: Boolean = true): DataFrame = {
     // checkpoint the merged intervals: the chunked running sum below
     // runs a chunk-statistics pre-job, which would otherwise recompute
     // the interval-merge windows once per job instead of reading the
@@ -246,18 +246,22 @@ object VardaOps {
       .agg(sum(col("dp")).as("dp"))
       .filter(col("dp") =!= 0)
       .select(col("chromosome"), col("coord"), lit(0).as("kind"), col("dp"))
-    val ev = deltas.unionByName(
+    val evRaw = deltas.unionByName(
       pts.select(col("chromosome"), col("position").as("coord"),
         lit(1).as("kind"), lit(0L).as("dp")))
-      // change-point-sized (distinct coords + probe points). The chunked
-      // running sum evaluates its input in four subtrees (local window,
-      // its chunk bounds, the offsets aggregate, ITS bounds) — without
-      // this the delta aggregate AND the probe-point distinct (a full
-      // observation-scan exchange) re-run four times per sweep (r19
-      // measured: 6 events.parquet scans per frequency query, 23
-      // exchanges). Same narrow-frame materialization trade
-      // [[nearestRegionFrom]] documents.
-      .localCheckpoint(eager = false)
+    // change-point-sized (distinct coords + probe points). The chunked
+    // running sum evaluates its input in four subtrees (local window,
+    // its chunk bounds, the offsets aggregate, ITS bounds) — without
+    // this the delta aggregate AND the probe-point distinct (a full
+    // observation-scan exchange) re-run four times per sweep (r19
+    // measured: 6 events.parquet scans per frequency query, 23
+    // exchanges). Same narrow-frame materialization trade
+    // [[nearestRegionFrom]] documents. Callers whose sweep rides inside
+    // a larger composition of sweeps pass materialize=false: there the
+    // repeated subtrees collapse via ReusedExchange and the checkpoint
+    // only serializes the job chain (r19 measured varda_sample_retract
+    // 1.9x SLOWER with the checkpoint stacked three-deep).
+    val ev = if (materialize) evRaw.localCheckpoint(eager = false) else evRaw
     // grouped running sum per chromosome (chunked two-pass — never a
     // single-partition window), read off at the probe events
     graft.ops.GlobalRank.withGroupedRunningSum(ev, Seq("chromosome"),
@@ -375,8 +379,8 @@ object VardaOps {
     val regions2 = st.regions.join(broadcast(bSids), Seq("sample_id"), "left_anti")
       .select("sample_id", "chromosome", "begin_pos", "end_pos", "pool_size")
       .unionByName(after)
-    val denomDelta = sweepMassMerged(oldPts, fragsNew)
-      .unionByName(sweepMassMerged(newPts, regions2))
+    val denomDelta = sweepMassMerged(oldPts, fragsNew, materialize = false)
+      .unionByName(sweepMassMerged(newPts, regions2, materialize = false))
     val denom2 = st.denom.unionByName(denomDelta)
       .groupBy("chromosome", "position")
       .agg(sum(col("denom_cov")).cast(LongType).as("denom_cov"))
@@ -419,7 +423,8 @@ object VardaOps {
     val numer2 = foldNumer(st.numer, obsR.withColumn("support", -col("support")))
       .filter(col("numer") =!= 0)
     val regionsGone = st.regions.join(broadcast(sids), Seq("sample_id"), "left_semi")
-    val denomGone = sweepMassMerged(st.pts, regionsGone)
+    val denomGone = sweepMassMerged(st.pts, regionsGone,
+        materialize = false)
       .select(col("chromosome"), col("position"),
         (-col("denom_cov")).as("denom_cov"))
     val denom2 = st.denom.unionByName(denomGone)
@@ -1603,48 +1608,53 @@ object VardaOps {
     val pts = ptsIn.select("chromosome", "position").distinct()
       .localCheckpoint()
     val cov = covDf.localCheckpoint()
-    def sweep(ev: DataFrame, outCol: String): DataFrame =
-      graft.ops.GlobalRank.withGroupedRunningMax(ev, Seq("chromosome"),
-          Seq(col("coord"), col("kind")), col("v"), outCol)
-        .filter(col("kind") === 1)
-    // coverage sweep: at each point, the max end_pos over intervals
-    // whose begin_pos <= position (kind 0 sorts before 1, so an
-    // interval STARTING at the point is included — begin == p covers)
-    val covFlag = sweep(
-      cov.select(col("chromosome"), col("begin_pos").as("coord"),
-          lit(0).as("kind"), col("end_pos").as("v"))
-        .unionByName(pts.select(col("chromosome"),
-          col("position").as("coord"), lit(1).as("kind"),
-          lit(null).cast(LongType).as("v"))), "maxend")
+    val nullV = lit(null).cast(LongType)
+    // TWO sweeps instead of three (r19): the coverage test (max end_pos
+    // over intervals with begin_pos <= p) and the prev-end distance (max
+    // end_pos over intervals with end_pos <= p) share the ascending
+    // coordinate order, so they ride ONE merged event sweep with two
+    // value columns — begin events carry v_cov, end events carry v_prev,
+    // max skips the nulls, and each output column sees exactly the event
+    // set its old dedicated sweep saw. The reverse-direction next-begin
+    // sweep now runs over ALL points (extra null-valued rows change no
+    // other row's running max), which removes its data dependency on the
+    // coverage sweep's output — no covFlag materialization barrier, and
+    // the two sweeps execute as parallel branches of the final join.
+    // Covered points' prev/next outputs are discarded by the is_cov
+    // branch below, exactly as the old uncovered-only sweeps never
+    // computed them. (kind 0 sorts before 1, so an interval STARTING at
+    // the point is included — begin == p covers; endpoint ties cannot
+    // occur for uncovered points, scaladoc above.)
+    val evA = cov.select(col("chromosome"), col("begin_pos").as("coord"),
+        lit(0).as("kind"), col("end_pos").as("v_cov"), nullV.as("v_prev"))
+      .unionByName(cov.select(col("chromosome"), col("end_pos").as("coord"),
+        lit(0).as("kind"), nullV.as("v_cov"), col("end_pos").as("v_prev")))
+      .unionByName(pts.select(col("chromosome"), col("position").as("coord"),
+        lit(1).as("kind"), nullV.as("v_cov"), nullV.as("v_prev")))
+    val sweptA = graft.ops.GlobalRank.withGroupedRunningMaxes(evA,
+        Seq("chromosome"), Seq(col("coord"), col("kind")),
+        Seq(col("v_cov") -> "maxend", col("v_prev") -> "prev_end"))
+      .filter(col("kind") === 1)
       .select(col("chromosome"), col("coord").as("position"),
         (col("maxend").isNotNull && col("maxend") >= col("coord"))
-          .as("is_cov"))
-      .localCheckpoint()
-    val covered = covFlag.filter(col("is_cov"))
-      .select("chromosome", "position")
-    val uncovered = covFlag.filter(!col("is_cov"))
-      .select("chromosome", "position")
-    val prev = sweep(
-      cov.select(col("chromosome"), col("end_pos").as("coord"),
-          lit(0).as("kind"), col("end_pos").as("v"))
-        .unionByName(uncovered.select(col("chromosome"),
-          col("position").as("coord"), lit(1).as("kind"),
-          lit(null).cast(LongType).as("v"))), "prev_end")
-      .select(col("chromosome"), col("coord").as("position"), col("prev_end"))
-    val nxt = sweep(
-      cov.select(col("chromosome"), (-col("begin_pos")).as("coord"),
+          .as("is_cov"),
+        col("prev_end"))
+    val sweptB = graft.ops.GlobalRank.withGroupedRunningMax(
+        cov.select(col("chromosome"), (-col("begin_pos")).as("coord"),
           lit(0).as("kind"), (-col("begin_pos")).as("v"))
-        .unionByName(uncovered.select(col("chromosome"),
-          (-col("position")).as("coord"), lit(1).as("kind"),
-          lit(null).cast(LongType).as("v"))), "neg_next")
+        .unionByName(pts.select(col("chromosome"),
+          (-col("position")).as("coord"), lit(1).as("kind"), nullV.as("v"))),
+        Seq("chromosome"), Seq(col("coord"), col("kind")), col("v"),
+        "neg_next")
+      .filter(col("kind") === 1)
       .select(col("chromosome"), (-col("coord")).as("position"),
         (-col("neg_next")).as("next_begin"))
-    val swept = prev.join(nxt, Seq("chromosome", "position"))
-      .withColumn("nearest_dist",
-        coalesce(least(col("position") - col("prev_end"),
-          col("next_begin") - col("position")), lit(-1L)))
-      .select("chromosome", "position", "nearest_dist")
-    covered.withColumn("nearest_dist", lit(0L)).unionByName(swept)
+    sweptA.join(sweptB, Seq("chromosome", "position"))
+      .select(col("chromosome"), col("position"),
+        when(col("is_cov"), lit(0L)).otherwise(
+          coalesce(least(col("position") - col("prev_end"),
+            col("next_begin") - col("position")), lit(-1L)))
+          .as("nearest_dist"))
       .orderBy("chromosome", "position")
   }
 
