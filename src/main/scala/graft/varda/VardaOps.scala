@@ -228,11 +228,18 @@ object VardaOps {
     * caller's separate broadcast scalar (the [[serveFrom]] shape). */
   private[graft] def sweepMassMerged(pts: DataFrame,
       merged: DataFrame, materialize: Boolean = true): DataFrame = {
-    // checkpoint the merged intervals: the chunked running sum below
-    // runs a chunk-statistics pre-job, which would otherwise recompute
-    // the interval-merge windows once per job instead of reading the
-    // materialized blocks
-    val m = merged.localCheckpoint(eager = false)
+    // when the sweep input is materialized (the ev checkpoint below),
+    // the merged intervals only evaluate inside that ONE materialization
+    // job — the interval-merge windows' two references (begin/end delta
+    // projections) collapse via ReusedExchange, so a second stacked
+    // checkpoint here bought nothing at execution time and cost a full
+    // extra catalyst+toRdd pass per query (r19: ~0.2-0.3 s of the
+    // frequency family's fn-time driver constant). On the lazy
+    // composition paths (materialize=false) it keeps the round-18
+    // behavior: those plans re-evaluate the sweep input per subtree, and
+    // the merged frame is the narrow thing worth pinning.
+    val m = if (materialize) merged
+      else merged.localCheckpoint(eager = false)
     // ±pool deltas COLLAPSED per coordinate before the sweep: on a
     // dense fixture many intervals share endpoints, so one map-side-
     // combinable aggregate shrinks the sweep's input to the distinct
