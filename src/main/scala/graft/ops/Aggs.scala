@@ -269,18 +269,49 @@ object Aggs {
     * two middle decimal values needs no division, keeping the result
     * integer-exact and engine-portable (DuckDB's avg/median return
     * DOUBLE, which can never hash-match). */
+  /** The r19 rank-SELECTING rewrite ([[GlobalRank.groupedRowsAtRanks]])
+    * trades the full row-level window sort for an extra chunk-count
+    * aggregate pass plus two broadcast joins — a FIXED cost that r19's
+    * interleaved A/B measured LARGER than the saved sort at sf0.1
+    * (agg_quartiles 0.81×, the round's one real regression). So the
+    * selecting path now gates on the scan's estimated input bytes
+    * (deterministic from parquet footers; tunable via
+    * `spark.graft.rankSelect.minInputBytes`): below the threshold the
+    * plain full-ranking form wins on plan-fixed overhead, above it the
+    * selecting form wins by sorting only the ~3/32 chunk slice that can
+    * contain a wanted rank. Both forms assign byte-identical ranks
+    * (r19, oracle-verified at every scale), so the gate never changes
+    * the result. Default 64 MB sits above the r20 sf1 measurement point
+    * (see OPTIMIZATION_r20.md — the crossover measured there). */
+  private def useRankSelect(ev: org.apache.spark.sql.DataFrame): Boolean = {
+    val thresh = ev.sparkSession.conf
+      .get("spark.graft.rankSelect.minInputBytes", (64L << 20).toString).toLong
+    ev.queryExecution.optimizedPlan.stats.sizeInBytes >= BigInt(thresh)
+  }
+
   val aggExactMedian: Q = (s, d) => {
     val ev = Tables.events(s, d)
       .select(col("event_type"), dec4(col("value")).as("v"), col("event_id"))
+    val lo = floor((col("n") + 1) / 2).cast(LongType)
+    val hi = floor((col("n") + 2) / 2).cast(LongType)
     // rank-SELECTING form (r19): only the chunks holding the two middle
     // ranks are window-sorted, instead of ranking every row and
     // discarding all but 1-2 per group — rank assignment (and thus the
-    // selected rows) is identical by construction
-    val sel = GlobalRank.groupedRowsAtRanks(ev, Seq("event_type"),
-      Seq(col("v"), col("event_id")), "rn",
-      n => n.select(col("event_type"), explode(array(
-        floor((col("n") + 1) / 2).cast(LongType),
-        floor((col("n") + 2) / 2).cast(LongType))).as("__gr_want")))
+    // selected rows) is identical by construction. Size-gated (r20):
+    // below the threshold the full-ranking form's smaller plan wins.
+    val sel =
+      if (useRankSelect(ev))
+        GlobalRank.groupedRowsAtRanks(ev, Seq("event_type"),
+          Seq(col("v"), col("event_id")), "rn",
+          n => n.select(col("event_type"),
+            explode(array(lo, hi)).as("__gr_want")))
+      else {
+        val ranked = GlobalRank.withGroupedRowNumber(ev, Seq("event_type"),
+          Seq(col("v"), col("event_id")), "rn")
+        val n = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+        ranked.join(broadcast(n), "event_type")
+          .filter(col("rn") === lo || col("rn") === hi)
+      }
     sel.groupBy("event_type")
       .agg(scaledLong(
         (sum(col("v")) * when(count(lit(1)) === 1, 2).otherwise(1))
@@ -351,16 +382,27 @@ object Aggs {
     val r50 = floor((col("n") + 1) / 2).cast(LongType)
     val r75 = floor((col("n") * 3 + 3) / 4).cast(LongType)
     // rank-SELECTING form (r19, the [[aggExactMedian]] rewrite): only
-    // the chunks holding the three quartile ranks are window-sorted
-    val sel = GlobalRank.groupedRowsAtRanks(ev, Seq("event_type"),
-      Seq(col("v"), col("event_id")), "rn",
-      n => n.select(col("event_type"),
-        explode(array(r25, r50, r75)).as("__gr_want")))
+    // the chunks holding the three quartile ranks are window-sorted.
+    // Size-gated like [[aggExactMedian]] (r20): the selecting form's
+    // extra chunk-count pass was a measured 19% regression at sf0.1.
+    val sel =
+      if (useRankSelect(ev))
+        GlobalRank.groupedRowsAtRanks(ev, Seq("event_type"),
+          Seq(col("v"), col("event_id")), "rn",
+          n => n.select(col("event_type"),
+            explode(array(r25, r50, r75)).as("__gr_want")))
+          .withColumn("n", col("__gr_n"))
+      else {
+        val ranked = GlobalRank.withGroupedRowNumber(ev, Seq("event_type"),
+          Seq(col("v"), col("event_id")), "rn")
+        val n = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+        ranked.join(broadcast(n), "event_type")
+          .filter(col("rn") === r25 || col("rn") === r50 || col("rn") === r75)
+      }
     def pick(r: org.apache.spark.sql.Column, out: String) =
       scaledLong(max(when(col("rn") === r, col("v")))
         .cast(DecimalType(38, 4)), 4).as(out)
-    sel.withColumn("n", col("__gr_n"))
-      .groupBy("event_type", "n")
+    sel.groupBy("event_type", "n")
       .agg(pick(r25, "p25_e4"), pick(r50, "p50_e4"), pick(r75, "p75_e4"))
       .select("event_type", "p25_e4", "p50_e4", "p75_e4")
       .orderBy("event_type")

@@ -110,13 +110,39 @@ object Analysis {
       .select(col("doc_id"), col("shingle").as("t"))
     val withV = (0 until 4).foldLeft(sh)((df, k) =>
       df.withColumn(s"v$k", expr(tokenValue(k))))
-    val bandAggs = (0 until 4).map(k =>
-      expr(simhashBits(s"v$k", (x, n) => s"shiftright($x, $n)")).as(s"b$k"))
+    // PACKED bit-vote accumulator (r20, guide §2.3 "narrower aggregate
+    // state"): bit positions b and b+8 of each band share one 64-bit
+    // word in 32-BIT LANES, so the per-doc vote state is 32 packed sums
+    // + count instead of 64 single-bit sums + count. EXACT for any
+    // representable input: a doc's distinct-shingle count is bounded by
+    // its token count, and a Spark string cell caps at 2^31 bytes, so
+    // every lane count < 2^31 — lane 0 can never carry into lane 1 and
+    // lane 1's accumulation tops out below 2^62. Measured
+    // (tools/SimhashWidthBench, sf0.1): the wide form's first run paid
+    // ~2.3 s of whole-stage-codegen compilation the packed form avoids
+    // (65-slot two-level aggregate vs 33), warm reps ~equal — and the
+    // bench pays that compile inside the timed key. The majority
+    // decision per bit moves to a post-aggregate projection over the
+    // doc-sized frame (the CASE arithmetic is unchanged, so bands are
+    // bit-identical to the wide form's — the oracle runs the wide SQL).
+    val packedAggs = (0 until 4).flatMap(k => (0 until 8).map(b =>
+      sum(expr(s"(shiftright(v$k, $b) & 1) + " +
+        s"((shiftright(v$k, ${b + 8}) & 1) * ${1L << 32}L)")).as(s"q${k}_$b")))
+    val nAgg = count(lit(1)).as("n")
+    def bandCol(k: Int): org.apache.spark.sql.Column = expr(
+      (0 until 8).flatMap { b =>
+        val lo = s"(q${k}_$b & 4294967295)"
+        val hi = s"shiftright(q${k}_$b, 32)"
+        Seq(s"(CASE WHEN 2 * $lo >= n THEN 1 ELSE 0 END) * ${1 << b}",
+          s"(CASE WHEN 2 * $hi >= n THEN 1 ELSE 0 END) * ${1 << (b + 8)}")
+      }.mkString(" + ")).as(s"b$k")
     // One row per doc — persist so the self-join's two sides read the
     // materialized table instead of re-running the shingle explode + agg
     // (at 100 TB the signature table is the persisted asset; the corpus
     // is scanned once).
-    val simh = withV.groupBy("doc_id").agg(bandAggs.head, bandAggs.tail: _*)
+    val simh = withV.groupBy("doc_id")
+      .agg(packedAggs.head, packedAggs.tail :+ nAgg: _*)
+      .select(col("doc_id") +: (0 until 4).map(bandCol): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Band rows carry all four bands, so the candidate equi-join already
     // has both sides' full simhash — no join-back needed.

@@ -143,8 +143,8 @@ object GlobalRank {
     // O(groups × chunks); referenced by the offsets window AND the
     // per-group totals — materialize once instead of re-running the
     // count aggregate (and its scan) per reference
-    val chunkCounts = bucketed.groupBy(gcols :+ col("__gr_pid"): _*).count()
-      .localCheckpoint(eager = false)
+    val chunkCounts = graft.util.Ckpt.narrow(
+      bucketed.groupBy(gcols :+ col("__gr_pid"): _*).count())
     val withOff = chunkCounts
       .withColumn("__gr_offset",
         coalesce(sum(col("count")).over(
@@ -233,6 +233,7 @@ object GlobalRank {
   def withGroupedRunningMaxes(df: DataFrame, groupCols: Seq[String],
       keys: Seq[Column], values: Seq[(Column, String)],
       chunkKey: Option[Column] = None, numPartitions: Int = 0): DataFrame = {
+    require(values.nonEmpty, "withGroupedRunningMaxes needs >= 1 (value, out) pair")
     val gcols = groupCols.map(col)
     val idx = values.indices
     val tagged = idx.foldLeft(df)((d, i) =>

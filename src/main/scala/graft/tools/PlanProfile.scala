@@ -10,6 +10,10 @@ import org.apache.spark.sql.catalyst.rules.RuleExecutor
   * QueryExecutionMetering dump). Args: key [sfDir] [reps]. */
 object PlanProfile {
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println("usage: PlanProfile <key> [sfDir] [reps]")
+      sys.exit(2)
+    }
     val key = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 2

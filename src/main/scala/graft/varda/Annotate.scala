@@ -51,7 +51,11 @@ object Annotate {
     * `##fileformat` / `##INFO` / `#CHROM` header — readers that list the
     * directory see one valid sites-only VCF. */
   def writeAnnotatedVcf(spark: SparkSession, sfDir: String, outDir: String): Unit =
-    writeVcf(spark, toVcfLines(VardaOps.vardaAnnotate(spark, sfDir)),
+    // annotateFrame, not vardaAnnotate: the export needs per-partition
+    // order only (the writer sorts within partitions); the declared
+    // key's global orderBy would force a range exchange + boundary
+    // sampling pass over every line (r20, guide §2.4)
+    writeVcf(spark, toVcfLines(VardaOps.annotateFrame(spark, sfDir)),
       Seq("FREQ_PPM"), outDir)
 
   /** The multi-expression export: [[VardaOps.vardaAnnotateMulti]]'s
@@ -62,7 +66,7 @@ object Annotate {
       outDir: String): Unit = {
     val names = VardaOps.multiExprs.map(_._1)
     writeVcf(spark, toVcfLinesMulti(
-      VardaOps.vardaAnnotateMulti(spark, sfDir), names),
+      VardaOps.annotateMultiFrame(spark, sfDir), names),
       names.map(infoId), outDir)
   }
 

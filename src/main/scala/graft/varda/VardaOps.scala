@@ -225,9 +225,19 @@ object VardaOps {
     * ending just before does not — the inclusive-[begin,end] boundary
     * semantics. Returns (chromosome, position, denom_cov) for points
     * with non-zero covered mass; the coverage-less pool is the
-    * caller's separate broadcast scalar (the [[serveFrom]] shape). */
+    * caller's separate broadcast scalar (the [[serveFrom]] shape).
+    *
+    * `standalone` selects between two CHECKPOINT REGIMES (they are not
+    * an on/off pair): `true` (one-shot queries — the sweep is the plan's
+    * spine) checkpoints the change-point-sized EVENT frame `ev`, so the
+    * chunked running sum's four subtree references share one
+    * materialization; `false` (the sweep rides inside a larger
+    * composition of sweeps — fold/retract paths) leaves `ev` live, where
+    * the repeated subtrees collapse via ReusedExchange and a stacked
+    * checkpoint only serializes the job chain (r19: 1.9× slower), and
+    * instead pins the narrow MERGED-interval frame. */
   private[graft] def sweepMassMerged(pts: DataFrame,
-      merged: DataFrame, materialize: Boolean = true): DataFrame = {
+      merged: DataFrame, standalone: Boolean = true): DataFrame = {
     // when the sweep input is materialized (the ev checkpoint below),
     // the merged intervals only evaluate inside that ONE materialization
     // job — the interval-merge windows' two references (begin/end delta
@@ -235,11 +245,11 @@ object VardaOps {
     // checkpoint here bought nothing at execution time and cost a full
     // extra catalyst+toRdd pass per query (r19: ~0.2-0.3 s of the
     // frequency family's fn-time driver constant). On the lazy
-    // composition paths (materialize=false) it keeps the round-18
+    // composition paths (standalone=false) it keeps the round-18
     // behavior: those plans re-evaluate the sweep input per subtree, and
     // the merged frame is the narrow thing worth pinning.
-    val m = if (materialize) merged
-      else merged.localCheckpoint(eager = false)
+    val m = if (standalone) merged
+      else graft.util.Ckpt.narrow(merged)
     // ±pool deltas COLLAPSED per coordinate before the sweep: on a
     // dense fixture many intervals share endpoints, so one map-side-
     // combinable aggregate shrinks the sweep's input to the distinct
@@ -264,11 +274,11 @@ object VardaOps {
     // measured: 6 events.parquet scans per frequency query, 23
     // exchanges). Same narrow-frame materialization trade
     // [[nearestRegionFrom]] documents. Callers whose sweep rides inside
-    // a larger composition of sweeps pass materialize=false: there the
+    // a larger composition of sweeps pass standalone=false: there the
     // repeated subtrees collapse via ReusedExchange and the checkpoint
     // only serializes the job chain (r19 measured varda_sample_retract
     // 1.9x SLOWER with the checkpoint stacked three-deep).
-    val ev = if (materialize) evRaw.localCheckpoint(eager = false) else evRaw
+    val ev = if (standalone) graft.util.Ckpt.narrow(evRaw) else evRaw
     // grouped running sum per chromosome (chunked two-pass — never a
     // single-partition window), read off at the probe events
     graft.ops.GlobalRank.withGroupedRunningSum(ev, Seq("chromosome"),
@@ -386,8 +396,8 @@ object VardaOps {
     val regions2 = st.regions.join(broadcast(bSids), Seq("sample_id"), "left_anti")
       .select("sample_id", "chromosome", "begin_pos", "end_pos", "pool_size")
       .unionByName(after)
-    val denomDelta = sweepMassMerged(oldPts, fragsNew, materialize = false)
-      .unionByName(sweepMassMerged(newPts, regions2, materialize = false))
+    val denomDelta = sweepMassMerged(oldPts, fragsNew, standalone = false)
+      .unionByName(sweepMassMerged(newPts, regions2, standalone = false))
     val denom2 = st.denom.unionByName(denomDelta)
       .groupBy("chromosome", "position")
       .agg(sum(col("denom_cov")).cast(LongType).as("denom_cov"))
@@ -431,7 +441,7 @@ object VardaOps {
       .filter(col("numer") =!= 0)
     val regionsGone = st.regions.join(broadcast(sids), Seq("sample_id"), "left_semi")
     val denomGone = sweepMassMerged(st.pts, regionsGone,
-        materialize = false)
+        standalone = false)
       .select(col("chromosome"), col("position"),
         (-col("denom_cov")).as("denom_cov"))
     val denom2 = st.denom.unionByName(denomGone)
@@ -1206,8 +1216,8 @@ object VardaOps {
     // points-sized, referenced by the event union AND the final
     // obs_id-mapping join — materialize once (the [[nearestRegionFrom]]
     // narrow-frame trade) instead of re-running the observation scan
-    val pts = obsDf.select("obs_id", "chromosome", "position")
-      .localCheckpoint(eager = false)
+    val pts = graft.util.Ckpt.narrow(
+      obsDf.select("obs_id", "chromosome", "position"))
     val ev = covDf.select(col("chromosome"), col("begin_pos").as("coord"),
         lit(0).as("kind"), lit(1L).as("dc"),
         col("pool_size").cast(LongType).as("dp"))
@@ -1228,7 +1238,7 @@ object VardaOps {
     // four times (r19: this key executed 4 Window nodes over 36
     // exchanges before the cut)
     val at = sweep(col("dp"), "total_pool")(
-      sweep(col("dc"), "n_regions")(ev).localCheckpoint(eager = false))
+      graft.util.Ckpt.narrow(sweep(col("dc"), "n_regions")(ev)))
       .filter(col("kind") === 1 && col("n_regions") > 0)
       .select(col("chromosome"), col("coord").as("position"),
         col("n_regions"), col("total_pool"))
@@ -1422,7 +1432,13 @@ object VardaOps {
   /** Annotation write-back: left-join input variants (some deliberately
     * unknown via a +1 position shift) against the frequency table,
     * null -> 0 (varda/tasks.py :: write_annotation [U]). */
-  val vardaAnnotate: Q = (s, d) => {
+  /** [[vardaAnnotate]]'s frame WITHOUT the declared result ordering —
+    * the VCF export serializes this one (r20): the writer needs only
+    * per-partition position order ([[Vcf.toVcfLines]]), and feeding it
+    * the orderBy'd declared frame made every export pay a full global
+    * range sort (range-boundary sampling pass + exchange) that the
+    * parse-back's own declared orderBy then re-established anyway. */
+  private[graft] def annotateFrame(s: SparkSession, d: String): DataFrame = {
     val input = obs(s, d).filter(col("obs_id") % 2 === 0)
       .select(col("chromosome"),
         (col("position") + when(col("obs_id") % 4 === 0, 1).otherwise(0)).as("position"),
@@ -1433,8 +1449,11 @@ object VardaOps {
     input.join(freq, Seq("chromosome", "position", "reference", "observed"), "left")
       .select(col("chromosome"), col("position"), col("reference"), col("observed"),
         coalesce(col("freq_ppm"), lit(0L)).as("freq_ppm"))
-      .orderBy("chromosome", "position", "reference", "observed")
   }
+
+  val vardaAnnotate: Q = (s, d) =>
+    annotateFrame(s, d)
+      .orderBy("chromosome", "position", "reference", "observed")
 
   /** Annotation against the COMMITTED store (round-9): the reference's
     * full annotate lifecycle [U varda/tasks.py :: write_annotation] over
@@ -1479,7 +1498,14 @@ object VardaOps {
     * expression. Emits one `freq_ppm_<name>` column per expression; the
     * oracle computes each from its own frequencySql CTE and must match
     * bit for bit. */
-  val vardaAnnotateMulti: Q = (s, d) => {
+  val vardaAnnotateMulti: Q = (s, d) =>
+    annotateMultiFrame(s, d)
+      .orderBy("chromosome", "position", "reference", "observed")
+
+  /** [[vardaAnnotateMulti]] without the declared result ordering — what
+    * the multi-expression VCF export serializes (same rationale as
+    * [[annotateFrame]]). */
+  private[graft] def annotateMultiFrame(s: SparkSession, d: String): DataFrame = {
     val preds = multiExprs.map { case (n, e, _) =>
       n -> ExprLang.parse(e, sampleTags)
     }
@@ -1515,7 +1541,6 @@ object VardaOps {
     }
     input.join(freq, variantKey, "left")
       .select(variantKey.map(col) ++ outPpm: _*)
-      .orderBy("chromosome", "position", "reference", "observed")
   }
 
   /** Trio de-novo candidate detection over explicit inputs — the

@@ -120,8 +120,17 @@ object Vcf {
     * half of the reference's round trip (varda/tasks.py ::
     * write_annotation [U] emits an annotated VCF). One output line per
     * input row; `infoCols` become `K=V` INFO entries in order. Returns a
-    * single `value` column ordered by (chromosome, position, reference,
-    * observed) so the emitted file is position-sorted per partition. */
+    * single `value` column sorted WITHIN each partition by (chromosome,
+    * position, reference, observed) so every emitted part file is
+    * position-sorted — the documented contract. r20: this was a global
+    * `orderBy`, which bought nothing the contract needs (readers
+    * re-order anyway — parse-back is set-shaped) while costing a full
+    * range exchange of every line PLUS the range-partitioner's boundary
+    * sampling pass, which re-evaluated the annotation subtree
+    * (guide §2.4: an orderBy used only to make output deterministic is
+    * an accidental shuffle). The local sort is exchange-free — and when
+    * the input arrives sort-merge-joined on the same key tuple, already
+    * in order, it is a no-op. */
   def toVcfLines(df: DataFrame, infoCols: Seq[String]): DataFrame = {
     val info = if (infoCols.isEmpty) lit(".")
       else concat_ws(";", infoCols.map(c => concat(lit(s"$c="), col(c))): _*)
@@ -129,7 +138,7 @@ object Vcf {
       col("chromosome"), col("position"), lit("."), col("reference"),
       col("observed"), lit("."), lit("PASS"), info).as("value"),
       col("chromosome"), col("position"), col("reference"), col("observed"))
-      .orderBy("chromosome", "position", "reference", "observed")
+      .sortWithinPartitions("chromosome", "position", "reference", "observed")
       .select("value")
   }
 

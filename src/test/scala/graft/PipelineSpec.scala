@@ -246,6 +246,37 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("span dedup's min!=max shared-shingle rewrite equals count_distinct>=2") {
+    // the r19 rewrite: "shingle occurs in >= 2 distinct docs" as
+    // min(doc_id) != max(doc_id) instead of count_distinct(doc_id) >= 2.
+    // Fixture covers: a shingle duplicated ACROSS docs, one repeated
+    // WITHIN one doc only (count(*) >= 2 but distinct = 1 — the case a
+    // plain count would get wrong), single-occurrence shingles, and
+    // null doc_ids (ignored identically by count_distinct and min/max;
+    // a null-only shingle excludes under both because null != null is
+    // null, hence filtered).
+    import spark.implicits._
+    val sh = Seq[(java.lang.Long, String)](
+      (1L, "shared across docs"), (2L, "shared across docs"),
+      (3L, "shared across docs"),
+      (4L, "repeated within one doc"), (4L, "repeated within one doc"),
+      (5L, "unique to doc five"),
+      (6L, "pair shingle"), (7L, "pair shingle"),
+      (null, "null plus doc eight"), (8L, "null plus doc eight"),
+      (null, "null only shingle"), (null, "null only shingle")
+    ).toDF("doc_id", "sg")
+    val viaMinMax = sh.groupBy("sg")
+      .agg(min(col("doc_id")).as("d_lo"), max(col("doc_id")).as("d_hi"))
+      .filter(col("d_lo") =!= col("d_hi")).select("sg")
+    val viaCountDistinct = sh.groupBy("sg")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2).select("sg")
+    assert(viaMinMax.except(viaCountDistinct).isEmpty &&
+      viaCountDistinct.except(viaMinMax).isEmpty)
+    assert(viaMinMax.collect().map(_.getString(0)).toSet ==
+      Set("shared across docs", "pair shingle"))
+  }
+
   test("text_quality_filter: mask bits recompute from the signals") {
     val out = ops.Pipeline.textQualityFilter(spark, sf0001).collect()
     assert(out.exists(_.getAs[Boolean]("keep")) &&

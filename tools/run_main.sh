@@ -15,6 +15,8 @@ for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
 MAIN="$1"; shift
-exec java $OPENS -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+# EXTRA_JAVA_OPTS: ad-hoc -D flags (e.g. spark confs picked up at session
+# build) for A/B experiments without editing the harness mains.
+exec java $OPENS -Xmx"${SPARK_DRIVER_MEM:-8g}" ${EXTRA_JAVA_OPTS:-} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "$CP" "graft.$MAIN" "$@"
