@@ -188,24 +188,47 @@ object GlobalRank {
     * be exact-arithmetic (integer/decimal) for a deterministic result. */
   def withGroupedRunningSum(df: DataFrame, groupCols: Seq[String],
       keys: Seq[Column], value: Column, out: String,
+      chunkKey: Option[Column] = None, numPartitions: Int = 0): DataFrame =
+    withGroupedRunningSums(df, groupCols, keys, Seq(value -> out),
+      chunkKey, numPartitions)
+
+  /** N independent running sums over ONE sweep (r20, the sum-monoid
+    * sibling of [[withGroupedRunningMaxes]]): every `values` pair
+    * (value, out) gets its own inclusive running sum under the shared
+    * total order — one window pass, one offsets aggregate, one
+    * broadcast join, however many summands ride along. What the
+    * multi-expression frequency sweep needs: one endpoint sweep carries
+    * every expression's ±pool delta instead of one sweep (or one
+    * containment join) per expression. Each `value` must be
+    * exact-arithmetic, the [[withGroupedRunningSum]] contract. */
+  def withGroupedRunningSums(df: DataFrame, groupCols: Seq[String],
+      keys: Seq[Column], values: Seq[(Column, String)],
       chunkKey: Option[Column] = None, numPartitions: Int = 0): DataFrame = {
+    require(values.nonEmpty, "withGroupedRunningSums needs >= 1 (value, out) pair")
     val gcols = groupCols.map(col)
-    val bucketed = withGroupedChunkId(df.withColumn("__gr_val", value),
-      groupCols, keys, chunkKey, numPartitions)
+    val idx = values.indices
+    val tagged = idx.foldLeft(df)((d, i) =>
+      d.withColumn(s"__gr_val$i", values(i)._1))
+    val bucketed = withGroupedChunkId(tagged, groupCols, keys, chunkKey,
+      numPartitions)
     val localW = Window.partitionBy(gcols :+ col("__gr_pid"): _*)
       .orderBy(keys: _*).rowsBetween(Window.unboundedPreceding, 0)
-    val local = bucketed.withColumn("__gr_local",
-      sum(col("__gr_val")).over(localW))
+    val local = idx.foldLeft(bucketed)((d, i) =>
+      d.withColumn(s"__gr_local$i", sum(col(s"__gr_val$i")).over(localW)))
+    val offW = Window.partitionBy(gcols: _*).orderBy("__gr_pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tots = idx.map(i => sum(col(s"__gr_val$i")).as(s"__gr_tot$i"))
     val offsets = bucketed.groupBy(gcols :+ col("__gr_pid"): _*)
-      .agg(sum(col("__gr_val")).as("__gr_tot"))
-      .withColumn("__gr_offset",
-        coalesce(sum(col("__gr_tot")).over(
-          Window.partitionBy(gcols: _*).orderBy("__gr_pid")
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(gcols :+ col("__gr_pid") :+ col("__gr_offset"): _*)
-    nullSafeBroadcastJoin(local, offsets, groupCols :+ "__gr_pid")
-      .withColumn(out, col("__gr_offset") + col("__gr_local"))
-      .drop("__gr_pid", "__gr_local", "__gr_offset", "__gr_val")
+      .agg(tots.head, tots.tail: _*)
+      .select(gcols ++ Seq(col("__gr_pid")) ++ idx.map(i =>
+        coalesce(sum(col(s"__gr_tot$i")).over(offW), lit(0L))
+          .as(s"__gr_offset$i")): _*)
+    val joined = nullSafeBroadcastJoin(local, offsets, groupCols :+ "__gr_pid")
+    idx.foldLeft(joined)((d, i) =>
+        d.withColumn(values(i)._2,
+          col(s"__gr_offset$i") + col(s"__gr_local$i")))
+      .drop("__gr_pid" +: idx.flatMap(i =>
+        Seq(s"__gr_local$i", s"__gr_offset$i", s"__gr_val$i")): _*)
   }
 
   /** Append `out` = inclusive running MAX of `value` within each

@@ -301,6 +301,55 @@ object VardaOps {
     sweepMassMerged(pts.dropDuplicates("chromosome", "position"),
       mergeIntervals(covDf))
 
+  /** N per-expression covered masses from ONE endpoint sweep (r20):
+    * the multi-expression sibling of [[sweepMassMerged]], riding
+    * [[GlobalRank.withGroupedRunningSums]]. `merged` must be
+    * per-sample DISJOINT intervals (the [[mergeIntervals]] invariant —
+    * what makes "each covering sample counted once per expression"
+    * structural); each `preds` entry (name, sample predicate) yields a
+    * `mass_<name>` column = Σ over covering samples passing the
+    * predicate of pool_size × ploidy. Returns ONE row per distinct
+    * probe point (masses 0, never null, when nothing covers it).
+    *
+    * This replaced the multi-annotate containment join + pair distinct:
+    * that plan's (point × covering sample) pair volume densifies
+    * quadratically — measured this round at the sf1 decade it put
+    * sink_vcf_multi at 148.7 s (c32) vs 6.2 s for the sweep-based
+    * single-expression sibling. The sweep is O(points + regions) at any
+    * density with ONE pass for all expressions. */
+  private[graft] def sweepMassMergedMulti(pts: DataFrame, merged: DataFrame,
+      preds: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    val dpBegin = preds.map { case (n, p) =>
+      when(p, col("pool_size")).otherwise(lit(0)).cast(LongType).as(s"dp_$n") }
+    val dpEnd = preds.map { case (n, p) =>
+      when(p, -col("pool_size")).otherwise(lit(0)).cast(LongType).as(s"dp_$n") }
+    val deltas = merged
+      .select(Seq(col("chromosome"), col("begin_pos").as("coord")) ++ dpBegin: _*)
+      .unionByName(merged.select(
+        Seq(col("chromosome"), (col("end_pos") + 1).as("coord")) ++ dpEnd: _*))
+      .groupBy("chromosome", "coord")
+      .agg(sum(col(s"dp_${preds.head._1}")).as(s"dp_${preds.head._1}"),
+        preds.tail.map { case (n, _) => sum(col(s"dp_$n")).as(s"dp_$n") }: _*)
+      .filter(preds.map { case (n, _) => col(s"dp_$n") =!= 0 }.reduce(_ || _))
+      .select(Seq(col("chromosome"), col("coord"), lit(0).as("kind")) ++
+        preds.map { case (n, _) => col(s"dp_$n") }: _*)
+    val evRaw = deltas.unionByName(
+      pts.select(Seq(col("chromosome"), col("position").as("coord"),
+        lit(1).as("kind")) ++
+        preds.map { case (n, _) => lit(0L).as(s"dp_$n") }: _*))
+    // change-point-sized, referenced by the chunked running sums' four
+    // subtrees — the same standalone-regime checkpoint sweepMassMerged
+    // documents
+    val ev = graft.util.Ckpt.narrow(evRaw)
+    graft.ops.GlobalRank.withGroupedRunningSums(ev, Seq("chromosome"),
+        Seq(col("coord"), col("kind")),
+        preds.map { case (n, _) => col(s"dp_$n") -> s"__mass_$n" })
+      .filter(col("kind") === 1)
+      .select(Seq(col("chromosome"), col("coord").as("position")) ++
+        preds.map { case (n, _) =>
+          (col(s"__mass_$n") * ploidy).cast(LongType).as(s"mass_$n") }: _*)
+  }
+
   private val variantKey = Seq("chromosome", "position", "reference", "observed")
 
   /** One incremental fold: the batch's per-variant partial sums merged
@@ -1516,18 +1565,51 @@ object VardaOps {
         col("reference"), col("observed"))
       .distinct()
     val pts = o.select("chromosome", "position").distinct()
-    val covSmp = bucketedContainment(pts, cov(s, d))
-      .select("chromosome", "position", "sample_id", "pool_size").distinct()
-    val uncovSmp = pts.crossJoin(broadcast(
-      smp(s, d).filter(!col("has_coverage")).select("sample_id", "pool_size")))
-      .select("chromosome", "position", "sample_id", "pool_size")
-    val denomAggs = preds.map { case (n, p) =>
-      sum(when(p, col("pool_size") * ploidy).otherwise(0))
-        .cast(LongType).as(s"denom_$n")
+    // per-expression denominators. Two result-identical forms, gated on
+    // the coverage scan's estimated bytes (r20, the OPT-5 gate pattern;
+    // spark.graft.multiSweep.minInputBytes, default 8 MB):
+    //  - LARGE inputs: ONE merged-interval endpoint sweep for all
+    //    expressions ([[sweepMassMergedMulti]]). The containment form's
+    //    (point × covering sample) pair volume densifies quadratically —
+    //    measured this round at the sf1 decade: sink_vcf_multi 148.7 s
+    //    (c32) with the join vs 7.3 s with the sweep. Each covering
+    //    sample still counts once per expression (merged intervals make
+    //    it structural); the coverage-less pool stays a broadcast
+    //    per-expression scalar.
+    //  - SMALL inputs: the containment join + pair distinct — at sf0.1
+    //    its pair volume is trivial and it avoids the sweep machinery's
+    //    ~2 s of fixed per-query stage latency (the measured r20 gap:
+    //    0.3 s join vs 2.3 s sweep at sf0.1, inverted 20× at sf1).
+    val covDf = cov(s, d)
+    val sweepThresh = s.conf
+      .get("spark.graft.multiSweep.minInputBytes", (8L << 20).toString).toLong
+    val denoms = if (covDf.queryExecution.optimizedPlan.stats.sizeInBytes
+        >= BigInt(sweepThresh)) {
+      val masses = sweepMassMergedMulti(pts, mergeIntervals(covDf), preds)
+      val uncovAggs = preds.map { case (n, p) =>
+        coalesce(sum(when(p, col("pool_size"))), lit(0))
+          .cast(LongType).as(s"uncov_$n") }
+      val uncov = smp(s, d).filter(!col("has_coverage"))
+        .agg(uncovAggs.head, uncovAggs.tail: _*)
+      masses.crossJoin(broadcast(uncov))
+        .select(Seq(col("chromosome"), col("position")) ++
+          preds.map { case (n, _) =>
+            (col(s"mass_$n") + col(s"uncov_$n") * ploidy)
+              .cast(LongType).as(s"denom_$n") }: _*)
+    } else {
+      val covSmp = bucketedContainment(pts, covDf)
+        .select("chromosome", "position", "sample_id", "pool_size").distinct()
+      val uncovSmp = pts.crossJoin(broadcast(
+        smp(s, d).filter(!col("has_coverage")).select("sample_id", "pool_size")))
+        .select("chromosome", "position", "sample_id", "pool_size")
+      val denomAggs = preds.map { case (n, p) =>
+        sum(when(p, col("pool_size") * ploidy).otherwise(0))
+          .cast(LongType).as(s"denom_$n")
+      }
+      covSmp.unionByName(uncovSmp)
+        .groupBy("chromosome", "position")
+        .agg(denomAggs.head, denomAggs.tail: _*)
     }
-    val denoms = covSmp.unionByName(uncovSmp)
-      .groupBy("chromosome", "position")
-      .agg(denomAggs.head, denomAggs.tail: _*)
     val numerAggs = preds.map { case (n, p) =>
       sum(when(p, col("support")).otherwise(0)).cast(LongType).as(s"numer_$n")
     }
