@@ -1276,18 +1276,21 @@ object VardaOps {
       .unionByName(pts.select(col("chromosome"), col("position").as("coord"),
         lit(1).as("kind"), lit(0L).as("dc"), lit(0L).as("dp"))
         .distinct())
-      .localCheckpoint() // both sweeps read the same event frame
-    def sweep(value: org.apache.spark.sql.Column, out: String)(
-        df: DataFrame): DataFrame =
-      graft.ops.GlobalRank.withGroupedRunningSum(df, Seq("chromosome"),
-        Seq(col("coord"), col("kind")), value, out)
-    // the outer sweep evaluates its input in four subtrees (the chunked
-    // running sum's two branches + their bounds) — checkpoint the inner
-    // sweep's event-sized result so its window/exchange runs once, not
-    // four times (r19: this key executed 4 Window nodes over 36
-    // exchanges before the cut)
-    val at = sweep(col("dp"), "total_pool")(
-      graft.util.Ckpt.narrow(sweep(col("dc"), "n_regions")(ev)))
+      .localCheckpoint() // the sweep's four subtrees read one event frame
+    // ONE fused sweep for both running sums (r20): n_regions and
+    // total_pool are independent running sums under the SAME
+    // (chromosome)/(coord, kind) order, so they ride one
+    // [[graft.ops.GlobalRank.withGroupedRunningSums]] pass — one window,
+    // one offsets aggregate, one broadcast join. The previous shape (two
+    // NESTED single-value sweeps, the inner checkpointed so the outer's
+    // four subtree references wouldn't re-run it) existed only because
+    // the single-value API forced a second pass: r19 had already cut it
+    // from 4 Window nodes / 36 exchanges to 2 / 10; this halves the
+    // remainder (plan: 2 Window nodes → 1, and the inner checkpoint
+    // disappears).
+    val at = graft.ops.GlobalRank.withGroupedRunningSums(ev,
+        Seq("chromosome"), Seq(col("coord"), col("kind")),
+        Seq(col("dc") -> "n_regions", col("dp") -> "total_pool"))
       .filter(col("kind") === 1 && col("n_regions") > 0)
       .select(col("chromosome"), col("coord").as("position"),
         col("n_regions"), col("total_pool"))
