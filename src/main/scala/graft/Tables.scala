@@ -76,6 +76,20 @@ object Tables {
   def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")
 
+  /** Raw on-disk bytes of one table's parquet directory — the
+    * size-gate input (r20): deterministic from the files, memoized per
+    * (sfDir, table) so gated query builders pay a filesystem stat once
+    * per JVM instead of a catalyst analyze+optimize pass per call
+    * (~40 ms, measured as 12% of varda_annotate_multi's bench line when
+    * the gate read `optimizedPlan.stats`). */
+  private val sizeCache = TrieMap.empty[(String, String), Long]
+  def inputBytes(spark: SparkSession, sfDir: String, name: String): Long =
+    sizeCache.getOrElseUpdate((sfDir, name), {
+      val p = new org.apache.hadoop.fs.Path(s"$sfDir/$name.parquet")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      try fs.getContentSummary(p).getLength catch { case _: Throwable => 0L }
+    })
+
   /** Drop a session's memoized frames and view registration. For
     * short-lived CLONED sessions (`newSession` — the FreqStore replay,
     * the rewrite keys): clones share the live SparkContext, so the

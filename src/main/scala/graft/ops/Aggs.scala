@@ -274,8 +274,9 @@ object Aggs {
     * aggregate pass plus two broadcast joins — a FIXED cost that r19's
     * interleaved A/B measured LARGER than the saved sort at sf0.1
     * (agg_quartiles 0.81×, the round's one real regression). So the
-    * selecting path now gates on the scan's estimated input bytes
-    * (deterministic from parquet footers; tunable via
+    * selecting path now gates on the events table's raw parquet bytes
+    * (deterministic from the files, memoized — a catalyst stats call
+    * here cost ~40 ms of analyze+optimize per invocation; tunable via
     * `spark.graft.rankSelect.minInputBytes`): below the threshold the
     * plain full-ranking form wins on plan-fixed overhead, above it the
     * selecting form wins by sorting only the ~3/32 chunk slice that can
@@ -283,10 +284,11 @@ object Aggs {
     * (r19, oracle-verified at every scale), so the gate never changes
     * the result. Default 64 MB sits above the r20 sf1 measurement point
     * (see OPTIMIZATION_r20.md — the crossover measured there). */
-  private def useRankSelect(ev: org.apache.spark.sql.DataFrame): Boolean = {
-    val thresh = ev.sparkSession.conf
+  private def useRankSelect(s: org.apache.spark.sql.SparkSession,
+      d: String): Boolean = {
+    val thresh = s.conf
       .get("spark.graft.rankSelect.minInputBytes", (64L << 20).toString).toLong
-    ev.queryExecution.optimizedPlan.stats.sizeInBytes >= BigInt(thresh)
+    Tables.inputBytes(s, d, "events") >= thresh
   }
 
   val aggExactMedian: Q = (s, d) => {
@@ -300,7 +302,7 @@ object Aggs {
     // selected rows) is identical by construction. Size-gated (r20):
     // below the threshold the full-ranking form's smaller plan wins.
     val sel =
-      if (useRankSelect(ev))
+      if (useRankSelect(s, d))
         GlobalRank.groupedRowsAtRanks(ev, Seq("event_type"),
           Seq(col("v"), col("event_id")), "rn",
           n => n.select(col("event_type"),
@@ -386,7 +388,7 @@ object Aggs {
     // Size-gated like [[aggExactMedian]] (r20): the selecting form's
     // extra chunk-count pass was a measured 19% regression at sf0.1.
     val sel =
-      if (useRankSelect(ev))
+      if (useRankSelect(s, d))
         GlobalRank.groupedRowsAtRanks(ev, Seq("event_type"),
           Seq(col("v"), col("event_id")), "rn",
           n => n.select(col("event_type"),

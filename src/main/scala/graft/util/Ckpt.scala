@@ -19,6 +19,10 @@ import org.apache.spark.sql.Dataset
   *    frames routed through here are change-point-/pair-/shingle-sized,
   *    far narrower than their lineage's inputs, so the extra write is
   *    small next to recomputing a lost block's full lineage under churn.
+  *    (Spark's lazy reliable checkpoint writes by re-running the frame
+  *    once after the first job that computes it — the standard
+  *    checkpoint-without-persist trade; still one extra pass over a
+  *    NARROW frame, paid only by deployments that opt in.)
   *    The checkpoint dir defaults under `spark.graft.scratchDir` (or the
   *    JVM tmpdir) when the deployment has not set one; a real cluster
   *    should point it at durable shared storage.

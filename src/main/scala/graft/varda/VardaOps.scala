@@ -1583,11 +1583,13 @@ object VardaOps {
     //    its pair volume is trivial and it avoids the sweep machinery's
     //    ~2 s of fixed per-query stage latency (the measured r20 gap:
     //    0.3 s join vs 2.3 s sweep at sf0.1, inverted 20× at sf1).
+    // gate input: the orders table's raw parquet bytes (the coverage
+    // fixture derives from orders) — memoized file stat, not a catalyst
+    // stats call (which cost ~40 ms of analyze+optimize per invocation)
     val covDf = cov(s, d)
     val sweepThresh = s.conf
       .get("spark.graft.multiSweep.minInputBytes", (8L << 20).toString).toLong
-    val denoms = if (covDf.queryExecution.optimizedPlan.stats.sizeInBytes
-        >= BigInt(sweepThresh)) {
+    val denoms = if (Tables.inputBytes(s, d, "orders") >= sweepThresh) {
       val masses = sweepMassMergedMulti(pts, mergeIntervals(covDf), preds)
       val uncovAggs = preds.map { case (n, p) =>
         coalesce(sum(when(p, col("pool_size"))), lit(0))
