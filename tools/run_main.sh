@@ -15,6 +15,14 @@ for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
 MAIN="$1"; shift
+# `sbt compile` alone does not copy src/main/resources into the classes
+# dir; without META-INF/services the freqstore DSv2 sources silently
+# fail to register (r20: this produced fast-fail bench lines that looked
+# like timings). sbt runMain (the driver path) is unaffected.
+if [ ! -f target/scala-2.13/classes/META-INF/services/org.apache.spark.sql.sources.DataSourceRegister ]; then
+  echo "[run_main] META-INF/services missing from classes - run 'sbt Compile/copyResources' first" >&2
+  exit 3
+fi
 # EXTRA_JAVA_OPTS: ad-hoc -D flags (e.g. spark confs picked up at session
 # build) for A/B experiments without editing the harness mains.
 exec java $OPENS -Xmx"${SPARK_DRIVER_MEM:-8g}" ${EXTRA_JAVA_OPTS:-} \
